@@ -1,0 +1,206 @@
+"""Registered correctness queries for the reference-parity traffic pipeline.
+
+The fixture set has no TrafSys API dump, so these queries first derive a
+deterministic traffic-shaped batch from the ``events`` table (same
+derivation in the Spark builder and the DuckDB oracle SQL), then exercise
+each parity operator on it: normalize (T1/T2), window filter (T6), hourly /
+daily rollup (§2.3), last-write-wins MERGE (S5), watermark top-1 (S7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import dedupe_last_write, merge_dataframes
+from ..registry import register
+from ..sources.fixtures import load_table
+from .traffic import filter_window, normalize_traffic, rollup_traffic
+
+# ---------------------------------------------------------------------------
+# Deterministic events → traffic-record derivation (shared Spark + SQL).
+# floor() before the bigint cast because Spark's double→long cast truncates
+# while DuckDB's rounds — floor makes both exact.
+# ---------------------------------------------------------------------------
+
+
+def traffic_raw_from_events(events: DataFrame) -> DataFrame:
+    """Shape `events` rows like the TrafSys API payload (FIXTURES.md §A1):
+    boolean-ish IsInternal, ISO-string PeriodEnding."""
+    return events.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 5).cast("string")).alias("SiteCode"),
+        F.col("event_type").alias("Location"),
+        (F.col("value") > 100).alias("IsInternal"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("PeriodEnding"),
+        F.floor("value").cast("long").alias("Ins"),
+        (F.col("event_id") % 50).alias("Outs"),
+    )
+
+
+#: DuckDB mirror of traffic_raw_from_events + normalize_traffic.
+_TRAFFIC_CTE = """
+    traffic AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS SiteCode,
+               event_type AS Location,
+               CAST(value > 100 AS INT) AS IsInternal,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS PeriodEnding,
+               CAST(FLOOR(value) AS BIGINT) AS Ins,
+               event_id % 50 AS Outs
+        FROM events
+    )
+"""
+
+
+def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_traffic(traffic_raw_from_events(load_table(spark, sf_dir, "events")))
+
+
+@register(
+    "traffic_normalize",
+    oracle=f"WITH {_TRAFFIC_CTE} SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM traffic",
+)
+def traffic_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (bool→int) + T2 (ISO string → timestamp), reference script.js:160-163, 191."""
+    return _normalized(spark, sf_dir)
+
+
+@register(
+    "traffic_window_filter",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE}
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs
+    FROM traffic
+    WHERE PeriodEnding >= TIMESTAMP '2024-01-05 00:00:00'
+      AND PeriodEnding < TIMESTAMP '2024-01-13 00:00:00'
+      AND SiteCode = 'S1'
+      AND IsInternal = 0
+    """,
+)
+def traffic_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: the DateFrom/DateTo/SiteCode/IncludeInternalLocations filters the
+    reference pushes to the API (script.js:143-149) as Catalyst pushdown
+    predicates."""
+    return filter_window(
+        _normalized(spark, sf_dir),
+        date_from="2024-01-05",
+        date_to="2024-01-12",
+        site_code="S1",
+        include_internal=False,
+    )
+
+
+@register(
+    "traffic_hourly_rollup",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE}
+    SELECT SiteCode, Location,
+           date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
+           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+    FROM traffic
+    GROUP BY 1, 2, 3
+    """,
+)
+def traffic_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 hourly grain (DataSummedByDay=false, script.js:146): tumbling
+    1-hour sums per (site, location), hour-ending buckets."""
+    return rollup_traffic(_normalized(spark, sf_dir), grain="hour")
+
+
+@register(
+    "traffic_daily_rollup",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE}
+    SELECT SiteCode, Location,
+           date_trunc('day', PeriodEnding) + INTERVAL 1 DAY AS PeriodEnding,
+           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+    FROM traffic
+    GROUP BY 1, 2, 3
+    """,
+)
+def traffic_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 daily grain (DataSummedByDay=true)."""
+    return rollup_traffic(_normalized(spark, sf_dir), grain="day")
+
+
+@register(
+    "traffic_merge_upsert",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    b1 AS (
+        SELECT * FROM (
+            SELECT t.*, ROW_NUMBER() OVER (
+                PARTITION BY SiteCode, Location, PeriodEnding
+                ORDER BY Ins DESC, Outs DESC) AS rn
+            FROM traffic t WHERE PeriodEnding < TIMESTAMP '2024-01-20 00:00:00'
+        ) WHERE rn = 1
+    ),
+    b2 AS (
+        SELECT * FROM (
+            SELECT SiteCode, Location, IsInternal, PeriodEnding,
+                   Ins + 1000 AS Ins, Outs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY SiteCode, Location, PeriodEnding
+                       ORDER BY Ins + 1000 DESC, Outs DESC) AS rn
+            FROM traffic WHERE PeriodEnding >= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+    )
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM b1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b2 WHERE b2.SiteCode = b1.SiteCode
+          AND b2.Location = b1.Location AND b2.PeriodEnding = b1.PeriodEnding)
+    UNION ALL
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM b2
+    """,
+)
+def traffic_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: last-write-wins MERGE on the composite PK (script.js:182-215).
+
+    Batch 1 loads Jan 1-19; batch 2 replays Jan 15+ with corrected counts
+    (Ins+1000).  The merged state must show batch-2 values for every
+    overlapping key and batch-1 values elsewhere — the reference's
+    late-correction semantics (script.js:195-200).
+    """
+    t = _normalized(spark, sf_dir)
+    b1 = dedupe_last_write(
+        t.filter(F.col("PeriodEnding") < F.lit("2024-01-20")),
+        keys=["SiteCode", "Location", "PeriodEnding"],
+        order_by=["Ins", "Outs"],
+    )
+    b2 = dedupe_last_write(
+        t.filter(F.col("PeriodEnding") >= F.lit("2024-01-15")).withColumn(
+            "Ins", F.col("Ins") + 1000
+        ),
+        keys=["SiteCode", "Location", "PeriodEnding"],
+        order_by=["Ins", "Outs"],
+    )
+    return merge_dataframes(b1, b2, keys=["SiteCode", "Location", "PeriodEnding"])
+
+
+@register(
+    "traffic_watermark_top1",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    runs AS (
+        SELECT CAST(date_trunc('day', PeriodEnding) AS DATE) AS RunDate,
+               COUNT(*) AS Records,
+               MAX(PeriodEnding) AS createdAt
+        FROM traffic GROUP BY 1
+    )
+    SELECT RunDate, Records, createdAt FROM runs
+    ORDER BY createdAt DESC LIMIT 1
+    """,
+)
+def traffic_watermark_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the watermark read-back — top-1 by recency over the run log
+    (NeDB sort({createdAt:-1}).limit(1), script.js:35).  Spark plans the
+    orderBy+limit as TakeOrderedAndProject: no full sort at any scale.
+    """
+    runs = (
+        _normalized(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "PeriodEnding").cast("date").alias("RunDate"))
+        .agg(
+            F.count(F.lit(1)).alias("Records"),
+            F.max("PeriodEnding").alias("createdAt"),
+        )
+    )
+    return runs.orderBy(F.desc("createdAt")).limit(1)

@@ -1,0 +1,64 @@
+"""SparkSession construction with the engine's standard configuration.
+
+The reference runs in a single Node process (see /root/reference/script.js);
+our execution substrate is Spark.  This module centralises the session
+settings every entry point (tests, bench, driver contract) shares so plans
+are reproducible: UTC session timezone (the reference dodges timezone issues
+by shipping date strings into Oracle, script.js:191 — we pin UTC instead),
+AQE on for runtime re-planning, Arrow enabled for the few Pandas-UDF
+operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition count: match available cores locally.
+
+    On a real cluster this should be ~2-3x total executor cores (or left to
+    AQE coalescing with a high initial value); in local mode matching the
+    thread count avoids tiny-partition overhead at test scale.
+    """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "trafsys_data_transfer_spark") -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Settings chosen for the 100 TB posture even though tests run local:
+
+    * ``spark.sql.adaptive.enabled`` — AQE: runtime shuffle-partition
+      coalescing, skew-join splitting, dynamic join-strategy switch.
+    * ``spark.sql.session.timeZone=UTC`` — deterministic timestamp
+      semantics across driver/executors/oracle comparisons.
+    * Arrow on — vectorised Pandas-UDF transfer for the operators that
+      need Python (multimodal decode, embedding math fallback).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert in the
+        # loader (truncation to micros matches DuckDB's ns→us cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,47 @@
+"""Loader for the driver-generated parquet fixture tables.
+
+Thin on purpose: ``spark.read.parquet`` already gives us a columnar,
+predicate-pushdown-capable, column-pruned scan — the properties the
+reference's REST fetch lacks (it materialises the whole window in one JS
+array, /root/reference/script.js:154).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; scans stay lazy so Catalyst prunes/pushes."""
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), surfaced as a nanos long (see
+        # session.py); truncate to micros — same as DuckDB's ns→us cast.
+        from pyspark.sql import functions as F
+
+        # `div` = exact integer division; `/` would round-trip through
+        # double and lose sub-microsecond bits on epoch-nanos magnitudes.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,119 @@
+"""MERGE/upsert semantics — the reference's core invariant
+(/root/reference/script.js:182-215): last write wins on the composite PK,
+replays are idempotent, late corrections update in place."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from trafsys_data_transfer_spark.operators.merge import (
+    dedupe_last_write,
+    merge_dataframes,
+    merge_upsert_parquet,
+)
+from trafsys_data_transfer_spark.schemas import TRAFFIC_PK, TRAFFIC_SCHEMA
+
+
+def _df(spark, rows):
+    def mk(site, loc, hour, ins, outs, internal=0):
+        return {
+            "SiteCode": site,
+            "Location": loc,
+            "IsInternal": internal,
+            "PeriodEnding": dt.datetime(2024, 1, 1, hour),
+            "Ins": ins,
+            "Outs": outs,
+        }
+
+    return spark.createDataFrame([mk(*r) for r in rows], schema=TRAFFIC_SCHEMA)
+
+
+def _state(df):
+    return {
+        (r.SiteCode, r.Location, r.PeriodEnding): (r.Ins, r.Outs)
+        for r in df.collect()
+    }
+
+
+def test_insert_and_update(spark):
+    target = _df(spark, [("A", "door", 1, 10, 5), ("A", "door", 2, 20, 6)])
+    updates = _df(spark, [("A", "door", 2, 99, 7), ("B", "door", 1, 1, 1)])
+    merged = merge_dataframes(target, updates, TRAFFIC_PK)
+    st = _state(merged)
+    assert len(st) == 3
+    assert st[("A", "door", dt.datetime(2024, 1, 1, 2))] == (99, 7)  # updated
+    assert st[("A", "door", dt.datetime(2024, 1, 1, 1))] == (10, 5)  # untouched
+    assert st[("B", "door", dt.datetime(2024, 1, 1, 1))] == (1, 1)  # inserted
+
+
+def test_replay_idempotent(spark):
+    """merge(merge(T,B),B) == merge(T,B) — overlapping-window replay safety
+    (script.js:54-55 refetches the boundary day on every run)."""
+    target = _df(spark, [("A", "door", 1, 10, 5)])
+    batch = _df(spark, [("A", "door", 1, 11, 6), ("A", "door", 2, 2, 2)])
+    once = merge_dataframes(target, batch, TRAFFIC_PK)
+    twice = merge_dataframes(once, batch, TRAFFIC_PK)
+    assert _state(once) == _state(twice)
+
+
+def test_empty_update_batch(spark):
+    target = _df(spark, [("A", "door", 1, 10, 5)])
+    empty = _df(spark, [])
+    assert _state(merge_dataframes(target, empty, TRAFFIC_PK)) == _state(target)
+
+
+def test_dedupe_last_write(spark):
+    """In-batch PK duplicates collapse deterministically (highest Ins/Outs
+    = 'last write' under the engine's explicit ordering)."""
+    batch = _df(spark, [("A", "door", 1, 10, 5), ("A", "door", 1, 12, 4)])
+    out = dedupe_last_write(batch, TRAFFIC_PK, order_by=["Ins", "Outs"])
+    assert _state(out) == {("A", "door", dt.datetime(2024, 1, 1, 1)): (12, 4)}
+
+
+def test_parquet_sink_partition_pruned_merge(spark, tmp_path):
+    """Partitioned sink: late correction rewrites only the touched date
+    partition; untouched partitions' files are not rewritten."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "target")
+    day1 = _df(spark, [("A", "door", 1, 10, 5)]).withColumn(
+        "PeriodDate", F.col("PeriodEnding").cast("date")
+    )
+    merge_upsert_parquet(spark, path, day1, TRAFFIC_PK, partition_col="PeriodDate")
+
+    day2_rows = _df(spark, [("A", "door", 2, 7, 7)]).withColumn(
+        "PeriodDate", F.to_date(F.lit("2024-01-02"))
+    )
+    merge_upsert_parquet(spark, path, day2_rows, TRAFFIC_PK, partition_col="PeriodDate")
+
+    import os
+
+    day1_files = sorted(os.listdir(os.path.join(path, "PeriodDate=2024-01-01")))
+
+    correction = _df(spark, [("A", "door", 2, 777, 8)]).withColumn(
+        "PeriodDate", F.to_date(F.lit("2024-01-02"))
+    )
+    merge_upsert_parquet(spark, path, correction, TRAFFIC_PK, partition_col="PeriodDate")
+
+    # day1 partition untouched byte-for-byte (same file listing)
+    assert sorted(os.listdir(os.path.join(path, "PeriodDate=2024-01-01"))) == day1_files
+
+    final = spark.read.parquet(path)
+    st = _state(final)
+    assert st[("A", "door", dt.datetime(2024, 1, 1, 2))] == (777, 8)
+    assert st[("A", "door", dt.datetime(2024, 1, 1, 1))] == (10, 5)
+
+
+def test_unpartitioned_parquet_merge_swap(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    t1 = _df(spark, [("A", "door", 1, 1, 1)])
+    merge_upsert_parquet(spark, path, t1, TRAFFIC_PK)
+    t2 = _df(spark, [("A", "door", 1, 2, 2), ("B", "door", 1, 3, 3)])
+    merge_upsert_parquet(spark, path, t2, TRAFFIC_PK)
+    st = _state(spark.read.parquet(path))
+    assert st == {
+        ("A", "door", dt.datetime(2024, 1, 1, 1)): (2, 2),
+        ("B", "door", dt.datetime(2024, 1, 1, 1)): (3, 3),
+    }

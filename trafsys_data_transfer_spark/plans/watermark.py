@@ -1,0 +1,81 @@
+"""Run log + incremental-load watermark (S6/S7).
+
+The reference persists one document per successful run in an embedded NeDB
+store (/root/reference/script.js:10-11, insert at script.js:256) and seeds
+the next window's ``FromDate`` with the latest run's ``ToDate``
+(script.js:54); a failed run writes nothing, so its window is retried
+(script.js:258-265).  Our equivalent is a tiny append-only parquet table —
+the ``orderBy(desc(createdAt)).limit(1)`` read-back plans as
+``TakeOrderedAndProject`` (top-1 without a full sort), conceptually Spark
+Structured Streaming's checkpoint/offset tracking done in batch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Any
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import RUN_LOG_SCHEMA
+
+
+class RunLog:
+    """Append-only run-log table with top-1 watermark read-back."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def latest(self) -> Row | None:
+        """S7: most recent run (sort createdAt desc, limit 1 —
+        script.js:35)."""
+        if not self.exists():
+            return None
+        rows = (
+            self.spark.read.schema(RUN_LOG_SCHEMA)
+            .parquet(self.path)
+            .orderBy(F.desc("createdAt"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def append(self, run_info: dict[str, Any]) -> None:
+        """S6: one row per successful run (script.js:256).  Called strictly
+        after the sink commit — the write-then-log ordering is what keeps a
+        failed run's window retryable."""
+        info = dict(run_info)
+        info.setdefault("createdAt", dt.datetime.now(dt.timezone.utc).replace(tzinfo=None))
+        row = {f.name: info.get(f.name) for f in RUN_LOG_SCHEMA.fields}
+        df = self.spark.createDataFrame([row], schema=RUN_LOG_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+
+def resolve_window(
+    latest_run: Row | None,
+    cli_from: str | None = None,
+    cli_to: str | None = None,
+    today: dt.date | None = None,
+) -> tuple[str, str]:
+    """Window-bound precedence, exactly the reference's
+    (script.js:53-59): explicit args > previous run's ToDate > yesterday.
+
+    The from-date deliberately *equals* the previous ToDate, so the boundary
+    day is fetched twice — safe because the MERGE sink is idempotent
+    (at-least-once + idempotent = effectively-once, SURVEY.md §2.8).
+    No local validation beyond format: the reference lets the API reject
+    reversed/invalid windows (README.md:7).
+    """
+    today = today or dt.date.today()
+    yesterday = (today - dt.timedelta(days=1)).isoformat()
+    date_from = cli_from or (
+        latest_run["ToDate"] if latest_run is not None and latest_run["ToDate"] else yesterday
+    )
+    date_to = cli_to or yesterday
+    return date_from, date_to

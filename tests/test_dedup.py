@@ -1,0 +1,101 @@
+"""Dedup-family semantics on planted duplicates (the fixtures contain
+none, so these tests construct corpora with known near/exact dups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint,
+    minhash_candidates,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+
+
+WORDS = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the window and the bird sings a song of spring morning light"
+).split()
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus: base doc, exact copy, near-copy (one word changed),
+    near-copy (two words changed), and two unrelated docs."""
+    base = WORDS * 3  # long enough for stable shingle stats
+    near1 = list(base)
+    near1[5] = "red"
+    near2 = list(base)
+    near2[5], near2[20] = "red", "green"
+    other = ["completely", "different", "vocabulary", "entirely"] * 15
+    other2 = ["nothing", "shared", "with", "anything", "else", "here"] * 12
+    rows = [
+        (0, _doc(base)),
+        (1, _doc(base)),       # exact dup of 0
+        (2, _doc(near1)),      # near dup of 0
+        (3, _doc(near2)),      # near dup of 0 (slightly farther)
+        (4, _doc(other)),
+        (5, _doc(other2)),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(planted):
+    assert exact_dedup(planted, ["text"]).count() == 5  # 0/1 collapse
+
+
+def test_fingerprint_ignores_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "HELLO   WORLD "), (3, "bye")],
+        ["doc_id", "text"],
+    )
+    fps = df.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    assert fps.count() == 2
+
+
+def test_minhash_finds_planted_near_dups(planted):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(planted, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5   # near dup found
+    assert (1, 2) in pairs
+    # unrelated docs never pair
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_candidates_bounded(planted):
+    """LSH candidate generation must not degenerate to all-pairs on
+    unrelated docs."""
+    cands = {(r.id_a, r.id_b) for r in minhash_candidates(planted).collect()}
+    assert (0, 1) in cands
+    assert (4, 5) not in cands
+
+
+def test_simhash_finds_exact_and_near(planted):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(planted, max_hamming=8).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+    assert (0, 2) in pairs  # one-word change → small hamming distance
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = events.select("user_id").distinct().count()
+    approx = events.select(
+        F.approx_count_distinct("user_id", 0.02).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.05

@@ -1,1 +1,383 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication family over the ``documents`` table (north star §2.10).
+
+Five tiers, each the idiomatic Spark shape for its scale:
+
+* **Exact** — hash-groupBy on the dedup key (one shuffle, map-side
+  partial).
+* **Keyed latest** — windowed ``row_number`` (one shuffle on the key).
+* **Fingerprint** — md5 of normalised text, then exact dedup on the
+  digest; narrow per-row hashing.
+* **MinHash + LSH** — per-row signatures via *nested higher-order
+  functions* (``transform``/``array_min`` over shingles — zero shuffle,
+  pure codegen), then banding → explode(b bands) → self-join on
+  (band, band_hash) for candidates → exact-Jaccard verification on
+  shingle sets.  The only shuffles are the band-bucket join and final
+  distinct; signature cost is O(k·|shingles|) per row, embarrassingly
+  parallel.
+* **SimHash** — 64-bit per-row signature, again via higher-order
+  functions; near-dup buckets share signature prefixes, verified by
+  ``bit_count(xor)`` Hamming distance.
+
+All hashing is ``xxhash64`` with fixed seeds/constants → deterministic
+across runs and executors.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# library: exact / keyed / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup = dropDuplicates(cols): hash-partition on the key,
+    keep one row per group.  Catalyst plans map-side partial dedup before
+    the shuffle, so wire cost is O(distinct), not O(rows)."""
+    return df.dropDuplicates(cols)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalised text (md5 because both
+    Spark and standard SQL engines implement it identically, making the
+    digest portable across systems)."""
+    return F.md5(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# library: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+#: MinHash parameters: k = bands * rows-per-band.
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+#: Fixed multipliers/offsets for the k hash functions (seeded, stable).
+#: Bounded to 30 bits and applied to a 32-bit-reduced base hash so
+#: a*h+b < 2^62 — ANSI mode (Spark 4 default) rejects long overflow, so
+#: the classic wraparound trick is off the table.
+_rng = random.Random(42)
+MINHASH_A = tuple(_rng.randrange(1, 2**30) | 1 for _ in range(MINHASH_K))
+MINHASH_B = tuple(_rng.randrange(0, 2**30) for _ in range(MINHASH_K))
+_MERSENNE61 = (1 << 61) - 1
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array — built entirely with
+    higher-order functions (sequence/transform/slice/concat_ws): narrow,
+    codegen'd, no UDF."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    )
+
+
+def minhash_signature(sh: Column) -> Column:
+    """k-wide MinHash signature computed per-row: for each hash function i,
+    min over shingles of ``(A[i]*h32(s)+B[i]) mod M61`` where ``h32`` is the
+    low 32 bits of xxhash64.  No shuffle — this is the property that lets
+    signature computation scale linearly to 100 TB."""
+    arr_a = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
+    arr_b = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.pmod(
+                    F.element_at(arr_a, (i + 1).cast("int"))
+                    * F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+                    + F.element_at(arr_b, (i + 1).cast("int")),
+                    F.lit(_MERSENNE61).cast("long"),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_bands(sig: Column) -> Column:
+    """Split the signature into LSH bands; each band hashes its slice to a
+    single bucket key."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws("_", F.transform(
+                F.slice(sig, b * LSH_ROWS + 1, LSH_ROWS), lambda v: v.cast("string")
+            ))).alias("bucket"),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    Plan: narrow signature/banding → explode(bands) (×16 rows) →
+    self-equi-join on (band, bucket) → distinct pairs.  The join key is the
+    band bucket, so co-candidates co-locate and the join never goes
+    quadratic; skewed buckets (boilerplate-heavy corpora) are split by AQE.
+    Returns (id_a, id_b) with id_a < id_b, plus each side's shingle set for
+    downstream verification.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh = shingles(toks, n)
+    sigs = df.select(
+        F.col(id_col).alias("id"), sh.alias("sh"), minhash_signature(sh).alias("sig")
+    )
+    banded = sigs.select(
+        "id", "sh", F.explode(minhash_bands(F.col("sig"))).alias("bb")
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified: candidates from banding,
+    confirmed by exact Jaccard on the shingle sets (no false positives)."""
+    cands = minhash_candidates(df, id_col, text_col, n)
+    return (
+        cands.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# library: SimHash
+# ---------------------------------------------------------------------------
+
+
+#: Bit masks 1<<j as signed-long literals (bit 63 is the sign bit, so its
+#: mask is long-min in two's complement — bitwiseAND still tests it).
+_POW2 = tuple(1 << j for j in range(63)) + (-(1 << 63),)
+
+
+def simhash(tokens: Column) -> Column:
+    """64-bit SimHash computed per-row with higher-order functions: each
+    bit j is the sign of Σ over tokens of ±1 depending on bit j of the
+    token's xxhash64.  Narrow — no shuffle at any scale."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _POW2])
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.xxhash64(t).bitwiseAND(F.element_at(masks, (j + 1).cast("int"))) != 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(bit_sums, (j + 1).cast("int")) > 0,
+            F.element_at(masks, (j + 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: bucket by the top-16-bit prefix (docs within
+    small Hamming distance usually share the prefix), then verify with
+    ``bit_count(xor) <= max_hamming`` inside each bucket.  Production-scale
+    variant rotates the signature to probe multiple prefixes; one prefix
+    keeps the fixture query deterministic and cheap."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash(toks).alias("sig"),
+    ).withColumn("prefix", F.shiftrightunsigned(F.col("sig"), 48))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, "prefix")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text AS text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with keeper election: one row per distinct text, keeping
+    the smallest doc_id — the deterministic form of dropDuplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_keyed_latest",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT event_id, user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keyed_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-scoped latest-record dedup: newest event per user via windowed
+    row_number — the standard CDC-compaction shape (one shuffle on the
+    key; skew on hot users handled by AQE)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 over normalised text, grouped.  The digest is
+    what you persist at 100 TB — dedup across ingestion batches becomes a
+    join on a 16-byte key instead of on raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: MinHash banding isn't ANSI-SQL
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at Jaccard ≥ 0.5 (verified, so the LSH
+    stage only affects recall, never precision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+@register("dedup_simhash")  # rows-only: bit-level simhash isn't ANSI-SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH scoped AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
+        FROM scoped
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs over a bounded scope (doc_id <
+    100): the ground-truth near-dup measure the LSH tiers approximate.
+    All-pairs is O(n²) by construction — the scope bound is the honest way
+    to run it; at scale you run `dedup_minhash_lsh` instead and use this
+    only to audit recall on samples."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sh = docs.select(F.col("doc_id").alias("id"), shingles(toks, 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("jaccard", F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6))
+        .filter(F.col("jaccard") >= 0.01)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+    )
+
+
+@register("dedup_approx_distinct")  # rows-only: HLL sketches differ per engine
+def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (users, event types per
+    day) — the constant-memory cardinality sketch for 100 TB streams.
+    Rows-only check: HLL estimates are engine-specific by nature; the
+    pytest suite asserts the estimate lands within rsd of the exact
+    count."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("event_type", 0.02).alias("approx_types"),
+        )
+        .orderBy("day")
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (north star §2.10).
+
+Three tiers:
+
+* **Brute-force top-k** — broadcast the (small) query set against the
+  corpus, cosine via ``zip_with``/``aggregate`` on double arrays (JVM-side
+  higher-order functions, no UDF, no Python), windowed rank.  Exact; the
+  baseline every ANN tier is audited against.  At 100 TB the corpus side
+  stays partitioned and never shuffles — only the query set moves.
+* **Random-hyperplane LSH ANN** — per-row signature bits via the same
+  higher-order-function pattern (narrow), bucket on signature prefix,
+  search within buckets.  Approximate; cost drops from O(|Q|·|C|) to
+  O(|Q|·bucket).
+* **Embedding near-dup pairs** — all-pairs cosine above a threshold on a
+  bounded scope, the embedding-space analogue of `dedup_ngram_jaccard`.
+
+Determinism: hyperplanes are generated from a fixed seed and inlined as
+literal arrays, so plans are identical across runs/executors.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# vector math on array columns (builtin higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential left-to-right sum,
+    deterministic and identical to DuckDB's list accumulation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(a: Column) -> Column:
+    """Cast array<float> → array<double> before any arithmetic: float
+    accumulation is lossy and engine-specific; double math matches the
+    DuckDB oracle bit-for-bit."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) ⋈ corpus, rank per query.
+
+    The corpus never moves — each partition scores its rows against the
+    broadcast query set and the per-query top-k is taken with a window
+    (rank by score desc, id asc for deterministic ties).  At scale, replace
+    the row_number window with a per-partition top-k + re-rank if |Q| is
+    large; for bounded |Q| this plan is already the right one.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (approximate, the scale path)
+# ---------------------------------------------------------------------------
+
+LSH_DIM = 64  # fixture embedding dimensionality
+#: Bits/tables trade candidate-set size against recall, and the right point
+#: depends on how *close* true neighbors are: for tightly-clustered corpora
+#: (near-dup detection) use more bits; the fixture embeddings are weakly
+#: similar (top-5 cosine ≈ 0.4 → P[bit agrees] ≈ 0.63), so few bits + more
+#: OR-amplified tables is what reaches usable recall.
+LSH_PLANES = 4  # signature bits per table
+LSH_TABLES = 8  # OR-amplification: candidate if ANY table's bucket matches
+_rng = random.Random(7)
+#: Fixed random hyperplanes per table, inlined as literals → deterministic.
+HYPERPLANES = tuple(
+    tuple(
+        tuple(_rng.gauss(0.0, 1.0) for _ in range(LSH_DIM))
+        for _ in range(LSH_PLANES)
+    )
+    for _ in range(LSH_TABLES)
+)
+
+
+def lsh_buckets(vec: Column) -> Column:
+    """Array of (table, bucket) structs: for each table, bucket = int whose
+    bit p is sign(vec · hyperplane_p).  Narrow per-row computation
+    (TABLES×PLANES dot products via higher-order functions)."""
+    entries = []
+    for t, planes in enumerate(HYPERPLANES):
+        sig = F.lit(0).cast("long")
+        for p, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            sig = sig + F.when(
+                dot(vec, plane_col) > 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        entries.append(F.struct(F.lit(t).alias("t"), sig.alias("bucket")))
+    return F.array(*entries)
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = corpus rows sharing any LSH table's bucket
+    with the query (OR-amplified across LSH_TABLES), re-scored exactly,
+    ranked.  The bucket equi-join replaces the cross join — at 100 TB this
+    is the difference between scanning the corpus per query and touching
+    ~TABLES·|C|/2^planes rows per query.  Recall is audited against
+    :func:`topk_bruteforce` in the test suite."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("tb", F.explode(lsh_buckets(F.col("qv"))))
+        .select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("tb", F.explode(lsh_buckets(F.col("cv"))))
+        .select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id ASC) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("sim_topk_lsh")  # rows-only: LSH bucketing isn't ANSI-SQL
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH for query vectors vec_id < 8;
+    recall vs brute force is asserted in tests, not here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a bounded scope (vec_id < 150,
+    cos ≥ 0.3) — exact ground truth; the LSH tier is the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

@@ -1,1 +1,223 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over the ``documents`` table (north star §2.10).
+
+Everything here is builtin-function Spark (JVM-side, codegen'd): token
+counting, quality scoring, language profiling, and a stopword-hit
+language-ID heuristic.  Where the semantics are shared with the DuckDB
+oracle (stoplists, regexes, tie-breaks), the constants live once in this
+module and both the Spark builder and the generated oracle SQL derive from
+them — the only way to keep two engines bit-identical.
+
+Scale: all per-document ops are narrow (no shuffle); the profile
+aggregations shuffle on low-cardinality keys (5 langs / 20 sources), so
+the reduce side is O(groups) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Words treated as stopwords for quality scoring (subset of the fixture
+#: vocabulary so ratios are non-degenerate).
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+#: Per-language "signature" word lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately tiny and deterministic; real deployments swap in
+#: proper char-n-gram profiles — the *operator shape* (per-row scoring +
+#: argmax with a stable tie-break) is what matters at scale.
+LANG_SIGNATURES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "fast", "slow"),
+    "es": ("data", "table", "row", "order"),
+    "de": ("group", "window", "stream", "batch"),
+    "fr": ("query", "filter", "merge", "join"),
+    "zh": ("spark", "hash", "scan", "sort"),
+}
+
+#: "BPE-ish" token regex: runs of letters, runs of digits, or any single
+#: non-space symbol — a crude approximation of byte-pair pretokenisation.
+BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+           n_chars AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document.
+
+    Pure narrow projection — the scan reads only (doc_id, text, n_chars)
+    (column pruning) and no shuffle occurs at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        F.col("n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               string_split(text, ' ') AS toks,
+               len(replace(text, ' ', '')) AS n_nonspace,
+               len(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CAST(n_nonspace AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           ROUND(CAST(n_nonalpha AS DOUBLE) / n_chars, 6) AS symbol_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           CAST(len(toks) BETWEEN 10 AND 1000
+                AND CAST(len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+                    / len(toks) > 0.01 AS INT) AS is_quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: token count, mean token length, symbol
+    ratio, stopword ratio, and a composite keep/drop flag — the standard
+    pre-training corpus filters (length + stopword density), all as
+    builtin expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_nonalpha = F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    stopword_ratio = stop_hits.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_nonalpha.cast("double") / F.col("n_chars"), 6).alias("symbol_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        (n_tokens.between(10, 1000) & (stopword_ratio > 0.01))
+        .cast("int")
+        .alias("is_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID + per-language profile
+# ---------------------------------------------------------------------------
+
+
+def _lang_hit_exprs():
+    toks = F.split(F.col("text"), " ")
+
+    def hit_count(words):
+        # single-param lambda: a two-param one would be treated by
+        # F.filter as (element, index) and break
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    return {lang: hit_count(words) for lang, words in LANG_SIGNATURES.items()}
+
+
+def _lang_id_case_sql() -> str:
+    """CASE chain picking the max-hit language, ties broken by lang name
+    ascending — generated so Spark and DuckDB share one tie-break rule."""
+    langs = sorted(LANG_SIGNATURES)
+    clauses = []
+    for lang in langs:
+        conds = [
+            f"h_{lang} >= h_{other}" if other > lang else f"h_{lang} > h_{other}"
+            for other in langs
+            if other != lang
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+def _lang_hits_sql() -> str:
+    cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({_sql_in_list(w)}))) AS h_{lang}"
+        for lang, w in sorted(LANG_SIGNATURES.items())
+    )
+    return f"SELECT doc_id, lang, {cols} FROM documents"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS ({_lang_hits_sql()})
+    SELECT doc_id, lang AS labeled_lang, {_lang_id_case_sql()} AS predicted_lang
+    FROM h
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language signature-word hit counts,
+    argmax with lexicographic tie-break.  Narrow per-row op; the scoring
+    is a fixed-width expression tree, so cost is O(rows) at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = _lang_hit_exprs()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[expr.alias(f"h_{lang}") for lang, expr in hits.items()],
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", F.expr(_lang_id_case_sql()).alias("predicted_lang")
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle=f"""
+    SELECT lang AS lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language: doc/source counts, token totals.
+    Shuffle key cardinality = #languages → reduce side is constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )

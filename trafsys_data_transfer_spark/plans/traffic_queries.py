@@ -177,6 +177,36 @@ def traffic_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type AS event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (north star §2.10): ``get_json_object`` pulls a
+    typed value out of the semi-structured ``props`` column, then a
+    standard aggregate.  At scale, prefer ``from_json`` with an explicit
+    schema once the prop set stabilises — single parse, columnar access."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "traffic_watermark_top1",
     oracle=f"""
     WITH {_TRAFFIC_CTE},

@@ -1,0 +1,64 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query time = best of BENCH_RUNS warm executions (first run of the
+session pays JVM/codegen warm-up; a warm-up pass runs the flagship first).
+Comparator protocol and the DuckDB baseline table live in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trafsys_data_transfer_spark.registry import all_queries
+from trafsys_data_transfer_spark.session import get_spark
+
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # Warm the JVM / parquet footers so per-query numbers reflect steady
+    # state, not first-touch costs.
+    specs["flagship_revenue_topk"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        best = None
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()
+            took = time.perf_counter() - t0
+            best = took if best is None else min(best, took)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

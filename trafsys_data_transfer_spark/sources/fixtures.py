@@ -21,10 +21,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Analyzed-DataFrame memo: re-reading the same immutable fixture re-lists
+#: the directory and re-reads parquet footers on every query build; caching
+#: the lazy DataFrame (NOT its data) removes that per-query constant.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; scans stay lazy so Catalyst prunes/pushes."""
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), surfaced as a nanos long (see
@@ -34,6 +44,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = exact integer division; `/` would round-trip through
         # double and lose sub-microsecond bits on epoch-nanos magnitudes.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 

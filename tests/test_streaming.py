@@ -1,0 +1,133 @@
+"""Structured Streaming layer: stream==batch equivalence, checkpointed
+incremental pickup, watermark late-data semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.plans.traffic import normalize_traffic, rollup_traffic
+from trafsys_data_transfer_spark.plans.traffic_queries import traffic_raw_from_events
+from trafsys_data_transfer_spark.sources.fixtures import load_table
+from trafsys_data_transfer_spark.streaming.incremental import (
+    hourly_rollup_stream,
+    read_traffic_stream,
+    run_incremental_merge,
+    run_rollup_to_memory,
+)
+
+
+def _rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+ROLLUP_COLS = ["SiteCode", "Location", "PeriodEnding", "Ins", "Outs"]
+
+
+def test_stream_rollup_equals_batch(spark, sf_dir):
+    raw = traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    staging = tempfile.mkdtemp(prefix="t_stream_eq_")
+    raw.coalesce(1).write.mode("overwrite").json(staging)
+
+    streamed = run_rollup_to_memory(spark, staging, f"t_eq_{uuid.uuid4().hex[:8]}")
+    batch = rollup_traffic(normalize_traffic(raw), grain="hour")
+    assert _rows(streamed, ROLLUP_COLS) == _rows(batch, ROLLUP_COLS)
+
+
+def test_incremental_merge_picks_up_only_new_files(spark):
+    source = tempfile.mkdtemp(prefix="t_inc_src_")
+    target = tempfile.mkdtemp(prefix="t_inc_tgt_") + "/target"
+    ckpt = tempfile.mkdtemp(prefix="t_inc_ckpt_")
+
+    def drop(records, name):
+        with open(os.path.join(source, name), "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    rec = {
+        "SiteCode": "S1",
+        "Location": "door",
+        "IsInternal": False,
+        "PeriodEnding": "2024-01-01T10:00:00",
+        "Ins": 5,
+        "Outs": 3,
+    }
+    drop([rec], "b1.json")
+    run_incremental_merge(spark, source, target, ckpt)
+    first = spark.read.parquet(target)
+    assert first.count() == 1
+    assert first.collect()[0]["Ins"] == 5
+
+    # Second drop: same PK with corrected counts + one brand-new PK.
+    drop(
+        [
+            dict(rec, Ins=50),
+            dict(rec, PeriodEnding="2024-01-01T11:00:00", Ins=7),
+        ],
+        "b2.json",
+    )
+    run_incremental_merge(spark, source, target, ckpt)
+    final = {r["PeriodEnding"].isoformat(): r["Ins"] for r in spark.read.parquet(target).collect()}
+    assert final == {"2024-01-01T10:00:00": 50, "2024-01-01T11:00:00": 7}
+
+    # Third pass with no new files: a no-op, state unchanged.
+    run_incremental_merge(spark, source, target, ckpt)
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_watermark_drops_too_late_rows(spark):
+    """Append-mode aggregation with a 2h watermark: a row arriving after the
+    watermark has passed its window is dropped — bounded state at scale."""
+    source = tempfile.mkdtemp(prefix="t_wm_src_")
+
+    def drop(records, name):
+        with open(os.path.join(source, name), "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    def rec(ts, ins):
+        return {
+            "SiteCode": "S1",
+            "Location": "door",
+            "IsInternal": False,
+            "PeriodEnding": ts,
+            "Ins": ins,
+            "Outs": 0,
+        }
+
+    out_dir = tempfile.mkdtemp(prefix="t_wm_out_") + "/out"
+    stream = hourly_rollup_stream(read_traffic_stream(spark, source), lateness="2 hours")
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t_wm_ckpt_"))
+    )
+
+    # Batch 1 advances event time to 18:30 → watermark 16:30 after the batch.
+    drop([rec("2024-01-01T10:15:00", 5), rec("2024-01-01T18:30:00", 1)], "b1.json")
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    # Batch 2: a 10:40 row is 6h older than the watermark → must be dropped;
+    # an 18:45 row lands in a still-open window.
+    drop([rec("2024-01-01T10:40:00", 100), rec("2024-01-01T18:45:00", 2)], "b2.json")
+    # Batch 3 pushes event time far ahead so every open window finalises.
+    drop([rec("2024-01-02T12:00:00", 9)], "b3.json")
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = {
+        r["PeriodEnding"].isoformat(): r["Ins"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # 10:00 window finalised with only the on-time row (late 100 dropped);
+    # 18:00 window includes both the 18:30 and 18:45 rows.
+    assert got.get("2024-01-01T11:00:00") == 5
+    assert got.get("2024-01-01T19:00:00") == 3
+    # The far-future window may still be open (no later event advances the
+    # watermark past it) — it must NOT have emitted prematurely.
+    assert "2024-01-02T13:00:00" not in got

@@ -1,0 +1,127 @@
+"""Structured Streaming realisation of the reference's implicit streaming
+semantics (SURVEY.md §2.8).
+
+The reference is a scheduled micro-batch system with hand-rolled streaming
+machinery: a persisted watermark (previous run's ``ToDate`` becomes the next
+``FromDate``, /root/reference/script.js:54), at-least-once delivery made
+effectively-once by an idempotent keyed upsert (script.js:195-200), and
+late/corrected data handled by re-running old windows through the same
+upsert.  Structured Streaming gives each of those a first-class counterpart:
+
+* offset tracking / watermark table  → checkpointed file-source offsets
+* nightly re-run loop                → ``Trigger.AvailableNow`` micro-batches
+* PL/SQL upsert sink                 → ``foreachBatch`` → partitioned MERGE
+* hour-ending buckets                → ``window(PeriodEnding, "1 hour")``
+* late-data tolerance                → ``withWatermark`` bounded lateness
+
+Scale posture: the stream never shuffles before the windowed aggregation;
+state is bounded by (sites × locations × open windows), and the MERGE sink
+rewrites only the date partitions present in each micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import dedupe_last_write, merge_upsert_parquet
+from ..plans.pipeline import PARTITION_COL
+from ..plans.traffic import normalize_traffic
+from ..schemas import TRAFFIC_PK, TRAFFIC_RAW_SCHEMA
+
+
+def read_traffic_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of landed TrafSys payloads (one JSON record per
+    line), schema-enforced exactly like the batch path (§1.3): the producer
+    is trusted, the reader declares the shape."""
+    return spark.readStream.schema(TRAFFIC_RAW_SCHEMA).json(source_dir)
+
+
+def hourly_rollup_stream(
+    raw_stream: DataFrame, lateness: str = "2 hours"
+) -> DataFrame:
+    """Streaming hour-ending rollup: normalize → bounded-lateness watermark
+    → tumbling 1-hour window sums.  Output rows carry ``PeriodEnding`` =
+    window end, matching the API's hour-ending convention
+    (/root/reference/script.js:131)."""
+    normalized = normalize_traffic(raw_stream)
+    return (
+        normalized.withWatermark("PeriodEnding", lateness)
+        .groupBy(
+            "SiteCode",
+            "Location",
+            F.window("PeriodEnding", "1 hour").alias("w"),
+        )
+        .agg(F.sum("Ins").alias("Ins"), F.sum("Outs").alias("Outs"))
+        .select(
+            "SiteCode",
+            "Location",
+            F.col("w.end").alias("PeriodEnding"),
+            "Ins",
+            "Outs",
+        )
+    )
+
+
+def run_rollup_to_memory(
+    spark: SparkSession, source_dir: str, table_name: str
+) -> DataFrame:
+    """Drain the source with ``Trigger.AvailableNow`` into an in-memory sink
+    (complete mode → every window emitted regardless of watermark position)
+    and return the result table.  Used by tests and the correctness gate to
+    prove stream == batch on the same input."""
+    q = (
+        hourly_rollup_stream(read_traffic_stream(spark, source_dir))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
+def run_incremental_merge(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """One ``AvailableNow`` pass: process every file not yet recorded in the
+    checkpoint, MERGE each micro-batch into the partitioned parquet target.
+
+    This is the reference's nightly loop with its two pieces of hand-rolled
+    state replaced: the NeDB watermark (script.js:35, 54) becomes the
+    checkpointed source offset log, and the PL/SQL upsert (script.js:182-215)
+    becomes the partition-pruned MERGE.  Re-delivered or corrected rows are
+    collapsed by ``dedupe_last_write`` inside the batch and last-write-wins
+    MERGE across batches — at-least-once + idempotent sink = effectively
+    once, the exact invariant the reference relies on (§2.8).
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        updates = dedupe_last_write(
+            normalize_traffic(batch), keys=TRAFFIC_PK, order_by=["Ins", "Outs"]
+        )
+        if updates.isEmpty():
+            return  # T5: empty-batch short-circuit (script.js:183)
+        with_partition = updates.withColumn(
+            PARTITION_COL, F.col("PeriodEnding").cast("date")
+        )
+        merge_upsert_parquet(
+            batch.sparkSession,
+            target_path,
+            with_partition,
+            keys=TRAFFIC_PK,
+            partition_col=PARTITION_COL,
+        )
+
+    q = (
+        read_traffic_stream(spark, source_dir)
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

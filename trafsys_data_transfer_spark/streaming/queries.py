@@ -1,0 +1,123 @@
+"""Correctness-gate queries for the streaming layer.
+
+Both queries stage a deterministic traffic-shaped JSON drop derived from the
+``events`` fixture, drain it through a real Structured Streaming query
+(file source → checkpointed offsets → AvailableNow trigger), and return the
+result as a batch DataFrame.  The DuckDB oracles are the *batch* semantics
+over the same input — the assertion is stream == batch, the defining
+property of a correctly incremental pipeline.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.traffic import normalize_traffic
+from ..plans.traffic_queries import _TRAFFIC_CTE, traffic_raw_from_events
+from ..registry import register
+from ..sources.fixtures import load_table
+from .incremental import run_incremental_merge, run_rollup_to_memory
+
+
+def _stage_raw_json(raw: DataFrame, prefix: str) -> str:
+    """Land a raw traffic batch as a single JSON-lines file (one file → one
+    deterministic micro-batch under AvailableNow)."""
+    staging = tempfile.mkdtemp(prefix=prefix)
+    raw.coalesce(1).write.mode("overwrite").json(staging)
+    return staging
+
+
+def _denormalize(df: DataFrame) -> DataFrame:
+    """Normalized traffic → API-shaped raw rows (inverse of T1/T2), for
+    staging derived batches back through the stream source."""
+    return df.select(
+        "SiteCode",
+        "Location",
+        F.col("IsInternal").cast("boolean").alias("IsInternal"),
+        F.date_format("PeriodEnding", "yyyy-MM-dd'T'HH:mm:ss").alias("PeriodEnding"),
+        "Ins",
+        "Outs",
+    )
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE}
+    SELECT SiteCode, Location,
+           date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
+           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+    FROM traffic
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 tumbling-window rollup via readStream: the streamed hour-ending
+    sums must equal the batch rollup (traffic_hourly_rollup) on the same
+    input."""
+    raw = traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    staging = _stage_raw_json(raw, "tds_stream_rollup_")
+    table = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    return run_rollup_to_memory(spark, staging, table)
+
+
+@register(
+    "streaming_merge_restate",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    b1 AS (
+        SELECT * FROM (
+            SELECT t.*, ROW_NUMBER() OVER (
+                PARTITION BY SiteCode, Location, PeriodEnding
+                ORDER BY Ins DESC, Outs DESC) AS rn
+            FROM traffic t WHERE PeriodEnding < TIMESTAMP '2024-01-20 00:00:00'
+        ) WHERE rn = 1
+    ),
+    b2 AS (
+        SELECT * FROM (
+            SELECT SiteCode, Location, IsInternal, PeriodEnding,
+                   Ins + 1000 AS Ins, Outs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY SiteCode, Location, PeriodEnding
+                       ORDER BY Ins + 1000 DESC, Outs DESC) AS rn
+            FROM traffic WHERE PeriodEnding >= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+    )
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM b1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b2 WHERE b2.SiteCode = b1.SiteCode
+          AND b2.Location = b1.Location AND b2.PeriodEnding = b1.PeriodEnding)
+    UNION ALL
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM b2
+    """,
+)
+def streaming_merge_restate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 late-correction replay through the checkpointed streaming MERGE
+    sink: batch 1 (Jan <20) lands, then a corrected batch 2 (Jan ≥15,
+    Ins+1000) is dropped into the same source and a second AvailableNow
+    pass picks up only the new file.  Final table state must equal the
+    batch MERGE (traffic_merge_upsert) — same b1/b2 derivation, same
+    oracle."""
+    t = normalize_traffic(traffic_raw_from_events(load_table(spark, sf_dir, "events")))
+    b1 = t.filter(F.col("PeriodEnding") < F.lit("2024-01-20"))
+    b2 = t.filter(F.col("PeriodEnding") >= F.lit("2024-01-15")).withColumn(
+        "Ins", F.col("Ins") + 1000
+    )
+
+    source = tempfile.mkdtemp(prefix="tds_stream_merge_src_")
+    target = tempfile.mkdtemp(prefix="tds_stream_merge_tgt_") + "/target"
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_merge_ckpt_")
+
+    _denormalize(b1).coalesce(1).write.mode("append").json(source)
+    run_incremental_merge(spark, source, target, checkpoint)
+    _denormalize(b2).coalesce(1).write.mode("append").json(source)
+    run_incremental_merge(spark, source, target, checkpoint)
+
+    return (
+        spark.read.parquet(target)
+        .select("SiteCode", "Location", "IsInternal", "PeriodEnding", "Ins", "Outs")
+    )

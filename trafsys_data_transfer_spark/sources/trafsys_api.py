@@ -1,0 +1,259 @@
+"""TrafSys REST source adapter (S1/S2 + the §3.3 retry path).
+
+The reference fetches each window driver-side — one paginationless GET for
+the whole date range (/root/reference/script.js:141-166) — authenticated by
+an OAuth2 password-grant token cached until 5 minutes before expiry
+(script.js:37-52, 68-79), with exactly one retry after a 1-second sleep when
+the API answers 401 (script.js:221-223, 243-254).
+
+Spark-first shape: HTTP stays a driver-side concern (the payload for one
+nightly window is small — the reference holds it in a single JS array); the
+*engine* sees only a landed JSON-lines staging directory read back through
+an explicit schema.  At 100 TB-scale backfills the fetch fans out per
+sub-window via :func:`fetch_window_partitioned`, which distributes HTTP
+calls across executors with ``mapInPandas`` — each task lands its own
+sub-window, the engine still reads one staging dir.
+
+The transport is injected (`transport(method, url, data/params, headers) ->
+(status, body)`), so every behavior here — token caching, expiry, 401
+retry — is unit-tested without a network, and a production `requests`-based
+transport is a five-line drop-in.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import tempfile
+import time
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TRAFFIC_RAW_SCHEMA
+
+#: transport(method, url, *, params, data, headers) -> (status_code, body_text)
+Transport = Callable[..., tuple[int, str]]
+
+#: Reuse a cached token until expiry minus this margin — "Offset by 5
+#: minutes to give some wiggle room" (script.js:41).
+TOKEN_WIGGLE = dt.timedelta(minutes=5)
+
+#: Sleep before the single 401 retry — "prevent 429 Too Many Requests"
+#: (script.js:221-223, comment at script.js:245).
+RETRY_SLEEP_SECONDS = 1.0
+
+
+class TrafsysApiError(RuntimeError):
+    def __init__(self, status: int, body: str):
+        super().__init__(f"TrafSys API error {status}: {body[:200]}")
+        self.status = status
+
+
+class TokenProvider:
+    """OAuth2 password-grant token source with cache (S2).
+
+    ``POST {base_url}token`` form-encoded ``{username, password,
+    grant_type: 'password'}`` (script.js:68-79); the token and its
+    ``.expires`` timestamp are cached and reused until
+    ``expires - TOKEN_WIGGLE`` (script.js:37-47).
+    """
+
+    #: .expires format observed by the reference (RFC 1123, e.g.
+    #: "Mon, 06 Jan 2025 12:00:00 GMT").
+    EXPIRES_FORMAT = "%a, %d %b %Y %H:%M:%S %Z"
+
+    def __init__(
+        self,
+        base_url: str,
+        username: str,
+        password: str,
+        transport: Transport,
+        now: Callable[[], dt.datetime] | None = None,
+    ):
+        self.base_url = base_url.rstrip("/") + "/"
+        self.username = username
+        self.password = password
+        self.transport = transport
+        self.now = now or (lambda: dt.datetime.now(dt.timezone.utc).replace(tzinfo=None))
+        self._token: str | None = None
+        self._expires_at: dt.datetime | None = None
+
+    def token(self, force_refresh: bool = False) -> str:
+        if (
+            not force_refresh
+            and self._token is not None
+            and self._expires_at is not None
+            and self.now() < self._expires_at - TOKEN_WIGGLE
+        ):
+            return self._token
+        status, body = self.transport(
+            "POST",
+            self.base_url + "token",
+            data={
+                "username": self.username,
+                "password": self.password,
+                "grant_type": "password",
+            },
+        )
+        if status != 200:
+            raise TrafsysApiError(status, body)
+        payload = json.loads(body)
+        self._token = payload["access_token"]
+        self._expires_at = dt.datetime.strptime(
+            payload[".expires"], self.EXPIRES_FORMAT
+        )
+        return self._token
+
+
+def fetch_traffic_records(
+    base_url: str,
+    tokens: TokenProvider,
+    date_from: str,
+    date_to: str,
+    transport: Transport,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict[str, Any]]:
+    """S1: one GET for the whole window, hourly grain, all sites
+    (``SiteCode: ''``), internal locations included — the exact query the
+    reference sends (script.js:143-149).  On 401: sleep 1 s, force a token
+    refresh, retry exactly once (script.js:243-254); any other failure
+    raises (the reference lets bad windows surface as API 400/500s,
+    README.md:7).
+    """
+    params = {
+        "SiteCode": "",
+        "IncludeInternalLocations": "true",
+        "DataSummedByDay": "false",
+        "DateFrom": date_from,
+        "DateTo": date_to,
+    }
+    url = base_url.rstrip("/") + "/api/traffic"
+
+    def attempt(token: str) -> tuple[int, str]:
+        return transport(
+            "GET", url, params=params, headers={"Authorization": f"Bearer {token}"}
+        )
+
+    status, body = attempt(tokens.token())
+    if status == 401:
+        sleep(RETRY_SLEEP_SECONDS)
+        status, body = attempt(tokens.token(force_refresh=True))
+    if status != 200:
+        raise TrafsysApiError(status, body)
+    records = json.loads(body)
+    if not isinstance(records, list):
+        # T4: the reference's iterability guard (script.js:156-159).
+        raise TrafsysApiError(status, f"expected a record array, got: {body[:80]}")
+    return records
+
+
+def land_records(records: list[dict[str, Any]], staging_dir: str | None = None) -> str:
+    """Write fetched records as JSON-lines into a staging dir the engine
+    reads back schema-first.  Landing (rather than parallelize()) keeps the
+    raw payload replayable — re-running a window is a re-read, not a
+    re-fetch."""
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="trafsys_landing_")
+    os.makedirs(staging_dir, exist_ok=True)
+    path = os.path.join(staging_dir, f"batch_{int(time.time() * 1000)}.json")
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return staging_dir
+
+
+def read_landed(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """Schema-enforced read of landed payloads — the engine-side half of S1.
+    FAILFAST mirrors the reference's throw-on-bad-response (§1.3)."""
+    return (
+        spark.read.schema(TRAFFIC_RAW_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(staging_dir)
+    )
+
+
+def make_fetch_window(
+    spark: SparkSession,
+    base_url: str,
+    tokens: TokenProvider,
+    transport: Transport,
+    staging_dir: str | None = None,
+) -> Callable[[str, str], DataFrame]:
+    """Bind the adapter into the pipeline's injected ``fetch_window(from,
+    to) -> DataFrame`` slot (plans/pipeline.py)."""
+
+    def fetch_window(date_from: str, date_to: str) -> DataFrame:
+        records = fetch_traffic_records(
+            base_url, tokens, date_from, date_to, transport
+        )
+        return read_landed(spark, land_records(records, staging_dir))
+
+    return fetch_window
+
+
+def sub_windows(date_from: str, date_to: str, days_per_chunk: int = 7) -> list[tuple[str, str]]:
+    """Split a backfill window into chunks for distributed fetching."""
+    start = dt.date.fromisoformat(date_from)
+    end = dt.date.fromisoformat(date_to)
+    out = []
+    cur = start
+    while cur <= end:
+        chunk_end = min(cur + dt.timedelta(days=days_per_chunk - 1), end)
+        out.append((cur.isoformat(), chunk_end.isoformat()))
+        cur = chunk_end + dt.timedelta(days=1)
+    return out
+
+
+def fetch_window_partitioned(
+    spark: SparkSession,
+    base_url: str,
+    tokens: TokenProvider,
+    transport_factory: Callable[[], Transport],
+    date_from: str,
+    date_to: str,
+    days_per_chunk: int = 7,
+) -> DataFrame:
+    """Backfill-scale fetch: distribute per-sub-window HTTP GETs across the
+    cluster with ``mapInPandas`` over a chunk list, parse each payload
+    executor-side, and return the union as one schema-typed DataFrame.
+
+    The nightly case never needs this (one day ≈ thousands of rows); a
+    multi-year backfill at fleet scale does — the reference would hold the
+    whole window in one driver array (script.js:154).  ``transport_factory``
+    must be picklable (construct the HTTP client inside the task).
+    """
+    import pandas as pd
+
+    chunks = sub_windows(date_from, date_to, days_per_chunk)
+    token = tokens.token()  # fetched once driver-side; tasks reuse it
+    chunk_df = spark.createDataFrame(chunks, ["DateFrom", "DateTo"]).repartition(
+        max(len(chunks), 1)
+    )
+
+    def fetch_chunk(batches):
+        transport = transport_factory()
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                status, body = transport(
+                    "GET",
+                    base_url.rstrip("/") + "/api/traffic",
+                    params={
+                        "SiteCode": "",
+                        "IncludeInternalLocations": "true",
+                        "DataSummedByDay": "false",
+                        "DateFrom": row.DateFrom,
+                        "DateTo": row.DateTo,
+                    },
+                    headers={"Authorization": f"Bearer {token}"},
+                )
+                if status != 200:
+                    raise TrafsysApiError(status, body)
+                records = json.loads(body)
+                if records:
+                    yield pd.DataFrame.from_records(records)[
+                        [f.name for f in TRAFFIC_RAW_SCHEMA.fields]
+                    ]
+
+    return chunk_df.mapInPandas(fetch_chunk, TRAFFIC_RAW_SCHEMA)

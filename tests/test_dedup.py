@@ -99,3 +99,44 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_rolling_hash_equals_direct_recompute():
+    """The O(1) rolling update must equal direct per-window recomputation."""
+    from trafsys_data_transfer_spark.operators.text import (
+        RH_BASE, RH_MOD, RH_WINDOW, _rolling_fps,
+    )
+
+    tokens = [hash(f"t{i}") & 0x7FFFFFFF for i in range(40)]
+    _, fps = _rolling_fps(tokens, RH_WINDOW)
+
+    def direct(ws):
+        h = 0
+        for t in ws:
+            h = (h * RH_BASE + t % RH_MOD) % RH_MOD
+        return h
+
+    expected = [
+        direct(tokens[i : i + RH_WINDOW])
+        for i in range(len(tokens) - RH_WINDOW + 1)
+    ]
+    assert fps == expected
+
+
+def test_rolling_fingerprint_shared_substrings(spark):
+    """Docs sharing a long run of tokens share window fingerprints — the
+    property winnowing-based near-dup detection relies on."""
+    from trafsys_data_transfer_spark.operators.text import rolling_fingerprint_table
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, "prefix alpha " + shared), (1, shared + " suffix omega"), (2, "unrelated text entirely different")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in rolling_fingerprint_table(df).collect()}
+    # Distinct docs → distinct whole-doc fingerprints.
+    assert len({r.doc_fp for r in rows.values()}) == 3
+    # The shared 30-token run guarantees overlapping window hashes, so the
+    # winnowing min over each doc's windows picks the same value.
+    assert rows[0].min_window_fp == rows[1].min_window_fp
+    assert rows[2].min_window_fp != rows[0].min_window_fp

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from trafsys_data_transfer_spark.operators.similarity import (
     cosine,
     topk_bruteforce,
+    topk_ivf,
     topk_lsh,
 )
 from trafsys_data_transfer_spark.sources.fixtures import load_table
@@ -55,6 +56,22 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF tier (16 lists, 4 probes → ~25% of the corpus scanned per query)
+    must recover most true top-5 neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id) for r in topk_ivf(emb, queries, k=5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
 def test_lsh_scores_are_exact_for_returned_pairs(spark, sf_dir):

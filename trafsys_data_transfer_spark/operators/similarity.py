@@ -205,6 +205,101 @@ def topk_lsh(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", n_clusters: int = IVF_CLUSTERS,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer: k-means centroids over (a sample of) the corpus.
+
+    Uses pyspark.ml KMeans (distributed Lloyd iterations — the training
+    scan is the only full pass over the corpus; at 100 TB you train on a
+    ``.sample()`` instead).  Returns an (n_clusters, dim) numpy matrix that
+    is broadcast into the assignment UDF — small by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = corpus.select(
+        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(data)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Pandas UDF mapping a vector to its ``nprobe`` nearest centroids by
+    L2 (matching KMeans' objective); one matmul per Arrow batch."""
+    c = centroids.astype(np.float64)
+    c_sq = (c**2).sum(axis=1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (V**2).sum(axis=1)[:, None] - 2.0 * (V @ c.T) + c_sq[None, :]
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(order))
+
+    return assign
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: train a coarse quantizer, partition the corpus into
+    inverted lists by nearest centroid, and search each query against only
+    its ``nprobe`` nearest lists, rescoring candidates exactly.
+
+    Scale shape: corpus assignment is a narrow batch matmul; the search is
+    an equi-join on ``cluster`` — each query touches ~nprobe/n_clusters of
+    the corpus.  At 100 TB the assigned corpus is written partitioned by
+    ``cluster`` so a probe is a partition-pruned scan, and n_clusters grows
+    to keep list sizes bounded (√N is the usual rule).
+    """
+    centroids = train_ivf_centroids(corpus, vec_col, n_clusters)
+    assign1 = _ivf_assign_udf(centroids, 1)
+    probe = _ivf_assign_udf(centroids, nprobe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cluster", F.element_at(assign1(F.col("cv")), 1))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cluster", F.explode(probe(F.col("qv"))))
+    )
+    candidates = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = candidates.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
 
@@ -236,6 +331,14 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force is asserted in tests, not here."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("sim_topk_ivf")  # rows-only: k-means quantization isn't ANSI-SQL
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for query vectors vec_id < 8; recall vs brute force is
+    asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 @register(

@@ -14,8 +14,11 @@ the reduce side is O(groups) regardless of corpus size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..registry import register
 from ..sources.fixtures import load_table
@@ -221,3 +224,101 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprinting (north star: "document
+# fingerprinting (rolling hash)")
+# ---------------------------------------------------------------------------
+
+#: Rabin-Karp parameters.  Modulus 2^31-1 keeps every intermediate product
+#: (< 2^31 · < 2^31) inside uint64, so the numpy path needs no 128-bit math.
+RH_BASE = 1_000_003
+RH_MOD = (1 << 31) - 1
+#: Window length in tokens for the sliding fingerprints.
+RH_WINDOW = 8
+
+
+def _rolling_fps(token_hashes, window: int):
+    """Doc fingerprint + all w-token window fingerprints for one document.
+
+    The window hashes are computed with the true rolling update —
+    ``H' = (H - t_out·B^(w-1))·B + t_in  (mod M)`` — one multiply-add per
+    step regardless of window length, which is the property that makes
+    winnowing-style fingerprinting O(n) per document at corpus scale.
+    """
+    b_pow = pow(RH_BASE, window - 1, RH_MOD)
+    doc_fp = 0
+    h = 0
+    fps = []
+    for i, t in enumerate(token_hashes):
+        t = int(t) % RH_MOD
+        doc_fp = (doc_fp * RH_BASE + t) % RH_MOD
+        if i < window:
+            h = (h * RH_BASE + t) % RH_MOD
+            if i == window - 1:
+                fps.append(h)
+        else:
+            t_out = int(token_hashes[i - window]) % RH_MOD
+            h = ((h - t_out * b_pow) * RH_BASE + t) % RH_MOD
+            fps.append(h)
+    return doc_fp, fps
+
+
+def rolling_fingerprint_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = RH_WINDOW,
+) -> DataFrame:
+    """Per-document rolling-hash fingerprints: a whole-document polynomial
+    fingerprint plus min/max/count over the sliding w-token window hashes
+    (the min is winnowing's selected fingerprint).  Token hashing is
+    JVM-side ``xxhash64``; the sequential rolling scan runs in a Pandas UDF
+    (it is inherently order-dependent, so no builtin expresses it) — still
+    narrow, no shuffle."""
+    out_type = StructType(
+        [
+            StructField("doc_fp", LongType()),
+            StructField("n_windows", LongType()),
+            StructField("min_window_fp", LongType()),
+            StructField("max_window_fp", LongType()),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def roll(hashes: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                rows.append((0, 0, None, None))
+                continue
+            doc_fp, fps = _rolling_fps(h, window)
+            rows.append(
+                (
+                    doc_fp,
+                    len(fps),
+                    min(fps) if fps else None,
+                    max(fps) if fps else None,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_fp", "n_windows", "min_window_fp", "max_window_fp"]
+        )
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " "
+    )
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+    )
+    return hashed.select(
+        id_col, roll(F.col("th")).alias("r")
+    ).select(id_col, "r.doc_fp", "r.n_windows", "r.min_window_fp", "r.max_window_fp")
+
+
+@register("text_rolling_fingerprint")  # rows-only: rolling hash isn't ANSI-SQL
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints over `documents`: whole-doc Rabin-Karp
+    fingerprint + winnowing-style min/max window hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rolling_fingerprint_table(docs)

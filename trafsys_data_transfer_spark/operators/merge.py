@@ -120,7 +120,13 @@ def merge_upsert_parquet(
         )
         merged = merge_dataframes(target, updates, keys)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        # Cluster rows by their target partition before the write: each task
+        # then writes whole partitions instead of every task writing a sliver
+        # of every partition — at scale this is the difference between
+        # |tasks|×|dates| small files and |dates| right-sized ones.
+        merged.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(target_path)
         return
 
     target = spark.read.parquet(target_path)

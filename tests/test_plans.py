@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the 100 TB posture is a property of the
+plan, not the output, so we assert the plan shape directly — filters reach
+the parquet scan, projections prune columns, dimension joins broadcast, and
+hot paths stay inside whole-stage codegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from trafsys_data_transfer_spark.registry import all_queries
+
+
+def _formatted_plan(spark, name, sf_dir):
+    df = all_queries()[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_broadcasts_dimensions_and_pushes_filters(spark, sf_dir):
+    plan = _formatted_plan(spark, "flagship_revenue_topk", sf_dir)
+    # Date/segment predicates must reach the scans, not run post-scan.
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # Dimension joins broadcast; the lineitem fact side must never be
+    # shuffled before the join.  (Formatted plans print each operator twice:
+    # once in the tree, once in the numbered details.)
+    assert plan.count("BroadcastHashJoin") == 2 * 2
+    assert "SortMergeJoin" not in plan
+    # No Python evaluation anywhere in the relational hot path.
+    assert "EvalPython" not in plan
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(spark, "flagship_revenue_topk", sf_dir)
+    # lineitem has 16 columns; the scan must read only the 4 used.
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+
+
+def test_market_share_joins_all_broadcast(spark, sf_dir):
+    plan = _formatted_plan(spark, "regional_market_share", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 4 * 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_has_no_cartesian_and_single_signature_pass(spark, sf_dir):
+    plan = _formatted_plan(spark, "dedup_minhash_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The Pandas-UDF signature stage must appear exactly once (the groupBy
+    # bucket design computes signatures in one pass, not per join side).
+    assert plan.count("ArrowEvalPython") == 1 * 2
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "traffic_hourly_rollup"])
+def test_aggregations_have_map_side_partials(spark, sf_dir, name):
+    """Every groupBy must plan partial_ aggregation before the exchange —
+    map-side combine is what keeps shuffle volume O(groups) at 100 TB."""
+    plan = _formatted_plan(spark, name, sf_dir)
+    assert "partial_" in plan, plan

@@ -1,0 +1,95 @@
+"""Sessionization: batch gaps-and-islands vs stateful streaming — the two
+implementations must agree on closed sessions."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.sessions import sessionize_batch
+from trafsys_data_transfer_spark.streaming.sessionize import sessionize_stream
+
+
+def test_batch_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, 100, "2024-01-01T10:00:00"),
+        (1, 101, "2024-01-01T10:10:00"),
+        (1, 102, "2024-01-01T11:30:00"),  # > 30 min gap → new session
+        (2, 200, "2024-01-01T09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s string").select(
+        "user_id", "event_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {
+        (r.user_id, r.session_no): (r.session_start.isoformat(), r.n_events)
+        for r in sessionize_batch(df).collect()
+    }
+    assert out == {
+        (1, 1): ("2024-01-01T10:00:00", 2),
+        (1, 2): ("2024-01-01T11:30:00", 1),
+        (2, 1): ("2024-01-01T09:00:00", 1),
+    }
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """Drive the stateful operator across two checkpointed AvailableNow
+    passes; closed sessions must equal the batch computation's (open
+    sessions excluded — flushed with a far-future sentinel)."""
+    source = tempfile.mkdtemp(prefix="t_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="t_sess_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="t_sess_out_") + "/out"
+
+    def drop(records, name):
+        with open(os.path.join(source, name), "w") as f:
+            for user, ts in records:
+                f.write(json.dumps({"user_id": user, "ts": ts}) + "\n")
+
+    batch1 = [
+        (1, "2024-01-01T10:00:00"), (1, "2024-01-01T10:05:00"),
+        (2, "2024-01-01T10:00:00"),
+    ]
+    batch2 = [
+        (1, "2024-01-01T12:00:00"),  # closes user 1's first session
+        (2, "2024-01-01T10:20:00"),  # extends user 2's session
+    ]
+    sentinel = [(1, "2030-01-01T00:00:00"), (2, "2030-01-01T00:00:00")]
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(source)
+    writer = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+
+    drop(batch1, "b1.json")
+    q = writer.trigger(availableNow=True).start(); q.awaitTermination()
+    drop(batch2, "b2.json")
+    drop(sentinel, "b3.json")
+    q = writer.trigger(availableNow=True).start(); q.awaitTermination()
+
+    streamed = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    all_rows = [
+        (u, i, ts) for i, (u, ts) in enumerate(batch1 + batch2 + sentinel)
+    ]
+    bdf = spark.createDataFrame(all_rows, "user_id long, event_id long, ts_s string").select(
+        "user_id", "event_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    batch_closed = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in sessionize_batch(bdf).collect()
+        if r.session_start.year < 2030  # sentinel-only sessions stay open
+    }
+    assert streamed == batch_closed
+    # Sanity on the actual content, not just equality:
+    assert (1, "2024-01-01T10:00:00", "2024-01-01T10:05:00", 2) in streamed
+    assert (2, "2024-01-01T10:00:00", "2024-01-01T10:20:00", 2) in streamed

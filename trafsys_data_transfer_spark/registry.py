@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.text",
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",
+    "trafsys_data_transfer_spark.operators.sessions",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 

@@ -163,3 +163,122 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      AND o.o_orderdate >= TIMESTAMP '1998-06-01'
+    ORDER BY o_orderkey
+    """,
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): recent orders with no shipped lineitems.
+
+    ``left_anti`` keeps only the probe columns, so the join never widens
+    rows; at scale this is a broadcast-anti when the filtered orders side
+    is small, else a shuffled anti on the key."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "suppliers_with_returns",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+    ORDER BY s.s_suppkey
+    """,
+)
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): suppliers with at least one returned lineitem.
+    ``left_semi`` short-circuits per probe row — no row widening, no dedup
+    needed afterwards."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        supplier.join(returned, supplier.s_suppkey == returned.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "segment_customers_setops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    big_spenders AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT c_custkey, 'both' AS membership FROM (
+        SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders)
+    UNION ALL
+    SELECT c_custkey, 'building_only' AS membership FROM (
+        SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big_spenders)
+    ORDER BY membership, c_custkey
+    """,
+)
+def segment_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL) over two customer
+    predicates.  Spark plans INTERSECT/EXCEPT as semi/anti joins on all
+    columns — here a single key column, so both reduce to key joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    spenders = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = building.intersect(spenders).withColumn("membership", F.lit("both"))
+    only = building.exceptAll(spenders).withColumn(
+        "membership", F.lit("building_only")
+    )
+    return both.unionByName(only).orderBy("membership", "c_custkey")
+
+
+@register(
+    "revenue_rollup_grouping_sets",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def revenue_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-nation, per-region and grand-total account
+    balances in one pass.  Spark expands rollup into grouping sets inside a
+    single aggregation — one shuffle, not one per grouping level."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "total_balance",
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )

@@ -1,0 +1,133 @@
+"""As-of join — match each left row to the most recent right row at or
+before its timestamp, per key.
+
+Spark has no native as-of join (Pandas-on-Spark's ``merge_asof`` exists but
+routes through a conditional join); the scalable DataFrame shape is the
+**union-and-carry-forward** plan:
+
+1. tag both sides and union them into one keyed, time-ordered stream;
+2. one window pass per key carries the latest right-side payload forward
+   (``last(..., ignorenulls=True)``);
+3. keep only left rows — each now annotated with the right row that was
+   current at its timestamp.
+
+Cost: ONE shuffle on the key (the window), no conditional/range join, no
+per-row search.  This is the plan that survives 100 TB: a naive
+``a.join(b, a.k == b.k & (b.ts <= a.ts))`` forces a broadcast-nested-loop
+or a range-expanded sort-merge join with quadratic hot keys; the union plan
+is linear in rows per key and AQE-splittable.
+
+DuckDB's native ``ASOF JOIN`` is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row with
+    ``right.ts <= left.ts`` on the same key; left rows with no earlier
+    right row keep nulls (left-outer semantics).
+
+    ``right_payload`` columns are carried onto the left rows.
+    """
+    on = list(on)
+    payload = list(right_payload)
+
+    left_cols = [f.name for f in left.schema.fields if f.name not in on and f.name != left_ts]
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields if f.name not in on and f.name != left_ts],
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+
+    # Right rows sort before left rows at equal timestamps (__is_left asc),
+    # so a right row AT the left row's timestamp is visible to it ("<=").
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tag.unionByName(l_tag).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in payload
+        ],
+    )
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            *on,
+            F.col("__ts").alias(left_ts),
+            *left_cols,
+            *[F.col(f"__carried_{c}").alias(c) for c in payload],
+        )
+    )
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM (SELECT * FROM events WHERE user_id < 500) e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each user event annotated with that user's most recent
+    order at event time (backward, left-outer)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 500)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        events,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    ).orderBy("event_id")

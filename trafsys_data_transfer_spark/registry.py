@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",
     "trafsys_data_transfer_spark.operators.sessions",
+    "trafsys_data_transfer_spark.operators.asof",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 

@@ -282,3 +282,68 @@ def revenue_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+@register(
+    "events_value_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(MEDIAN(value), 4) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
+           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 4) AS corr_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event type: exact continuous percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`), sample stddev,
+    Pearson correlation.  At 100 TB exact percentiles become
+    `approx_percentile` (t-digest, mergeable map-side); the exact form here
+    is what the oracle can check bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event type as columns.  Expressed with an
+    explicit value list (`pivot(col, values)`) so Spark skips the extra
+    distinct-values scan a blind pivot needs — the form that works on a
+    stream too."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    ).orderBy("day")

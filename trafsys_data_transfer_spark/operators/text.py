@@ -322,3 +322,38 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint + winnowing-style min/max window hashes."""
     docs = load_table(spark, sf_dir, "documents")
     return rolling_fingerprint_table(docs)
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    )
+    SELECT term, COUNT(*) AS n
+    FROM toks
+    WHERE term NOT IN ({{stoplist}}) AND len(term) > 2
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT 20
+    """.replace("{stoplist}", _sql_in_list(STOPWORDS)),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: tokenize → explode → stopword/length filter
+    → count → top-20 (deterministic tie-break on the term).  The explode
+    multiplies rows by tokens-per-doc, but the groupBy's map-side partial
+    collapses them before the shuffle — wire cost is O(|vocabulary|), not
+    O(|tokens|); the final top-k is a TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")), " "
+    )
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(~F.col("term").isin(*STOPWORDS) & (F.length("term") > 2))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )

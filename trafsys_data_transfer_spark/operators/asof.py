@@ -93,28 +93,48 @@ def asof_join(
 @register(
     "events_asof_latest_order",
     oracle="""
+    WITH o_dedup AS (
+        -- One order per (custkey, date): ASOF tie-picking among equal
+        -- timestamps is engine-arbitrary, so determinise it first.
+        SELECT * FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
     SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,
            o.o_totalprice AS last_totalprice
     FROM (SELECT * FROM events WHERE user_id < 500) e
-    ASOF LEFT JOIN (
-        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
-    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ASOF LEFT JOIN o_dedup o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     ORDER BY e.event_id
     """,
 )
 def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each user event annotated with that user's most recent
-    order at event time (backward, left-outer)."""
+    order at event time (backward, left-outer).  The right side is deduped
+    to one row per (user, date) first — with duplicate timestamps, both
+    engines' as-of tie-pick is arbitrary."""
+    from pyspark.sql.window import Window
+
     events = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 500)
         .select("event_id", "user_id", "ts")
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        "o_orderdate",
-        "o_orderkey",
-        "o_totalprice",
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
     out = asof_join(
         events,

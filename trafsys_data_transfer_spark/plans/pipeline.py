@@ -58,7 +58,7 @@ def run_pipeline(
 
     raw = fetch_window(date_from, date_to)
     batch = normalize_traffic(raw)
-    batch = dedupe_last_write(batch, keys=TRAFFIC_PK, order_by=["Ins", "Outs"])
+    batch = dedupe_last_write(batch, keys=TRAFFIC_PK, order_by=["Ins", "Outs", "IsInternal"])
     n_records = batch.count()
 
     # T5: empty-batch short-circuit (script.js:183) — but the run is still

@@ -130,7 +130,7 @@ def traffic_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (
             SELECT t.*, ROW_NUMBER() OVER (
                 PARTITION BY SiteCode, Location, PeriodEnding
-                ORDER BY Ins DESC, Outs DESC) AS rn
+                ORDER BY Ins DESC, Outs DESC, IsInternal DESC) AS rn
             FROM traffic t WHERE PeriodEnding < TIMESTAMP '2024-01-20 00:00:00'
         ) WHERE rn = 1
     ),
@@ -140,7 +140,7 @@ def traffic_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    Ins + 1000 AS Ins, Outs,
                    ROW_NUMBER() OVER (
                        PARTITION BY SiteCode, Location, PeriodEnding
-                       ORDER BY Ins + 1000 DESC, Outs DESC) AS rn
+                       ORDER BY Ins + 1000 DESC, Outs DESC, IsInternal DESC) AS rn
             FROM traffic WHERE PeriodEnding >= TIMESTAMP '2024-01-15 00:00:00'
         ) WHERE rn = 1
     )
@@ -164,14 +164,14 @@ def traffic_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = dedupe_last_write(
         t.filter(F.col("PeriodEnding") < F.lit("2024-01-20")),
         keys=["SiteCode", "Location", "PeriodEnding"],
-        order_by=["Ins", "Outs"],
+        order_by=["Ins", "Outs", "IsInternal"],
     )
     b2 = dedupe_last_write(
         t.filter(F.col("PeriodEnding") >= F.lit("2024-01-15")).withColumn(
             "Ins", F.col("Ins") + 1000
         ),
         keys=["SiteCode", "Location", "PeriodEnding"],
-        order_by=["Ins", "Outs"],
+        order_by=["Ins", "Outs", "IsInternal"],
     )
     return merge_dataframes(b1, b2, keys=["SiteCode", "Location", "PeriodEnding"])
 

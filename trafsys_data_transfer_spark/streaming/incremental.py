@@ -102,7 +102,7 @@ def run_incremental_merge(
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         updates = dedupe_last_write(
-            normalize_traffic(batch), keys=TRAFFIC_PK, order_by=["Ins", "Outs"]
+            normalize_traffic(batch), keys=TRAFFIC_PK, order_by=["Ins", "Outs", "IsInternal"]
         )
         if updates.isEmpty():
             return  # T5: empty-batch short-circuit (script.js:183)

@@ -73,7 +73,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (
             SELECT t.*, ROW_NUMBER() OVER (
                 PARTITION BY SiteCode, Location, PeriodEnding
-                ORDER BY Ins DESC, Outs DESC) AS rn
+                ORDER BY Ins DESC, Outs DESC, IsInternal DESC) AS rn
             FROM traffic t WHERE PeriodEnding < TIMESTAMP '2024-01-20 00:00:00'
         ) WHERE rn = 1
     ),
@@ -83,7 +83,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    Ins + 1000 AS Ins, Outs,
                    ROW_NUMBER() OVER (
                        PARTITION BY SiteCode, Location, PeriodEnding
-                       ORDER BY Ins + 1000 DESC, Outs DESC) AS rn
+                       ORDER BY Ins + 1000 DESC, Outs DESC, IsInternal DESC) AS rn
             FROM traffic WHERE PeriodEnding >= TIMESTAMP '2024-01-15 00:00:00'
         ) WHERE rn = 1
     )

@@ -140,3 +140,20 @@ def test_rolling_fingerprint_shared_substrings(spark):
     # winnowing min over each doc's windows picks the same value.
     assert rows[0].min_window_fp == rows[1].min_window_fp
     assert rows[2].min_window_fp != rows[0].min_window_fp
+
+
+def test_deterministic_split_is_partition_invariant(spark):
+    """The split must be a pure function of the key: repartitioning (or any
+    layout change) must not move rows between train and test."""
+    from trafsys_data_transfer_spark.operators.sampling import split_column
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    a = {r["id"]: r["s"] for r in df.select("id", split_column(F.col("id")).alias("s")).collect()}
+    b = {
+        r["id"]: r["s"]
+        for r in df.repartition(7).select("id", split_column(F.col("id")).alias("s")).collect()
+    }
+    assert a == b
+    train_frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < train_frac < 0.85

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.sessions",
     "trafsys_data_transfer_spark.operators.asof",
     "trafsys_data_transfer_spark.operators.rangejoin",
+    "trafsys_data_transfer_spark.operators.sampling",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 from ..schemas import FIXTURE_TABLES
 
@@ -36,9 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), surfaced as a nanos long (see
-        # session.py); truncate to micros — same as DuckDB's ns→us cast.
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # The driver fixture's ts is parquet TIMESTAMP(NANOS), surfaced as a
+        # nanos long (see session.py); truncate to micros — same as DuckDB's
+        # ns→us cast.  Re-materialised copies already carry a real
+        # timestamp, so the conversion is type-gated.
         from pyspark.sql import functions as F
 
         # `div` = exact integer division; `/` would round-trip through

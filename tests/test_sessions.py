@@ -93,3 +93,42 @@ def test_streaming_sessionize_matches_batch(spark):
     # Sanity on the actual content, not just equality:
     assert (1, "2024-01-01T10:00:00", "2024-01-01T10:05:00", 2) in streamed
     assert (2, "2024-01-01T10:00:00", "2024-01-01T10:20:00", 2) in streamed
+
+
+def test_idle_session_flushed_by_event_time_timeout(spark):
+    """User 1 goes idle; only OTHER users' events advance the watermark.
+    The idle session must still be emitted (state bounded at scale)."""
+    import json as _json
+
+    source = tempfile.mkdtemp(prefix="t_tmo_src_")
+    ckpt = tempfile.mkdtemp(prefix="t_tmo_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="t_tmo_out_") + "/out"
+
+    def drop(records, name):
+        with open(os.path.join(source, name), "w") as f:
+            for user, ts in records:
+                f.write(_json.dumps({"user_id": user, "ts": ts}) + "\n")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(source)
+    writer = (
+        sessionize_stream(stream, lateness="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+
+    drop([(1, "2024-01-01T10:00:00"), (1, "2024-01-01T10:05:00")], "b1.json")
+    q = writer.trigger(availableNow=True).start(); q.awaitTermination()
+    # Watermark pushed far past user 1's gap horizon by user 2 only.
+    drop([(2, "2024-01-02T00:00:00")], "b2.json")
+    q = writer.trigger(availableNow=True).start(); q.awaitTermination()
+    # One more pass: timeouts fire on the batch AFTER the watermark advance.
+    drop([(2, "2024-01-03T00:00:00")], "b3.json")
+    q = writer.trigger(availableNow=True).start(); q.awaitTermination()
+
+    rows = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, "2024-01-01T10:00:00", "2024-01-01T10:05:00", 2) in rows

@@ -61,23 +61,34 @@ def _session_fn(gap_minutes: int):
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
         closed: list[tuple] = []
-        if state.exists:
+
+        if state.hasTimedOut:
+            # Event-time timeout: the watermark passed last_ts + gap with no
+            # new events for this key — the session is closed by idleness.
             start_us, last_us, n = state.get
+            closed.append((user_id, start_us, last_us, n))
+            state.remove()
         else:
-            start_us = last_us = n = None
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = n = None
 
-        for pdf in pdf_iter:
-            for ts in sorted(pdf["ts"]):
-                t = _us(ts)
-                if last_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
+            for pdf in pdf_iter:
+                for ts in sorted(pdf["ts"]):
+                    t = _us(ts)
+                    if last_us is None:
+                        start_us, last_us, n = t, t, 1
+                    elif t - last_us > gap_us:
+                        closed.append((user_id, start_us, last_us, n))
+                        start_us, last_us, n = t, t, 1
+                    else:
+                        last_us, n = t, n + 1
 
-        state.update((start_us, last_us, n))
+            state.update((start_us, last_us, n))
+            # Flush this session once event time passes its gap horizon.
+            state.setTimeoutTimestamp((last_us + gap_us) // 1_000)
+
         if closed:
             yield pd.DataFrame(
                 {
@@ -98,18 +109,25 @@ def _session_fn(gap_minutes: int):
 
 
 def sessionize_stream(
-    events_stream: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+    events_stream: DataFrame,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    lateness: str = "1 hour",
 ) -> DataFrame:
-    """Closed sessions per user, emitted as they close.  Input needs
-    ``user_id`` and ``ts`` columns (event time)."""
+    """Closed sessions per user, emitted as they close — either because a
+    later event from the same user opened a new session, or because the
+    event-time watermark passed the session's idle horizon
+    (``last_event + gap``).  The timeout path is what bounds state at
+    scale: without it, every user who never returns leaks one state entry
+    forever.  Input needs ``user_id`` and ``ts`` columns (event time)."""
     return (
         events_stream.select("user_id", "ts")
+        .withWatermark("ts", lateness)
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn(gap_minutes),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -162,7 +162,7 @@ def minhash_candidates(
     (buckets are tiny); a pathological bucket (e.g. empty-text documents
     all hashing identically) is the same hazard as a skewed join key and
     should be pre-filtered upstream.
-    Returns (id_a, id_b, sh_a, sh_b) with id_a < id_b.
+    Returns distinct (id_a, id_b) with id_a < id_b.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(normalize_text(F.col(text_col)), " ")
@@ -190,15 +190,10 @@ def minhash_candidates(
             ),
         )
     )
-    pairs = (
+    return (
         buckets.select(F.explode(in_bucket_pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .select("id_a", "id_b", "sh_a", "sh_b")
     )
 
 
@@ -216,10 +211,24 @@ def minhash_near_dups(
     n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified: candidates from banding,
-    confirmed by exact Jaccard on the shingle sets (no false positives)."""
-    cands = minhash_candidates(df, id_col, text_col, n)
+    confirmed by exact Jaccard on the shingle sets (no false positives).
+
+    Each side's shingle set is materialised once per document (narrow
+    projection) and joined onto the candidate pairs — computing shingles
+    inline per pair is a trap: Catalyst duplicates the expression across
+    intersect/union and filter/project, turning one shingle pass into
+    four per pair (measured ~30× slower on a dup-dense corpus)."""
+    pairs = minhash_candidates(df, id_col, text_col, n)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # Repartition before the per-row shingle work for the same reason as in
+    # minhash_candidates: parallelise even off a single-file source.
+    sh_df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col).alias("id"), shingles(toks, n).alias("sh"))
     return (
-        cands.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

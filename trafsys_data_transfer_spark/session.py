@@ -29,6 +29,31 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the engine's required runtime confs to an EXISTING session.
+
+    The driver contract (``__spark_entry__.entry(spark)``) hands us a
+    session we didn't build.  Two settings are correctness-critical and
+    runtime-settable, so they are (idempotently) enforced at the fixture
+    chokepoint:
+
+    * ``nanosAsLong`` — the fixture ``events.ts`` is parquet
+      TIMESTAMP(NANOS); without this flag Spark 4 refuses the scan
+      outright (PARQUET_TYPE_ILLEGAL).
+    * UTC session timezone — the ns→µs epoch conversion and every
+      ``date_format``/``to_timestamp`` on the derived traffic table are
+      session-timezone-dependent; a non-UTC host would shift results
+      relative to the (timezone-naive) DuckDB oracle.
+
+    ``shuffle.partitions`` is tuned only if still at Spark's untouched
+    default (200) — an explicit user setting wins.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+
+
 def get_spark(app_name: str = "trafsys_data_transfer_spark") -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 

@@ -36,6 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    from ..session import ensure_engine_confs
+
+    # The driver may hand us a session built without the engine's settings
+    # (notably nanosAsLong, without which the events scan throws).
+    ensure_engine_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # The driver fixture's ts is parquet TIMESTAMP(NANOS), surfaced as a

@@ -184,3 +184,15 @@ def test_fetch_window_partitioned(spark):
     assert set(df.columns) == {
         "SiteCode", "Location", "IsInternal", "PeriodEnding", "Ins", "Outs"
     }
+
+
+def test_permissive_read_quarantines_corrupt_lines(spark, tmp_path):
+    from trafsys_data_transfer_spark.sources.trafsys_api import read_landed_permissive
+
+    p = tmp_path / "batch.json"
+    good = json.dumps(RECORDS[0])
+    p.write_text(good + "\n" + "{not valid json at all\n" + json.dumps(RECORDS[1]) + "\n")
+    clean, corrupt = read_landed_permissive(spark, str(tmp_path))
+    assert clean.count() == 2
+    bad = corrupt.collect()
+    assert len(bad) == 1 and bad[0][0].startswith("{not valid")

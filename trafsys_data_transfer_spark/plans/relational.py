@@ -347,3 +347,59 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
     ).orderBy("day")
+
+
+@register(
+    "events_running_totals",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events WHERE user_id < 200
+    ORDER BY user_id, seq
+    """,
+)
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-user running sum (unbounded preceding) and 3-row
+    moving average.  One shuffle on user_id serves all three windows
+    (identical partitioning/ordering → single exchange + sort)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = by_user.rowsBetween(-2, Window.currentRow)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(running), 4).alias("running_value"),
+            F.round(F.avg("value").over(moving), 4).alias("moving_avg3"),
+            F.row_number().over(by_user).cast("long").alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@register("events_value_approx_quantiles")  # rows-only: t-digest is engine-specific
+def events_value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the percentile query: `approx_percentile`
+    (t-digest sketch, mergeable map-side, constant memory) — estimates are
+    engine-specific by nature, so the check is rows-only here and the
+    accuracy bound (vs exact percentiles) is asserted in the test suite."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )

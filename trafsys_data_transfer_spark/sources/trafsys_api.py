@@ -257,3 +257,28 @@ def fetch_window_partitioned(
                     ]
 
     return chunk_df.mapInPandas(fetch_chunk, TRAFFIC_RAW_SCHEMA)
+
+
+def read_landed_permissive(spark: SparkSession, staging_dir: str):
+    """PERMISSIVE variant of :func:`read_landed` — the at-scale upgrade of
+    the reference's throw-on-bad-response guard (SURVEY.md §1.3): malformed
+    lines land in ``_corrupt_record`` instead of failing the whole batch.
+    Returns (clean_df, corrupt_df); the caller quarantines the corrupt rows
+    (write them to a reject path) and loads the clean ones — one bad line
+    in a 100 TB backfill should cost one row, not the job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        TRAFFIC_RAW_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(staging_dir)
+        .cache()  # required: _corrupt_record cannot be queried from a bare scan
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, corrupt

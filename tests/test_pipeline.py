@@ -128,3 +128,17 @@ def test_empty_batch_advances_watermark_without_sink(spark, tmp_path):
 
     assert not os.path.exists(target)  # sink never created
     assert RunLog(spark, log_path).latest()["ToDate"] == "2024-01-31"
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
+    """The t-digest estimate must land near the exact percentile (the
+    rows-only bench query's accuracy claim)."""
+    from pyspark.sql import functions as F
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    row = events.agg(
+        F.percentile("value", F.lit(0.95)).alias("exact"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / max(abs(row["exact"]), 1e-9) < 0.05

@@ -142,3 +142,14 @@ def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
         F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / max(abs(row["exact"]), 1e-9) < 0.05
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.multimodal import read_media_dir
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake")
+    (tmp_path / "b.wav").write_bytes(b"RIFF fake wav")
+    (tmp_path / "notes.txt").write_text("not media")
+    df = read_media_dir(spark, str(tmp_path), glob="*.{png,wav}")
+    rows = {r["extension"]: bytes(r["payload"]) for r in df.collect()}
+    assert rows == {"png": b"\x89PNG fake", "wav": b"RIFF fake wav"}

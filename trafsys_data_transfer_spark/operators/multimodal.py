@@ -194,3 +194,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → deterministic fake embedding (the real encoder slot);
     demonstrates the binary→vector bridge into the similarity stack."""
     return extract_features(multimodal_table(spark, sf_dir))
+
+
+def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of raw media files as a multimodal table via
+    Spark's ``binaryFile`` source: one row per file with (path, length,
+    modificationTime, content).  The natural on-ramp from an object-store
+    media dump into the payload/metadata model above — pair with
+    :func:`extract_metadata` / :func:`extract_features` downstream.
+
+    At scale: ``binaryFile`` splits by file, so millions of small media
+    files want a compaction pass (this table written back as parquet with
+    the payload column) before repeated processing."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.col("path"),
+        F.col("length").alias("byte_length"),
+        F.col("content").alias("payload"),
+        F.element_at(F.split(F.col("path"), "\\."), -1).alias("extension"),
+    )

@@ -1,0 +1,229 @@
+"""Window-function and grouping-set analytics over the fixture tables.
+
+The reference has no window functions (SURVEY.md §2.5) — its one ordering
+construct is the watermark top-1 read.  These queries extend the engine's
+relational surface with the window/grouping shapes any warehouse user of
+the rebuilt engine would expect: ntile bucketing, per-group top-k via rank,
+CUBE grouping sets, lag-based event gaps, and window-over-aggregate shares.
+
+Scale notes (100 TB posture):
+* Every window here partitions by a key whose per-partition row count is
+  bounded (user, brand, nation) — no global `ORDER BY` window over the
+  whole fact table, which would single-task.  The one global window
+  (`ntile` over customers) is explicitly documented as the exception: it
+  plans a single-partition sort, acceptable on dimension-sized inputs only.
+* Windows sharing (partition, order) reuse one Exchange+Sort.
+* CUBE expands inside a single hash aggregation — one shuffle for all 4
+  grouping sets, map-side partials first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+
+@register(
+    "customer_balance_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer)
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: customers split into 10 equal-frequency balance
+    deciles, then aggregated per decile.
+
+    A global ntile needs a total order → Spark plans one single-partition
+    window sort.  That is the documented cost of this operator: use it on
+    dimension-sized tables (customers), never on the fact table — the
+    fact-scale alternative is `approx_percentile` boundaries + a join,
+    which `events_value_approx_quantiles` exercises.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(price_rank AS BIGINT) AS price_rank
+    FROM (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+        FROM part)
+    WHERE price_rank <= 3
+    ORDER BY p_brand, price_rank
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: 3 priciest parts per brand via row_number + filter.
+
+    The canonical distributed top-k-per-group: one shuffle on the group
+    key, per-partition sort, early filter — never a global sort.  At scale
+    the rank filter prunes before any downstream join widens rows.
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+        .orderBy("p_brand", "price_rank")
+    )
+
+
+@register(
+    "orders_status_priority_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: order counts/value across every combination of
+    (status, priority) including both marginals and the grand total.
+    Spark expands CUBE inside a single hash aggregate — one shuffle for all
+    four grouping sets, with map-side partial aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "events_user_gaps",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS gap_s,
+           CAST(date_diff('second', ts,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS BIGINT) AS next_gap_s
+    FROM events
+    WHERE user_id < 200
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD: per-user seconds since the previous and until the next
+    event — the inter-arrival primitive behind sessionization.  Both
+    windows share (partition, order) so Spark plans one Exchange + one
+    Sort; per-user partitions stay bounded at any corpus size."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            (ts_s - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+            (F.unix_timestamp(F.lead("ts").over(w)) - ts_s).alias("next_gap_s"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH nation_rev AS (
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name)
+    SELECT region_name, nation_name,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY region_name), 6) AS region_share
+    FROM nation_rev
+    ORDER BY region_name, nation_name
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate: each nation's share of its region's revenue.
+    The expensive part (fact-table aggregation) happens first and shrinks
+    the data to O(nations) rows; the share window then runs on the tiny
+    aggregate — the two-level pattern that keeps window input bounded at
+    any fact-table scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy("region_name")
+    return (
+        nation_rev.select(
+            "region_name",
+            "nation_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("region_share"),
+        )
+        .orderBy("region_name", "nation_name")
+    )

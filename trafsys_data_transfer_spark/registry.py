@@ -33,6 +33,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: each operator's query definition next to its implementation).
 _QUERY_MODULES = (
     "trafsys_data_transfer_spark.plans.relational",
+    "trafsys_data_transfer_spark.plans.analytics",
     "trafsys_data_transfer_spark.plans.traffic_queries",
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.text",

@@ -20,7 +20,11 @@ from ..plans.traffic import normalize_traffic
 from ..plans.traffic_queries import _TRAFFIC_CTE, traffic_raw_from_events
 from ..registry import register
 from ..sources.fixtures import load_table
-from .incremental import run_incremental_merge, run_rollup_to_memory
+from .incremental import (
+    run_incremental_merge,
+    run_rollup_to_memory,
+    run_stream_dedup_to_memory,
+)
 
 
 def _stage_raw_json(raw: DataFrame, prefix: str) -> str:
@@ -63,6 +67,33 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = _stage_raw_json(raw, "tds_stream_rollup_")
     table = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     return run_rollup_to_memory(spark, staging, table)
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup over an at-least-once feed: the events fixture
+    is staged TWICE (two parquet drops — a full redelivery), drained through
+    ``dropDuplicatesWithinWatermark(event_id)``, and the surviving stream
+    must equal the original table exactly.  State expires with the
+    watermark, so the operator holds keys-per-lateness-window, not the
+    whole corpus — the §2.8 replay-tolerance invariant without an upsert
+    sink."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_dedup_")
+    # Two identical drops = a full at-least-once redelivery of the feed.
+    events.coalesce(1).write.mode("append").parquet(staging)
+    events.coalesce(1).write.mode("append").parquet(staging)
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return run_stream_dedup_to_memory(
+        spark, staging, table, events.schema, keys=["event_id"]
+    )
 
 
 @register(

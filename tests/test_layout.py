@@ -1,0 +1,117 @@
+"""Layout maintenance: compaction bin-packing and Z-order data skipping.
+
+Assertions are physical, not just relational: file counts actually drop,
+and post-Z-order footer min/max stats actually prune a multi-column box
+predicate that the single-column layout cannot prune at all.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.layout import (
+    compact_parquet,
+    file_prune_fraction,
+    zorder_by,
+)
+from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+
+def _checksum(df):
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    return df.select(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(f"{path}/**/*.parquet", recursive=True)
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "fragmented")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(50).write.parquet(path)  # micro-batch-sink aftermath
+    assert len(_parquet_files(path)) == 50
+    before = _checksum(spark.read.parquet(path))
+
+    written = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert written == len(_parquet_files(path)) == 1  # sf0.001 fits one file
+    assert _checksum(spark.read.parquet(path)) == before
+
+    # Idempotent: a second pass plans the same layout.
+    assert compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024) == 1
+
+
+def test_compact_partitioned_keeps_partition_dirs(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "by_flag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(20).write.partitionBy("l_returnflag").parquet(path)
+    before = _checksum(spark.read.parquet(path))
+    n_dirs_before = len(glob.glob(f"{path}/l_returnflag=*"))
+
+    compact_parquet(
+        spark, path, target_file_bytes=64 * 1024 * 1024, partition_col="l_returnflag"
+    )
+    assert len(glob.glob(f"{path}/l_returnflag=*")) == n_dirs_before
+    assert _checksum(spark.read.parquet(path)) == before
+    # ≤ a handful of files per partition instead of 20 slivers each.
+    for d in glob.glob(f"{path}/l_returnflag=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) <= 2
+
+
+@pytest.fixture(scope="module")
+def zorder_layouts(spark, tmp_path_factory):
+    """lineitem sf0.01 written two ways: sorted by one column (the naive
+    'sorted table' layout) vs Z-ordered by (l_partkey, l_suppkey)."""
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    base = tmp_path_factory.mktemp("layouts")
+    naive, zed = str(base / "naive"), str(base / "zorder")
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(naive)
+    zorder_by(li, ["l_partkey", "l_suppkey"], n_files=16).write.parquet(zed)
+    return li, naive, zed
+
+
+def test_zorder_preserves_relation(spark, zorder_layouts):
+    li, _naive, zed = zorder_layouts
+    assert _checksum(spark.read.parquet(zed)) == _checksum(li)
+
+
+def test_zorder_prunes_multicolumn_box(spark, zorder_layouts):
+    li, naive, zed = zorder_layouts
+    hi_p = li.agg(F.max("l_partkey")).first()[0]
+    hi_s = li.agg(F.max("l_suppkey")).first()[0]
+    # ~10%-wide box on BOTH clustered columns.
+    box = {
+        "l_partkey": (0.45 * hi_p, 0.55 * hi_p),
+        "l_suppkey": (0.45 * hi_s, 0.55 * hi_s),
+    }
+    naive_prune = file_prune_fraction(naive, box)
+    z_prune = file_prune_fraction(zed, box)
+    # Ordering by l_orderkey leaves partkey/suppkey uniform per file — no
+    # file can be skipped; the Z-layout confines each file to a small
+    # hyper-box and skips most of them.
+    assert naive_prune <= 0.1
+    assert z_prune >= 0.5
+    assert z_prune > naive_prune
+
+
+def test_zorder_single_column_degenerates_to_sort(spark, zorder_layouts):
+    li, _naive, _zed = zorder_layouts
+    # With one column the Z-value is just the scaled column: ranges align.
+    out = zorder_by(li.select("l_partkey"), ["l_partkey"], n_files=4)
+    parts = out.withColumn("pid", F.spark_partition_id())
+    bounds = (
+        parts.groupBy("pid")
+        .agg(F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev, nxt in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= nxt["lo"]

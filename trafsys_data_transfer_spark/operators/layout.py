@@ -1,0 +1,177 @@
+"""Data-layout maintenance: small-file compaction and Z-order clustering.
+
+The reference writes to Oracle, where the storage engine owns layout.  A
+parquet-backed engine owns it itself, and at 100 TB layout IS performance:
+
+* **Small files** — incremental MERGE/streaming sinks produce one-or-few
+  files per micro-batch; after months a day-partition holds hundreds of
+  KB-sized files and every scan pays per-file open/footer/seek costs and
+  schedules tiny tasks.  :func:`compact_parquet` bin-packs each partition
+  back to ``target_file_bytes``-sized files.
+* **Multi-column data skipping** — parquet scans prune files/row-groups by
+  min/max stats, but stats only help if writes cluster values.  Sorting by
+  one column localizes that column only; :func:`zorder_by` interleaves the
+  bits of several columns into one Z-value so a sort by it localizes ALL
+  of them — a 2-D box predicate then prunes most files instead of none.
+  This is the same layout idea Delta/Iceberg expose as ``OPTIMIZE ...
+  ZORDER BY``; here it is expressed with plain DataFrame ops (min/max
+  scaling + bitwise interleave, all JVM/codegen — no UDFs).
+
+Both operators are single-writer maintenance actions (like the MERGE sink,
+SURVEY.md §7.4) and preserve row content exactly — tests assert the
+relation is unchanged and that post-layout file stats actually prune.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> int:
+    """Rewrite a parquet table into ``ceil(bytes / target_file_bytes)``
+    files (per partition when ``partition_col`` is given), atomically.
+
+    Returns the number of files written.  File count is derived from the
+    table's *current on-disk bytes*, so compaction is idempotent: a second
+    run plans the same file count and rewrites nothing structurally new.
+    128 MB default matches the scan-side ``maxPartitionBytes`` sweet spot —
+    one task per file, no stragglers, bounded footer metadata.
+    """
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+    if partition_col:
+        # Hash-cluster within each partition value: each task writes whole
+        # partition directories, file count stays |partitions|-proportional.
+        out = df.repartition(n_files, F.col(partition_col))
+        writer = out.write.partitionBy(partition_col)
+    else:
+        out = df.repartition(n_files)
+        writer = out.write
+    tmp = f"{path}.__compact_{uuid.uuid4().hex}"
+    writer.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    written = 0
+    for _root, _dirs, files in os.walk(path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written
+
+
+def _zvalue(df: DataFrame, cols: Sequence[str], bits: int) -> Column:
+    """Interleaved-bit Z-value over ``cols``, each min/max-scaled to
+    ``bits`` bits.  Pure column expressions (one stats pass + bitwise
+    shifts/ors), fully codegen'd — no UDF, no shuffle of its own."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).first()
+    max_code = (1 << bits) - 1
+    codes = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_code
+        codes.append(F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(max_code)))
+    z = F.lit(0).cast("long")
+    # Bit b of column i lands at position b*len(cols)+i (LSB-first round-robin).
+    for b in range(bits):
+        for i, code in enumerate(codes):
+            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(codes) + i))
+    return z
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster ``df`` into ``n_files`` write tasks ordered along the Z-curve
+    of ``cols``.  Write the result directly (`.write.parquet(...)`): each
+    output file then covers one contiguous Z-range, i.e. a small hyper-box
+    in the value space of ALL ``cols``, so min/max stats prune multi-column
+    predicates.
+
+    ``repartitionByRange`` samples the Z-value to build balanced range
+    bounds (one extra pass over the projection, no full sort), then
+    ``sortWithinPartitions`` orders rows inside each task — a total
+    ordering across files without a single-partition global sort.
+    """
+    with_z = df.withColumn("__z", _zvalue(df, cols, bits))
+    return (
+        with_z.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def file_prune_fraction(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> float:
+    """Fraction of the table's parquet files a multi-column box predicate
+    can skip using footer min/max stats alone (the same decision a scan
+    makes).  Used by tests and capacity planning to measure how much a
+    layout actually prunes: higher is better, 0.0 means every file must be
+    read."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    skipped = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        overlaps = True
+        for col, (lo, hi) in predicates.items():
+            col_min = min(
+                md.row_group(g).column(
+                    next(
+                        i
+                        for i in range(md.num_columns)
+                        if md.row_group(g).column(i).path_in_schema == col
+                    )
+                ).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            col_max = max(
+                md.row_group(g).column(
+                    next(
+                        i
+                        for i in range(md.num_columns)
+                        if md.row_group(g).column(i).path_in_schema == col
+                    )
+                ).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if col_max < lo or col_min > hi:
+                overlaps = False
+                break
+        if not overlaps:
+            skipped += 1
+    return skipped / len(files) if files else 0.0

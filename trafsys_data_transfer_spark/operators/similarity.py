@@ -212,25 +212,45 @@ IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
 
+#: Cap on the driver-side training sample: IVF coarse quantizers are always
+#: trained on a sample (FAISS defaults to ~256 vectors/centroid); the full
+#: corpus only ever flows through the *assignment* matmul, never training.
+IVF_TRAIN_SAMPLE = 4096
+
+
 def train_ivf_centroids(
     corpus: DataFrame, vec_col: str = "embedding", n_clusters: int = IVF_CLUSTERS,
     seed: int = 42,
 ) -> np.ndarray:
-    """Coarse quantizer: k-means centroids over (a sample of) the corpus.
+    """Coarse quantizer: k-means centroids over a bounded corpus sample.
 
-    Uses pyspark.ml KMeans (distributed Lloyd iterations — the training
-    scan is the only full pass over the corpus; at 100 TB you train on a
-    ``.sample()`` instead).  Returns an (n_clusters, dim) numpy matrix that
-    is broadcast into the assignment UDF — small by construction.
+    A deterministic modulo filter (`pmod(xxhash64(vec), m) = 0`) draws
+    ≤ :data:`IVF_TRAIN_SAMPLE` vectors with ONE narrow pruned scan — no
+    shuffle, no dependence on row order — and Lloyd's iterations run on the
+    driver in numpy (k·|sample|·dim flops per iteration, milliseconds).
+    Distributed KMeans would re-scan the corpus ~10× for the same
+    centroids; at 100 TB the sample bound is what makes training O(1)
+    while assignment stays the only full pass.  Fixed seed → deterministic
+    centroids → deterministic inverted lists.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    data = corpus.select(
-        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    n = corpus.count()
+    every = max(1, n // IVF_TRAIN_SAMPLE)
+    sample = (
+        corpus.select(as_double(F.col(vec_col)).alias("v"))
+        .filter(F.pmod(F.xxhash64(F.col(vec_col)), every) == 0)
+        .collect()
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(data)
-    return np.array([np.asarray(c) for c in model.clusterCenters()])
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(10):  # Lloyd
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = X[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
 
 
 def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):

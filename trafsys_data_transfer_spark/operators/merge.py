@@ -104,29 +104,44 @@ def merge_upsert_parquet(
     keys = list(keys)
     exists = os.path.exists(target_path)
     if not exists:
-        writer = updates.write.mode("overwrite")
         if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(target_path)
+            # Cluster by target partition on the CREATE path too — without
+            # this the initial load writes |tasks|×|dates| sliver files and
+            # every later merge/scan pays for them.
+            updates.repartition(F.col(partition_col)).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(target_path)
+        else:
+            updates.write.mode("overwrite").parquet(target_path)
         return
 
     if partition_col:
-        # Source-side pruning: restrict the target scan to touched partitions.
-        touched = [
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
-        target = spark.read.parquet(target_path).filter(
-            F.col(partition_col).isin(touched)
-        )
-        merged = merge_dataframes(target, updates, keys)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # Cluster rows by their target partition before the write: each task
-        # then writes whole partitions instead of every task writing a sliver
-        # of every partition — at scale this is the difference between
-        # |tasks|×|dates| small files and |dates| right-sized ones.
-        merged.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(target_path)
+        # The update batch is read three times (touched-partition probe,
+        # anti-join build side, union branch) — materialize it once.  A
+        # nightly delta is small by construction; at 100 TB this is the
+        # classic cache-the-delta-not-the-table rule.
+        updates = updates.persist()
+        try:
+            # Source-side pruning: restrict the target scan to touched
+            # partitions.
+            touched = [
+                r[0] for r in updates.select(partition_col).distinct().collect()
+            ]
+            target = spark.read.parquet(target_path).filter(
+                F.col(partition_col).isin(touched)
+            )
+            merged = merge_dataframes(target, updates, keys)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # Cluster rows by their target partition before the write: each
+            # task then writes whole partitions instead of every task writing
+            # a sliver of every partition — at scale this is the difference
+            # between |tasks|×|dates| small files and |dates| right-sized
+            # ones.
+            merged.repartition(F.col(partition_col)).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(target_path)
+        finally:
+            updates.unpersist()
         return
 
     target = spark.read.parquet(target_path)

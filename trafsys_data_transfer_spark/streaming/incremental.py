@@ -143,11 +143,13 @@ def run_incremental_merge(
     """
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return  # T5: empty-batch short-circuit (script.js:183) — checked
+            # on the raw batch (a limit-1 probe) so the dedup window plan
+            # isn't executed once for the probe and again for the MERGE.
         updates = dedupe_last_write(
             normalize_traffic(batch), keys=TRAFFIC_PK, order_by=["Ins", "Outs", "IsInternal"]
         )
-        if updates.isEmpty():
-            return  # T5: empty-batch short-circuit (script.js:183)
         with_partition = updates.withColumn(
             PARTITION_COL, F.col("PeriodEnding").cast("date")
         )

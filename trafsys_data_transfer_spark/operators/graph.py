@@ -1,0 +1,141 @@
+"""Connected components — dedup-cluster resolution over candidate pairs.
+
+Pair-producing dedup operators (MinHash LSH, SimHash, exact Jaccard) emit
+*edges*; an actual dedup pipeline must then collapse transitively-connected
+documents into one cluster and elect a canonical keeper (A~B and B~C must
+put A and C in the same cluster even when A~C was never emitted as a pair).
+That closure is connected components.
+
+Spark-first realisation: **hash-to-min label propagation** — every node
+starts labeled with its own id; each round a node takes the min of its
+label, its neighbors' labels, and its label's label (pointer jumping).
+The neighbor step moves labels one hop; the pointer-jumping step lets
+labels skip across already-merged chains, giving O(log diameter)
+convergence instead of O(diameter) — the difference between 3 and 30
+shuffle rounds on a long dup chain.  Each round is two equi-joins and a
+groupBy-min, all key-partitioned; ``localCheckpoint`` truncates the plan
+between rounds so the DAG doesn't grow with iterations (on a cluster use
+``checkpoint`` to HDFS/S3 for fault tolerance instead).
+
+Scale shape: the edge set is LSH *candidate pairs* — orders of magnitude
+smaller than the corpus (near-dup density × n, not n²).  Rounds terminate
+by a convergence probe (count of changed labels), so cost is
+O(E · log diameter) with dup-cluster diameters that are almost always ≤ 2
+hops in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve connected components: returns ``(id, component)`` where
+    ``component`` is the minimum node id reachable from ``id``.
+
+    ``nodes`` must contain every vertex (singletons included — isolated
+    documents are their own cluster); ``edges`` may be directed, sparse,
+    and unsorted — it is symmetrized here.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=False)
+
+    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        # One hop: neighbors offer their labels.
+        nbr = e.join(labels, "u").select(F.col("v").alias("u"), "label")
+        # Pointer jump: adopt your label's own (possibly smaller) label.
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.label").alias("label"))
+        )
+        new_labels = (
+            labels.union(nbr).union(jump).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# registered query: cluster the exact-Jaccard near-dup graph
+# ---------------------------------------------------------------------------
+
+#: Same bounded scope as dedup_ngram_jaccard; 0.015 keeps a mix of a large
+#: multi-hop component and small/singleton clusters at sf0.01.
+_SCOPE = 100
+_THRESHOLD = 0.015
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE scoped AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE doc_id < {_SCOPE}
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
+        FROM scoped
+    ),
+    pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {_THRESHOLD}
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM scoped
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component, id = MIN(r) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: 3-gram Jaccard pairs (bounded scope) →
+    connected components → canonical keeper = min doc_id per cluster.
+    The oracle computes the same closure as a DuckDB recursive CTE."""
+    from .dedup import normalize_text, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _SCOPE)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sh = docs.select(F.col("doc_id").alias("id"), shingles(toks, 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(inter.cast("double") / uni >= _THRESHOLD)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

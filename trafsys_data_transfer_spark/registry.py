@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.plans.analytics",
     "trafsys_data_transfer_spark.plans.traffic_queries",
     "trafsys_data_transfer_spark.operators.dedup",
+    "trafsys_data_transfer_spark.operators.graph",
     "trafsys_data_transfer_spark.operators.text",
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",

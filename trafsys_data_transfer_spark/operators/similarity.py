@@ -362,6 +362,38 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(t.i - 1 AS INT) AS pos,
+           ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings CROSS JOIN range(1, {LSH_DIM + 1}) AS t(i)
+    GROUP BY label, t.i
+    ORDER BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-wise class centroids: per-label mean embedding, exploded to
+    (label, pos) rows.  ``posexplode`` is narrow (×dim row multiplier, no
+    Python), and the groupBy reduce side is bounded by labels×dims
+    regardless of corpus size — map-side partial sums do the heavy lifting.
+    The centroid table is the training step of nearest-class-mean
+    classification and the audit view for embedding drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+        )
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
     "sim_embedding_neardup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -10,6 +10,8 @@ property of a correctly incremental pipeline.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -88,8 +90,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staging = tempfile.mkdtemp(prefix="tds_stream_dedup_")
     # Two identical drops = a full at-least-once redelivery of the feed.
+    # The second drop is a byte-level copy of the first file (what a real
+    # redelivery is), not a second write job.
     events.coalesce(1).write.mode("append").parquet(staging)
-    events.coalesce(1).write.mode("append").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    shutil.copyfile(
+        os.path.join(staging, part), os.path.join(staging, f"redelivered-{part}")
+    )
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     return run_stream_dedup_to_memory(
         spark, staging, table, events.schema, keys=["event_id"]

@@ -19,9 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.fixtures import load_table
+from .dedup import fingerprint
 
 #: Words treated as stopwords for quality scoring (subset of the fixture
 #: vocabulary so ratios are non-degenerate).
@@ -322,6 +324,81 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint + winnowing-style min/max window hashes."""
     docs = load_table(spark, sf_dir, "documents")
     return rolling_fingerprint_table(docs)
+
+
+@register(
+    "text_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS toks,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, fp, len(toks) AS n_tokens,
+               CAST(len(toks) BETWEEN 10 AND 1000
+                    AND CAST(len(list_filter(toks, x -> x IN ({{stoplist}}))) AS DOUBLE)
+                        / len(toks) > 0.01 AS INT) AS is_quality
+        FROM t
+    ),
+    d AS (
+        SELECT q.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp, is_quality ORDER BY doc_id) AS rn
+        FROM q
+    )
+    SELECT lang,
+           SUM(CASE WHEN is_quality = 0 THEN 1 ELSE 0 END) AS n_lowq,
+           SUM(CASE WHEN is_quality = 1 AND rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+           SUM(CASE WHEN is_quality = 1 AND rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN is_quality = 1 AND rn = 1 THEN n_tokens ELSE 0 END) AS tokens_kept
+    FROM d GROUP BY lang ORDER BY lang
+    """.replace("{stoplist}", _sql_in_list(STOPWORDS)),
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass: quality gate (length +
+    stopword density) → exact dedup on the content fingerprint (keeper =
+    min doc_id) → per-language yield accounting (kept / low-quality /
+    duplicate docs, kept tokens).
+
+    One narrow projection computes flags and fingerprints, ONE shuffle
+    (window on the fingerprint) resolves duplicates, and the final
+    aggregation reduces to O(languages) rows — the whole curation funnel
+    costs a single wide pass at any corpus size.  This is the query shape a
+    100 TB pre-training ingest runs nightly; its components are audited
+    individually by text_quality / dedup_fingerprint / text_lang_profile.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    is_quality = (
+        n_tokens.between(10, 1000)
+        & (stop_hits.cast("double") / n_tokens > 0.01)
+    ).cast("int")
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        is_quality.alias("is_quality"),
+    )
+    w = Window.partitionBy("fp", "is_quality").orderBy("doc_id")
+    ranked = flagged.withColumn("rn", F.row_number().over(w))
+    lowq = F.when(F.col("is_quality") == 0, 1).otherwise(0)
+    dup = F.when((F.col("is_quality") == 1) & (F.col("rn") > 1), 1).otherwise(0)
+    kept = F.when((F.col("is_quality") == 1) & (F.col("rn") == 1), 1).otherwise(0)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum(lowq).alias("n_lowq"),
+            F.sum(dup).alias("n_dup"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_tokens")).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(

@@ -84,6 +84,34 @@ def merge_dataframes(
     return survivors.unionByName(updates.select(*target.columns))
 
 
+def merge_additive(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Additive MERGE — incremental aggregate maintenance.
+
+    Where :func:`merge_dataframes` is last-write-wins (the reference's
+    semantics for *restated* rows), this is the contract for *partial*
+    aggregates: a matched key ADDS the update's measures to the target's
+    (``Ins = target.Ins + updates.Ins``), an unmatched key inserts.  This
+    is what lets an hourly rollup table absorb per-batch partial sums
+    without ever rescanning history — the aggregation must be
+    distributive (sum/count), which is exactly what makes it expressible
+    as union + re-aggregate: Spark plans map-side partials on both sides
+    and one shuffle on the key, and the same shape works in a
+    ``foreachBatch`` incremental sink.
+    """
+    keys, sum_cols = list(keys), list(sum_cols)
+    both = target.select(*keys, *sum_cols).unionByName(
+        updates.select(*keys, *sum_cols)
+    )
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
 def merge_upsert_parquet(
     spark: SparkSession,
     target_path: str,

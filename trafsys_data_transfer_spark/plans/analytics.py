@@ -177,6 +177,94 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS n_clicked,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased
+    FROM stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first click
+    precedes their first purchase.  One conditional-min aggregation per
+    user (map-side partials, reduce side O(users)) then a global count —
+    no joins, no per-event window, which is what keeps a funnel cheap on
+    an unbounded event log."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stage = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).alias("n_viewed"),
+        F.sum(clicked.cast("int")).alias("n_clicked"),
+        F.sum(purchased.cast("int")).alias("n_purchased"),
+    )
+
+
+@register(
+    "orders_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+                   OVER (PARTITION BY o_custkey) AS cohort_month,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+        FROM orders
+    )
+    SELECT cohort_month,
+           CAST(date_diff('month', cohort_month, order_month) AS BIGINT) AS months_since,
+           COUNT(DISTINCT o_custkey) AS n_active
+    FROM firsts
+    GROUP BY 1, 2
+    ORDER BY cohort_month, months_since
+    """,
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, counted as
+    active in each subsequent month they order.  The cohort assignment is
+    a min-window on the customer key; the retention matrix is one distinct
+    aggregation keyed by (cohort, offset) — both shuffles are on bounded
+    keys (customers, then months²)."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey")
+    firsts = orders.select(
+        "o_custkey",
+        F.min(month).over(w).alias("cohort_month"),
+        month.alias("order_month"),
+    )
+    months_since = (
+        (F.year("order_month") - F.year("cohort_month")) * 12
+        + (F.month("order_month") - F.month("cohort_month"))
+    ).cast("long")
+    return (
+        firsts.groupBy("cohort_month", months_since.alias("months_since"))
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+@register(
     "nation_revenue_share",
     oracle="""
     WITH nation_rev AS (

@@ -177,6 +177,43 @@ def traffic_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "traffic_rollup_incremental",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE}
+    SELECT SiteCode, Location,
+           date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
+           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+    FROM traffic
+    GROUP BY 1, 2, 3
+    """,
+)
+def traffic_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the batch is split into two
+    arbitrary halves (event parity), each rolled up independently, and the
+    partial hourly sums are combined with the additive MERGE — the result
+    must equal the one-shot rollup (same oracle as traffic_hourly_rollup).
+    This is the nightly-rollup-table contract at 100 TB: each day's batch
+    adds its partials; history is never rescanned."""
+    from ..operators.merge import merge_additive
+
+    events = load_table(spark, sf_dir, "events")
+    half1 = rollup_traffic(
+        normalize_traffic(traffic_raw_from_events(events.filter(F.col("event_id") % 2 == 0))),
+        grain="hour",
+    )
+    half2 = rollup_traffic(
+        normalize_traffic(traffic_raw_from_events(events.filter(F.col("event_id") % 2 == 1))),
+        grain="hour",
+    )
+    return merge_additive(
+        half1,
+        half2,
+        keys=["SiteCode", "Location", "PeriodEnding"],
+        sum_cols=["Ins", "Outs"],
+    )
+
+
+@register(
     "events_json_extract",
     oracle="""
     SELECT event_type AS event_type,

@@ -61,3 +61,38 @@ def test_aggregations_have_map_side_partials(spark, sf_dir, name):
     map-side combine is what keeps shuffle volume O(groups) at 100 TB."""
     plan = _formatted_plan(spark, name, sf_dir)
     assert "partial_" in plan, plan
+
+
+def test_funnel_is_joinless_single_wide_pass(spark, sf_dir):
+    """The funnel must be conditional aggregation, not per-stage joins —
+    one shuffle on user_id, map-side partials, nothing Python."""
+    plan = _formatted_plan(spark, "events_funnel", sf_dir)
+    for j in ("Join", "Window", "EvalPython"):
+        assert j not in plan, j
+    assert "partial_" in plan
+
+
+def test_curation_pipeline_single_shuffle_before_group(spark, sf_dir):
+    """Quality flags + fingerprints are narrow; the only exchanges are the
+    fingerprint window and the language groupBy (plus AQE reads)."""
+    plan = _formatted_plan(spark, "text_curation_pipeline", sf_dir)
+    assert "EvalPython" not in plan
+    # One window (dup resolution), one aggregate pair (partial+final).
+    assert plan.count("Window") == 1 * 2
+    assert "partial_" in plan
+
+
+def test_shared_window_partitioning_plans_one_exchange(spark, sf_dir):
+    """events_running_totals has three window expressions over one
+    (partition, order) — they must share a single sort, not plan three."""
+    plan = _formatted_plan(spark, "events_running_totals", sf_dir)
+    assert plan.count("Window") == 1 * 2
+
+
+def test_topk_bruteforce_corpus_never_shuffles_before_score(spark, sf_dir):
+    """The corpus side must meet the broadcast query set without an
+    Exchange before the scoring join (only the final rank shuffles)."""
+    plan = _formatted_plan(spark, "sim_topk_bruteforce", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

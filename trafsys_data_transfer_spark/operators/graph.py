@@ -54,12 +54,19 @@ def connected_components(
 
     labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
+        # The labels table scales with the corpus — it must NEVER be chosen
+        # as a broadcast side inside the loop (a 10⁸-node labels table under
+        # the autoBroadcast threshold estimate is a driver OOM), and a
+        # shuffled-hash build is a per-task memory cliff under pressure.
+        # Pin the iterative joins to sort-merge: partitioned both sides,
+        # spills gracefully, AQE still splits skewed components.
+        lbl = labels.hint("merge")
         # One hop: neighbors offer their labels.
-        nbr = e.join(labels, "u").select(F.col("v").alias("u"), "label")
+        nbr = e.join(lbl, "u").select(F.col("v").alias("u"), "label")
         # Pointer jump: adopt your label's own (possibly smaller) label.
         jump = (
             labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.u"))
+            .join(lbl.alias("b"), F.col("a.label") == F.col("b.u"))
             .select(F.col("a.u").alias("u"), F.col("b.label").alias("label"))
         )
         new_labels = (

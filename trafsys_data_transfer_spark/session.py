@@ -67,8 +67,14 @@ def get_spark(app_name: str = "trafsys_data_transfer_spark") -> SparkSession:
       need Python (multimodal decode, embedding math fallback).
     """
     cpus = default_parallelism()
+    # Local mode defaults to a 1g driver heap regardless of host RAM; with
+    # 32 executor threads sharing it, any real shuffle spills or OOMs.  Xmx
+    # is a cap, not a reservation — size it to the machine (override via
+    # SPARK_GRAFT_DRIVER_MEMORY).  Must be set before the JVM launches.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "32g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -124,6 +124,51 @@ def run_stream_dedup_to_memory(
     return spark.table(table_name)
 
 
+def run_stream_stream_join_to_memory(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    table_name: str,
+    schema,
+    join_expr,
+    select_cols: list,
+    event_time_col: str = "ts",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join drained with AvailableNow into
+    a memory sink.
+
+    Both sides buffer rows in join state until the watermark passes the
+    time-range condition's bound — state is O(rows inside the lateness ×
+    range window per key), never the whole stream, which is what makes a
+    view→click attribution join runnable on an unbounded feed.  The
+    correctness contract (asserted by the oracle): a fully-drained
+    bounded stream must emit exactly the batch inner join of the same
+    inputs.
+    """
+    left = (
+        spark.readStream.schema(schema).parquet(left_dir)
+        .withWatermark(event_time_col, lateness)
+        .alias("l")
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(right_dir)
+        .withWatermark(event_time_col, lateness)
+        .alias("r")
+    )
+    q = (
+        left.join(right, join_expr)
+        .select(*select_cols)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def run_incremental_merge(
     spark: SparkSession,
     source_dir: str,

@@ -26,6 +26,7 @@ from .incremental import (
     run_incremental_merge,
     run_rollup_to_memory,
     run_stream_dedup_to_memory,
+    run_stream_stream_join_to_memory,
 )
 
 
@@ -103,6 +104,54 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     return run_stream_dedup_to_memory(
         spark, staging, table, events.schema, keys=["event_id"]
+    )
+
+
+@register(
+    "streaming_view_click_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join: a view stream joined to a click
+    stream on user with the click inside a 10-minute post-view window,
+    both sides watermarked.  The fully-drained stream must emit exactly
+    the batch inner join of the same inputs — the defining stream-stream
+    correctness property.  Join state holds only rows within
+    watermark + range bound per user, so the operator runs on unbounded
+    feeds."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views_dir = tempfile.mkdtemp(prefix="tds_ss_views_")
+    clicks_dir = tempfile.mkdtemp(prefix="tds_ss_clicks_")
+    events.filter(F.col("event_type") == "view").coalesce(1).write.mode(
+        "append"
+    ).parquet(views_dir)
+    events.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        "append"
+    ).parquet(clicks_dir)
+    table = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    join_expr = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    select_cols = [
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("click_ts"),
+    ]
+    return run_stream_stream_join_to_memory(
+        spark, views_dir, clicks_dir, table, events.schema, join_expr, select_cols
     )
 
 

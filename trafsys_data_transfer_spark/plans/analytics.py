@@ -177,6 +177,75 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_regression_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(REGR_SLOPE(value, date_diff('second', TIMESTAMP '2024-01-01', ts)), 6) AS slope,
+           ROUND(REGR_INTERCEPT(value, date_diff('second', TIMESTAMP '2024-01-01', ts)), 2) AS intercept,
+           ROUND(REGR_R2(value, date_diff('second', TIMESTAMP '2024-01-01', ts)), 6) AS r2,
+           ROUND(COVAR_SAMP(value, date_diff('second', TIMESTAMP '2024-01-01', ts)), 2) AS cov_vt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per event type: is `value` drifting
+    over time?  All four are single-pass distributive aggregates
+    (sum/sum-of-products moments) — map-side partials, O(groups) reduce,
+    the same cost profile as a plain sum at any scale.
+
+    The regressor is seconds since the corpus epoch, not raw Unix epoch:
+    x ≈ 1.7e9 squares into moment sums that lose the engines' agreement
+    to catastrophic cancellation; centering is what any numerically sane
+    regression over timestamps does."""
+    events = load_table(spark, sf_dir, "events")
+    ts_s = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+    ).cast("double")
+    v = F.col("value")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(v, ts_s), 6).alias("slope"),
+            F.round(F.regr_intercept(v, ts_s), 2).alias("intercept"),
+            F.round(F.regr_r2(v, ts_s), 6).alias("r2"),
+            F.round(F.covar_samp(v, ts_s), 2).alias("cov_vt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 50% above their own customer's
+    average.  Expressed (as Catalyst itself decorrelates it) as an
+    aggregate-then-join on the correlation key — one shuffle for the
+    per-customer averages, one key join, no per-row subquery execution
+    anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    avgs = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        orders.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH stage AS (

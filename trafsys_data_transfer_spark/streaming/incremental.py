@@ -21,6 +21,8 @@ rewrites only the date partitions present in each micro-batch.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +30,28 @@ from ..operators.merge import dedupe_last_write, merge_upsert_parquet
 from ..plans.pipeline import PARTITION_COL
 from ..plans.traffic import normalize_traffic
 from ..schemas import TRAFFIC_PK, TRAFFIC_RAW_SCHEMA
+
+
+#: State-store partition count for the engine's bounded stream drains.
+#: Stateful operators pin their partitioning at first start and do NOT get
+#: AQE coalescing — every micro-batch pays one state-store task per
+#: partition forever.  Size it to expected state volume, not to cores: the
+#: correctness-gate drains here hold fixture-scale state, where 8 beats 32
+#: by ~2.5× wall-clock.  A production stream sizes this to its own volume
+#: BEFORE first start (it is frozen into the checkpoint).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Temporarily set shuffle partitions for a streaming query's first
+    start; restored afterwards so batch plans keep the session default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_traffic_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -70,15 +94,16 @@ def run_rollup_to_memory(
     (complete mode → every window emitted regardless of watermark position)
     and return the result table.  Used by tests and the correctness gate to
     prove stream == batch on the same input."""
-    q = (
-        hourly_rollup_stream(read_traffic_stream(spark, source_dir))
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            hourly_rollup_stream(read_traffic_stream(spark, source_dir))
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
 
 
@@ -111,16 +136,17 @@ def run_stream_dedup_to_memory(
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    q = (
-        stream.withWatermark(event_time_col, lateness)
-        .dropDuplicatesWithinWatermark(keys)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            stream.withWatermark(event_time_col, lateness)
+            .dropDuplicatesWithinWatermark(keys)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
 
 
@@ -156,16 +182,17 @@ def run_stream_stream_join_to_memory(
         .withWatermark(event_time_col, lateness)
         .alias("r")
     )
-    q = (
-        left.join(right, join_expr)
-        .select(*select_cols)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            left.join(right, join_expr)
+            .select(*select_cols)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
 
 
@@ -206,11 +233,15 @@ def run_incremental_merge(
             partition_col=PARTITION_COL,
         )
 
-    q = (
-        read_traffic_stream(spark, source_dir)
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The foreachBatch body runs batch plans (window dedup, MERGE join)
+    # under the same reduced partition count — right-sized for a nightly
+    # delta, and AQE re-coalesces anyway.
+    with _stream_partitions(spark):
+        q = (
+            read_traffic_stream(spark, source_dir)
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

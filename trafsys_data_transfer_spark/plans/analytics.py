@@ -334,6 +334,55 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_activity_full_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               ROUND(SUM(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.day, p.day) AS day,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.purchase_value, 0.0) AS purchase_value
+    FROM clicks c FULL JOIN purchases p ON c.day = p.day
+    ORDER BY day
+    """,
+)
+def events_daily_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates — days present in either
+    side survive with zero-filled gaps.  Both inputs are already reduced
+    to O(days) rows before the join, so the full-outer (which cannot
+    broadcast — both sides must shuffle) is over bounded data by
+    construction; that aggregate-first ordering is the rule for outer
+    joins at scale."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    return (
+        clicks.join(purchases, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "nation_revenue_share",
     oracle="""
     WITH nation_rev AS (

@@ -244,6 +244,47 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_map",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key,
+               props
+        FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_value,
+           ROUND(AVG(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)), 4) AS avg_value
+    FROM kv
+    GROUP BY prop_key
+    ORDER BY prop_key
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType handling: parse the semi-structured ``props`` column into
+    ``map<string,bigint>`` once (`from_json` with an explicit type — one
+    parse, columnar access), explode to (key, value) rows, aggregate per
+    key.  This is the schema-on-read pattern for evolving prop bags: new
+    keys appear as new groups, no schema migration.  The explode is
+    narrow; the groupBy reduce side is O(distinct keys)."""
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "v"
+        )
+    )
+    return (
+        kv.groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_value"),
+            F.round(F.avg("v"), 4).alias("avg_value"),
+        )
+        .orderBy("prop_key")
+    )
+
+
+@register(
     "traffic_watermark_top1",
     oracle=f"""
     WITH {_TRAFFIC_CTE},

@@ -35,6 +35,11 @@ def main() -> None:
     # Warm the JVM / parquet footers so per-query numbers reflect steady
     # state, not first-touch costs.
     specs["flagship_revenue_topk"].build(spark, sf_dir).collect()
+    # Also warm the Arrow/Pandas-UDF worker pool: the first Python stage of
+    # the session forks 32 workers that each import numpy/pandas — ~10 s of
+    # one-time cost that would otherwise be billed to whichever UDF query
+    # runs first.  A tiny-sf MinHash pass spawns them all.
+    specs["dedup_minhash_lsh"].build(spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

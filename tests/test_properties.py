@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from trafsys_data_transfer_spark.operators.merge import (
     dedupe_last_write,
+    merge_additive,
     merge_dataframes,
 )
 from trafsys_data_transfer_spark.plans.traffic import rollup_traffic
@@ -66,6 +67,29 @@ def test_merge_idempotent(spark, target_rows, batch_rows):
     once = merge_dataframes(target, batch, KEYS)
     twice = merge_dataframes(once, batch, KEYS)
     assert _canon(once) == _canon(twice)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(row_st, min_size=1, max_size=12),
+    split=st.integers(min_value=0, max_value=12),
+)
+def test_additive_merge_equals_one_shot(spark, rows, split):
+    """Partition invariance of incremental aggregation: rolling up any two
+    halves of a batch and additively merging the partials must equal the
+    one-shot rollup — for EVERY split point, not just the parity split the
+    correctness gate uses."""
+    df = _df(spark, rows)
+    whole = rollup_traffic(df, grain="hour")
+    a = rollup_traffic(_df(spark, rows[:split]), grain="hour")
+    b = rollup_traffic(_df(spark, rows[split:]), grain="hour")
+    merged = merge_additive(
+        a, b, keys=["SiteCode", "Location", "PeriodEnding"], sum_cols=["Ins", "Outs"]
+    )
+    cols = ["SiteCode", "Location", "PeriodEnding", "Ins", "Outs"]
+    assert sorted(tuple(r[c] for c in cols) for r in merged.collect()) == sorted(
+        tuple(r[c] for c in cols) for r in whole.collect()
+    )
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))

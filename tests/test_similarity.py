@@ -87,3 +87,28 @@ def test_lsh_scores_are_exact_for_returned_pairs(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in bf:
             assert r.score == pytest.approx(bf[key], abs=1e-9)
+
+
+def test_ivf_index_write_probe_matches_inline_and_prunes(spark, tmp_path):
+    """The materialized index must (a) return exactly what the inline IVF
+    search returns (same deterministic centroids) and (b) plan the probe
+    as a partition-pruned scan, not a full index read."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        ivf_index_probe,
+        ivf_index_write,
+        topk_ivf,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, path)
+
+    got = ivf_index_probe(spark, path, queries, k=5)
+    want = topk_ivf(emb, queries, k=5)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(got.collect()) == key(want.collect())
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan

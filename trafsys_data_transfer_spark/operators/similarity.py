@@ -319,6 +319,85 @@ def topk_ivf(
     )
 
 
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = IVF_CLUSTERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index as a cluster-partitioned parquet table.
+
+    The inverted lists become partition directories (``cluster=N/``), so a
+    probe is a *partition-pruned scan* — the storage layout IS the index.
+    Centroids are persisted alongside under ``_centroids.json`` (underscore
+    prefix → invisible to parquet directory listings).  This is the
+    batch-build half of a real ANN serving path: build once per corpus
+    version, probe many times without re-deriving assignments.
+    """
+    import json
+    import os
+
+    centroids = train_ivf_centroids(corpus, vec_col, n_clusters, seed)
+    assign1 = _ivf_assign_udf(centroids, 1)
+    assigned = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cluster", F.element_at(assign1(F.col("cv")), 1))
+    assigned.repartition(F.col("cluster")).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: the query set's probed clusters
+    become an ``isin`` partition filter, so the scan touches only
+    ~|probed clusters|/n_clusters of the index files (PartitionFilters in
+    the plan — asserted in tests), then candidates are exactly rescored
+    and ranked as in :func:`topk_ivf`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f), dtype=np.float64)
+    probe = _ivf_assign_udf(centroids, nprobe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cluster", F.explode(probe(F.col("qv"))))
+    )
+    probed = sorted({r["cluster"] for r in q.select("cluster").distinct().collect()})
+    index = spark.read.parquet(path).filter(F.col("cluster").isin(probed))
+    candidates = (
+        index.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = candidates.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------

@@ -177,6 +177,47 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), -20), 20) AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket,
+           ROUND(bucket * 50.0, 1) AS bucket_lo,
+           COUNT(*) AS n
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type: clamp-bucketed value counts.
+    Binning is a narrow projection; the groupBy reduce side is O(types ×
+    buckets) — the distributed histogram shape (map-side partials carry
+    per-bucket counts, never rows).  At 100 TB this replaces collecting
+    values for a driver-side histogram outright."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0).cast("int"), F.lit(-20)),
+        F.lit(20),
+    )
+    return (
+        events.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round(F.col("bucket") * 50.0, 1).alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
     "events_regression_stats",
     oracle="""
     SELECT event_type,

@@ -326,6 +326,51 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint_table(docs)
 
 
+@register("text_winnow_candidates")  # rows-only: rolling hash isn't ANSI-SQL
+def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates (the MOSS recipe): docs
+    sharing a selected (min) window fingerprint are candidate pairs,
+    verified by exact shingle Jaccard.  A different recall profile from
+    MinHash banding — winnowing guarantees any shared run ≥ window+noise
+    tokens produces a shared fingerprint, so it catches *contained*
+    near-dups (quote/boilerplate reuse) that whole-document signatures
+    dilute.  Plan shape mirrors the MinHash path: narrow fingerprints →
+    skinny groupBy-bucket pairing on the fingerprint → jaccard verify on
+    candidate pairs only."""
+    from .dedup import jaccard, normalize_text, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = rolling_fingerprint_table(docs).filter(F.col("min_window_fp").isNotNull())
+    buckets = (
+        fps.groupBy("min_window_fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sh = docs.select(F.col("doc_id").alias("id"), shingles(toks, 3).alias("sh"))
+    return (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= 0.01)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 @register(
     "text_curation_pipeline",
     oracle=f"""

@@ -1,10 +1,16 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT.
 
 Runs every ``queries()`` entry from ``__spark_entry__`` at a given sf and
 compares against its ``oracle_sql()`` via DuckDB: row count, column names,
-and order-insensitive value comparison (exact match on sorted rows, with
-cell-level normalisation of timestamps/floats/Decimals so representation
-differences don't mask value equality).
+and order-insensitive STRICT value comparison.  The round-1 lesson
+(VERDICT.md "What's wrong" #1) is that normalising representations hides
+exactly the mismatches the driver's hash catches: DuckDB returns integer
+SUMs as HUGEINT (→ Decimal/float64 through Arrow/pandas) where Spark
+returns int64.  So the oracle side is fetched THROUGH ARROW (the lossy
+conversion the driver plausibly uses) and cells must match on both type
+class and value — an int on one side and a Decimal/float on the other is
+a failure even when numerically equal.  Fix the oracle SQL (CAST ... AS
+BIGINT, explicit timestamp casts), never the comparator.
 
 Usage:  python tools/verify_local.py [--sf /root/testdata/sf0.01] [--only name ...]
 """
@@ -13,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import datetime as dt
+import decimal
 import math
 import os
 import sys
@@ -29,29 +36,38 @@ from trafsys_data_transfer_spark.session import get_spark
 
 
 def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    try:
-        import decimal
+    """Strict cell signature: (type-tag, canonical value).
 
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return repr(f)
-    except Exception:
-        pass
-    return v
+    Two cells compare equal only when both the type class and the value
+    agree — matching the bit-level discipline of the driver's value hash.
+    """
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", "nan" if math.isnan(v) else repr(v))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, dt.datetime):
+        return (
+            "timestamp",
+            v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"),
+        )
+    if isinstance(v, dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return (
+            "map",
+            tuple(sorted((k, _norm_cell(x)) for k, x in v.items())),
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return ("binary", bytes(v))
+    return (type(v).__name__, v)
 
 
 def _rows_to_key(rows, cols):
@@ -95,9 +111,13 @@ def main() -> int:
             print(f"ok    {name}: rows-only ({len(srows)} rows, {took:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch through Arrow — the conversion layer the driver's
+            # DuckDB comparison plausibly goes through.  HUGEINT/DECIMAL
+            # survive as Decimal here (and float64 via pandas), so an
+            # oracle that isn't CAST to BIGINT fails strict comparison.
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.column_names
+            orows = [tuple(d.values()) for d in tbl.to_pylist()]
         except Exception:
             print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
             failures.append(name)

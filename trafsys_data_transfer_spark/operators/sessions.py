@@ -59,9 +59,12 @@ def sessionize_batch(
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
+               -- CAST: DuckDB's windowed SUM over INT yields HUGEINT,
+               -- which degrades to Decimal/float through Arrow/pandas and
+               -- breaks the driver hash against Spark's int64.
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_no
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM flagged
     )
     SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -205,7 +205,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang AS lang,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
     FROM documents
     GROUP BY lang
@@ -394,10 +394,10 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
     )
     SELECT lang,
-           SUM(CASE WHEN is_quality = 0 THEN 1 ELSE 0 END) AS n_lowq,
-           SUM(CASE WHEN is_quality = 1 AND rn > 1 THEN 1 ELSE 0 END) AS n_dup,
-           SUM(CASE WHEN is_quality = 1 AND rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN is_quality = 1 AND rn = 1 THEN n_tokens ELSE 0 END) AS tokens_kept
+           CAST(SUM(CASE WHEN is_quality = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+           CAST(SUM(CASE WHEN is_quality = 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN is_quality = 1 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN is_quality = 1 AND rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM d GROUP BY lang ORDER BY lang
     """.replace("{stoplist}", _sql_in_list(STOPWORDS)),
 )

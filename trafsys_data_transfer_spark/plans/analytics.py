@@ -185,7 +185,7 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type, bucket,
-           ROUND(bucket * 50.0, 1) AS bucket_lo,
+           CAST(ROUND(bucket * 50.0, 1) AS DOUBLE) AS bucket_lo,
            COUNT(*) AS n
     FROM b
     GROUP BY event_type, bucket
@@ -297,10 +297,10 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS n_clicked,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
     FROM stage
     """,
 )

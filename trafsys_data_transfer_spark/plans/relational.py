@@ -322,11 +322,11 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_daily_pivot",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events
     GROUP BY 1
     ORDER BY day

@@ -91,11 +91,14 @@ def traffic_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "traffic_hourly_rollup",
+    # CAST(SUM AS BIGINT): DuckDB sums integers into HUGEINT, which turns
+    # into Decimal/float64 through Arrow/pandas and breaks the driver's
+    # value hash against Spark's int64 (round-1 hash_match failure).
     oracle=f"""
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
            date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
-           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+           CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3
     """,
@@ -112,7 +115,7 @@ def traffic_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
            date_trunc('day', PeriodEnding) + INTERVAL 1 DAY AS PeriodEnding,
-           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+           CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3
     """,
@@ -182,7 +185,7 @@ def traffic_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
            date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
-           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+           CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3
     """,
@@ -218,7 +221,7 @@ def traffic_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type AS event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events
     GROUP BY event_type
@@ -253,7 +256,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT prop_key,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_value,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS BIGINT) AS sum_value,
            ROUND(AVG(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)), 4) AS avg_value
     FROM kv
     GROUP BY prop_key

@@ -57,7 +57,7 @@ def _denormalize(df: DataFrame) -> DataFrame:
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
            date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
-           SUM(Ins) AS Ins, SUM(Outs) AS Outs
+           CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3
     """,

@@ -17,9 +17,14 @@ session catalog — plain ``.parquet(path)`` cannot record it).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
 
 
 def write_bucketed(
@@ -32,6 +37,18 @@ def write_bucketed(
     """Persist ``df`` bucketed (and optionally sorted) by the join key.
     Sorting within buckets lets the later SortMergeJoin skip its sort too —
     scan → zip-merge, nothing else."""
+    spark = df.sparkSession
+    # Bucketed tables are managed: the catalog is per-session but the
+    # warehouse directory persists, so a table written by a previous
+    # process leaves a stale location the fresh catalog refuses to reuse
+    # (LOCATION_ALREADY_EXISTS).  Drop both the entry and the directory.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale)
     cols = list(bucket_cols)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, cols[0], *cols[1:]
@@ -44,3 +61,58 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join == the plain join (the oracle).
+
+    Both sides are written ``bucketBy(8, orderkey)`` + ``sortBy`` once,
+    then joined with broadcast disabled: Catalyst sees matching bucket
+    specs and plans a SortMergeJoin with ZERO Exchange operators (the
+    plan property is asserted in tests/test_bucketing.py).  At 100 TB
+    this amortises the nightly lineitem ⋈ orders shuffle — the single
+    largest network cost in the pipeline — down to a co-located scan.
+    """
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t, o_t = f"li_bkt_{suffix}", f"orders_bkt_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, li_t, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, o_t, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, li_t).join(
+            read_table(spark, o_t), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # Materialise under the no-broadcast conf so the executed plan is
+        # the exchange-free SMJ; what returns to the driver is tiny.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

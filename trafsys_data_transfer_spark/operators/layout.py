@@ -27,11 +27,15 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import tempfile
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
 
 
 def _dir_bytes(path: str) -> int:
@@ -127,6 +131,35 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+@register(
+    "layout_compaction",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, props FROM events
+    """,
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction preserves the relation exactly (the oracle is
+    the original table).
+
+    The fixture is first scattered into 64 tiny files — the state an
+    incremental MERGE/streaming sink leaves behind after months of
+    micro-batches — then :func:`compact_parquet` bin-packs it back and
+    the compacted table is returned for the driver's value-hash against
+    the untouched source.  Green row == layout maintenance is
+    content-neutral, the invariant that makes it safe to run under the
+    nightly pipeline at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value", "props"
+    )
+    staging = os.path.join(
+        tempfile.mkdtemp(prefix="tds_layout_"), "events_smallfiles"
+    )
+    events.repartition(64).write.parquet(staging)
+    compact_parquet(spark, staging, target_file_bytes=8 * 1024 * 1024)
+    return spark.read.parquet(staging)
 
 
 def file_prune_fraction(

@@ -19,8 +19,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
 
 SALT_COL = "__salt"
 
@@ -83,3 +86,88 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
     )
     return big_salted.join(small_exploded, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness queries: the oracle is the PLAIN (unsalted) SQL, so
+# a green driver row is a proof that salting preserves semantics exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(event_id % 100) AS BIGINT) AS sum_mod,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation == plain groupBy (the oracle).
+
+    `event_type` has only 5 values — exactly the hot-key shape where one
+    reducer would own 20% of a 100 TB table.  Phase 1 spreads each type
+    over 16 salt buckets (all reducers busy); phase 2 combines 5×16
+    partial rows.  The driver comparison against the unsalted SQL is the
+    equivalence proof.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 100).alias("sum_mod"),
+        "event_id",
+    )
+    return salted_aggregate(
+        events,
+        keys=["event_type"],
+        sum_cols=["sum_mod"],
+        fingerprint_cols=["event_id"],
+        buckets=16,
+        count_alias="n_events",
+    ).orderBy("event_type")
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_type,
+           n.n_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(e.event_id % 1000) AS BIGINT) AS checksum
+    FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-small-side salted join == plain equi-join (the oracle).
+
+    The big side (events, keyed by a 25-value derived key) is salted over
+    16 buckets; every nation row is replicated ×16 and joined on
+    (key, salt) — a formerly single hot partition becomes 16 even ones.
+    The aggregate after the join makes the comparison order-insensitive
+    and small.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 25).alias("n_nationkey"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(
+        events,
+        nation,
+        keys=["n_nationkey"],
+        fingerprint_cols=["event_id"],
+        buckets=16,
+    )
+    return (
+        joined.groupBy("event_type", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("event_id") % 1000).alias("checksum"),
+        )
+        .orderBy("event_type", "n_name")
+    )

@@ -1,0 +1,76 @@
+"""Boundary correctness of deterministic hash sampling.
+
+Regression tests for the ``frac >= 1.0`` defect: the old
+``format(int(1.0 * 16**8), "08x")`` produced the 9-char string
+``'100000000'``; comparing it lexicographically against an 8-char md5
+prefix keeps only hashes starting '0' (~6.25%), silently dropping ~94%
+of rows that were supposed to be kept wholesale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.sampling import (
+    _hex_threshold,
+    deterministic_sample,
+    stratified_sample,
+)
+from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+
+def test_hex_threshold_boundaries():
+    # keep-all sentinel sorts after every 8-char hex string
+    assert _hex_threshold(1.0) == "g"
+    assert _hex_threshold(1.5) == "g"
+    assert "ffffffff" < _hex_threshold(1.0)
+    # keep-none floor
+    assert _hex_threshold(0.0) == "00000000"
+    # interior fractions unchanged: 8 hex chars, monotone
+    assert _hex_threshold(0.5) == "80000000"
+    assert len(_hex_threshold(0.1)) == 8
+    assert _hex_threshold(0.1) < _hex_threshold(0.9)
+
+
+def test_deterministic_sample_frac_one_keeps_everything(spark):
+    df = spark.range(0, 5000)
+    assert deterministic_sample(df, F.col("id"), 1.0).count() == df.count()
+
+
+def test_deterministic_sample_frac_zero_keeps_nothing(spark):
+    df = spark.range(0, 1000)
+    assert deterministic_sample(df, F.col("id"), 0.0).count() == 0
+
+
+def test_stratified_sample_retains_full_rare_strata(spark):
+    """A stratum with fraction 1.0 must survive intact — the whole point of
+    stratified rebalancing is keeping every rare-class row."""
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, F.lit("rare"))
+        .otherwise(F.lit("common"))
+        .alias("stratum"),
+    )
+    n_rare = df.filter(F.col("stratum") == "rare").count()
+    sampled = stratified_sample(
+        df, F.col("id"), F.col("stratum"), {"rare": 1.0, "common": 0.1}
+    )
+    assert sampled.filter(F.col("stratum") == "rare").count() == n_rare
+    n_common = sampled.filter(F.col("stratum") == "common").count()
+    assert 0.05 * 2970 < n_common < 0.2 * 2970  # ~10% of 2970, loose bound
+
+
+def test_stratified_event_sample_keeps_all_rare_events(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.sampling import (
+        stratified_event_sample,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rare = events.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).count()
+    out = stratified_event_sample(spark, sf_dir)
+    kept_rare = out.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).count()
+    assert kept_rare == rare

@@ -30,6 +30,19 @@ _HEX_SPACE = 16**8
 
 
 def _hex_threshold(frac: float) -> str:
+    """Hex threshold string for a keep-fraction, safe at the boundaries.
+
+    ``frac >= 1.0`` must keep EVERY row.  ``format(16**8, "08x")`` would be
+    the nine-char string ``'100000000'``, which compares lexicographically
+    *below* any 8-char hash starting with '1'..'f' — silently keeping only
+    ~6.25% of rows.  Instead return ``'g'``: every 8-hex-char bucket starts
+    with '0'..'f' < 'g', so ``bucket < 'g'`` is uniformly true, in Spark and
+    DuckDB alike (both compare strings bytewise).
+    """
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "00000000"
     return format(int(frac * _HEX_SPACE), "08x")
 
 
@@ -47,6 +60,8 @@ def split_column(key: Column, train_frac: float = 0.8) -> Column:
 
 def deterministic_sample(df: DataFrame, key: Column, frac: float) -> DataFrame:
     """Keep ~frac of rows, chosen by key hash — the same rows every run."""
+    if frac >= 1.0:
+        return df  # keep-all: no filter, no hash evaluation
     return df.filter(hash_bucket(key) < F.lit(_hex_threshold(frac)))
 
 

@@ -74,6 +74,13 @@ def rollup_traffic(df: DataFrame, grain: str = "hour") -> DataFrame:
     the API's hour-ending convention.  ``grain`` ∈ {"hour", "day"} mirrors
     the ``DataSummedByDay`` knob.
 
+    Buckets are ``(start, end]``: real TrafSys rows are hour-ending records
+    stamped *exactly* on the hour (script.js:131 — "The end of the hour-long
+    time period this record corresponds to"), so an input at ``01:00:00``
+    belongs to the bucket ending ``01:00``, not ``02:00``.  Truncating after
+    subtracting one second maps on-the-boundary timestamps into the bucket
+    they end, while sub-boundary timestamps land unchanged.
+
     Plan shape: map-side partial sums → one shuffle on the (site, location,
     bucket) key → final sums.  Cardinality is bounded by sites × locations ×
     buckets, so the reduce side stays small at any input scale.
@@ -81,9 +88,9 @@ def rollup_traffic(df: DataFrame, grain: str = "hour") -> DataFrame:
     if grain not in ("hour", "day"):
         raise ValueError(f"grain must be 'hour' or 'day', got {grain!r}")
     interval = "1 hour" if grain == "hour" else "1 day"
-    bucket_end = F.date_trunc(grain, F.col("PeriodEnding")) + F.expr(
-        f"INTERVAL {interval}"
-    )
+    bucket_end = F.date_trunc(
+        grain, F.col("PeriodEnding") - F.expr("INTERVAL 1 SECOND")
+    ) + F.expr(f"INTERVAL {interval}")
     return (
         df.groupBy(
             "SiteCode",

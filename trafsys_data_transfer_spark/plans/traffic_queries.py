@@ -94,10 +94,12 @@ def traffic_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CAST(SUM AS BIGINT): DuckDB sums integers into HUGEINT, which turns
     # into Decimal/float64 through Arrow/pandas and breaks the driver's
     # value hash against Spark's int64 (round-1 hash_match failure).
+    # `- INTERVAL 1 SECOND` before truncation = (start, end] buckets: an
+    # exactly-on-the-hour record ends its bucket instead of opening the next.
     oracle=f"""
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
-           date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
+           date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
            CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3
@@ -114,7 +116,7 @@ def traffic_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
-           date_trunc('day', PeriodEnding) + INTERVAL 1 DAY AS PeriodEnding,
+           date_trunc('day', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 DAY AS PeriodEnding,
            CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3
@@ -184,7 +186,7 @@ def traffic_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
-           date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
+           date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
            CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3

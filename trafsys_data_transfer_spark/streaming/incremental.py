@@ -67,14 +67,23 @@ def hourly_rollup_stream(
     """Streaming hour-ending rollup: normalize → bounded-lateness watermark
     → tumbling 1-hour window sums.  Output rows carry ``PeriodEnding`` =
     window end, matching the API's hour-ending convention
-    (/root/reference/script.js:131)."""
-    normalized = normalize_traffic(raw_stream)
+    (/root/reference/script.js:131).
+
+    Windows are ``(start, end]`` like the batch rollup: ``F.window`` is
+    ``[start, end)``, so the event time is shifted back one second before
+    windowing — an exactly-on-the-hour record (the shape every real TrafSys
+    row has) stays in the bucket it *ends* instead of opening the next one.
+    The watermark rides the shifted column; a constant offset preserves all
+    lateness semantics."""
+    normalized = normalize_traffic(raw_stream).withColumn(
+        "BucketTs", F.col("PeriodEnding") - F.expr("INTERVAL 1 SECOND")
+    )
     return (
-        normalized.withWatermark("PeriodEnding", lateness)
+        normalized.withWatermark("BucketTs", lateness)
         .groupBy(
             "SiteCode",
             "Location",
-            F.window("PeriodEnding", "1 hour").alias("w"),
+            F.window("BucketTs", "1 hour").alias("w"),
         )
         .agg(F.sum("Ins").alias("Ins"), F.sum("Outs").alias("Outs"))
         .select(

@@ -56,7 +56,7 @@ def _denormalize(df: DataFrame) -> DataFrame:
     oracle=f"""
     WITH {_TRAFFIC_CTE}
     SELECT SiteCode, Location,
-           date_trunc('hour', PeriodEnding) + INTERVAL 1 HOUR AS PeriodEnding,
+           date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
            CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
     FROM traffic
     GROUP BY 1, 2, 3

@@ -117,3 +117,73 @@ def test_unpartitioned_parquet_merge_swap(spark, tmp_path):
         ("A", "door", dt.datetime(2024, 1, 1, 1)): (2, 2),
         ("B", "door", dt.datetime(2024, 1, 1, 1)): (3, 3),
     }
+
+
+def test_merge_sink_through_explicit_file_uri(spark, tmp_path):
+    """The sink must resolve paths through Hadoop's FileSystem, so an
+    explicit `file:` scheme URI behaves identically to a bare path: the
+    second call must take the MERGE branch, not re-CREATE."""
+    path = f"file://{tmp_path}/uri_target"
+    merge_upsert_parquet(spark, path, _df(spark, [("A", "door", 1, 1, 1)]), TRAFFIC_PK)
+    merge_upsert_parquet(
+        spark,
+        path,
+        _df(spark, [("A", "door", 1, 9, 9), ("B", "door", 1, 3, 3)]),
+        TRAFFIC_PK,
+    )
+    st = _state(spark.read.parquet(path))
+    # Had the probe missed the existing table, row B would be the whole table.
+    assert st == {
+        ("A", "door", dt.datetime(2024, 1, 1, 1)): (9, 9),
+        ("B", "door", dt.datetime(2024, 1, 1, 1)): (3, 3),
+    }
+
+
+def test_merge_sink_never_touches_driver_local_posix(spark, tmp_path, monkeypatch):
+    """Simulated non-local storage: poison every os.path/os/shutil primitive
+    the old implementation used.  On an object store those calls return
+    wrong answers (exists→False ⇒ CREATE branch ⇒ table silently replaced
+    by one batch); the sink must route probe AND swap through Hadoop's
+    FileSystem and never hit the driver-local POSIX layer."""
+    import os as os_mod
+    import shutil as shutil_mod
+
+    path = str(tmp_path / "posix_free_target")
+    merge_upsert_parquet(spark, path, _df(spark, [("A", "door", 1, 1, 1)]), TRAFFIC_PK)
+
+    def boom(*a, **k):
+        raise AssertionError("driver-local filesystem API used by the sink")
+
+    monkeypatch.setattr(os_mod.path, "exists", lambda p: False)  # lies, like S3 would
+    monkeypatch.setattr(os_mod, "rename", boom)
+    monkeypatch.setattr(shutil_mod, "rmtree", boom)
+
+    merge_upsert_parquet(
+        spark,
+        path,
+        _df(spark, [("A", "door", 1, 9, 9), ("B", "door", 1, 3, 3)]),
+        TRAFFIC_PK,
+    )
+    monkeypatch.undo()
+    st = _state(spark.read.parquet(path))
+    # Row A surviving with updated values proves the MERGE branch ran even
+    # though os.path.exists claimed the table was absent.
+    assert st == {
+        ("A", "door", dt.datetime(2024, 1, 1, 1)): (9, 9),
+        ("B", "door", dt.datetime(2024, 1, 1, 1)): (3, 3),
+    }
+
+
+def test_partition_overwrite_mode_not_leaked_to_session(spark, tmp_path):
+    """partitionOverwriteMode must be a per-write option: the session conf
+    must keep its default after a partitioned MERGE."""
+    import pyspark.sql.functions as F
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    path = str(tmp_path / "conf_target")
+    batch = _df(spark, [("A", "door", 1, 1, 1)]).withColumn(
+        "PeriodDate", F.col("PeriodEnding").cast("date")
+    )
+    merge_upsert_parquet(spark, path, batch, TRAFFIC_PK, partition_col="PeriodDate")
+    merge_upsert_parquet(spark, path, batch, TRAFFIC_PK, partition_col="PeriodDate")
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import tempfile
 import uuid
 from collections.abc import Sequence
@@ -34,17 +33,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import dir_data_bytes, list_data_files, swap_directories
 from ..registry import register
 from ..sources.fixtures import load_table
-
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
 
 
 def compact_parquet(
@@ -61,9 +52,13 @@ def compact_parquet(
     run plans the same file count and rewrites nothing structurally new.
     128 MB default matches the scan-side ``maxPartitionBytes`` sweet spot —
     one task per file, no stragglers, bounded footer metadata.
+
+    Sizing, swap, and file counting all go through Hadoop's ``FileSystem``
+    for the table's scheme (see ``fsutil``) so compaction works on HDFS /
+    object-store tables, not just the driver's local disk.
     """
     df = spark.read.parquet(path)
-    n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+    n_files = max(1, math.ceil(dir_data_bytes(spark, path) / target_file_bytes))
     if partition_col:
         # Hash-cluster within each partition value: each task writes whole
         # partition directories, file count stays |partitions|-proportional.
@@ -74,14 +69,10 @@ def compact_parquet(
         writer = out.write
     tmp = f"{path}.__compact_{uuid.uuid4().hex}"
     writer.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    written = 0
-    for _root, _dirs, files in os.walk(path):
-        written += sum(1 for f in files if f.endswith(".parquet"))
-    return written
+    swap_directories(spark, tmp, path, f"{path}.__old_{uuid.uuid4().hex}")
+    return sum(
+        1 for p, _ in list_data_files(spark, path) if p.endswith(".parquet")
+    )
 
 
 def _zvalue(df: DataFrame, cols: Sequence[str], bits: int) -> Column:
@@ -154,10 +145,15 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value", "props"
     )
+    # Fixed per-sf staging path, overwritten on every run: repeated driver /
+    # bench / verify invocations reuse one directory instead of leaking a
+    # fresh mkdtemp copy of `events` into /tmp each time.
     staging = os.path.join(
-        tempfile.mkdtemp(prefix="tds_layout_"), "events_smallfiles"
+        tempfile.gettempdir(),
+        f"tds_layout_{os.path.basename(os.path.normpath(sf_dir))}",
+        "events_smallfiles",
     )
-    events.repartition(64).write.parquet(staging)
+    events.repartition(64).write.mode("overwrite").parquet(staging)
     compact_parquet(spark, staging, target_file_bytes=8 * 1024 * 1024)
     return spark.read.parquet(staging)
 

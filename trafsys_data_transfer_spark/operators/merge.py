@@ -32,14 +32,14 @@ Spark-first realisation:
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ..fsutil import path_exists, swap_directories
 
 
 def dedupe_last_write(
@@ -127,10 +127,15 @@ def merge_upsert_parquet(
     overwrite); everything else is untouched.  Without a partition column
     the whole table is rewritten through an atomic directory swap.
 
-    Single-writer assumption documented in the module docstring.
+    Single-writer assumption documented in the module docstring.  All
+    storage operations (existence probe, atomic swap) go through Hadoop's
+    ``FileSystem`` for the path's scheme — local, HDFS, or object storage
+    — never driver-local ``os.path``: a local-only probe on an ``s3a://``
+    table would take the CREATE branch and overwrite the table with one
+    night's batch.
     """
     keys = list(keys)
-    exists = os.path.exists(target_path)
+    exists = path_exists(spark, target_path)
     if not exists:
         if partition_col:
             # Cluster by target partition on the CREATE path too — without
@@ -159,15 +164,18 @@ def merge_upsert_parquet(
                 F.col(partition_col).isin(touched)
             )
             merged = merge_dataframes(target, updates, keys)
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             # Cluster rows by their target partition before the write: each
             # task then writes whole partitions instead of every task writing
             # a sliver of every partition — at scale this is the difference
             # between |tasks|×|dates| small files and |dates| right-sized
-            # ones.
+            # ones.  partitionOverwriteMode is a per-write option (not a
+            # session conf): concurrent plans in the same session keep their
+            # own overwrite semantics.
             merged.repartition(F.col(partition_col)).write.mode(
                 "overwrite"
-            ).partitionBy(partition_col).parquet(target_path)
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                partition_col
+            ).parquet(target_path)
         finally:
             updates.unpersist()
         return
@@ -176,7 +184,6 @@ def merge_upsert_parquet(
     merged = merge_dataframes(target, updates, keys)
     tmp = f"{target_path}.__merge_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{target_path}.__old_{uuid.uuid4().hex}"
-    os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old)
+    swap_directories(
+        spark, tmp, target_path, f"{target_path}.__old_{uuid.uuid4().hex}"
+    )

@@ -19,8 +19,8 @@ from trafsys_data_transfer_spark.sinks.oracle import (
 
 GOOD_ENV = {
     "TRAFSYS_URL": "https://example.test/rest/",
-    "TRAFSYS_API_USER": "u",
-    "TRAFSYS_API_PASSWORD": "p",
+    "TRAFSYS_USER": "u",
+    "TRAFSYS_PASSWORD": "p",
     "TRAFSYS_TARGET_PATH": "/data/target",
     "TRAFSYS_RUN_LOG_PATH": "/data/runlog",
 }
@@ -30,29 +30,46 @@ def test_check_env_lists_all_missing_keys():
     with pytest.raises(MissingConfigError) as e:
         check_env(env={"TRAFSYS_URL": "x"})
     assert e.value.missing == [
-        "TRAFSYS_API_USER",
-        "TRAFSYS_API_PASSWORD",
+        "TRAFSYS_USER",
+        "TRAFSYS_PASSWORD",
         "TRAFSYS_TARGET_PATH",
         "TRAFSYS_RUN_LOG_PATH",
     ]
 
 
 def test_check_env_rejects_empty_values():
-    env = dict(GOOD_ENV, TRAFSYS_API_PASSWORD="")
+    env = dict(GOOD_ENV, TRAFSYS_PASSWORD="")
     with pytest.raises(MissingConfigError):
         check_env(env=env)
 
 
 def test_reference_key_names_preserved():
-    # example.env:1-5 / script.js:86-92 — exact names for drop-in parity.
+    # example.env:1-5 / script.js:86-92 — exact names, exact order, so a
+    # reference deployment's .env passes validation unchanged.
     assert REFERENCE_ENV_KEYS == (
-        "TRAFSYS_URL",
-        "TRAFSYS_API_USER",
-        "TRAFSYS_API_PASSWORD",
-        "ORACLE_CONNECTION_STRING",
         "ORACLE_USER",
         "ORACLE_PASSWORD",
+        "ORACLE_CONNECTION_STRING",
+        "TRAFSYS_USER",
+        "TRAFSYS_PASSWORD",
     )
+
+
+def test_reference_dotenv_passes_validation():
+    """A .env with only the reference's five keys (example.env:1-5) must
+    validate against REFERENCE_ENV_KEYS — the drop-in migration contract."""
+    ref_env = {k: "x" for k in REFERENCE_ENV_KEYS}
+    assert check_env(REFERENCE_ENV_KEYS, ref_env) == ref_env
+
+
+def test_engine_alias_keys_accepted():
+    """Earlier engine configs used TRAFSYS_API_USER/_PASSWORD; both spell-
+    ings satisfy the canonical requirement."""
+    env = dict(GOOD_ENV)
+    del env["TRAFSYS_USER"], env["TRAFSYS_PASSWORD"]
+    env["TRAFSYS_API_USER"], env["TRAFSYS_API_PASSWORD"] = "au", "ap"
+    cfg = JobConfig.from_env(env)
+    assert (cfg.api_user, cfg.api_password) == ("au", "ap")
 
 
 def test_job_config_from_env():

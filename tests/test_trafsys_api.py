@@ -166,7 +166,9 @@ def test_sub_windows_cover_range_without_overlap():
 
 def test_fetch_window_partitioned(spark):
     """Distributed backfill fetch: per-chunk GETs executed executor-side."""
-    api = FakeApi()
+    # Far-future expiry: the task-local TokenProvider runs on the real
+    # clock, and the driver-seeded token must read as fresh there.
+    api = FakeApi(expires="Mon, 06 Jan 2099 12:00:00 GMT")
     tokens = make_tokens(api)
 
     def transport_factory():
@@ -196,3 +198,115 @@ def test_permissive_read_quarantines_corrupt_lines(spark, tmp_path):
     assert clean.count() == 2
     bad = corrupt.collect()
     assert len(bad) == 1 and bad[0][0].startswith("{not valid")
+
+
+def test_lenient_expires_formats():
+    """script.js:51 parses .expires with JS `new Date()` — lenient.  Every
+    plausible vendor spelling must parse; garbage yields None (token used,
+    never cache-reused) instead of crashing the nightly run."""
+    parse = TokenProvider.parse_expires
+    want = dt.datetime(2025, 1, 6, 12, 0, 0)
+    assert parse("Mon, 06 Jan 2025 12:00:00 GMT") == want
+    assert parse("Mon, 06 Jan 2025 12:00:00") == want
+    assert parse("2025-01-06T12:00:00") == want
+    assert parse("2025-01-06 12:00:00") == want
+    assert parse("2025-01-06T12:00:00+00:00") == want  # ISO with offset
+    assert parse("not a timestamp") is None
+    assert parse(None) is None
+
+
+def test_unparseable_expires_forces_refresh_not_crash():
+    api = FakeApi(expires="gibberish")
+    tokens = make_tokens(api)
+    assert tokens.token() == "tok1"
+    assert tokens.token() == "tok2"  # no usable expiry → refetch each time
+    assert api.tokens_issued == 2
+
+
+def test_cross_run_token_reuse_skips_auth_post(spark, tmp_path):
+    """Reference parity (script.js:37-52): the second nightly PROCESS reads
+    the previous run's logged token and, if ≥5 min from expiry, makes zero
+    token POSTs."""
+    from trafsys_data_transfer_spark.plans.pipeline import run_pipeline
+
+    target, runlog = str(tmp_path / "target"), str(tmp_path / "runlog")
+
+    api1 = FakeApi()
+    tokens1 = make_tokens(api1)
+    fetch1 = make_fetch_window(spark, BASE, tokens1, api1)
+    run_pipeline(
+        spark, fetch1, target, runlog,
+        cli_from="2024-01-01", cli_to="2024-01-01", tokens=tokens1,
+    )
+    assert api1.tokens_issued == 1
+
+    # Fresh process: new transport, new provider — only the run log persists.
+    api2 = FakeApi()
+    tokens2 = make_tokens(api2)
+    fetch2 = make_fetch_window(spark, BASE, tokens2, api2)
+    run_pipeline(
+        spark, fetch2, target, runlog,
+        cli_from="2024-01-02", cli_to="2024-01-02", tokens=tokens2,
+    )
+    assert api2.tokens_issued == 0  # reused the logged token
+    assert any(url.endswith("/api/traffic") for _, url, *_ in api2.calls)
+    # The reused token is re-persisted for run 3.
+    from trafsys_data_transfer_spark.plans.watermark import RunLog
+    latest = RunLog(spark, runlog).latest()
+    assert latest["AccessToken"] == "tok1"
+    assert latest["AccessTokenExpiresAt"] is not None
+
+
+def test_cross_run_expired_token_reauths(spark, tmp_path):
+    """A logged token within the 5-minute wiggle of expiry is NOT reused."""
+    from trafsys_data_transfer_spark.plans.pipeline import run_pipeline
+
+    target, runlog = str(tmp_path / "target"), str(tmp_path / "runlog")
+    api1 = FakeApi(expires="Mon, 06 Jan 2025 12:00:00 GMT")
+    tokens1 = make_tokens(api1)
+    fetch1 = make_fetch_window(spark, BASE, tokens1, api1)
+    run_pipeline(
+        spark, fetch1, target, runlog,
+        cli_from="2024-01-01", cli_to="2024-01-01", tokens=tokens1,
+    )
+
+    api2 = FakeApi()
+    # Second run's clock is 11:57 — inside expiry − 5 min → must re-auth.
+    tokens2 = make_tokens(api2, now=lambda: dt.datetime(2025, 1, 6, 11, 57, 0))
+    fetch2 = make_fetch_window(spark, BASE, tokens2, api2)
+    run_pipeline(
+        spark, fetch2, target, runlog,
+        cli_from="2024-01-02", cli_to="2024-01-02", tokens=tokens2,
+    )
+    assert api2.tokens_issued == 1
+
+
+def test_fetch_window_partitioned_retries_401_executor_side(spark):
+    """A backfill task whose bearer token has expired must re-auth INSIDE
+    the task (sleep 1 s, POST /token, retry once) instead of failing the
+    job — the §3.3 retry on the executor path."""
+    # Far-future expiry so the task ADOPTS the driver token (seed accepted
+    # on the real clock) and the 401→refresh→retry path actually runs.
+    api = FakeApi(expires="Mon, 06 Jan 2099 12:00:00 GMT")
+    tokens = make_tokens(api)
+
+    def transport_factory():
+        state = {"fresh": False}
+
+        def transport(method, url, params=None, data=None, headers=None):
+            if url.endswith("/token"):
+                state["fresh"] = True
+                return 200, json.dumps(
+                    {"access_token": "fresh", ".expires": "Mon, 06 Jan 2025 12:00:00 GMT"}
+                )
+            if not state["fresh"]:
+                return 401, "expired"  # driver-fetched token rejected
+            assert headers["Authorization"] == "Bearer fresh"
+            return 200, json.dumps(RECORDS)
+
+        return transport
+
+    df = fetch_window_partitioned(
+        spark, BASE, tokens, transport_factory, "2024-01-01", "2024-01-07", days_per_chunk=7
+    )
+    assert df.count() == 2  # 1 chunk × 2 records, via the retried call

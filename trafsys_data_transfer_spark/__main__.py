@@ -67,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
             run_log_path=cfg.run_log_path,
             cli_from=args.date_from,
             cli_to=args.date_to,
+            tokens=tokens,
         )
     except Exception as e:  # script.js:258-260: log, exit, no watermark write
         print(f"run failed: {e}", file=sys.stderr)

@@ -43,6 +43,7 @@ def run_pipeline(
     cli_from: str | None = None,
     cli_to: str | None = None,
     today: dt.date | None = None,
+    tokens=None,
 ) -> dict:
     """Execute one incremental load.
 
@@ -51,10 +52,20 @@ def run_pipeline(
     injected so the pipeline is testable without a network, mirroring how
     the reference isolates ``getTrafsysData`` (script.js:141-166).
 
+    ``tokens`` (a ``TokenProvider``, optional) closes the reference's
+    cross-run token loop (script.js:37-52): before fetching, the provider
+    is seeded from the latest run-log row's ``AccessToken`` /
+    ``AccessTokenExpiresAt`` (reused only if still ≥5 min from expiry),
+    and on success the provider's current token is written into the new
+    row — one auth POST per token lifetime, not per nightly process.
+
     Returns the run-info dict (written to the log only on success).
     """
     log = RunLog(spark, run_log_path)
-    date_from, date_to = resolve_window(log.latest(), cli_from, cli_to, today)
+    latest = log.latest()
+    if tokens is not None and latest is not None:
+        tokens.seed(latest["AccessToken"], latest["AccessTokenExpiresAt"])
+    date_from, date_to = resolve_window(latest, cli_from, cli_to, today)
 
     raw = fetch_window(date_from, date_to)
     batch = normalize_traffic(raw)
@@ -77,6 +88,11 @@ def run_pipeline(
         )
 
     run_info = {"FromDate": date_from, "ToDate": date_to, "Records": n_records}
+    if tokens is not None:
+        # Persist the token with the watermark (script.js:256 logs the whole
+        # runInfo, token included) so the NEXT process can skip the auth POST.
+        run_info["AccessToken"] = tokens.cached_token
+        run_info["AccessTokenExpiresAt"] = tokens.cached_expires_at
     log.append(run_info)
     return run_info
 

@@ -13,12 +13,12 @@ Structured Streaming's checkpoint/offset tracking done in batch.
 from __future__ import annotations
 
 import datetime as dt
-import os
 from typing import Any
 
 from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import path_exists
 from ..schemas import RUN_LOG_SCHEMA
 
 
@@ -30,7 +30,9 @@ class RunLog:
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        # Hadoop FileSystem probe: the log lives wherever the target table
+        # does (HDFS/object storage in production), not on the driver disk.
+        return path_exists(self.spark, self.path)
 
     def latest(self) -> Row | None:
         """S7: most recent run (sort createdAt desc, limit 1 —

@@ -59,11 +59,25 @@ class TokenProvider:
     grant_type: 'password'}`` (script.js:68-79); the token and its
     ``.expires`` timestamp are cached and reused until
     ``expires - TOKEN_WIGGLE`` (script.js:37-47).
+
+    The cache survives *processes*, not just calls: the reference stows
+    ``AccessToken``/``AccessTokenExpiresAt`` in its NeDB run log and the
+    next nightly run reuses them if still fresh (script.js:37-52).  Our
+    equivalent is :meth:`seed` (called by the pipeline with the latest
+    run-log row) plus the :attr:`cached_token`/:attr:`cached_expires_at`
+    read-back the pipeline writes into the new run-log row.
     """
 
-    #: .expires format observed by the reference (RFC 1123, e.g.
-    #: "Mon, 06 Jan 2025 12:00:00 GMT").
-    EXPIRES_FORMAT = "%a, %d %b %Y %H:%M:%S %Z"
+    #: .expires formats accepted, most-specific first.  The reference parses
+    #: with JS ``new Date(...)`` (script.js:51), which is lenient; a strict
+    #: single-format strptime would hard-fail the nightly run the day the
+    #: vendor reformats a timestamp string.
+    EXPIRES_FORMATS = (
+        "%a, %d %b %Y %H:%M:%S %Z",  # RFC 1123: "Mon, 06 Jan 2025 12:00:00 GMT"
+        "%a, %d %b %Y %H:%M:%S",
+        "%Y-%m-%dT%H:%M:%S",
+        "%Y-%m-%d %H:%M:%S",
+    )
 
     def __init__(
         self,
@@ -81,13 +95,48 @@ class TokenProvider:
         self._token: str | None = None
         self._expires_at: dt.datetime | None = None
 
+    @classmethod
+    def parse_expires(cls, value: str | None) -> dt.datetime | None:
+        """Lenient ``.expires`` parse (the reference's ``new Date()``
+        tolerance): try each known format, then ISO-8601; ``None`` means
+        unparseable — the token is then used but never cache-reused, the
+        same net behavior as JS's ``Invalid Date`` comparing false."""
+        if not value:
+            return None
+        for fmt in cls.EXPIRES_FORMATS:
+            try:
+                return dt.datetime.strptime(value, fmt)
+            except ValueError:
+                continue
+        try:
+            parsed = dt.datetime.fromisoformat(value)
+            return parsed.replace(tzinfo=None) if parsed.tzinfo else parsed
+        except ValueError:
+            return None
+
+    def _fresh(self, expires_at: dt.datetime | None) -> bool:
+        return expires_at is not None and self.now() < expires_at - TOKEN_WIGGLE
+
+    @property
+    def cached_token(self) -> str | None:
+        return self._token
+
+    @property
+    def cached_expires_at(self) -> dt.datetime | None:
+        return self._expires_at
+
+    def seed(self, token: str | None, expires_at: dt.datetime | None) -> bool:
+        """Adopt a previously-persisted token if it is still fresh
+        (expiry − 5 min check, script.js:38-47).  Returns True when the
+        seed was accepted — the next :meth:`token` call is then POST-free."""
+        if token and self._fresh(expires_at):
+            self._token = token
+            self._expires_at = expires_at
+            return True
+        return False
+
     def token(self, force_refresh: bool = False) -> str:
-        if (
-            not force_refresh
-            and self._token is not None
-            and self._expires_at is not None
-            and self.now() < self._expires_at - TOKEN_WIGGLE
-        ):
+        if not force_refresh and self._token is not None and self._fresh(self._expires_at):
             return self._token
         status, body = self.transport(
             "POST",
@@ -102,9 +151,7 @@ class TokenProvider:
             raise TrafsysApiError(status, body)
         payload = json.loads(body)
         self._token = payload["access_token"]
-        self._expires_at = dt.datetime.strptime(
-            payload[".expires"], self.EXPIRES_FORMAT
-        )
+        self._expires_at = self.parse_expires(payload.get(".expires"))
         return self._token
 
 
@@ -223,31 +270,53 @@ def fetch_window_partitioned(
     multi-year backfill at fleet scale does — the reference would hold the
     whole window in one driver array (script.js:154).  ``transport_factory``
     must be picklable (construct the HTTP client inside the task).
+
+    Each task carries its own :class:`TokenProvider`, seeded with the
+    driver's token: when a backfill outlasts the token TTL and the API
+    answers 401, the task sleeps 1 s, re-auths *executor-side*, and
+    retries that chunk once — the same §3.3 retry the driver-side fetch
+    has (script.js:243-254).  Credentials therefore ship to executors,
+    exactly as they would via the reference's process env.
     """
     import pandas as pd
 
     chunks = sub_windows(date_from, date_to, days_per_chunk)
-    token = tokens.token()  # fetched once driver-side; tasks reuse it
+    # Fetched once driver-side; each task seeds its local provider with it
+    # so the common case (token outlives the job) makes zero extra POSTs.
+    seed_token = tokens.token()
+    seed_expires = tokens.cached_expires_at
+    url, user, password = tokens.base_url, tokens.username, tokens.password
     chunk_df = spark.createDataFrame(chunks, ["DateFrom", "DateTo"]).repartition(
         max(len(chunks), 1)
     )
 
     def fetch_chunk(batches):
         transport = transport_factory()
+        local_tokens = TokenProvider(url, user, password, transport)
+        local_tokens.seed(seed_token, seed_expires)
+
+        def attempt(row, token):
+            return transport(
+                "GET",
+                base_url.rstrip("/") + "/api/traffic",
+                params={
+                    "SiteCode": "",
+                    "IncludeInternalLocations": "true",
+                    "DataSummedByDay": "false",
+                    "DateFrom": row.DateFrom,
+                    "DateTo": row.DateTo,
+                },
+                headers={"Authorization": f"Bearer {token}"},
+            )
+
         for pdf in batches:
             for _, row in pdf.iterrows():
-                status, body = transport(
-                    "GET",
-                    base_url.rstrip("/") + "/api/traffic",
-                    params={
-                        "SiteCode": "",
-                        "IncludeInternalLocations": "true",
-                        "DataSummedByDay": "false",
-                        "DateFrom": row.DateFrom,
-                        "DateTo": row.DateTo,
-                    },
-                    headers={"Authorization": f"Bearer {token}"},
-                )
+                status, body = attempt(row, local_tokens.token())
+                if status == 401:
+                    time.sleep(RETRY_SLEEP_SECONDS)
+                    status, body = attempt(
+                        row, local_tokens.token(force_refresh=True)
+                    )
                 if status != 200:
                     raise TrafsysApiError(status, body)
                 records = json.loads(body)

@@ -65,7 +65,6 @@ _PRIORITY = (
     "traffic_normalize",
     "traffic_window_filter",
     "traffic_hourly_rollup",
-    "traffic_daily_rollup",
     "traffic_merge_upsert",
     "traffic_rollup_incremental",
     "traffic_watermark_top1",
@@ -107,8 +106,13 @@ _PRIORITY = (
     "events_range_join_purchase_window",
     "split_train_test",
     "stratified_event_sample",
-    # scale machinery (skew / co-located joins / layout)
+    # scale machinery (skew / co-located joins / layout).  skew_salted_join
+    # moved inside the 50-row window in round 3 (it was the one oracle-
+    # checked query with no driver row); traffic_daily_rollup — a grain
+    # variant of the hourly flagship, driver-green in r01 AND r02 — rotated
+    # out to make room.
     "skew_salted_agg",
+    "skew_salted_join",
     "bucketed_colocated_join",
     "layout_compaction",
     # analytics flagships (one per distinct operator shape)
@@ -121,7 +125,7 @@ _PRIORITY = (
     "orders_without_lineitems",
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
-    "skew_salted_join",
+    "traffic_daily_rollup",
     "sim_topk_ivf",
     "multimodal_features",
     "text_top_terms",
@@ -155,10 +159,20 @@ def register(name: str, oracle: str | None = None):
 def all_queries() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    # A _PRIORITY name with no registration (e.g. a query renamed without
+    # updating this list) must cost ONE missing scorecard row, not the whole
+    # driver contract: warn and keep serving everything that is registered.
+    # tests/test_registry.py enforces exact _PRIORITY/_REGISTRY agreement.
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:
-        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+        import warnings
+
+        warnings.warn(
+            f"_PRIORITY names not registered (skipped): {missing}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
     # Safety net: anything registered but not prioritised goes last, in
     # registration order, rather than silently disappearing.
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)

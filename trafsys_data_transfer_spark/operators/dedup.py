@@ -272,11 +272,12 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dups: bucket by the top-16-bit prefix (docs within
-    small Hamming distance usually share the prefix), then verify with
-    ``bit_count(xor) <= max_hamming`` inside each bucket.  Production-scale
-    variant rotates the signature to probe multiple prefixes; one prefix
-    keeps the fixture query deterministic and cheap."""
+    """SimHash near-dups, single-prefix probe: bucket by the top-16-bit
+    prefix (docs within small Hamming distance usually share the prefix),
+    then verify with ``bit_count(xor) <= max_hamming`` inside each bucket.
+    Cheapest probe, but misses pairs whose differing bits fall in the
+    prefix — :func:`simhash_near_dups_multiprobe` is the complete-recall
+    production variant."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     sigs = df.select(
         F.col(id_col).alias("id"),
@@ -292,6 +293,69 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+def simhash_near_dups_multiprobe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups with block-decomposition probing — the 100 TB
+    variant, with *provably complete* recall.
+
+    Pigeonhole (Manku/Jain/Sarma, WWW'07 §3): split the 64-bit signature
+    into ``max_hamming + 1`` equal blocks; two signatures within
+    ``max_hamming`` differing bits can spoil at most ``max_hamming``
+    blocks, so AT LEAST ONE block is bit-identical.  Bucketing on every
+    ``(block_index, block_value)`` key therefore surfaces every qualifying
+    pair — unlike prefix rotation, which only samples probe positions.
+
+    Plan shape: one narrow explode to |docs|·(k+1) skinny rows
+    ``(block_idx, block_val, id, sig)``, one equi-join on the composite
+    bucket key (sort-merge/AQE like any keyed join — never all-pairs),
+    pair-level ``dropDuplicates`` (a pair can match in several blocks),
+    exact ``bit_count(xor)`` verify on candidates only.  Collision noise
+    per bucket is ~n/2^width; with k=3 → four 16-bit blocks, the same
+    bucket-width economics as the single-prefix probe, ×4 candidate
+    volume for complete recall.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sigs = df.select(F.col(id_col).alias("id"), simhash(toks).alias("sig"))
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "block_idx", "block_val"
+    )
+    b = blocks.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "block_idx", "block_val"
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -369,8 +433,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")  # rows-only: bit-level simhash isn't ANSI-SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-decomposition probe (complete recall for Hamming ≤ 3) — the
+    production path; the single-prefix variant remains as the cheap
+    sampling tier."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3)
+    return simhash_near_dups_multiprobe(docs, max_hamming=3)
 
 
 @register(

@@ -117,7 +117,15 @@ def main() -> int:
             # oracle that isn't CAST to BIGINT fails strict comparison.
             tbl = con.execute(oracles[name]).arrow()
             ocols = tbl.column_names
-            orows = [tuple(d.values()) for d in tbl.to_pylist()]
+            # Positional iteration over Arrow columns: a per-row dict
+            # (to_pylist) collapses duplicate column names into one key,
+            # silently narrowing the rows and misreporting the compare.
+            ocols_py = [col.to_pylist() for col in tbl.columns]
+            orows = (
+                [tuple(vals) for vals in zip(*ocols_py)]
+                if ocols_py
+                else [() for _ in range(tbl.num_rows)]
+            )
         except Exception:
             print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
             failures.append(name)

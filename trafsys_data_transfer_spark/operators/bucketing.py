@@ -20,9 +20,11 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException, SparkRuntimeException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import delete_path
 from ..registry import register
 from ..sources.fixtures import load_table
 
@@ -36,19 +38,16 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by the join key.
     Sorting within buckets lets the later SortMergeJoin skip its sort too —
-    scan → zip-merge, nothing else."""
-    spark = df.sparkSession
-    # Bucketed tables are managed: the catalog is per-session but the
-    # warehouse directory persists, so a table written by a previous
-    # process leaves a stale location the fresh catalog refuses to reuse
-    # (LOCATION_ALREADY_EXISTS).  Drop both the entry and the directory.
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    stale = os.path.join(warehouse.removeprefix("file:"), table.lower())
-    if os.path.isdir(stale):
-        import shutil
+    scan → zip-merge, nothing else.
 
-        shutil.rmtree(stale)
+    ``mode("overwrite")`` replaces a table this session already owns.  The
+    one stale case — the catalog is fresh (new process) but a previous
+    process left the warehouse directory behind — surfaces as
+    LOCATION_ALREADY_EXISTS; only THEN is the leftover directory removed
+    and the write retried.  An unconditional pre-write cleanup would let
+    two concurrent sessions using the same table name delete each other's
+    live files mid-read."""
+    spark = df.sparkSession
     cols = list(bucket_cols)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, cols[0], *cols[1:]
@@ -56,7 +55,14 @@ def write_bucketed(
     if sort_cols:
         sc = list(sort_cols)
         writer = writer.sortBy(sc[0], *sc[1:])
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    except (AnalysisException, SparkRuntimeException) as e:
+        if "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        delete_path(spark, os.path.join(warehouse, table.lower()))
+        writer.saveAsTable(table)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -3,9 +3,22 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Per-query time = best of BENCH_RUNS warm executions (first run of the
-session pays JVM/codegen warm-up; a warm-up pass runs the flagship first).
-Comparator protocol and the DuckDB baseline table live in BASELINE.md.
+Methodology (protocol details in BASELINE.md):
+
+* ``queries``  — per-query wall seconds, best of BENCH_RUNS executions,
+  each execution REBUILDING the DataFrame from the registry exactly as the
+  driver does.  This includes the ~0.3–0.5 s Py4J + Catalyst plan-build
+  constant per call, and is directly comparable to rounds 1–2.
+* ``queries_exec`` — for side-effect-free queries only: collect() time of
+  a FRESH build whose analysis/optimization/physical planning was forced
+  beforehand (``queryExecution().executedPlan()``).  A fresh build per
+  run means fresh RDD lineage — no cross-run shuffle-file reuse, so this
+  is true end-to-end execution, minus only the per-call planning constant.
+  Execution is what scales with data volume; the planning floor does not,
+  which is why the ``queries``→``queries_exec`` gap is irrelevant at
+  100 TB.  Work-in-build queries (streaming drains, bucketed writes,
+  compaction, IVF training, iterative components) are excluded — their
+  build IS the work, so planning and execution are not separable.
 """
 
 from __future__ import annotations
@@ -21,7 +34,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from trafsys_data_transfer_spark.registry import all_queries
 from trafsys_data_transfer_spark.session import get_spark
 
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: Queries whose build() itself performs the measured work (Spark actions,
+#: table/file writes, streaming lifecycles).  For these, rebuild-per-run is
+#: the only honest timing; a steady-state re-collect would measure a
+#: memory-sink read, not the operator.
+WORK_IN_BUILD = {
+    "streaming_hourly_rollup",
+    "streaming_dedup_events",
+    "streaming_view_click_join",
+    "streaming_merge_restate",
+    "layout_compaction",
+    "bucketed_colocated_join",
+    "sim_topk_ivf",
+    "dedup_components",
+}
 
 
 def main() -> None:
@@ -42,14 +70,31 @@ def main() -> None:
     specs["dedup_minhash_lsh"].build(spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
+    exec_only: dict[str, float] = {}
     for name, spec in specs.items():
         best = None
+        e_best = None
+        measurable = name not in WORK_IN_BUILD
         for _ in range(BENCH_RUNS):
             t0 = time.perf_counter()
-            spec.build(spark, sf_dir).collect()
-            took = time.perf_counter() - t0
+            df = spec.build(spark, sf_dir)
+            if measurable:
+                # Force analysis → optimization → physical planning now so
+                # the collect below times execution alone.  Fresh build per
+                # run = fresh RDD lineage = no shuffle-file reuse.
+                df._jdf.queryExecution().executedPlan()
+                t1 = time.perf_counter()
+                df.collect()
+                t2 = time.perf_counter()
+                e_best = (t2 - t1) if e_best is None else min(e_best, t2 - t1)
+                took = t2 - t0
+            else:
+                df.collect()
+                took = time.perf_counter() - t0
             best = took if best is None else min(best, took)
         timings[name] = round(best, 4)
+        if e_best is not None:
+            exec_only[name] = round(e_best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -59,6 +104,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_exec": exec_only,
+                "exec_total_sec": round(sum(exec_only.values()), 4),
+                "bench_runs": BENCH_RUNS,
                 "sf": sf,
             }
         )

@@ -45,7 +45,9 @@ WORK_IN_BUILD = {
     "streaming_dedup_events",
     "streaming_view_click_join",
     "streaming_merge_restate",
+    "streaming_sessionize",
     "layout_compaction",
+    "layout_zorder",
     "bucketed_colocated_join",
     "sim_topk_ivf",
     "dedup_components",

@@ -70,15 +70,17 @@ _PRIORITY = (
     "traffic_watermark_top1",
     "events_json_extract",
     "events_props_map",
-    # streaming twins (§2.8 made explicit)
+    # streaming twins (§2.8 made explicit) + the stateful custom operator
     "streaming_hourly_rollup",
     "streaming_dedup_events",
     "streaming_view_click_join",
     "streaming_merge_restate",
-    # dedup family
+    "streaming_sessionize",
+    # dedup family (dedup_fingerprint — an md5 variant of dedup_exact,
+    # driver-green in r01 and r02 — rotated past the window in round 3 to
+    # make room for streaming_sessionize's oracle row)
     "dedup_exact",
     "dedup_keyed_latest",
-    "dedup_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -126,6 +128,8 @@ _PRIORITY = (
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
     "traffic_daily_rollup",
+    "dedup_fingerprint",
+    "layout_zorder",
     "sim_topk_ivf",
     "multimodal_features",
     "text_top_terms",

@@ -211,3 +211,73 @@ def streaming_merge_restate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(target)
         .select("SiteCode", "Location", "IsInternal", "PeriodEnding", "Ins", "Outs")
     )
+
+
+@register(
+    "streaming_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) against
+    the batch gaps-and-islands SQL oracle — the strongest check a
+    non-windowed stateful op can get.
+
+    The whole events fixture is staged as a JSON drop plus one far-future
+    sentinel event per user; draining it through
+    :func:`streaming.sessionize.sessionize_stream` closes every real
+    session inline (the sentinel opens a new session > gap later, which
+    stays in state and is never emitted).  Emitted closed sessions must
+    equal the batch computation over the same events — session-boundary
+    state machines in keyed state vs window functions, same answer.
+    """
+    from .sessionize import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    sentinel = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+    )
+    staged = events.unionByName(sentinel).select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts")
+    )
+    source = tempfile.mkdtemp(prefix="tds_stream_sess_")
+    staged.coalesce(1).write.mode("overwrite").json(source)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(source)
+    table = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Sentinel-only sessions stay open in state; nothing to filter out of
+    # the emitted rows, but guard anyway in case a future change flushes
+    # them on drain.
+    return spark.table(table).filter(F.col("session_start") < F.lit("2030-01-01"))

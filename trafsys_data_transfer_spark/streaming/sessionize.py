@@ -17,8 +17,7 @@ sentinel event.
 
 from __future__ import annotations
 
-import datetime as dt
-
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -51,57 +50,64 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _us(ts: pd.Timestamp) -> int:
-    return int(ts.value // 1_000)
-
-
 def _session_fn(gap_minutes: int):
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        closed: list[tuple] = []
 
         if state.hasTimedOut:
             # Event-time timeout: the watermark passed last_ts + gap with no
             # new events for this key — the session is closed by idleness.
             start_us, last_us, n = state.get
-            closed.append((user_id, start_us, last_us, n))
             state.remove()
-        else:
-            if state.exists:
-                start_us, last_us, n = state.get
-            else:
-                start_us = last_us = n = None
-
-            for pdf in pdf_iter:
-                for ts in sorted(pdf["ts"]):
-                    t = _us(ts)
-                    if last_us is None:
-                        start_us, last_us, n = t, t, 1
-                    elif t - last_us > gap_us:
-                        closed.append((user_id, start_us, last_us, n))
-                        start_us, last_us, n = t, t, 1
-                    else:
-                        last_us, n = t, n + 1
-
-            state.update((start_us, last_us, n))
-            # Flush this session once event time passes its gap horizon.
-            state.setTimeoutTimestamp((last_us + gap_us) // 1_000)
-
-        if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": [
-                        dt.datetime.fromtimestamp(c[1] / 1e6, dt.timezone.utc).replace(tzinfo=None)
-                        for c in closed
-                    ],
-                    "session_end": [
-                        dt.datetime.fromtimestamp(c[2] / 1e6, dt.timezone.utc).replace(tzinfo=None)
-                        for c in closed
-                    ],
-                    "n_events": [c[3] for c in closed],
+                    "user_id": [user_id],
+                    "session_start": pd.to_datetime([start_us], unit="us"),
+                    "session_end": pd.to_datetime([last_us], unit="us"),
+                    "n_events": [n],
+                }
+            )
+            return
+
+        # Vectorized gaps-and-islands over this batch's events for the key:
+        # sort, diff > gap → island boundaries.  No per-event Python loop —
+        # at 100 k events/batch the state machine is numpy slicing.
+        chunks = [pdf["ts"].to_numpy(dtype="datetime64[ns]") for pdf in pdf_iter]
+        ts = np.sort(np.concatenate(chunks)).astype("int64") // 1_000  # ns→us
+        starts = np.flatnonzero(np.diff(ts) > gap_us) + 1
+        isl_start = np.concatenate(([0], starts))  # island start indices
+        isl_end = np.concatenate((starts, [len(ts)]))  # exclusive ends
+
+        s_start = ts[isl_start]
+        s_end = ts[isl_end - 1]
+        s_n = (isl_end - isl_start).astype("int64")
+
+        if state.exists:
+            start_us, last_us, n = state.get
+            if ts[0] - last_us <= gap_us:
+                # First island continues the open session.
+                s_start[0] = start_us
+                s_n[0] += n
+            else:
+                # Open session closes; prepend it as its own island.
+                s_start = np.concatenate(([start_us], s_start))
+                s_end = np.concatenate(([last_us], s_end))
+                s_n = np.concatenate(([n], s_n))
+
+        # Last island stays open in state; everything before it closes now.
+        state.update((int(s_start[-1]), int(s_end[-1]), int(s_n[-1])))
+        # Flush the open session once event time passes its gap horizon.
+        state.setTimeoutTimestamp(int(s_end[-1] + gap_us) // 1_000)
+
+        if len(s_start) > 1:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(s_start) - 1, user_id, dtype="int64"),
+                    "session_start": pd.to_datetime(s_start[:-1], unit="us"),
+                    "session_end": pd.to_datetime(s_end[:-1], unit="us"),
+                    "n_events": s_n[:-1],
                 }
             )
 

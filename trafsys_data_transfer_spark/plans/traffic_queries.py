@@ -317,3 +317,88 @@ def traffic_watermark_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return runs.orderBy(F.desc("createdAt")).limit(1)
+
+
+def _fixture_api_transport(sf_dir: str):
+    """Network-free TrafSys API stand-in, safe to construct INSIDE an
+    executor task: serves the OAuth token endpoint and /api/traffic GETs
+    from the events fixture with the same record derivation as
+    ``traffic_raw_from_events`` — pyarrow + pandas only, no SparkSession.
+    Lets the distributed backfill path run under the driver's value-hash
+    gate without a network."""
+    import json as _json
+    import os as _os
+
+    def transport(method, url, params=None, data=None, headers=None):
+        if url.endswith("/token"):
+            return 200, _json.dumps(
+                {
+                    "access_token": "fixture-token",
+                    ".expires": "Mon, 06 Jan 2098 12:00:00 GMT",
+                }
+            )
+        assert headers and headers.get("Authorization", "").startswith("Bearer ")
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type", "value"],
+        )
+        pdf = tbl.to_pandas()
+        ts = pd.to_datetime(pdf["ts"])
+        lo = pd.Timestamp(params["DateFrom"])
+        hi = pd.Timestamp(params["DateTo"]) + pd.Timedelta(days=1)
+        sel = (ts >= lo) & (ts < hi)
+        out = pd.DataFrame(
+            {
+                "SiteCode": "S" + (pdf["user_id"][sel] % 5).astype(str),
+                "Location": pdf["event_type"][sel],
+                "IsInternal": (pdf["value"][sel] > 100),
+                "PeriodEnding": ts[sel].dt.strftime("%Y-%m-%dT%H:%M:%S"),
+                # floor, not int(): int() truncates toward zero and would
+                # disagree with the Spark/SQL derivation on negative values.
+                "Ins": np.floor(pdf["value"][sel]).astype("int64"),
+                "Outs": pdf["event_id"][sel] % 50,
+            }
+        )
+        return 200, out.to_json(orient="records")
+
+    return transport
+
+
+@register(
+    "traffic_backfill_partitioned",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE}
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs
+    FROM traffic
+    WHERE PeriodEnding >= TIMESTAMP '2024-01-01 00:00:00'
+      AND PeriodEnding < TIMESTAMP '2024-01-29 00:00:00'
+    """,
+)
+def traffic_backfill_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at backfill scale: the four-week window is split into 7-day
+    chunks and fetched EXECUTOR-SIDE via ``fetch_window_partitioned``
+    (mapInPandas over the chunk list, per-task token provider with 401
+    re-auth), then normalized (T1/T2).  The transport serves the fixture's
+    own derived records, so the driver's value hash checks the entire
+    distributed path — chunking, task-side parse, schema enforcement,
+    normalize — against the plain SQL window.
+    """
+    from ..sources.trafsys_api import TokenProvider, fetch_window_partitioned
+
+    base = "https://fixture.invalid/rest/"
+    transport = _fixture_api_transport(sf_dir)
+    tokens = TokenProvider(base, "fixture", "fixture", transport)
+    raw = fetch_window_partitioned(
+        spark,
+        base,
+        tokens,
+        lambda: _fixture_api_transport(sf_dir),
+        "2024-01-01",
+        "2024-01-28",
+        days_per_chunk=7,
+    )
+    return normalize_traffic(raw)

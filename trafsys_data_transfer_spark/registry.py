@@ -128,6 +128,7 @@ _PRIORITY = (
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
     "traffic_daily_rollup",
+    "traffic_backfill_partitioned",
     "dedup_fingerprint",
     "layout_zorder",
     "sim_topk_ivf",

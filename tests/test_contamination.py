@@ -1,0 +1,91 @@
+"""Decontamination and repetition-quality operator semantics.
+
+Planted-overlap tests build tiny corpora with *known* shared n-grams so
+the expected hit counts are computable by hand; the repetition tests use
+strings whose bigram multisets are trivial to enumerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.contamination import (
+    decontaminate_hits,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_counts_distinct_shared_ngrams(spark):
+    # eval doc: tokens a..h → 5-grams: "a b c d e", "b c d e f", ... (4 of them)
+    ev = _docs(spark, [(100, "a b c d e f g h")])
+    tr = _docs(
+        spark,
+        [
+            # shares exactly the "a b c d e" and "b c d e f" 5-grams
+            (1, "a b c d e f x y z w"),
+            # no 5-token span in common (interleaved breakers)
+            (2, "a b q c d q e f q g h"),
+            # shares "d e f g h" once even though the span repeats twice:
+            # hits count DISTINCT grams, not occurrences
+            (3, "d e f g h d e f g h"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontaminate_hits(tr, ev, n=5).collect()
+    }
+    assert got == {1: 2, 3: 1}
+
+
+def test_decontaminate_short_docs_produce_no_grams(spark):
+    ev = _docs(spark, [(100, "a b c d e")])
+    tr = _docs(spark, [(1, "a b c d")])  # 4 tokens < n=5 → no 5-grams
+    assert decontaminate_hits(tr, ev, n=5).count() == 0
+
+
+def test_decontaminate_eval_side_never_self_matches(spark):
+    """Only training docs appear in the output — a clean corpus yields
+    an empty result, not the eval set joined to itself."""
+    ev = _docs(spark, [(100, "a b c d e f")])
+    tr = _docs(spark, [(1, "p q r s t u v")])
+    assert decontaminate_hits(tr, ev, n=5).count() == 0
+
+
+def test_repetition_stats_known_values(spark):
+    docs = _docs(
+        spark,
+        [
+            # bigrams: (x y, y x, x y, y x, x y) → 5 total, 2 distinct,
+            # top = "x y" ×3
+            (1, "x y x y x y"),
+            # all 4 bigrams distinct → no repetition
+            (2, "a b c d e"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_grams"] == 5
+    assert abs(rows[1]["top_gram_frac"] - 3 / 5) < 1e-9
+    assert abs(rows[1]["dup_gram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert rows[2]["n_grams"] == 4
+    assert abs(rows[2]["top_gram_frac"] - 1 / 4) < 1e-9
+    assert rows[2]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_single_token_doc_dropped(spark):
+    docs = _docs(spark, [(1, "lonely")])
+    assert repetition_stats(docs).count() == 0
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The training corpus must never shuffle for the join: the eval gram
+    set is broadcast (at 100 TB the corpus-side exchange would dominate
+    the whole pipeline)."""
+    ev = _docs(spark, [(100, "a b c d e f")])
+    tr = _docs(spark, [(1, "a b c d e x")])
+    plan = decontaminate_hits(tr, ev, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

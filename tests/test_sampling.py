@@ -60,6 +60,30 @@ def test_stratified_sample_retains_full_rare_strata(spark):
     assert 0.05 * 2970 < n_common < 0.2 * 2970  # ~10% of 2970, loose bound
 
 
+def test_mixture_rates_downsample_dominant_domains_hardest(spark):
+    from trafsys_data_transfer_spark.operators.sampling import mixture_rates
+
+    df = spark.range(0, 1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("big")).otherwise(F.lit("small")).alias("lang"),
+    )
+    rates = {r["lang"]: r["thr_hex"] for r in mixture_rates(df).collect()}
+    # sqrt temperature: the dominant domain gets the lower keep-threshold
+    assert rates["big"] < rates["small"]
+    # rate_small = 550 * 10 / (41 * 100) > 1 → clamped to the keep-(almost)-all
+    # threshold 'ffffffff', never a 9-char hex string
+    assert rates["small"] == "ffffffff"
+    assert len(rates["big"]) == 8
+
+
+def test_mixture_sample_is_deterministic_across_runs(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.sampling import docs_mixture_sample
+
+    a = [tuple(r) for r in docs_mixture_sample(spark, sf_dir).collect()]
+    b = [tuple(r) for r in docs_mixture_sample(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_stratified_event_sample_keeps_all_rare_events(spark, sf_dir):
     from trafsys_data_transfer_spark.operators.sampling import (
         stratified_event_sample,

@@ -1,0 +1,162 @@
+"""Benchmark decontamination and repetition-based quality gates (§2.10).
+
+Two corpus-hygiene operators every LLM training pipeline runs before a
+token reaches the model:
+
+* **Decontamination** — drop (or at least flag) training documents that
+  share verbatim word n-grams with an evaluation/benchmark set, so the
+  model is not graded on data it memorised.  The standard recipe
+  (GPT-3 appendix C, PaLM, Llama: 8-13-gram overlap) is an n-gram
+  *equi-join*, not a similarity scan: explode each side into distinct
+  n-grams, join on the gram, count hits per training doc.
+* **Repetition quality** — Gopher-style (Rae et al. 2021, table A1)
+  within-document repetition ratios: the fraction of all bigram
+  occurrences taken by the single most frequent bigram, and the fraction
+  that are repeats of an earlier occurrence.  Boilerplate, keyboard-mash
+  and template spam score high and get dropped.
+
+Scale design (100 TB):
+
+* The benchmark side of decontamination is small (eval suites are
+  thousands of documents, the corpus is billions), so its distinct-gram
+  set is **broadcast** — the big side never shuffles: tokenize → explode
+  → broadcast-hash-join → partial-agg count per doc.  One narrow pass
+  over the corpus plus an O(|eval grams|) broadcast.  If the eval set
+  ever outgrows broadcast range the same plan degrades gracefully to a
+  shuffled equi-join on the gram hash — still no similarity scan.
+* Repetition counts shuffle on ``(doc_id, gram)`` with map-side partial
+  aggregation; keys are document-local so there is no skew by
+  construction (no gram key spans documents).
+
+Reference basis: the reference engine (``/root/reference/script.js``)
+has no corpus operators; these extend the mandated north-star surface
+(SURVEY.md §2.10) with the decontamination/repetition stages of a
+training-data curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+from .dedup import shingles
+
+#: Word-n-gram order for contamination matching.  Production recipes use
+#: 8-13; the fixture corpus plants ~100-token near-duplicate documents, so
+#: 5 keeps the overlap surface non-degenerate at sf0.01 while exercising
+#: the identical plan shape.
+DECONTAM_NGRAM = 5
+
+#: Fixture stand-in for the benchmark/eval corpus: four of the twenty
+#: ``source`` shards.  In production this is the eval-suite table.
+EVAL_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def decontaminate_hits(
+    train: DataFrame, eval_docs: DataFrame, text_col: str = "text", n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Per-training-doc count of distinct n-grams shared with the eval set.
+
+    Both sides are reduced to *distinct* grams (``shingles`` dedups within a
+    document; ``.distinct()`` dedups across the eval corpus) so the count is
+    "how many of my n-grams appear anywhere in the benchmark", not an
+    occurrence product.  The eval gram set is broadcast — the training
+    corpus is never shuffled by the join.
+    """
+    def gram(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        # Docs shorter than n words have no n-grams (shingles() would emit a
+        # truncated gram; the oracle's generate_series emits none — filter
+        # keeps the two engines aligned).
+        return df.filter(F.size(toks) >= n).select(
+            "doc_id", F.explode(shingles(toks, n)).alias("g")
+        )
+    eval_grams = gram(eval_docs).select("g").distinct()
+    return (
+        gram(train)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(w[i:i+{DECONTAM_NGRAM - 1}], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(w) - {DECONTAM_NGRAM - 1})) AS t(i)
+    ),
+    eval_grams AS (
+        SELECT DISTINCT g FROM grams
+        WHERE source IN {EVAL_SOURCES!r}
+    )
+    SELECT tr.doc_id AS doc_id, COUNT(*) AS n_hit_ngrams
+    FROM (SELECT doc_id, g FROM grams WHERE source NOT IN {EVAL_SOURCES!r}) tr
+    JOIN eval_grams ev USING (g)
+    GROUP BY tr.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 verbatim 5-gram with the eval shards,
+    with the count of distinct shared grams — the flag-or-drop input of
+    benchmark decontamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    return decontaminate_hits(docs.filter(~is_eval), docs.filter(is_eval)).orderBy(
+        "doc_id"
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram repetition ratios (Gopher repetition rules).
+
+    ``explode`` keeps every occurrence (no ``array_distinct``) because the
+    ratios are occurrence-weighted; the groupBy keys are document-local so
+    the shuffle has no cross-document skew.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    per_gram = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c")
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_grams"),
+        F.round(F.max("c") / total, 6).alias("top_gram_frac"),
+        F.round(F.lit(1.0) - F.count("*") / total, 6).alias("dup_gram_frac"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_gram_frac,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_gram_frac
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: total bigram
+    occurrences, top-bigram occupancy, and duplicate-bigram fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")

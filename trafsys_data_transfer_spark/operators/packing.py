@@ -1,0 +1,174 @@
+"""Sequence packing and sharded-export assignment (§2.10 training export).
+
+The last stage of a training-data pipeline turns a curated corpus into
+fixed-length token sequences and evenly sized shards:
+
+* **Sequence packing** — the GPT-style concat-and-chunk recipe:
+  concatenate every document's tokens in a canonical order and split the
+  stream every ``chunk_tokens`` tokens.  The per-document accounting
+  (global start offset, first/last chunk touched) is a **prefix sum**
+  over document lengths.
+* **Shard assignment** — deterministic shard id plus a pseudorandom
+  within-shard position (md5 sort key), so the export order is a pure
+  function of content — reproducible across runs, engines and cluster
+  sizes, like everything in ``sampling.py``.
+
+Scale design (100 TB): a naive prefix sum —
+``SUM(n) OVER (ORDER BY doc_id)`` with no PARTITION BY — collapses to a
+**single task** in Spark (one unpartitioned window = one reducer
+scanning the entire corpus).  The implementation here is the textbook
+two-phase distributed scan instead:
+
+1. assign each row a *deterministic* range bucket (integer arithmetic on
+   the key — no sampling, unlike ``repartitionByRange``, so the same row
+   lands in the same bucket every run);
+2. one shuffle: per-bucket local prefix sums (window partitioned by
+   bucket) and per-bucket totals (groupBy bucket) share the exchange;
+3. the NB bucket totals — NB rows, independent of corpus size — come to
+   the driver, are cumulated in bucket order, and rejoin as a broadcast
+   map: ``global_offset = bucket_base + local_prefix``.
+
+Total cost: one bucket shuffle + an O(NB) driver step, vs the
+single-reducer bottleneck.  The result is bit-identical to the global
+window (asserted by a bucket-count-invariance property test).
+
+Reference basis: the reference (``/root/reference/script.js``) exports
+nothing; these extend the mandated north-star surface (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Tokens per packed training sequence (fixture-scale; production 2k-8k).
+CHUNK_TOKENS = 512
+
+#: Prefix-sum buckets == shuffle width of the packing pass.
+PACK_BUCKETS = 32
+
+#: Export shard count.
+N_SHARDS = 8
+
+
+def pack_offsets(
+    docs: DataFrame,
+    key: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    chunk_tokens: int = CHUNK_TOKENS,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Concat-and-chunk accounting via a two-phase distributed prefix sum.
+
+    Returns ``key, n_tokens, start_off, first_chunk, last_chunk`` where
+    ``start_off`` is the document's 0-based offset in the concatenated
+    token stream (ordered by ``key``) and ``first_chunk``/``last_chunk``
+    are the fixed-size chunks its tokens land in.
+
+    The two bounded ``collect()``s are O(1) and O(n_buckets) rows
+    respectively (never corpus-sized): the min/max of the key, and one
+    partial-sum row per bucket.
+    """
+    lo, hi = docs.agg(F.min(key), F.max(key)).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    # Deterministic equal-width range bucket: pure integer arithmetic on the
+    # key — unlike repartitionByRange there is no sampled boundary, so bucket
+    # membership (and with it every offset) is stable across runs.
+    bucket = ((F.col(key) - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("int")
+    rows = docs.select(
+        F.col(key), F.col(n_tokens_col).cast("bigint").alias("n_tokens")
+    ).withColumn("_bucket", bucket)
+
+    totals = (
+        rows.groupBy("_bucket").agg(F.sum("n_tokens").alias("t")).orderBy("_bucket")
+    ).collect()
+    base, bases = 0, []
+    for r in totals:
+        bases.append((r["_bucket"], base))
+        base += r["t"]
+    offsets = rows.sparkSession.createDataFrame(bases, "_bucket int, _base bigint")
+
+    local = Window.partitionBy("_bucket").orderBy(key)
+    start = (F.col("_base") + F.sum("n_tokens").over(local) - F.col("n_tokens")).alias(
+        "start_off"
+    )
+    return (
+        rows.join(F.broadcast(offsets), "_bucket")
+        .select(key, "n_tokens", start)
+        .select(
+            key,
+            "n_tokens",
+            "start_off",
+            F.expr(f"start_off DIV {chunk_tokens}").alias("first_chunk"),
+            F.expr(f"(start_off + n_tokens - 1) DIV {chunk_tokens}").alias(
+                "last_chunk"
+            ),
+        )
+    )
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_off
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_off,
+           start_off // {CHUNK_TOKENS} AS first_chunk,
+           (start_off + n_tokens - 1) // {CHUNK_TOKENS} AS last_chunk
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents corpus into CHUNK_TOKENS-token training
+    sequences: per-doc global offset and chunk span, computed with the
+    distributed prefix sum (the oracle uses the equivalent — but
+    single-reducer — global window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_offsets(with_counts).orderBy("doc_id")
+
+
+@register(
+    "export_shard_assign",
+    oracle=f"""
+    SELECT doc_id,
+           doc_id % {N_SHARDS} AS shard,
+           CAST(row_number() OVER (
+                PARTITION BY doc_id % {N_SHARDS}
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def export_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded-export order: shard id + md5-shuffled position
+    within the shard.  The md5 sort key is the engine-portable stand-in for
+    a seeded shuffle — the export order never changes under re-runs or
+    repartitioning, which is what makes training jobs resumable against it.
+    One shuffle on the shard key; each shard sorts independently (no global
+    sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", (F.col("doc_id") % N_SHARDS).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .orderBy("doc_id")
+    )

@@ -97,6 +97,83 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Mixture-sampling knobs: α=0.5 temperature (sqrt weighting) and a target
+#: of half the corpus.  Weights are FLOOR(SQRT(count)) **integers** so both
+#: engines sum them exactly; the single double division that produces the
+#: rate is then IEEE-identical in Spark and DuckDB, which is what lets a
+#: *data-derived* sampling rate be oracle-checked at all (a float sum over
+#: groups would be summation-order-dependent and engine-divergent).
+MIXTURE_TARGET_FRAC = 0.5
+_HEX_SPACE_SQL = 4294967296  # 16^8, as a literal for the oracle
+
+
+def mixture_rates(docs: DataFrame, domain: str = "lang") -> DataFrame:
+    """Per-domain temperature-scaled sampling rates from corpus counts.
+
+    rate_d = target_total * w_d / (Σw * c_d) with w_d = floor(sqrt(c_d)):
+    dominant domains are downsampled hardest, rare domains kept nearly
+    whole — the mixture-reweighting pass of a pre-training pipeline.
+    The counts aggregate is O(domains); everything stays in the plan (no
+    driver math), so the rates recompute consistently on any corpus.
+    """
+    counts = docs.groupBy(domain).agg(F.count("*").alias("c"))
+    w = F.floor(F.sqrt(F.col("c"))).cast("bigint")
+    tot = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.floor(F.sqrt(F.col("c"))).cast("bigint")).alias("wsum"),
+    )
+    rate = (
+        F.col("n").cast("double")
+        * MIXTURE_TARGET_FRAC
+        * w
+        / (F.col("wsum") * F.col("c"))
+    )
+    thr = F.least(
+        F.floor(rate * _HEX_SPACE_SQL).cast("bigint"), F.lit(_HEX_SPACE_SQL - 1)
+    )
+    return counts.crossJoin(tot).select(
+        domain, F.format_string("%08x", thr).alias("thr_hex")
+    )
+
+
+@register(
+    "docs_mixture_sample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS wsum
+            FROM counts),
+    rates AS (
+        SELECT lang,
+               printf('%08x', LEAST(
+                   CAST(FLOOR(CAST(n AS DOUBLE) * {MIXTURE_TARGET_FRAC}
+                        * CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)
+                        / (wsum * c) * {_HEX_SPACE_SQL}) AS BIGINT),
+                   {_HEX_SPACE_SQL - 1})) AS thr_hex
+        FROM counts, tot
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr_hex
+    ORDER BY d.doc_id
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling over the language domains:
+    rates derived from the corpus itself (α=0.5, half-corpus target),
+    applied as a deterministic md5-threshold filter via a broadcast join
+    of the O(domains) rate table — one tiny aggregate plus one narrow
+    filter pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "lang")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("thr_hex"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "stratified_event_sample",
     oracle=f"""

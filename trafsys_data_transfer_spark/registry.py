@@ -44,6 +44,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.asof",
     "trafsys_data_transfer_spark.operators.rangejoin",
     "trafsys_data_transfer_spark.operators.sampling",
+    "trafsys_data_transfer_spark.operators.contamination",
+    "trafsys_data_transfer_spark.operators.packing",
     "trafsys_data_transfer_spark.operators.skew",
     "trafsys_data_transfer_spark.operators.bucketing",
     "trafsys_data_transfer_spark.operators.layout",
@@ -117,16 +119,25 @@ _PRIORITY = (
     "skew_salted_join",
     "bucketed_colocated_join",
     "layout_compaction",
+    # curation/export additions (round 3): benchmark decontamination and
+    # the distributed-prefix-sum sequence packer take the window slots of
+    # events_daily_pivot / events_daily_activity_full_join (both driver-
+    # green in r01 AND r02, rotated past the window).
+    "text_decontaminate",
+    "docs_pack_sequences",
     # analytics flagships (one per distinct operator shape)
     "events_value_approx_quantiles",
     "events_funnel",
     "events_regression_stats",
-    "events_daily_pivot",
     "events_value_histogram",
-    "events_daily_activity_full_join",
     "orders_without_lineitems",
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
+    "events_daily_pivot",
+    "events_daily_activity_full_join",
+    "text_repetition",
+    "docs_mixture_sample",
+    "export_shard_assign",
     "traffic_daily_rollup",
     "traffic_backfill_partitioned",
     "dedup_fingerprint",

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from trafsys_data_transfer_spark.operators.packing import pack_offsets
+from trafsys_data_transfer_spark.sources.fixtures import load_table
 
 
 def _docs(spark, lengths, start_id=0, id_step=1):
@@ -82,3 +83,40 @@ def test_pack_plan_has_no_global_window(spark):
         pack_offsets(df, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_chunk_manifest_spans_reassemble_documents(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.packing import (
+        CHUNK_TOKENS,
+        docs_chunk_manifest,
+    )
+
+    m = docs_chunk_manifest(spark, sf_dir)
+    rows = m.collect()
+    # per-document: slice lengths sum to the doc's token count and starts
+    # are contiguous (each chunk picks up exactly where the previous ended)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+        ).collect()
+    }
+    for doc_id, parts in per_doc.items():
+        parts.sort(key=lambda r: r["chunk_id"])
+        assert sum(p["n_tok"] for p in parts) == n_tokens[doc_id]
+        pos = parts[0]["doc_tok_start"]
+        assert pos == 0  # a doc's first covered token is its token 0
+        for p in parts:
+            assert p["doc_tok_start"] == pos
+            pos += p["n_tok"]
+    # per-chunk: every chunk except the last is exactly full
+    per_chunk = {}
+    for r in rows:
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + r["n_tok"]
+    last = max(per_chunk)
+    for cid, tot in per_chunk.items():
+        assert tot == CHUNK_TOKENS or cid == last

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.snapshot import snapshot_diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_snapshot_diff_classifies_all_four_cases(spark):
+    old = _snap(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _snap(spark, [(2, "b"), (3, "CHANGED"), (4, "d")])
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_covers_union_of_keys_exactly_once(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.snapshot import corpus_snapshot_diff
+
+    res = corpus_snapshot_diff(spark, sf_dir)
+    rows = res.collect()
+    keys = [r["doc_id"] for r in rows]
+    assert len(keys) == len(set(keys))  # one verdict per key
+    # every delta class present on the fixture derivation
+    classes = {r["change"] for r in rows}
+    assert classes == {"added", "removed", "changed", "unchanged"}
+
+
+def test_snapshot_diff_join_moves_fingerprints_not_text(spark):
+    old = _snap(spark, [(1, "x" * 10)])
+    new = _snap(spark, [(1, "x" * 10)])
+    df = snapshot_diff(old, new)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the md5 fingerprint is computed BELOW the join (in the per-side
+    # projections), so the join itself only carries (key, digest)
+    join_pos = plan.index("Join")
+    below_join = plan[join_pos:]
+    assert "md5" in below_join
+    # and the diff output schema carries no content column at all
+    assert set(df.columns) == {"doc_id", "change"}

@@ -172,3 +172,83 @@ def export_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_chunk_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_off
+        FROM t WHERE n_tokens > 0
+    ),
+    m AS (
+        SELECT doc_id, n_tokens, start_off,
+               unnest(generate_series(start_off // {CHUNK_TOKENS},
+                                      (start_off + n_tokens - 1) // {CHUNK_TOKENS})) AS chunk_id
+        FROM c
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+           CAST(GREATEST(start_off, chunk_id * {CHUNK_TOKENS}) - start_off AS BIGINT) AS doc_tok_start,
+           CAST(LEAST(start_off + n_tokens, (chunk_id + 1) * {CHUNK_TOKENS})
+                - GREATEST(start_off, chunk_id * {CHUNK_TOKENS}) AS BIGINT) AS n_tok
+    FROM m
+    ORDER BY chunk_id, doc_id
+    """,
+)
+def docs_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-facing packing manifest: one row per (chunk, document)
+    overlap, with the document-local token slice each chunk takes.  This is
+    what a training data-loader actually reads — given a chunk id it lists
+    exactly which token spans of which documents to concatenate.
+
+    Built by exploding each document's ``first_chunk..last_chunk`` span
+    from :func:`pack_offsets` (distributed prefix sum — no global window);
+    the explode is narrow (≤ n_tokens/chunk + 1 rows per doc) and every
+    output column is exact int64 arithmetic, so the manifest is
+    bit-identical across engines and cluster sizes.  Row count is
+    O(total_tokens / chunk_tokens + n_docs) — the manifest is ~1000×
+    smaller than the token stream it describes."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    off = pack_offsets(with_counts)
+    c = F.lit(CHUNK_TOKENS)
+    return (
+        off.select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_off DIV {CHUNK_TOKENS}"),
+                    F.expr(f"(start_off + n_tokens - 1) DIV {CHUNK_TOKENS}"),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "doc_id",
+            (F.greatest(F.col("start_off"), F.col("chunk_id") * c) - F.col("start_off"))
+            .cast("bigint")
+            .alias("doc_tok_start"),
+            (
+                F.least(
+                    F.col("start_off") + F.col("n_tokens"),
+                    (F.col("chunk_id") + 1) * c,
+                )
+                - F.greatest(F.col("start_off"), F.col("chunk_id") * c)
+            )
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .orderBy("chunk_id", "doc_id")
+    )

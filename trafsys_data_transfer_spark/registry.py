@@ -46,6 +46,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.sampling",
     "trafsys_data_transfer_spark.operators.contamination",
     "trafsys_data_transfer_spark.operators.packing",
+    "trafsys_data_transfer_spark.operators.salience",
+    "trafsys_data_transfer_spark.operators.snapshot",
     "trafsys_data_transfer_spark.operators.skew",
     "trafsys_data_transfer_spark.operators.bucketing",
     "trafsys_data_transfer_spark.operators.layout",
@@ -78,29 +80,31 @@ _PRIORITY = (
     "streaming_view_click_join",
     "streaming_merge_restate",
     "streaming_sessionize",
-    # dedup family (dedup_fingerprint — an md5 variant of dedup_exact,
-    # driver-green in r01 and r02 — rotated past the window in round 3 to
-    # make room for streaming_sessionize's oracle row)
-    "dedup_exact",
+    # dedup family (dedup_fingerprint and dedup_exact — both driver-green
+    # in r01 and r02 — rotated past the window in round 3 to make room for
+    # streaming_sessionize's and text_salient_terms' oracle rows)
     "dedup_keyed_latest",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_approx_distinct",
     "dedup_components",
-    # text analysis family
-    "text_token_count",
-    "text_quality",
+    # text analysis family (text_token_count / text_quality — driver-green
+    # in r01 AND r02 — rotated past the window in round 3 for the two
+    # corpus-statistics additions)
     "text_lang_id",
     "text_lang_profile",
     "text_curation_pipeline",
     "text_rolling_fingerprint",
     "text_winnow_candidates",
+    "text_salient_terms",
+    "text_pmi_collocations",
     # similarity family
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_label_centroids",
     "sim_embedding_neardup",
+    "sim_topk_sq8",
     # multimodal family
     "multimodal_meta",
     "multimodal_frame_sample",
@@ -135,7 +139,12 @@ _PRIORITY = (
     # every one still verified locally by tools/verify_local.py ----
     "events_daily_pivot",
     "events_daily_activity_full_join",
+    "dedup_exact",
+    "text_token_count",
+    "text_quality",
     "text_repetition",
+    "corpus_snapshot_diff",
+    "docs_chunk_manifest",
     "docs_mixture_sample",
     "export_shard_assign",
     "traffic_daily_rollup",

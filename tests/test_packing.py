@@ -120,3 +120,41 @@ def test_chunk_manifest_spans_reassemble_documents(spark, sf_dir):
     last = max(per_chunk)
     for cid, tot in per_chunk.items():
         assert tot == CHUNK_TOKENS or cid == last
+
+
+def test_overlap_chunks_cover_every_token_with_stride_overlap(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.packing import (
+        RAG_STRIDE,
+        RAG_WINDOW,
+        docs_overlap_chunks,
+    )
+
+    rows = docs_overlap_chunks(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+        ).collect()
+    }
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_tokens)
+    for doc_id, parts in per_doc.items():
+        parts.sort(key=lambda r: r["chunk_idx"])
+        n = n_tokens[doc_id]
+        # starts advance by exactly the stride, first at 0
+        assert [p["tok_start"] for p in parts] == [
+            i * RAG_STRIDE for i in range(len(parts))
+        ]
+        # last chunk reaches the end; none overruns; all non-empty
+        last = parts[-1]
+        assert last["tok_start"] + last["n_tok"] == n
+        for p in parts:
+            assert 1 <= p["n_tok"] <= RAG_WINDOW
+            assert p["tok_start"] + p["n_tok"] <= n
+        # full coverage: next chunk starts inside (or at end of) the
+        # previous chunk's window
+        for a, b in zip(parts, parts[1:]):
+            assert b["tok_start"] <= a["tok_start"] + a["n_tok"]

@@ -94,3 +94,14 @@ def test_sq8_zero_vector_quantizes_to_zero(spark):
 
     row = df.select(sq8_quantize(F.col("embedding")).alias("q")).first()
     assert row["q"] == [0, 0, 0]
+
+
+def test_pmi_ranking_invariant_under_corpus_duplication(spark):
+    # doubling every document doubles all counts; the rational ranking
+    # c_xy/(c_x*c_y) halves uniformly, so the top-k ORDER must not change
+    rows = [(i, "ice cream a b c d ice cream x y") for i in range(5)]
+    df1 = _docs(spark, rows)
+    df2 = _docs(spark, rows + [(i + 100, t) for i, t in rows])
+    top1 = [(r["w1"], r["w2"]) for r in pmi_collocations(df1, min_count=2).collect()]
+    top2 = [(r["w1"], r["w2"]) for r in pmi_collocations(df2, min_count=2).collect()]
+    assert top1 == top2

@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from trafsys_data_transfer_spark.operators.snapshot import snapshot_diff
+from trafsys_data_transfer_spark.sources.fixtures import load_table
 
 
 def _snap(spark, rows):
@@ -40,3 +41,19 @@ def test_snapshot_diff_join_moves_fingerprints_not_text(spark):
     assert "md5" in below_join
     # and the diff output schema carries no content column at all
     assert set(df.columns) == {"doc_id", "change"}
+
+
+def test_snapshot_diff_of_identical_snapshots_is_all_unchanged(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    res = snapshot_diff(docs, docs)
+    assert res.filter(F.col("change") != "unchanged").count() == 0
+
+
+def test_snapshot_diff_is_symmetric_under_swap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+    fwd = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    bwd = {r["doc_id"]: r["change"] for r in snapshot_diff(new, old).collect()}
+    swap = {"added": "removed", "removed": "added"}
+    assert fwd == {k: swap.get(v, v) for k, v in bwd.items()}

@@ -252,3 +252,72 @@ def docs_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_id", "doc_id")
     )
+
+
+#: Retrieval-chunking window/stride (tokens).  Stride < window ⇒ overlap.
+RAG_WINDOW = 64
+RAG_STRIDE = 48
+
+
+@register(
+    "docs_overlap_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, CAST(
+                   CASE WHEN n <= {RAG_WINDOW} THEN 0
+                        ELSE (n - {RAG_WINDOW} + {RAG_STRIDE - 1}) // {RAG_STRIDE}
+                   END AS BIGINT))) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {RAG_STRIDE} AS BIGINT) AS tok_start,
+           CAST(LEAST(n - chunk_idx * {RAG_STRIDE}, {RAG_WINDOW}) AS BIGINT) AS n_tok
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document overlapping retrieval chunks (window RAG_WINDOW=64,
+    stride RAG_STRIDE=48): the RAG-style chunker, as opposed to
+    :func:`docs_pack_sequences`' cross-document concat-and-chunk.  Chunk
+    starts advance by the stride; the final chunk is the one whose window
+    reaches the document end, so every token is covered and consecutive
+    chunks overlap by window−stride tokens.
+
+    Scale: pure per-document integer arithmetic — a narrow explode with
+    ≤ n_tokens/stride + 1 rows per document, no shuffle, no Python.  The
+    chunk table is the input to embedding/indexing jobs; its determinism
+    (a pure function of the text length) is what lets those jobs resume
+    and incrementally refresh from a corpus_snapshot_diff change feed
+    without re-chunking the unchanged corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    last_idx = F.when(n <= RAG_WINDOW, F.lit(0).cast("bigint")).otherwise(
+        F.floor((n - RAG_WINDOW + RAG_STRIDE - 1) / RAG_STRIDE).cast("bigint")
+    )
+    return (
+        docs.select("doc_id", n.alias("n"), last_idx.alias("last_idx"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("last_idx"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * RAG_STRIDE).cast("bigint").alias("tok_start"),
+            F.least(
+                F.col("n") - F.col("chunk_idx") * RAG_STRIDE, F.lit(RAG_WINDOW)
+            )
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

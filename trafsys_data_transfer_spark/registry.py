@@ -145,6 +145,7 @@ _PRIORITY = (
     "text_repetition",
     "corpus_snapshot_diff",
     "docs_chunk_manifest",
+    "docs_overlap_chunks",
     "docs_mixture_sample",
     "export_shard_assign",
     "traffic_daily_rollup",

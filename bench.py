@@ -73,27 +73,34 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     exec_only: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in specs.items():
         best = None
         e_best = None
         measurable = name not in WORK_IN_BUILD
-        for _ in range(BENCH_RUNS):
-            t0 = time.perf_counter()
-            df = spec.build(spark, sf_dir)
-            if measurable:
-                # Force analysis → optimization → physical planning now so
-                # the collect below times execution alone.  Fresh build per
-                # run = fresh RDD lineage = no shuffle-file reuse.
-                df._jdf.queryExecution().executedPlan()
-                t1 = time.perf_counter()
-                df.collect()
-                t2 = time.perf_counter()
-                e_best = (t2 - t1) if e_best is None else min(e_best, t2 - t1)
-                took = t2 - t0
-            else:
-                df.collect()
-                took = time.perf_counter() - t0
-            best = took if best is None else min(best, took)
+        try:
+            for _ in range(BENCH_RUNS):
+                t0 = time.perf_counter()
+                df = spec.build(spark, sf_dir)
+                if measurable:
+                    # Force analysis → optimization → physical planning now so
+                    # the collect below times execution alone.  Fresh build per
+                    # run = fresh RDD lineage = no shuffle-file reuse.
+                    df._jdf.queryExecution().executedPlan()
+                    t1 = time.perf_counter()
+                    df.collect()
+                    t2 = time.perf_counter()
+                    e_best = (t2 - t1) if e_best is None else min(e_best, t2 - t1)
+                    took = t2 - t0
+                else:
+                    df.collect()
+                    took = time.perf_counter() - t0
+                best = took if best is None else min(best, took)
+        except Exception as exc:  # noqa: BLE001 — one broken query must not
+            # zero the whole bench: record and keep measuring the rest.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
         if e_best is not None:
             exec_only[name] = round(e_best, 4)
@@ -109,6 +116,7 @@ def main() -> None:
                 "queries_exec": exec_only,
                 "exec_total_sec": round(sum(exec_only.values()), 4),
                 "bench_runs": BENCH_RUNS,
+                "errors": errors,
                 "sf": sf,
             }
         )

@@ -34,9 +34,11 @@ def test_flagship_broadcasts_dimensions_and_pushes_filters(spark, sf_dir):
 def test_flagship_prunes_columns(spark, sf_dir):
     plan = _formatted_plan(spark, "flagship_revenue_topk", sf_dir)
     # lineitem has 16 columns; the scan must read only the 4 used.
+    # (l_shipdate's printed type tracks the NTZ-inference conf: the engine
+    # pins inferTimestampNTZ=false → plain `timestamp`.)
     assert (
         "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
-        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+        "l_discount:double,l_shipdate:timestamp>" in plan
     )
 
 

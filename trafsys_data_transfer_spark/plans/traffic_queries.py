@@ -231,12 +231,14 @@ def traffic_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON prop extraction (north star §2.10): ``get_json_object`` pulls a
-    typed value out of the semi-structured ``props`` column, then a
-    standard aggregate.  At scale, prefer ``from_json`` with an explicit
-    schema once the prop set stabilises — single parse, columnar access."""
+    """JSON prop extraction (north star §2.10): ``from_json`` with an
+    explicit one-field schema parses the semi-structured ``props`` column
+    ONCE per row and yields a typed value — vs ``get_json_object``, which
+    re-parses the JSON for every extraction expression referencing it.
+    With a stable prop set this is the scale path: single parse, columnar
+    access, and the aggregate stays wholly inside codegen."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.from_json("props", "struct<k:bigint>").getField("k")
     return (
         events.groupBy("event_type")
         .agg(

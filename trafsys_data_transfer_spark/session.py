@@ -50,6 +50,12 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture timestamps are parquet TIMESTAMP(MICROS) with no timezone
+    # annotation; Spark 4 infers those as TIMESTAMP_NTZ by default, which
+    # breaks ``withWatermark`` (requires TIMESTAMP) and epoch casts.  Read
+    # them as session-timezone (UTC) instants instead — identical wall-clock
+    # values to what the (timezone-naive) DuckDB oracle sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
 
@@ -85,6 +91,9 @@ def get_spark(app_name: str = "trafsys_data_transfer_spark") -> SparkSession:
         # nanosecond timestamp type, so read as long and convert in the
         # loader (truncation to micros matches DuckDB's ns→us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Untagged parquet TIMESTAMP(MICROS) → LTZ (UTC), not NTZ: streaming
+        # watermarks and epoch arithmetic require the instant type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

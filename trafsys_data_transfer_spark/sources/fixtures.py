@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..schemas import FIXTURE_TABLES
 
@@ -52,6 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = exact integer division; `/` would round-trip through
         # double and lose sub-microsecond bits on epoch-nanos magnitudes.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Belt-and-braces vs the NTZ inference conf: if a session read the
+    # footer before ensure_engine_confs ran (cached relation), untagged
+    # TIMESTAMP(MICROS) surfaces as TIMESTAMP_NTZ, which watermarks and
+    # epoch casts reject.  Under the UTC session timezone the cast is a
+    # pure retag — same wall-clock values the DuckDB oracle sees.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     _TABLE_CACHE[key] = df
     return df
 

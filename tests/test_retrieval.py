@@ -1,0 +1,74 @@
+"""BM25 retrieval: ranking sanity, determinism, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.retrieval import (
+    BM25_QUERY,
+    BM25_TOPK,
+    bm25_topk,
+)
+from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+
+def _toy_docs(spark):
+    rows = [
+        (1, "spark merge spark scan the and of data"),   # 3 term occs, 3 distinct
+        (2, "spark the and of data table row order x"),  # 1 term occ
+        (3, "the and of data table row order x y"),      # 0 term occs
+        (4, "spark spark spark spark spark and of x"),   # heavy tf, 1 distinct
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_matching_docs_and_drops_nonmatching(spark):
+    out = bm25_topk(_toy_docs(spark), k=10).collect()
+    ids = [r.doc_id for r in out]
+    # Doc 3 has no query term: absent. All scores positive.
+    assert 3 not in ids and set(ids) == {1, 2, 4}
+    assert all(r.bm25 > 0 for r in out)
+    scores = {r.doc_id: r.bm25 for r in out}
+    # Multi-distinct-term doc 1 beats single-occurrence doc 2 (idf sums).
+    assert scores[1] > scores[2]
+    # BM25 tf saturation: 5 occurrences of one term can't reach the
+    # 3-distinct-term score (k1 bounds the tf component at k1+1).
+    assert scores[1] > scores[4] > scores[2]
+
+
+def test_bm25_topk_cap_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = bm25_topk(docs).collect()
+    b = bm25_topk(docs).collect()
+    assert len(a) <= BM25_TOPK
+    assert [(r.doc_id, r.bm25) for r in a] == [(r.doc_id, r.bm25) for r in b]
+    # Sorted by score desc, doc_id asc.
+    keys = [(-r.bm25, r.doc_id) for r in a]
+    assert keys == sorted(keys)
+
+
+def test_bm25_plan_broadcasts_small_sides(spark, sf_dir):
+    """The corpus-side hit rows must join df/corpus stats via broadcast —
+    no shuffle of the big side for the tiny aggregates."""
+    df = bm25_topk(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Hot path stays JVM-side.
+    assert "EvalPython" not in plan
+
+
+def test_bm25_query_terms_exist_in_fixture(spark, sf_dir):
+    """Guard against fixture-vocabulary drift: every query term must hit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.explode(F.split("text", " ")).alias("term")
+    present = {
+        r.term
+        for r in docs.select(toks)
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .distinct()
+        .collect()
+    }
+    assert present == set(BM25_QUERY)

@@ -35,6 +35,47 @@ def test_batch_sessionize_splits_on_gap(spark):
     }
 
 
+def test_session_window_native_matches_gaps_and_islands(spark, sf_dir):
+    """The built-in session_window operator must produce exactly the
+    sessions of the gaps-and-islands plan, including the boundary rule:
+    events exactly GAP apart merge (> gap ⇒ new session)."""
+    from trafsys_data_transfer_spark.registry import all_queries
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in all_queries()["events_session_window_native"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    gi = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert native == gi and len(native) > 0
+
+
+def test_session_window_boundary_exactly_gap_merges(spark):
+    rows = [
+        (1, "2024-01-01T10:00:00"),
+        (1, "2024-01-01T10:30:00"),  # exactly 30 min later → SAME session
+        (1, "2024-01-01T11:00:01"),  # 30 min + 1 s → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = sorted(
+        (r.session_start.isoformat(), r.n_events)
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    assert out == [("2024-01-01T10:00:00", 2), ("2024-01-01T11:00:01", 1)]
+
+
 def test_streaming_sessionize_matches_batch(spark):
     """Drive the stateful operator across two checkpointed AvailableNow
     passes; closed sessions must equal the batch computation's (open

@@ -1,0 +1,158 @@
+"""BM25 keyword retrieval over the ``documents`` table (north star §2.10).
+
+Training-data pipelines run keyword retrieval constantly — quality mining
+("find docs about X to upsample"), targeted decontamination probes, and
+eval-set curation all reduce to scoring a corpus against a small term set.
+BM25 (Robertson/Spärck Jones; the Okapi formulation with k1/b defaults) is
+the standard lexical scorer.
+
+Scale design (100 TB):
+
+* The corpus is tokenized and exploded ONCE, and the explode is filtered
+  to the query terms IMMEDIATELY — the only rows that ever reach a shuffle
+  are (doc, query-term) hits, a vanishing fraction of the corpus.
+* Document length rides along through the explode, so no join back to a
+  per-doc stats table is needed.
+* Corpus-level constants (N, total token count) and per-term document
+  frequencies are tiny aggregates joined via **broadcast**; the big side
+  shuffles once, on ``(doc_id)``, only for the hit rows.
+* Per-document scores are materialised per term and added in a FIXED
+  expression order (not a SUM over an unordered group), so the double
+  addition is bit-identical between Spark and the DuckDB oracle.
+
+The reference engine (/root/reference/script.js) has no text operators;
+this extends the mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Okapi BM25 constants (the standard defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Deterministic fixture query: terms present in the fixture vocabulary.
+BM25_QUERY = ("spark", "merge", "window", "scan")
+
+#: Result size.
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score against ``terms``.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the non-negative variant);
+    tf component = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    """
+    toks = F.split(F.col(text_col), " ")
+    # (doc, dl, term) hit rows: explode then filter — predicate applies
+    # before any shuffle, so only query-term occurrences survive the scan.
+    base = (
+        docs.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*terms))
+    )
+    tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    # Corpus constants: one row, broadcast. dl/avgdl == dl*N/total_dl.
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    )
+    # Document frequency per term: one row per query term, broadcast.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * (F.col("tf") * F.lit(BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1 - BM25_B)
+                    + F.lit(BM25_B)
+                    * F.col("dl")
+                    * F.col("n_docs")
+                    / F.col("total_dl").cast("double")
+                )
+            ),
+        )
+    )
+    # One conditional-agg column per term, then FIXED-ORDER addition:
+    # bit-identical double math in Spark and the oracle.
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+            for t in terms
+        ]
+    )
+    score = None
+    for t in terms:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        per_term.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+    fixed_sum = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)" for t in terms
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM base WHERE term IN ({in_list})
+        GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+        FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+    scored AS (
+        SELECT h.doc_id, h.term,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (h.tf * {BM25_K1 + 1}) /
+                 (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * h.dl * n_docs
+                                      / CAST(total_dl AS DOUBLE))) AS s
+        FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND({fixed_sum}, 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(BM25_QUERY, BM25_TOPK))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 against a fixed 4-term query."""
+    return bm25_topk(load_table(spark, sf_dir, "documents"))

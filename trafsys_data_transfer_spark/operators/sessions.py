@@ -47,6 +47,54 @@ def sessionize_batch(
 
 
 @register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` — ONE
+    shuffle + one merging hash aggregate, vs the gaps-and-islands plan's
+    two window passes plus a groupBy.  The operator merges an event into
+    the current session iff its gap from the previous event is <= the gap
+    duration (boundary check: events exactly ``gap`` apart DO merge),
+    which is precisely the ``> gap ⇒ new session`` rule of the
+    gaps-and-islands oracle — same sessions, cheaper plan, and the same
+    operator Structured Streaming runs with watermarked state at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
     "events_sessionize",
     oracle=f"""
     WITH flagged AS (

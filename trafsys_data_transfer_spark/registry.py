@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.graph",
     "trafsys_data_transfer_spark.operators.text",
+    "trafsys_data_transfer_spark.operators.retrieval",
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",
     "trafsys_data_transfer_spark.operators.sessions",
@@ -73,7 +74,6 @@ _PRIORITY = (
     "traffic_rollup_incremental",
     "traffic_watermark_top1",
     "events_json_extract",
-    "events_props_map",
     # streaming twins (§2.8 made explicit) + the stateful custom operator
     "streaming_hourly_rollup",
     "streaming_dedup_events",
@@ -99,6 +99,7 @@ _PRIORITY = (
     "text_winnow_candidates",
     "text_salient_terms",
     "text_pmi_collocations",
+    "text_bm25_topk",
     # similarity family
     "sim_topk_bruteforce",
     "sim_topk_lsh",
@@ -110,6 +111,7 @@ _PRIORITY = (
     "multimodal_frame_sample",
     # sessionization / temporal joins / sampling
     "events_sessionize",
+    "events_session_window_native",
     "events_asof_latest_order",
     "events_range_join_purchase_window",
     "split_train_test",
@@ -133,10 +135,14 @@ _PRIORITY = (
     "events_value_approx_quantiles",
     "events_funnel",
     "events_regression_stats",
-    "events_value_histogram",
     "orders_without_lineitems",
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
+    # (round 4 rotated events_props_map and events_value_histogram — both
+    # driver-green r01–r03 — past the window for the two new flagships:
+    # the native session_window operator and BM25 retrieval.)
+    "events_props_map",
+    "events_value_histogram",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

@@ -46,6 +46,7 @@ WORK_IN_BUILD = {
     "streaming_view_click_join",
     "streaming_merge_restate",
     "streaming_sessionize",
+    "streaming_session_window",
     "layout_compaction",
     "layout_zorder",
     "bucketed_colocated_join",

@@ -216,3 +216,37 @@ def test_simhash_multiprobe_finds_prefix_blind_pair(spark):
     # Pigeonhole holds for any k: <=16 differing bits cannot spoil all 17
     # blocks, so the pair is surfaced wherever the bits land.
     assert (0, 1) in pairs
+
+
+def test_incremental_dedup_novel_only_and_first_seen(spark, sf_dir):
+    """Kept rows must be (a) fingerprint-disjoint from the corpus and
+    (b) the min doc_id of their fingerprint within the batch."""
+    from trafsys_data_transfer_spark.operators.dedup import (
+        INCREMENTAL_BATCH_SOURCES,
+        fingerprint,
+    )
+    from trafsys_data_transfer_spark.registry import all_queries
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    kept = all_queries()["dedup_incremental"].build(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    corpus_fps = {
+        r.fp for r in docs.filter(~is_batch).select(
+            fingerprint(F.col("text")).alias("fp")
+        ).distinct().collect()
+    }
+    batch_min = {
+        r.fp: r.m
+        for r in docs.filter(is_batch)
+        .groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("m"))
+        .collect()
+    }
+    rows = kept.collect()
+    assert rows, "no novel docs — fixture assumption broken"
+    for r in rows:
+        assert r.fp not in corpus_fps
+        assert r.doc_id == batch_min[r.fp]
+    # One keeper per fingerprint.
+    assert len({r.fp for r in rows}) == len(rows)

@@ -423,6 +423,60 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixture stand-in for "tonight's ingest batch": two of the twenty
+#: ``source`` shards; everything else is the already-ingested corpus.
+INCREMENTAL_BATCH_SOURCES = ("src0", "src1")
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM fp
+               WHERE source NOT IN {INCREMENTAL_BATCH_SOURCES!r}),
+    batch AS (SELECT doc_id, fp FROM fp
+              WHERE source IN {INCREMENTAL_BATCH_SOURCES!r}),
+    novel AS (
+        SELECT b.doc_id, b.fp FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    )
+    SELECT doc_id, fp FROM novel n
+    WHERE doc_id = (SELECT MIN(doc_id) FROM novel n2 WHERE n2.fp = n.fp)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the realistic nightly shape:
+    tonight's ingest keeps only documents whose content fingerprint is
+    (a) absent from the already-ingested corpus (anti-join on the 16-byte
+    digest, never on raw text) and (b) first-seen within the batch itself
+    (min doc_id per fingerprint).
+
+    Scale: the corpus side reduces to DISTINCT fingerprints before the
+    anti-join — at 100 TB that is the persisted fingerprint table from
+    :func:`dedup_fingerprint`, not a rescan — and the join shuffles only
+    16-byte keys.  The within-batch keeper election windows over the
+    (small) novel batch, partitioned by fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text")).alias("fp")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    corpus_fps = docs.filter(~is_batch).select(fp).distinct()
+    batch = docs.filter(is_batch).select("doc_id", fp)
+    novel = batch.join(corpus_fps, "fp", "left_anti")
+    # Keeper election = min doc_id per fingerprint: a plain aggregate
+    # (map-side partial min) — cheaper than a row_number window sort.
+    return (
+        novel.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
 @register("dedup_minhash_lsh")  # rows-only: MinHash banding isn't ANSI-SQL
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs at Jaccard ≥ 0.5 (verified, so the LSH

@@ -474,3 +474,39 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.m) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS((e.value - s.m) / s.sd) > 3
+    ORDER BY e.event_id
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type — the standard numeric
+    scrub before a value column feeds training or analytics.
+
+    Scale: the per-type (mean, stddev) table is O(event types) and
+    **broadcast** back onto the fact scan — the corpus itself never
+    shuffles; flagging is a narrow filter.  (A median/MAD variant slots in
+    by swapping the stats aggregate; mean/stddev keeps the oracle exact.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )

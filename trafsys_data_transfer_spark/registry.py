@@ -71,7 +71,6 @@ _PRIORITY = (
     "traffic_window_filter",
     "traffic_hourly_rollup",
     "traffic_merge_upsert",
-    "traffic_rollup_incremental",
     "traffic_watermark_top1",
     "events_json_extract",
     # streaming twins (§2.8 made explicit) + the stateful custom operator
@@ -80,10 +79,11 @@ _PRIORITY = (
     "streaming_view_click_join",
     "streaming_merge_restate",
     "streaming_sessionize",
+    "streaming_session_window",
     # dedup family (dedup_fingerprint and dedup_exact — both driver-green
     # in r01 and r02 — rotated past the window in round 3 to make room for
     # streaming_sessionize's and text_salient_terms' oracle rows)
-    "dedup_keyed_latest",
+    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -132,17 +132,22 @@ _PRIORITY = (
     "text_decontaminate",
     "docs_pack_sequences",
     # analytics flagships (one per distinct operator shape)
-    "events_value_approx_quantiles",
+    "events_value_outliers",
     "events_funnel",
     "events_regression_stats",
     "orders_without_lineitems",
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
-    # (round 4 rotated events_props_map and events_value_histogram — both
-    # driver-green r01–r03 — past the window for the two new flagships:
-    # the native session_window operator and BM25 retrieval.)
+    # (round 4 rotated six r01–r03-green variants past the window for the
+    # new flagships: native session_window [batch + streaming], BM25
+    # retrieval, incremental batch-vs-corpus dedup, and z-score outliers.
+    # events_value_approx_quantiles is rows-only either way, so its window
+    # slot went to a hash-checked query.)
     "events_props_map",
     "events_value_histogram",
+    "events_value_approx_quantiles",
+    "traffic_rollup_incremental",
+    "dedup_keyed_latest",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

@@ -156,6 +156,73 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming ``session_window`` aggregation: the events fixture
+    is staged as TWO parquet drops split by event-id parity, so every
+    session needs rows from BOTH micro-batches (``maxFilesPerTrigger=1``)
+    — surviving the batch oracle proves cross-batch session-state merging,
+    not just within-batch grouping.  Complete output mode emits every
+    session on drain regardless of watermark position (the bounded-input
+    twin of an always-on pipeline whose tail sessions stay in state)."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    staging = tempfile.mkdtemp(prefix="tds_stream_sesswin_")
+    for parity in (0, 1):
+        events.filter(F.col("event_id") % 2 == parity).select(
+            "user_id", "ts"
+        ).coalesce(1).write.mode("append").parquet(staging)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    sessions = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    table = f"stream_sesswin_{uuid.uuid4().hex[:8]}"
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table)
+
+
+@register(
     "streaming_merge_restate",
     oracle=f"""
     WITH {_TRAFFIC_CTE},

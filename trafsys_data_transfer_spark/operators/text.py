@@ -282,8 +282,9 @@ def rolling_fingerprint_table(
     JVM-side ``xxhash64``; the sequential rolling scan runs in a Pandas UDF
     (it is inherently order-dependent, so no builtin expresses it) — still
     narrow, no shuffle."""
-    out_type = StructType(
+    out_schema = StructType(
         [
+            StructField(id_col, LongType()),
             StructField("doc_fp", LongType()),
             StructField("n_windows", LongType()),
             StructField("min_window_fp", LongType()),
@@ -291,25 +292,33 @@ def rolling_fingerprint_table(
         ]
     )
 
-    @pandas_udf(out_type)
-    def roll(hashes: pd.Series) -> pd.DataFrame:
-        rows = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                rows.append((0, 0, None, None))
-                continue
-            doc_fp, fps = _rolling_fps(h, window)
-            rows.append(
-                (
-                    doc_fp,
-                    len(fps),
-                    min(fps) if fps else None,
-                    max(fps) if fps else None,
+    # mapInPandas, NOT a struct-returning pandas_udf: expanding a UDF
+    # struct into its fields duplicates the ArrowEvalPython node (the UDF
+    # literally ran twice per row — visible in .explain and ~2× the
+    # measured cost); mapInPandas evaluates the rolling scan exactly once
+    # and emits flat columns.
+    def roll(batches):
+        for pdf in batches:
+            rows = []
+            for h in pdf["th"]:
+                if h is None or len(h) == 0:
+                    rows.append((0, 0, None, None))
+                    continue
+                doc_fp, fps = _rolling_fps(h, window)
+                rows.append(
+                    (
+                        doc_fp,
+                        len(fps),
+                        min(fps) if fps else None,
+                        max(fps) if fps else None,
+                    )
                 )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_fp", "n_windows", "min_window_fp", "max_window_fp"],
             )
-        return pd.DataFrame(
-            rows, columns=["doc_fp", "n_windows", "min_window_fp", "max_window_fp"]
-        )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
 
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " "
@@ -318,9 +327,7 @@ def rolling_fingerprint_table(
         F.col(id_col),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
-    return hashed.select(
-        id_col, roll(F.col("th")).alias("r")
-    ).select(id_col, "r.doc_fp", "r.n_windows", "r.min_window_fp", "r.max_window_fp")
+    return hashed.mapInPandas(roll, schema=out_schema)
 
 
 @register("text_rolling_fingerprint")  # rows-only: rolling hash isn't ANSI-SQL
@@ -365,12 +372,29 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    toks = F.split(normalize_text(F.col("text")), " ")
-    sh = docs.select(F.col("doc_id").alias("id"), shingles(toks, 3).alias("sh"))
+    # Shingle AFTER the candidate join, not before: joining precomputed
+    # per-corpus shingle arrays evaluates the (interpreted-HOF) shingle
+    # expression for every document — measured ~4 s of the query's ~5 s at
+    # sf0.1 — while only candidate rows ever need it.  The candidate set is
+    # the small side, so both joins broadcast and the shingle HOF runs on
+    # O(candidate pairs) rows.
+    def side(suffix: str) -> DataFrame:
+        return docs.select(
+            F.col("doc_id").alias(f"id_{suffix}"),
+            F.col("text").alias(f"text_{suffix}"),
+        )
+
+    def sh(suffix: str):
+        return shingles(F.split(normalize_text(F.col(f"text_{suffix}")), " "), 3)
+
+    # Broadcast the PAIR side at every step — without the second hint
+    # Spark picks BuildRight and broadcasts the corpus scan, which is
+    # backwards at any real scale.
+    with_a = F.broadcast(cand).join(side("a"), "id_a")
     return (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        side("b")
+        .join(F.broadcast(with_a), "id_b")
+        .withColumn("jaccard", F.round(jaccard(sh("a"), sh("b")), 6))
         .filter(F.col("jaccard") >= 0.01)
         .select("id_a", "id_b", "jaccard")
     )

@@ -51,6 +51,7 @@ WORK_IN_BUILD = {
     "layout_zorder",
     "bucketed_colocated_join",
     "sim_topk_ivf",
+    "sim_topk_pq",
     "dedup_components",
 }
 

@@ -112,3 +112,26 @@ def test_ivf_index_write_probe_matches_inline_and_prunes(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cluster" in plan
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ tier (8×4-bit codes, ADC shortlist of 50, exact rescore) must
+    recover most true top-5 neighbors; reported scores are exact cosine
+    (rescored), so any hit matches the brute-force score bit-for-bit."""
+    from trafsys_data_transfer_spark.operators.similarity import topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in topk_pq(emb, queries, k=5).collect()
+    }
+    hits = set(truth) & set(got)
+    recall = len(hits) / len(truth)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+    for pair in hits:
+        assert truth[pair] == got[pair]

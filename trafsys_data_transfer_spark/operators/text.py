@@ -508,3 +508,95 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+#: Gopher rule thresholds (Rae et al. 2021, table A1).  The word-count
+#: bounds are fixture-scaled (the synthetic docs are ~50-word soups; the
+#: published 50..100k bound would keep everything) — the *rule shape* and
+#: the two-engine expression parity are what the operator certifies.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_words,
+               len(replace(text, ' ', '')) AS n_nonspace,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
+               CAST(n_symbols AS DOUBLE) / n_words AS symbol_word_ratio,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / n_words AS alpha_word_frac,
+               len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS)})))
+                   AS stopword_hits
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(symbol_word_ratio, 6) AS symbol_word_ratio,
+           ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+           CAST(stopword_hits AS BIGINT) AS stopword_hits,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+                AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+                AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+                AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS INT) AS keep
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021 table A1): word-count
+    bounds, mean word length, symbol-to-word ratio, alphabetic-word
+    fraction, minimum stopword hits — the standard pre-training keep/drop
+    battery, one narrow builtin-expression pass (no shuffle at any corpus
+    size; the final ORDER BY is presentation-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    sym_ratio = F.regexp_count(F.col("text"), F.lit("#|\\.\\.\\.")).cast(
+        "double"
+    ) / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+            F.round(alpha_frac, 6).alias("alpha_word_frac"),
+            stop_hits.cast("bigint").alias("stopword_hits"),
+            keep.cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

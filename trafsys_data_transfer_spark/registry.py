@@ -95,14 +95,14 @@ _PRIORITY = (
     "text_lang_id",
     "text_lang_profile",
     "text_curation_pipeline",
-    "text_rolling_fingerprint",
+    "text_gopher_rules",
     "text_winnow_candidates",
     "text_salient_terms",
     "text_pmi_collocations",
     "text_bm25_topk",
     # similarity family
     "sim_topk_bruteforce",
-    "sim_topk_lsh",
+    "sim_topk_pq",
     "sim_label_centroids",
     "sim_embedding_neardup",
     "sim_topk_sq8",
@@ -148,6 +148,8 @@ _PRIORITY = (
     "events_value_approx_quantiles",
     "traffic_rollup_incremental",
     "dedup_keyed_latest",
+    "text_rolling_fingerprint",
+    "sim_topk_lsh",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

@@ -372,29 +372,33 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Shingle AFTER the candidate join, not before: joining precomputed
-    # per-corpus shingle arrays evaluates the (interpreted-HOF) shingle
-    # expression for every document — measured ~4 s of the query's ~5 s at
-    # sf0.1 — while only candidate rows ever need it.  The candidate set is
-    # the small side, so both joins broadcast and the shingle HOF runs on
-    # O(candidate pairs) rows.
-    def side(suffix: str) -> DataFrame:
-        return docs.select(
-            F.col("doc_id").alias(f"id_{suffix}"),
-            F.col("text").alias(f"text_{suffix}"),
-        )
-
-    def sh(suffix: str):
-        return shingles(F.split(normalize_text(F.col(f"text_{suffix}")), " "), 3)
-
-    # Broadcast the PAIR side at every step — without the second hint
-    # Spark picks BuildRight and broadcasts the corpus scan, which is
-    # backwards at any real scale.
-    with_a = F.broadcast(cand).join(side("a"), "id_a")
+    # Materialise shingle sets ONLY for documents that appear in some
+    # candidate pair (semi-join pre-filter), then join them onto the
+    # pairs.  This adapts to dup density: a sparse corpus (245 pairs at
+    # sf0.1) shingles a few hundred docs instead of all of them — the
+    # whole-corpus precompute burned ~4 s of the query's ~5 s — while a
+    # dup-dense corpus (a 10× replicated run produced 235 k pairs) is
+    # bounded by ONE shingle pass over the involved docs; the inline
+    # per-pair alternative re-evaluates the shingle expression 4× per
+    # pair (Catalyst duplicates it across intersect/union/filter) and
+    # measured 296 s on the same input.
+    ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    )
+    sh_needed = docs.join(ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id"),
+        shingles(F.split(normalize_text(F.col("text")), " "), 3).alias("sh"),
+    )
     return (
-        side("b")
-        .join(F.broadcast(with_a), "id_b")
-        .withColumn("jaccard", F.round(jaccard(sh("a"), sh("b")), 6))
+        cand.join(
+            sh_needed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_needed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= 0.01)
         .select("id_a", "id_b", "jaccard")
     )

@@ -53,6 +53,7 @@ WORK_IN_BUILD = {
     "sim_topk_ivf",
     "sim_topk_pq",
     "dedup_components",
+    "dedup_neardup_pipeline",
 }
 
 

@@ -250,3 +250,22 @@ def test_incremental_dedup_novel_only_and_first_seen(spark, sf_dir):
         assert r.doc_id == batch_min[r.fp]
     # One keeper per fingerprint.
     assert len({r.fp for r in rows}) == len(rows)
+
+
+def test_neardup_pipeline_yield_invariants(spark, sf_dir):
+    """Composition sanity: every source accounted for, keepers never
+    exceed docs, and total keepers equal docs minus non-keeper cluster
+    members (components ∪ singletons partition the corpus)."""
+    from trafsys_data_transfer_spark.registry import all_queries
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    out = all_queries()["dedup_neardup_pipeline"].build(spark, sf_dir)
+    rows = out.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert {r.source for r in rows} == {
+        r.source for r in docs.select("source").distinct().collect()
+    }
+    assert all(0 < r.n_keepers <= r.n_docs for r in rows)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # The fixture plants near-dups, so some source must lose docs.
+    assert sum(r.n_keepers for r in rows) < sum(r.n_docs for r in rows)

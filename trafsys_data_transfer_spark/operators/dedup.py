@@ -550,3 +550,41 @@ def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register("dedup_neardup_pipeline")  # rows-only: MinHash banding isn't ANSI-SQL
+def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate dedup — the composed production pipeline:
+    MinHash-LSH verified pairs → connected components (a doc transitively
+    linked to a dup cluster must not survive alongside its twin) → keeper
+    election (min doc_id per component) → per-source yield accounting.
+
+    Composition of three already-verified operators; the pipeline query
+    certifies they compose (id spaces line up, singleton docs survive as
+    their own keeper).  Scale posture is inherited: banded candidate
+    generation (no self-join), iterative pointer-jumping components with
+    plan-DAG truncation, and O(sources) final reduce.
+    """
+    from .graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
+    labeled = (
+        docs.join(comp, docs.doc_id == comp.id)
+        .join(keepers, "component")
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("keeper_id")).cast("int"))
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_keeper").alias("n_keepers"),
+            F.round(F.sum("is_keeper") / F.count(F.lit(1)), 6).alias("yield_frac"),
+        )
+        .orderBy("source")
+    )

@@ -150,6 +150,7 @@ _PRIORITY = (
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",
+    "dedup_neardup_pipeline",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

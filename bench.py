@@ -81,8 +81,12 @@ def main() -> None:
         best = None
         e_best = None
         measurable = name not in WORK_IN_BUILD
+        # Work-in-build queries (streaming lifecycles, index builds,
+        # iterative jobs) pay their full cost on EVERY run — cap them at
+        # best-of-2 so the suite stays inside the driver's time budget.
+        runs = BENCH_RUNS if measurable else min(BENCH_RUNS, 2)
         try:
-            for _ in range(BENCH_RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 df = spec.build(spark, sf_dir)
                 if measurable:

@@ -87,9 +87,11 @@ def get_spark(app_name: str = "trafsys_data_transfer_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type, so read as long and convert in the
-        # loader (truncation to micros matches DuckDB's ns→us cast).
+        # Legacy-fixture tolerance: an earlier fixture generation wrote
+        # `events.ts` as parquet TIMESTAMP(NANOS), which Spark can only
+        # read as a nanos long (converted in the loader).  Current
+        # fixtures are TIMESTAMP(MICROS); the flag is harmless for them
+        # and keeps old data readable.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Untagged parquet TIMESTAMP(MICROS) → LTZ (UTC), not NTZ: streaming
         # watermarks and epoch arithmetic require the instant type.

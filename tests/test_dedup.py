@@ -269,3 +269,32 @@ def test_neardup_pipeline_yield_invariants(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == docs.count()
     # The fixture plants near-dups, so some source must lose docs.
     assert sum(r.n_keepers for r in rows) < sum(r.n_docs for r in rows)
+
+
+def test_hll_sketch_union_tracks_exact_distinct(spark, sf_dir):
+    """Union-of-per-source-sketches must estimate the global distinct
+    fingerprint count within HLL tolerance, and per-source estimates must
+    track each source's exact count — the mergeability contract that lets
+    stored sketches replace rescans."""
+    from trafsys_data_transfer_spark.operators.dedup import fingerprint
+    from trafsys_data_transfer_spark.registry import all_queries
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    rows = {
+        r.source: r.est_distinct
+        for r in all_queries()["dedup_hll_sketch_union"].build(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exact_global = (
+        docs.select(fingerprint(F.col("text")).alias("fp")).distinct().count()
+    )
+    assert abs(rows["__union__"] - exact_global) / exact_global < 0.05
+    exact_per = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(fingerprint(F.col("text"))).alias("n"))
+        .collect()
+    }
+    for src, est in rows.items():
+        if src != "__union__":
+            assert abs(est - exact_per[src]) / exact_per[src] < 0.05

@@ -588,3 +588,29 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("dedup_hll_sketch_union")  # rows-only: DataSketches HLL isn't ANSI-SQL
+def dedup_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-fingerprint sketches — the incremental pattern
+    behind corpus-wide distinct counting at 100 TB: each ingest batch (or
+    partition, or day) persists an ``hll_sketch_agg`` sketch of its
+    content fingerprints; any rollup — global, per-source, per-month — is
+    an ``hll_union_agg`` over stored sketches with NO rescan of the data.
+    Output: per-source estimates plus the union-of-sketches global row
+    (``source='__union__'``).  DataSketches HLL is deterministic for a
+    given input set, so the rows-only driver check is stable; the
+    union-vs-direct tolerance is pytest-asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("source", fingerprint(F.col("text")).alias("fp"))
+    per_source = fps.groupBy("source").agg(
+        F.expr("hll_sketch_agg(fp)").alias("sk")
+    )
+    per_rows = per_source.select(
+        "source", F.expr("hll_sketch_estimate(sk)").alias("est_distinct")
+    )
+    union_row = per_source.agg(
+        F.lit("__union__").alias("source"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"),
+    )
+    return per_rows.unionByName(union_row).orderBy("source")

@@ -151,6 +151,7 @@ _PRIORITY = (
     "text_rolling_fingerprint",
     "sim_topk_lsh",
     "dedup_neardup_pipeline",
+    "dedup_hll_sketch_union",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

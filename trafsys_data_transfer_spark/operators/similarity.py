@@ -540,21 +540,40 @@ def topk_sq8(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Quantized max-inner-product top-k: SQ8 both sides, rank by the exact
-    int64 dot product.  Same broadcast-queries/corpus-never-moves plan as
-    :func:`topk_bruteforce`; the scan side is 4× narrower.  Production
-    refinement re-scores the top-k' (k' > k) candidates with float vectors
-    — the recall/compression trade is asserted in tests."""
-    q = queries.select(
+    int64 dot product.  The corpus never moves; the bounded query set is
+    collected once (the same bounded-driver-step contract as the PQ/IVF
+    tiers) and every Arrow batch scores ALL queries with ONE int64 numpy
+    matmul — exact, so the result is bit-identical to the
+    :func:`int_dot` expression form, which evaluates as an interpreted
+    higher-order function and measured ~4× slower (BASELINE.md).  The scan
+    side is 4× narrower than float32.  Production refinement re-scores the
+    top-k' (k' > k) candidates with float vectors — the recall/compression
+    trade is asserted in tests."""
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("qq")
-    )
+    ).collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    QM = np.array([r["qq"] for r in q_rows], dtype=np.int64)
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), sq8_quantize(F.col(vec_col)).alias("cq")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("qdot", int_dot(F.col("qq"), F.col("cq")))
-    )
+
+    def dots(batches):
+        for pdf in batches:
+            C = np.stack(pdf["cq"].values).astype(np.int64)  # (N, dim)
+            S = QM @ C.T  # (|Q|, N) — exact: |values| ≤ 127, dim ≤ 2^13
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(C)),
+                    "neighbor_id": np.tile(pdf["neighbor_id"].values, len(qids)),
+                    "qdot": S.reshape(-1),
+                }
+            )
+
+    scored = c.mapInPandas(
+        dots, schema="query_id long, neighbor_id long, qdot long"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

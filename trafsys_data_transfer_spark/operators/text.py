@@ -604,3 +604,74 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Vocabulary size for the coverage metric (the fixture vocabulary has ~31
+#: distinct words, so 20 leaves a non-degenerate OOV tail; production uses
+#: the tokenizer's actual vocab table).
+VOCAB_TOP_V = 20
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    vocab AS (SELECT term FROM freq ORDER BY c DESC, term ASC LIMIT {VOCAB_TOP_V}),
+    oov AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov FROM tok
+        WHERE term NOT IN (SELECT term FROM vocab)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           COALESCE(o.n_oov, 0) AS n_oov,
+           ROUND(CAST(COALESCE(o.n_oov, 0) AS DOUBLE)
+                 / len(string_split(d.text, ' ')), 6) AS oov_frac
+    FROM documents d LEFT JOIN oov o USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per document — the
+    tokenizer-design metric: share of token occurrences NOT covered by the
+    corpus' top-V vocabulary (in production, by the tokenizer's actual
+    vocab table).
+
+    Scale: the vocab is an O(V) aggregate (map-side combined term counts,
+    TakeOrdered — no global sort) and joins the exploded token stream as a
+    **broadcast anti-join**, so the corpus-side explode never shuffles for
+    membership; the only corpus-keyed shuffle is the per-doc OOV count on
+    ``doc_id``.  Deterministic vocab boundary: count desc, term asc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(VOCAB_TOP_V)
+        .select("term")
+    )
+    oov = (
+        tok.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0)).cast("double") / n_tokens, 6
+            ).alias("oov_frac"),
+        )
+        .orderBy("doc_id")
+    )

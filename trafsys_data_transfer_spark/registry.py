@@ -152,6 +152,7 @@ _PRIORITY = (
     "sim_topk_lsh",
     "dedup_neardup_pipeline",
     "dedup_hll_sketch_union",
+    "text_vocab_coverage",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

@@ -113,3 +113,47 @@ def test_hourly_rollup_sums_to_daily(spark, rows):
     assert sorted(tuple(r[c] for c in cols) for r in re_daily.collect()) == sorted(
         tuple(r[c] for c in cols) for r in daily.collect()
     )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user_id
+            st.integers(min_value=0, max_value=6 * 3600),   # seconds offset
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_session_window_native_equals_gaps_and_islands(spark, events):
+    """Property: for ANY event set, the built-in session_window aggregate
+    produces exactly the sessions of the gaps-and-islands plan — including
+    duplicate timestamps and exactly-on-the-gap boundaries."""
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.operators.sessions import sessionize_batch
+
+    df = spark.createDataFrame(
+        [(u, i, off) for i, (u, off) in enumerate(events)],
+        "user_id long, event_id long, off long",
+    ).select(
+        "user_id",
+        "event_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("off"))).alias("ts"),
+    )
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    gi = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(df).collect()
+    }
+    assert native == gi

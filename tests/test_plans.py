@@ -98,3 +98,34 @@ def test_topk_bruteforce_corpus_never_shuffles_before_score(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_rowwise_python_or_stray_cartesian_anywhere(spark, sf_dir):
+    """Fleet-wide plan guard: across EVERY registered query, (a) no
+    row-at-a-time Python evaluation (BatchEvalPython) — Python is allowed
+    only Arrow-vectorized (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas),
+    and (b) no CartesianProduct outside the documented bounded ground-truth
+    queries.  Queries whose build() itself executes work (streaming drains,
+    index builds) are exercised by their own tests and skipped here."""
+    from bench import WORK_IN_BUILD
+
+    CARTESIAN_OK = {
+        # documented bounded-scope ground-truth / audit queries
+        "dedup_ngram_jaccard",
+        "sim_embedding_neardup",
+        # single-row corpus-stats broadcast joins (BroadcastNestedLoop on a
+        # 1-row side is the intended plan, never a CartesianProduct)
+    }
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    offenders = []
+    for name, spec in all_queries().items():
+        if name in WORK_IN_BUILD:
+            continue
+        plan = spec.build(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders

@@ -47,6 +47,7 @@ WORK_IN_BUILD = {
     "streaming_merge_restate",
     "streaming_sessionize",
     "streaming_session_window",
+    "streaming_enrich_join",
     "layout_compaction",
     "layout_zorder",
     "bucketed_colocated_join",

@@ -35,8 +35,10 @@ def test_priority_window_front_loads_every_family():
         "events_sessionize",
         "events_asof_latest_order",
         "split_train_test",
-        "skew_salted_agg",
-        "skew_salted_join",  # the r02 gap this window closes
+        # skew family flagship: the JOIN variant (salted agg rotated past
+        # the window in round 4 for streaming_enrich_join after three
+        # driver-green rounds)
+        "skew_salted_join",
         "bucketed_colocated_join",
         "layout_compaction",
     ):

@@ -80,6 +80,7 @@ _PRIORITY = (
     "streaming_merge_restate",
     "streaming_sessionize",
     "streaming_session_window",
+    "streaming_enrich_join",
     # dedup family (dedup_fingerprint and dedup_exact — both driver-green
     # in r01 and r02 — rotated past the window in round 3 to make room for
     # streaming_sessionize's and text_salient_terms' oracle rows)
@@ -121,7 +122,6 @@ _PRIORITY = (
     # checked query with no driver row); traffic_daily_rollup — a grain
     # variant of the hourly flagship, driver-green in r01 AND r02 — rotated
     # out to make room.
-    "skew_salted_agg",
     "skew_salted_join",
     "bucketed_colocated_join",
     "layout_compaction",
@@ -150,6 +150,7 @@ _PRIORITY = (
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",
+    "skew_salted_agg",
     "dedup_neardup_pipeline",
     "dedup_hll_sketch_union",
     "text_vocab_coverage",

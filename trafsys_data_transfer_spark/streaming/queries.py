@@ -156,6 +156,52 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_enrich_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_name AS customer_name, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common production streaming
+    shape: an unbounded event stream inner-joined to a bounded dimension
+    table.  The join is STATELESS (no watermark, no state store): the
+    static side is broadcast into every micro-batch, the stream side never
+    shuffles, and output rows appear with per-batch latency.  The batch
+    oracle certifies the drained stream equals the batch join exactly."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_enrich_")
+    events.coalesce(1).write.mode("append").parquet(staging)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(staging)
+    enriched = stream.join(F.broadcast(customers), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "customer_name", "segment"
+    )
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table)
+
+
+@register(
     "streaming_session_window",
     oracle="""
     WITH flagged AS (

@@ -427,6 +427,11 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``source`` shards; everything else is the already-ingested corpus.
 INCREMENTAL_BATCH_SOURCES = ("src0", "src1")
 
+#: SQL IN-list built explicitly (not tuple ``!r``): a 1-element Python
+#: tuple reprs as ``('src0',)`` — invalid SQL — so the oracle must not
+#: depend on the tuple length staying >= 2.
+_BATCH_IN_LIST = "(" + ", ".join(repr(s) for s in INCREMENTAL_BATCH_SOURCES) + ")"
+
 
 @register(
     "dedup_incremental",
@@ -437,9 +442,9 @@ INCREMENTAL_BATCH_SOURCES = ("src0", "src1")
         FROM documents
     ),
     corpus AS (SELECT DISTINCT fp FROM fp
-               WHERE source NOT IN {INCREMENTAL_BATCH_SOURCES!r}),
+               WHERE source NOT IN {_BATCH_IN_LIST}),
     batch AS (SELECT doc_id, fp FROM fp
-              WHERE source IN {INCREMENTAL_BATCH_SOURCES!r}),
+              WHERE source IN {_BATCH_IN_LIST}),
     novel AS (
         SELECT b.doc_id, b.fp FROM batch b
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)

@@ -84,10 +84,13 @@ _PRIORITY = (
     # dedup family (dedup_fingerprint and dedup_exact — both driver-green
     # in r01 and r02 — rotated past the window in round 3 to make room for
     # streaming_sessionize's and text_salient_terms' oracle rows)
+    # round 5: dedup_neardup_pipeline (the composed LSH→components→keeper
+    # flagship of the family) takes dedup_ngram_jaccard's window slot — the
+    # latter is a bounded ground-truth audit, driver-green since r01.
     "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_neardup_pipeline",
     "dedup_approx_distinct",
     "dedup_components",
     # text analysis family (text_token_count / text_quality — driver-green
@@ -101,11 +104,13 @@ _PRIORITY = (
     "text_salient_terms",
     "text_pmi_collocations",
     "text_bm25_topk",
-    # similarity family
+    # similarity family (round 5: text_vocab_coverage — hash-checked, judge-
+    # verified on 500 rows in r04 — takes sim_embedding_neardup's slot; the
+    # latter is a bounded ground-truth audit, driver-green since r01)
     "sim_topk_bruteforce",
     "sim_topk_pq",
     "sim_label_centroids",
-    "sim_embedding_neardup",
+    "text_vocab_coverage",
     "sim_topk_sq8",
     # multimodal family
     "multimodal_meta",
@@ -151,9 +156,9 @@ _PRIORITY = (
     "text_rolling_fingerprint",
     "sim_topk_lsh",
     "skew_salted_agg",
-    "dedup_neardup_pipeline",
+    "dedup_ngram_jaccard",
     "dedup_hll_sketch_union",
-    "text_vocab_coverage",
+    "sim_embedding_neardup",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",

@@ -19,6 +19,25 @@ Methodology (protocol details in BASELINE.md):
   100 TB.  Work-in-build queries (streaming drains, bucketed writes,
   compaction, IVF training, iterative components) are excluded — their
   build IS the work, so planning and execution are not separable.
+
+Contention detection (round-5 addition; VERDICT r04 "what's wrong" #1):
+this host shows transient IO contention that inflated r04 numbers 3–11×
+versus a foreground re-measure of identical plans.  The harness now
+measures the condition instead of trusting any single pass:
+
+* ``loadavg`` (1-min) is recorded at each query's measurement.
+* A fixed CANARY (the flagship, exec-only) is re-timed every
+  CANARY_EVERY queries.  Its reference is the best of 3 runs taken right
+  after warmup, cross-checked against the committed BASELINE constant —
+  if even the session reference exceeds 2× BASELINE, the whole session
+  is flagged ``host_contended_at_start``.
+* When a periodic canary sample exceeds 2× the session reference, every
+  query measured since the previous clean sample is re-run once after
+  the canary recovers (bounded wait), keeping the per-query best.  The
+  affected names are listed in ``contended_reruns``.
+* Failed queries no longer silently shrink the denominator: ``failed``
+  carries the count and ``queries`` carries an explicit ``null`` so
+  cross-round totals can detect a partial sum (ADVICE r04 #4).
 """
 
 from __future__ import annotations
@@ -35,6 +54,22 @@ from trafsys_data_transfer_spark.registry import all_queries
 from trafsys_data_transfer_spark.session import get_spark
 
 BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: Canary query: cheap, stable, shuffle+join+topk shaped — a faithful
+#: proxy for "is the host currently delivering normal throughput".
+CANARY = "flagship_revenue_topk"
+#: Re-time the canary after every N measured queries.
+CANARY_EVERY = int(os.environ.get("SPARK_GRAFT_CANARY_EVERY", "8"))
+#: BASELINE.md round-1 foreground best-of for the flagship at sf0.1
+#: (wall, rebuild-inclusive).  Only used for the session-start cross
+#: check; span re-runs key off the session's own reference so the
+#: detector still works if this constant goes stale.
+CANARY_BASELINE_SEC = 0.66
+#: Deviation factor that flags contention (per VERDICT r04 #1).
+CANARY_TOLERANCE = 2.0
+#: Bounded recovery wait before re-running a contended span.
+RECOVERY_PROBES = 3
+RECOVERY_SLEEP_SEC = 5.0
 
 #: Queries whose build() itself performs the measured work (Spark actions,
 #: table/file writes, streaming lifecycles).  For these, rebuild-per-run is
@@ -53,9 +88,44 @@ WORK_IN_BUILD = {
     "bucketed_colocated_join",
     "sim_topk_ivf",
     "sim_topk_pq",
+    "sim_topk_sq8_stored",
+    "sim_topk_pq_stored",
     "dedup_components",
     "dedup_neardup_pipeline",
 }
+
+
+def _time_canary(spark, spec, sf_dir: str) -> float:
+    """One wall-clock canary run, rebuild-inclusive (same protocol as the
+    round-1 BASELINE row, so CANARY_BASELINE_SEC is directly comparable)."""
+    t0 = time.perf_counter()
+    spec.build(spark, sf_dir).collect()
+    return time.perf_counter() - t0
+
+
+def _measure(spark, spec, sf_dir: str, measurable: bool, runs: int):
+    """Best-of-`runs` timing of one query.  Returns (wall_best, exec_best)
+    where exec_best is None for work-in-build queries."""
+    best = None
+    e_best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        if measurable:
+            # Force analysis → optimization → physical planning now so the
+            # collect below times execution alone.  Fresh build per run =
+            # fresh RDD lineage = no shuffle-file reuse.
+            df._jdf.queryExecution().executedPlan()
+            t1 = time.perf_counter()
+            df.collect()
+            t2 = time.perf_counter()
+            e_best = (t2 - t1) if e_best is None else min(e_best, t2 - t1)
+            took = t2 - t0
+        else:
+            df.collect()
+            took = time.perf_counter() - t0
+        best = took if best is None else min(best, took)
+    return best, e_best
 
 
 def main() -> None:
@@ -68,52 +138,86 @@ def main() -> None:
 
     # Warm the JVM / parquet footers so per-query numbers reflect steady
     # state, not first-touch costs.
-    specs["flagship_revenue_topk"].build(spark, sf_dir).collect()
+    specs[CANARY].build(spark, sf_dir).collect()
     # Also warm the Arrow/Pandas-UDF worker pool: the first Python stage of
     # the session forks 32 workers that each import numpy/pandas — ~10 s of
     # one-time cost that would otherwise be billed to whichever UDF query
     # runs first.  A tiny-sf MinHash pass spawns them all.
     specs["dedup_minhash_lsh"].build(spark, "/root/testdata/sf0.001").collect()
 
-    timings: dict[str, float] = {}
+    # Session canary reference: best of 3 warm runs.  Cross-check against
+    # the committed BASELINE so a fully-contended session is still flagged.
+    canary_ref = min(_time_canary(spark, specs[CANARY], sf_dir) for _ in range(3))
+    host_contended_at_start = canary_ref > CANARY_TOLERANCE * CANARY_BASELINE_SEC
+    canary_samples: list[dict] = [
+        {
+            "after": None,
+            "sec": round(canary_ref, 4),
+            "loadavg1": round(os.getloadavg()[0], 2),
+        }
+    ]
+
+    timings: dict[str, float | None] = {}
     exec_only: dict[str, float] = {}
+    loadavg: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, spec in specs.items():
-        best = None
-        e_best = None
+    contended_reruns: list[str] = []
+
+    def run_one(name: str, spec) -> None:
         measurable = name not in WORK_IN_BUILD
         # Work-in-build queries (streaming lifecycles, index builds,
         # iterative jobs) pay their full cost on EVERY run — cap them at
         # best-of-2 so the suite stays inside the driver's time budget.
         runs = BENCH_RUNS if measurable else min(BENCH_RUNS, 2)
+        loadavg[name] = round(os.getloadavg()[0], 2)
         try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = spec.build(spark, sf_dir)
-                if measurable:
-                    # Force analysis → optimization → physical planning now so
-                    # the collect below times execution alone.  Fresh build per
-                    # run = fresh RDD lineage = no shuffle-file reuse.
-                    df._jdf.queryExecution().executedPlan()
-                    t1 = time.perf_counter()
-                    df.collect()
-                    t2 = time.perf_counter()
-                    e_best = (t2 - t1) if e_best is None else min(e_best, t2 - t1)
-                    took = t2 - t0
-                else:
-                    df.collect()
-                    took = time.perf_counter() - t0
-                best = took if best is None else min(best, took)
+            best, e_best = _measure(spark, spec, sf_dir, measurable, runs)
         except Exception as exc:  # noqa: BLE001 — one broken query must not
-            # zero the whole bench: record and keep measuring the rest.
+            # zero the whole bench: record (with an explicit null timing so
+            # the total is visibly partial) and keep measuring the rest.
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings[name] = None
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 4)
+            return
+        prev = timings.get(name)
+        timings[name] = round(best if prev is None else min(prev, best), 4)
         if e_best is not None:
-            exec_only[name] = round(e_best, 4)
+            prev_e = exec_only.get(name)
+            exec_only[name] = round(
+                e_best if prev_e is None else min(prev_e, e_best), 4
+            )
 
-    total = round(sum(timings.values()), 4)
+    span: list[str] = []  # queries measured since the last clean canary
+    for name, spec in specs.items():
+        run_one(name, spec)
+        span.append(name)
+        if len(span) < CANARY_EVERY:
+            continue
+        c = _time_canary(spark, specs[CANARY], sf_dir)
+        sample = {
+            "after": name,
+            "sec": round(c, 4),
+            "loadavg1": round(os.getloadavg()[0], 2),
+        }
+        canary_samples.append(sample)
+        if c > CANARY_TOLERANCE * canary_ref:
+            # Host was contended somewhere in this span: wait (bounded)
+            # for the canary to recover, then give each affected query one
+            # more best-of pass.
+            for _ in range(RECOVERY_PROBES):
+                time.sleep(RECOVERY_SLEEP_SEC)
+                c = _time_canary(spark, specs[CANARY], sf_dir)
+                if c <= CANARY_TOLERANCE * canary_ref:
+                    break
+            sample["rerun_span"] = list(span)
+            for sname in span:
+                if sname not in errors:
+                    contended_reruns.append(sname)
+                    run_one(sname, specs[sname])
+        span = []
+
+    ok = [v for v in timings.values() if v is not None]
+    total = round(sum(ok), 4)
     print(
         json.dumps(
             {
@@ -125,6 +229,15 @@ def main() -> None:
                 "exec_total_sec": round(sum(exec_only.values()), 4),
                 "bench_runs": BENCH_RUNS,
                 "errors": errors,
+                "failed": len(errors),
+                "total_is_partial": bool(errors),
+                "canary": CANARY,
+                "canary_ref_sec": round(canary_ref, 4),
+                "canary_baseline_sec": CANARY_BASELINE_SEC,
+                "host_contended_at_start": host_contended_at_start,
+                "canary_samples": canary_samples,
+                "contended_reruns": contended_reruns,
+                "loadavg1": loadavg,
                 "sf": sf,
             }
         )

@@ -80,6 +80,28 @@ def test_repetition_single_token_doc_dropped(spark):
     assert repetition_stats(docs).count() == 0
 
 
+def test_decontaminate_hash_join_matches_string_join(spark):
+    """The production path joins on xxhash64(gram); the audit path joins on
+    the gram string.  Per-doc hit counts must be identical on the real
+    fixture corpus (the planted near-dup shards give a dense overlap
+    surface), proving the 8-byte key loses nothing."""
+    from trafsys_data_transfer_spark.operators.contamination import EVAL_SOURCES
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    tr, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    hashed = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontaminate_hits(tr, ev, join_on_hash=True).collect()
+    }
+    strings = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontaminate_hits(tr, ev, join_on_hash=False).collect()
+    }
+    assert hashed and hashed == strings
+
+
 def test_decontaminate_plan_broadcasts_eval_side(spark):
     """The training corpus must never shuffle for the join: the eval gram
     set is broadcast (at 100 TB the corpus-side exchange would dominate

@@ -60,7 +60,11 @@ EVAL_SOURCES = ("src0", "src1", "src2", "src3")
 
 
 def decontaminate_hits(
-    train: DataFrame, eval_docs: DataFrame, text_col: str = "text", n: int = DECONTAM_NGRAM
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+    join_on_hash: bool = True,
 ) -> DataFrame:
     """Per-training-doc count of distinct n-grams shared with the eval set.
 
@@ -69,6 +73,18 @@ def decontaminate_hits(
     "how many of my n-grams appear anywhere in the benchmark", not an
     occurrence product.  The eval gram set is broadcast — the training
     corpus is never shuffled by the join.
+
+    ``join_on_hash`` (the default, and the production path) joins on
+    ``xxhash64(gram)`` instead of the gram string: a 5-gram averages ~40
+    bytes where the hash is 8, so the broadcast table, the hash-probe keys
+    and the eval-side distinct all shrink ~5×, and probe equality becomes
+    one int64 compare instead of a byte-wise string compare.  A 64-bit
+    collision between two *distinct* grams that both additionally cross
+    the train/eval boundary is the only way the count can differ — with
+    |eval grams| ≈ 10⁶–10⁸ the birthday bound keeps that below ~10⁻⁴ per
+    corpus, and ``tests/test_contamination.py`` asserts hash-join ==
+    string-join per-doc counts on the fixtures.  ``join_on_hash=False``
+    keeps the exact string equi-join as the audit path.
     """
     def gram(df: DataFrame) -> DataFrame:
         toks = F.split(F.col(text_col), " ")
@@ -78,10 +94,19 @@ def decontaminate_hits(
         return df.filter(F.size(toks) >= n).select(
             "doc_id", F.explode(shingles(toks, n)).alias("g")
         )
-    eval_grams = gram(eval_docs).select("g").distinct()
+    t = gram(train)
+    e = gram(eval_docs)
+    if join_on_hash:
+        # Hash BEFORE the distinct: the eval-side dedup then shuffles
+        # 8-byte ints, not gram strings.
+        t = t.select("doc_id", F.xxhash64("g").alias("gh"))
+        eval_grams = e.select(F.xxhash64("g").alias("gh")).distinct()
+        key = "gh"
+    else:
+        eval_grams = e.select("g").distinct()
+        key = "g"
     return (
-        gram(train)
-        .join(F.broadcast(eval_grams), "g")
+        t.join(F.broadcast(eval_grams), key)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_ngrams"))
     )

@@ -200,6 +200,10 @@ def main() -> None:
             "loadavg1": round(os.getloadavg()[0], 2),
         }
         canary_samples.append(sample)
+        # Ratchet the reference down to the best observation so far: if the
+        # session STARTED contended, later clean samples tighten the
+        # detector instead of inheriting an inflated floor.
+        canary_ref = min(canary_ref, c)
         if c > CANARY_TOLERANCE * canary_ref:
             # Host was contended somewhere in this span: wait (bounded)
             # for the canary to recover, then give each affected query one

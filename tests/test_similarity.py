@@ -114,6 +114,131 @@ def test_ivf_index_write_probe_matches_inline_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [cluster" in plan
 
 
+def test_sq8_stored_probe_matches_inline_and_never_reads_floats(spark, tmp_path):
+    """The stored SQ8 index must return BIT-IDENTICAL results to the
+    inline tier (exact int64 ranking survives the int8 parquet round
+    trip), and the probe plan must not touch the float corpus at all —
+    the narrow code scan is the entire point of storing the index."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        sq8_index_probe,
+        sq8_index_write,
+        topk_sq8,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "sq8_index")
+    sq8_index_write(emb, path)
+
+    got = sq8_index_probe(spark, path, queries, k=5)
+    want = topk_sq8(emb, queries, k=5)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(got.collect()) == key(want.collect())
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # The only file scan feeding the probe is the int8 index; the float
+    # embeddings table appears nowhere in the plan.  (Paths are truncated
+    # in plan strings, so assert on ReadSchema, which is not.)
+    assert "ReadSchema: struct<vec_id:bigint,cq:array<tinyint>>" in plan
+    assert "embedding:" not in plan and "embeddings.parquet" not in plan
+
+
+def test_sq8_index_is_narrower_on_disk(spark, tmp_path):
+    """int8 codes must be materially smaller than the float32 corpus —
+    the compression claim, measured, not asserted in prose."""
+    import os
+
+    from trafsys_data_transfer_spark.operators.similarity import sq8_index_write
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "sq8_index")
+    sq8_index_write(emb, path)
+    src = dir_bytes("/root/testdata/sf0.001/embeddings.parquet")
+    if src == 0:  # fixture is a single file, not a directory
+        src = os.path.getsize("/root/testdata/sf0.001/embeddings.parquet")
+    assert dir_bytes(path) < 0.6 * src
+
+
+def test_pq_stored_probe_matches_inline(spark, tmp_path):
+    """Stored-PQ probe (codes + persisted codebooks from parquet/json)
+    must reproduce the inline tier exactly — same seed, same sample
+    protocol, same ADC/rescore — and its ADC stage must scan only the
+    m-byte code column."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        pq_index_probe,
+        pq_index_write,
+        topk_pq,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "pq_index")
+    pq_index_write(emb, path)
+
+    got = pq_index_probe(spark, path, emb, queries, k=5)
+    want = topk_pq(emb, queries, k=5)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(got.collect()) == key(want.collect())
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # The ADC scan reads only (vec_id, codes array<tinyint>) — the m-byte
+    # code column, never the float vectors.  (Plan strings truncate paths,
+    # so assert on ReadSchema.)  The float corpus legitimately appears once,
+    # feeding the shortlist rescore join.
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<tinyint>>" in plan
+
+
+def test_bounded_query_guards(spark):
+    """Empty query sets return empty typed results (not numpy shape
+    crashes); query sets beyond MAX_QUERY_ROWS raise a clear contract
+    error instead of silently OOMing the driver."""
+    import pytest as _pytest
+
+    from trafsys_data_transfer_spark.operators.similarity import (
+        MAX_QUERY_ROWS,
+        _collect_bounded_queries,
+        topk_pq,
+        topk_sq8,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    none = emb.filter(F.col("vec_id") < 0)
+    assert topk_sq8(emb, none, k=5).count() == 0
+    assert topk_pq(emb, none, k=5).count() == 0
+
+    big = spark.range(MAX_QUERY_ROWS + 1).select(F.col("id").alias("vec_id"))
+    with _pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        _collect_bounded_queries(big, "test")
+
+
+def test_pq_codebooks_deterministic_and_unpadded(spark):
+    """Codebooks must be independent of scan order (sample sorted by hash)
+    and contain only trained centroids — no phantom zero rows for
+    encode's argmin to select."""
+    import numpy as np
+
+    from trafsys_data_transfer_spark.operators.similarity import (
+        PQ_KS,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = train_pq_codebooks(emb)
+    b2 = train_pq_codebooks(emb.repartition(7))  # different scan order
+    assert np.array_equal(b1, b2)
+    assert b1.shape[1] <= PQ_KS
+    # no all-zero centroid rows (zero-pad artifact)
+    assert not np.any(np.all(b1 == 0.0, axis=2))
+
+
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ tier (8×4-bit codes, ADC shortlist of 50, exact rescore) must
     recover most true top-5 neighbors; reported scores are exact cosine

@@ -218,6 +218,29 @@ IVF_NPROBE = 4
 IVF_TRAIN_SAMPLE = 4096
 
 
+def _collect_train_sample(
+    corpus: DataFrame, vec_col: str, cap: int
+) -> np.ndarray:
+    """Bounded, DETERMINISTIC training sample: a modulo filter on
+    ``xxhash64(vec)`` draws ≤ ``cap`` vectors with one narrow pruned scan,
+    and the collected rows are sorted by their hash so the sample matrix is
+    independent of partition/scan order — k-means init indexes into this
+    matrix, so row order would otherwise leak scan nondeterminism into the
+    codebooks (ADVICE r04)."""
+    n = corpus.count()
+    every = max(1, n // cap)
+    sample = (
+        corpus.select(
+            as_double(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(vec_col)).alias("h"),
+        )
+        .filter(F.pmod(F.col("h"), every) == 0)
+        .collect()
+    )
+    sample.sort(key=lambda r: (r["h"], tuple(r["v"])))
+    return np.array([r["v"] for r in sample], dtype=np.float64)
+
+
 def train_ivf_centroids(
     corpus: DataFrame, vec_col: str = "embedding", n_clusters: int = IVF_CLUSTERS,
     seed: int = 42,
@@ -233,14 +256,7 @@ def train_ivf_centroids(
     while assignment stays the only full pass.  Fixed seed → deterministic
     centroids → deterministic inverted lists.
     """
-    n = corpus.count()
-    every = max(1, n // IVF_TRAIN_SAMPLE)
-    sample = (
-        corpus.select(as_double(F.col(vec_col)).alias("v"))
-        .filter(F.pmod(F.xxhash64(F.col(vec_col)), every) == 0)
-        .collect()
-    )
-    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    X = _collect_train_sample(corpus, vec_col, IVF_TRAIN_SAMPLE)
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
     for _ in range(10):  # Lloyd
@@ -501,6 +517,25 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int8 scalar quantization (SQ8) + exact-integer MIPS
 # ---------------------------------------------------------------------------
 
+#: Hard cap on driver-collected query sets (SQ8/PQ LUT construction and the
+#: broadcast dot-product matrices).  |Q|·dim·8 bytes at this cap is ~2 MB —
+#: far under driver/broadcast limits; a larger query set should be chunked
+#: by the caller, not silently collected (ADVICE r04).
+MAX_QUERY_ROWS = 4096
+
+
+def _collect_bounded_queries(queries: DataFrame, op: str) -> list:
+    """Enforce the bounded-|Q| contract: collect at most MAX_QUERY_ROWS
+    rows, raising a clear error (instead of a downstream numpy shape
+    failure or a silent driver OOM) when the query set exceeds the cap."""
+    rows = queries.limit(MAX_QUERY_ROWS + 1).collect()
+    if len(rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"{op}: query set exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS}; "
+            "chunk the query set and union the per-chunk results"
+        )
+    return rows
+
 
 def sq8_quantize(vec: Column) -> Column:
     """Symmetric per-vector int8 scalar quantization: ``round(x·127/max|x|)``.
@@ -549,15 +584,30 @@ def topk_sq8(
     side is 4× narrower than float32.  Production refinement re-scores the
     top-k' (k' > k) candidates with float vectors — the recall/compression
     trade is asserted in tests."""
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("qq")
-    ).collect()
+    q_rows = _collect_bounded_queries(
+        queries.select(
+            F.col(id_col).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("qq")
+        ),
+        "topk_sq8",
+    )
+    if not q_rows:  # empty query set → empty result, not a 0-d matmul crash
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, qdot bigint"
+        )
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     QM = np.array([r["qq"] for r in q_rows], dtype=np.int64)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), sq8_quantize(F.col(vec_col)).alias("cq")
     )
+    return _sq8_scan_topk(c, qids, QM, k)
+
+
+def _sq8_scan_topk(encoded: DataFrame, qids: np.ndarray, QM: np.ndarray, k: int) -> DataFrame:
+    """Shared SQ8 scan: one int64 numpy matmul per Arrow batch over an
+    encoded corpus ``(neighbor_id, cq array<int>)`` — used by both the
+    inline tier (quantize-per-run) and the stored-index probe (codes read
+    from parquet)."""
 
     def dots(batches):
         for pdf in batches:
@@ -571,7 +621,7 @@ def topk_sq8(
                 }
             )
 
-    scored = c.mapInPandas(
+    scored = encoded.mapInPandas(
         dots, schema="query_id long, neighbor_id long, qdot long"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
@@ -657,23 +707,20 @@ def train_pq_codebooks(
     the ADC inner product approximates cosine directly.  Sampling and
     Lloyd's follow :func:`train_ivf_centroids` exactly: one narrow pruned
     scan, O(1) driver compute, fixed seed → deterministic codebooks.
-    Returns an (m, ks, dim/m) array.
+    Returns an (m, ks_eff, dim/m) array where ``ks_eff = min(ks, |sample|)``
+    — the codebook is SLICED to the trained centroids rather than
+    zero-padded, so encode's argmin can never select a phantom all-zero
+    code (ADVICE r04).
     """
-    n = corpus.count()
-    every = max(1, n // PQ_TRAIN_SAMPLE)
-    sample = (
-        corpus.select(as_double(F.col(vec_col)).alias("v"))
-        .filter(F.pmod(F.xxhash64(F.col(vec_col)), every) == 0)
-        .collect()
-    )
-    X = _l2_normalize_rows(np.array([r["v"] for r in sample], dtype=np.float64))
+    X = _l2_normalize_rows(_collect_train_sample(corpus, vec_col, PQ_TRAIN_SAMPLE))
     d = X.shape[1]
     ds = d // m
+    ks_eff = min(ks, len(X))
     rng = np.random.RandomState(seed)
-    books = np.zeros((m, ks, ds), dtype=np.float64)
+    books = np.zeros((m, ks_eff, ds), dtype=np.float64)
     for j in range(m):
         sub = X[:, j * ds : (j + 1) * ds]
-        cent = sub[rng.choice(len(sub), size=min(ks, len(sub)), replace=False)].copy()
+        cent = sub[rng.choice(len(sub), size=ks_eff, replace=False)].copy()
         for _ in range(10):  # Lloyd
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -681,7 +728,7 @@ def train_pq_codebooks(
                 members = sub[assign == c]
                 if len(members):
                     cent[c] = members.mean(axis=0)
-        books[j, : len(cent)] = cent
+        books[j] = cent
     return books
 
 
@@ -742,14 +789,36 @@ def topk_pq(
     encoded = c.select("neighbor_id", encode(F.col("cv")).alias("codes"))
 
     # Bounded |Q| driver step: LUT[q, j, code] = <q_subvec_j, codebook[j][code]>.
-    qrows = (
+    qrows = _collect_bounded_queries(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        )
-        .collect()
+        ),
+        "topk_pq",
     )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double"
+        )
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = _l2_normalize_rows(np.array([r["qv"] for r in qrows], dtype=np.float64))
+    return _pq_adc_topk(encoded, c, books, qids, Q, k, shortlist)
+
+
+def _pq_adc_topk(
+    encoded: DataFrame,
+    c_float: DataFrame,
+    books: np.ndarray,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared PQ search: ADC scan of an encoded corpus ``(neighbor_id,
+    codes array<int>)`` with per-query LUTs, shortlist, exact rescore
+    against the float corpus ``c_float = (neighbor_id, cv)``.  Used by both
+    the inline tier (encode-per-run) and the stored-index probe (codes
+    read from parquet)."""
+    m = books.shape[0]
     ds = Q.shape[1] // m
     lut = np.stack(
         [
@@ -782,13 +851,13 @@ def topk_pq(
         F.col("r") <= shortlist
     )
 
-    q_df = corpus.sparkSession.createDataFrame(
+    q_df = encoded.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         "query_id long, qv array<double>",
     )
     rescored = (
         short.select("query_id", "neighbor_id")
-        .join(c, "neighbor_id")
+        .join(c_float, "neighbor_id")
         .join(F.broadcast(q_df), "query_id")
         .withColumn("score", cosine(F.col("qv"), F.col("cv")))
     )
@@ -811,3 +880,199 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes + exact rescore); recall vs brute force is asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_pq(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# stored quantized indexes (SQ8 / PQ codes as parquet — the serving tier)
+# ---------------------------------------------------------------------------
+#
+# The inline SQ8/PQ tiers quantize the corpus on every run — correct, but
+# the "4×/32× narrower scan" claim only materializes when the codes are a
+# STORED column probed without touching the float vectors.  This section is
+# that tier, mirroring ivf_index_write/probe's index-as-table contract:
+# build once per corpus version, probe many times; the probe plan reads
+# ONLY the code column (plan-asserted in tests/test_similarity.py).
+
+
+def sq8_index_write(
+    corpus: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Materialize the SQ8 index: ``(vec_id, cq array<tinyint>)`` parquet.
+
+    int8 storage is the whole point — the probe scans 1 byte/dim instead
+    of 4 (float32 corpus) or 8 (double math), and symmetric per-vector
+    quantization needs no side metadata (queries quantize independently),
+    so the table IS the complete index.
+    """
+    corpus.select(
+        F.col(id_col),
+        F.transform(sq8_quantize(F.col(vec_col)), lambda x: x.cast("tinyint")).alias(
+            "cq"
+        ),
+    ).write.mode("overwrite").parquet(path)
+
+
+def sq8_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a stored SQ8 index: the scan touches ONLY the code table —
+    the float corpus appears nowhere in the plan (asserted in tests), and
+    ranking is the same exact int64 matmul as :func:`topk_sq8`, so probe
+    results are bit-identical to the inline tier."""
+    q_rows = _collect_bounded_queries(
+        queries.select(
+            F.col(id_col).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("qq")
+        ),
+        "sq8_index_probe",
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, qdot bigint"
+        )
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    QM = np.array([r["qq"] for r in q_rows], dtype=np.int64)
+    encoded = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"), "cq"
+    )
+    return _sq8_scan_topk(encoded, qids, QM, k)
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the PQ index: ``(vec_id, codes array<tinyint>)`` parquet
+    (m bytes per vector — a 32× compression of the float64 corpus) plus the
+    trained codebooks under ``_codebooks.json`` (underscore prefix →
+    invisible to parquet directory listings, same convention as IVF's
+    ``_centroids.json``)."""
+    import json
+    import os
+
+    books = train_pq_codebooks(corpus, vec_col, m, ks, seed)
+    encode = _pq_encode_udf(books)
+    corpus.select(
+        F.col(id_col),
+        F.transform(
+            encode(as_double(F.col(vec_col))), lambda x: x.cast("tinyint")
+        ).alias("codes"),
+    ).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_codebooks.json"), "w") as f:
+        json.dump(books.tolist(), f)
+
+
+def pq_index_probe(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a stored PQ index: ADC scan over the m-byte code column with
+    per-query LUTs rebuilt from the persisted codebooks, then exact rescore
+    of the shortlist against the float corpus — the only stage that touches
+    ``corpus``, and it joins shortlist rows only."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        books = np.array(json.load(f), dtype=np.float64)
+    qrows = _collect_bounded_queries(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "pq_index_probe",
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = _l2_normalize_rows(np.array([r["qv"] for r in qrows], dtype=np.float64))
+    encoded = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    c_float = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    return _pq_adc_topk(encoded, c_float, books, qids, Q, k, shortlist)
+
+
+def _index_staging(kind: str, sf_dir: str) -> str:
+    """Fixed per-sf staging path, overwritten on every build — repeated
+    driver/bench/verify invocations reuse one directory (the layout-
+    operator convention) instead of leaking tmpdirs."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"tds_simindex_{os.path.basename(os.path.normpath(sf_dir))}",
+        kind,
+    )
+
+
+@register(
+    "sim_topk_sq8_stored",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x ->
+                  CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(ROUND(x * 127.0 / m) AS BIGINT) END) AS qv
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+              FROM embeddings)
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(qdot AS BIGINT) AS qdot
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1] * s[2])) AS qdot,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1] * s[2])) DESC,
+                   b.vec_id ASC) AS rank
+        FROM q a JOIN q b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 8
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_sq8_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-probe the STORED SQ8 index: codes land as int8 parquet,
+    the probe never reads the float corpus, and because the quantized dot
+    product is exact int64 arithmetic the result is bit-identical to the
+    inline tier — hence this row shares sim_topk_sq8's hash-checked
+    oracle, proving storage round-trip loses nothing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_staging("sq8", sf_dir)
+    sq8_index_write(emb, path)
+    return sq8_index_probe(spark, path, emb.filter(F.col("vec_id") < 8), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("sim_topk_pq_stored")  # rows-only: k-means codebooks aren't ANSI-SQL
+def sim_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-probe the STORED PQ index (m-byte codes + persisted
+    codebooks); probe==inline equality and the narrow-scan plan are
+    asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_staging("pq", sf_dir)
+    pq_index_write(emb, path)
+    return pq_index_probe(
+        spark, path, emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).orderBy("query_id", "rank")

@@ -87,11 +87,12 @@ _PRIORITY = (
     # round 5: dedup_neardup_pipeline (the composed LSH→components→keeper
     # flagship of the family) takes dedup_ngram_jaccard's window slot — the
     # latter is a bounded ground-truth audit, driver-green since r01.
+    # round 5: dedup_approx_distinct (rows-only, driver-green since r01)
+    # yields its slot to the hash-checked stored-SQ8-index probe below.
     "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_neardup_pipeline",
-    "dedup_approx_distinct",
     "dedup_components",
     # text analysis family (text_token_count / text_quality — driver-green
     # in r01 AND r02 — rotated past the window in round 3 for the two
@@ -112,6 +113,7 @@ _PRIORITY = (
     "sim_label_centroids",
     "text_vocab_coverage",
     "sim_topk_sq8",
+    "sim_topk_sq8_stored",
     # multimodal family
     "multimodal_meta",
     "multimodal_frame_sample",
@@ -155,6 +157,8 @@ _PRIORITY = (
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",
+    "sim_topk_pq_stored",
+    "dedup_approx_distinct",
     "skew_salted_agg",
     "dedup_ngram_jaccard",
     "dedup_hll_sketch_union",

@@ -5,11 +5,14 @@ Model: media lives in opaque ``BinaryType`` columns next to typed metadata
 run as Arrow-batched Pandas UDFs over ``mapInPandas`` so bytes cross the
 JVM↔Python boundary in columnar batches, never row-at-a-time.
 
-The actual image/audio codecs are not in this container, so the decode
-step is STUBBED: :func:`decode_media` raises ``NotImplementedError`` unless
-a real decoder is injected, and the pipeline demos use a deterministic fake
-decoder.  Everything Spark-side — schema, partitioning, UDF signatures,
-batch shapes — is real and oracle-tested.
+:func:`decode_media` ships REAL pure-stdlib codecs for the two public
+container formats that need no native libraries: RIFF/WAVE (fmt/data chunk
+walk) and PNG (signature + CRC-verified IHDR).  Formats that genuinely
+need native decoders (video/mp4) keep the documented injection-point
+behavior — a clear ``NotImplementedError`` until a codec is injected.
+The fixture generators below synthesize real-format bytes with known
+parameters, so decode is oracle-checked end to end: plant → encode →
+parse → compare against the planted values in SQL.
 
 Scale posture: payload columns make parquet row groups large — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition is
@@ -57,13 +60,140 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Decode stub — the real implementation needs PIL/ffmpeg/soundfile,
-    which this environment doesn't ship.  Kept as the single injection
-    point so a production deployment swaps in real codecs without touching
-    the Spark plumbing."""
+# ---------------------------------------------------------------------------
+# real pure-stdlib codecs: RIFF/WAVE and PNG
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_wav(b: bytes) -> dict:
+    """Parse a RIFF/WAVE container: chunk walk for ``fmt `` (PCM format
+    struct) and ``data`` (payload size).  Word-aligned chunk skipping per
+    the RIFF spec; unknown chunks (LIST, cue, …) are skipped, matching how
+    real readers behave."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    _, channels, sample_rate, _, block_align, bits = fmt
+    n_samples = data_size // block_align if block_align else 0
+    return {
+        "kind": "audio",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_sec": n_samples / sample_rate if sample_rate else 0.0,
+    }
+
+
+def _parse_png(b: bytes) -> dict:
+    """Parse a PNG: 8-byte signature, then the mandatory first IHDR chunk
+    (width/height/depth/color-type), with the IHDR CRC verified — a
+    corrupted header fails loudly instead of yielding garbage geometry."""
+    import struct
+    import zlib
+
+    if not b.startswith(_PNG_SIG) or len(b) < 33:
+        raise ValueError("not a PNG")
+    length, ctype = struct.unpack_from(">I4s", b, 8)
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG first chunk is not IHDR")
+    body = b[16:29]
+    (crc,) = struct.unpack_from(">I", b, 29)
+    if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": color,
+        "interlaced": bool(interlace),
+    }
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode a media payload to typed properties.
+
+    Real parsers for the stdlib-decodable formats (``audio/wav``,
+    ``image/png``); anything needing native codecs (``video/mp4`` etc.)
+    raises ``NotImplementedError`` — the documented injection point for a
+    production deployment's ffmpeg/PIL, swappable without touching the
+    Spark plumbing."""
+    b = bytes(payload)
+    if media_type == "audio/wav":
+        return _parse_wav(b)
+    if media_type == "image/png":
+        return _parse_png(b)
     raise NotImplementedError(
         f"no decoder available for {media_type}; install codecs and inject"
+    )
+
+
+def synthesize_wav(
+    channels: int, sample_rate: int, n_samples: int, bits: int = 16, seed: int = 0
+) -> bytes:
+    """Real RIFF/WAVE bytes with deterministic PCM content: a seeded
+    sawtooth, struct-packed little-endian — decodable by any WAV reader."""
+    import struct
+
+    block_align = channels * bits // 8
+    frames = bytearray()
+    for i in range(n_samples):
+        v = ((seed * 31 + i * 257) % 65536) - 32768
+        for _ in range(channels):
+            frames += struct.pack("<h", v)
+    data = bytes(frames)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synthesize_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Real 8-bit grayscale PNG bytes: deterministic pixels, zlib-packed
+    scanlines, CRC'd chunks — opens in any image viewer."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter byte: None
+        for x in range(width):
+            raw.append((seed + x * 7 + y * 13) % 256)
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
     )
 
 
@@ -194,6 +324,104 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → deterministic fake embedding (the real encoder slot);
     demonstrates the binary→vector bridge into the similarity stack."""
     return extract_features(multimodal_table(spark, sf_dir))
+
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, kind string, width int, height int, "
+    "channels int, sample_rate int, n_samples long, duration_sec double"
+)
+
+
+def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format media fixtures: per-doc parameters derived from doc_id,
+    then ACTUAL WAV/PNG container bytes synthesized in Arrow batches —
+    even doc_ids become PNGs, odd become WAVs.  The parameter formulas are
+    the contract the decode oracle recomputes in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payloads.append(
+                        synthesize_png(d % 64 + 1, d * 3 % 48 + 1, seed=d)
+                    )
+                    mtypes.append("image/png")
+                else:
+                    payloads.append(
+                        synthesize_wav(
+                            (d // 2) % 2 + 1,
+                            8000 * (d % 3 + 1),
+                            d % 256 + 16,
+                            seed=d,
+                        )
+                    )
+                    mtypes.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": mtypes, "payload": payloads}
+            )
+
+    return docs.mapInPandas(gen, schema="doc_id long, media_type string, payload binary")
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real container parsing per payload, typed
+    columns out (image fields null for audio rows and vice versa)."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "media_type", "kind", "width", "height",
+            "channels", "sample_rate", "n_samples", "duration_sec",
+        )}
+        for d, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+            p = decode_media(payload, mt)
+            out["doc_id"].append(d)
+            out["media_type"].append(mt)
+            out["kind"].append(p["kind"])
+            out["width"].append(p.get("width"))
+            out["height"].append(p.get("height"))
+            out["channels"].append(p.get("channels"))
+            out["sample_rate"].append(p.get("sample_rate"))
+            out["n_samples"].append(p.get("n_samples"))
+            out["duration_sec"].append(p.get("duration_sec"))
+        pdf_out = pd.DataFrame(out)
+        for c, t in (
+            ("width", "Int32"), ("height", "Int32"), ("channels", "Int32"),
+            ("sample_rate", "Int32"), ("n_samples", "Int64"),
+        ):
+            pdf_out[c] = pdf_out[c].astype(t)
+        yield pdf_out
+
+
+def decode_table(mm: DataFrame) -> DataFrame:
+    """payload → decoded typed properties via Arrow-batched mapInPandas."""
+    return mm.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 3 % 48 + 1 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id // 2) % 2 + 1 AS INT) END AS channels,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (doc_id % 3 + 1) AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 256 + 16 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 256 + 16 AS DOUBLE)
+                                          / (8000 * (doc_id % 3 + 1)) END AS duration_sec
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-codec round trip: synthesize actual WAV/PNG
+    container bytes with doc_id-derived parameters, parse them back with
+    the pure-stdlib decoders (CRC-verified for PNG), and let the oracle
+    recompute the planted parameters in SQL — a hash mismatch means the
+    encoder or parser corrupted a single field anywhere in the corpus."""
+    return decode_table(synth_media_table(spark, sf_dir))
 
 
 def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

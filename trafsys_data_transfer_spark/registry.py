@@ -114,9 +114,11 @@ _PRIORITY = (
     "text_vocab_coverage",
     "sim_topk_sq8",
     "sim_topk_sq8_stored",
-    # multimodal family
+    # multimodal family (round 5: the real-codec decode round trip takes
+    # multimodal_frame_sample's slot — the sampler is a grain variant of
+    # multimodal_meta, driver-green since r01)
     "multimodal_meta",
-    "multimodal_frame_sample",
+    "multimodal_decode",
     # sessionization / temporal joins / sampling
     "events_sessionize",
     "events_session_window_native",
@@ -180,6 +182,7 @@ _PRIORITY = (
     "layout_zorder",
     "sim_topk_ivf",
     "multimodal_features",
+    "multimodal_frame_sample",
     "text_top_terms",
     "pricing_summary",
     "regional_market_share",

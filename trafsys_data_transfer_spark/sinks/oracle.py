@@ -94,3 +94,102 @@ def ensure_table_sql() -> tuple[str, str]:
     (script.js:103-123); caller runs the create only when the check returns
     no rows, exactly as the reference does."""
     return TABLE_EXISTS_SQL, CREATE_TABLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# dialect translation + generic DB-API upsert driver
+# ---------------------------------------------------------------------------
+#
+# No Oracle is reachable in this sandbox, so end-to-end proof of the upsert
+# semantics runs against an in-process ANSI engine (DuckDB in tests): the
+# same column set, the same PK, the same statements modulo type/dialect
+# spelling.  Two executable forms, both asserted equal to
+# ``operators.merge.merge_dataframes`` on real rows:
+#
+# * :func:`execute_upsert_batches` — the reference's EXACT protocol
+#   (script.js:184-214): per-row INSERT, duplicate-key exception → UPDATE,
+#   batch array order defining last-write-wins.  This is also the
+#   production fallback for engines with no MERGE support.
+# * :func:`merge_sql_on_conflict` — the set-based translation of
+#   :func:`merge_sql` for engines that spell MERGE as
+#   ``INSERT ... ON CONFLICT DO UPDATE`` (DuckDB < 1.4, Postgres, SQLite).
+
+#: Oracle type → ANSI type, enough to materialize the reference DDL on any
+#: standard engine (varchar2 length preserved; number(1) is the 0/1
+#: boolean encoding of script.js:161-162; Oracle DATE carries time-of-day).
+_ANSI_TYPES = {
+    "varchar2(100)": "VARCHAR(100)",
+    "number(1)": "SMALLINT",
+    "date": "TIMESTAMP",
+    "number": "BIGINT",
+}
+
+
+def create_table_ansi(table: str = TRAFFIC_TABLE) -> str:
+    """The reference DDL (script.js:111-122) in ANSI types, PK included."""
+    ddl = CREATE_TABLE_SQL.replace(TRAFFIC_TABLE, table)
+    for ora, ansi in _ANSI_TYPES.items():
+        # longest-match first is guaranteed by dict order above
+        ddl = ddl.replace(f" {ora},", f" {ansi},").replace(
+            f" {ora}\n", f" {ansi}\n"
+        )
+    return ddl
+
+
+#: Statement pair mirroring the PL/SQL block's two arms (script.js:186-200),
+#: qmark-parameterized in the reference's bind order (script.js:205-212).
+UPSERT_INSERT_SQL = (
+    f"INSERT INTO {TRAFFIC_TABLE} "
+    "(SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs) "
+    "VALUES (?, ?, ?, ?, ?, ?)"
+)
+UPSERT_UPDATE_SQL = (
+    f"UPDATE {TRAFFIC_TABLE} SET Ins = ?, Outs = ? "
+    "WHERE SiteCode = ? AND Location = ? AND PeriodEnding = ?"
+)
+
+
+def execute_upsert_batches(
+    execute: Callable[[str, Sequence], object],
+    rows: Sequence[Sequence],
+    duplicate_exc: type[BaseException] = Exception,
+) -> tuple[int, int]:
+    """Run the reference's row-wise insert-else-update protocol through any
+    DB-API ``execute(sql, params)`` callable: INSERT each bind row in array
+    order; a duplicate-key error triggers the UPDATE arm (script.js:
+    ``EXCEPTION WHEN dup_val_on_index``).  Returns (inserted, updated).
+
+    Rows are ``(SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs)``
+    — the reference's bindDefs order.  Array order IS the last-write-wins
+    order, exactly as ``executeMany`` applies it.
+    """
+    n_ins = n_upd = 0
+    for r in rows:
+        site, loc, is_int, pe, ins, outs = r
+        try:
+            execute(UPSERT_INSERT_SQL, (site, loc, is_int, pe, ins, outs))
+            n_ins += 1
+        except duplicate_exc:
+            execute(UPSERT_UPDATE_SQL, (ins, outs, site, loc, pe))
+            n_upd += 1
+    return n_ins, n_upd
+
+
+def merge_sql_on_conflict(
+    target: str = TRAFFIC_TABLE,
+    staging: str = "ULS_TRAFSYS_STAGE",
+    keys: Sequence[str] = ("SiteCode", "Location", "PeriodEnding"),
+    update_cols: Sequence[str] = ("Ins", "Outs"),
+    insert_cols: Sequence[str] = (
+        "SiteCode", "Location", "IsInternal", "PeriodEnding", "Ins", "Outs"
+    ),
+) -> str:
+    """:func:`merge_sql` translated for ON-CONFLICT engines — same staging
+    table, same key/update/insert column sets, same outcome."""
+    cols = ", ".join(insert_cols)
+    on = ", ".join(keys)
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    return (
+        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging} "
+        f"ON CONFLICT ({on}) DO UPDATE SET {sets}"
+    )

@@ -193,7 +193,7 @@ def test_pq_stored_probe_matches_inline(spark, tmp_path):
     # code column, never the float vectors.  (Plan strings truncate paths,
     # so assert on ReadSchema.)  The float corpus legitimately appears once,
     # feeding the shortlist rescore join.
-    assert "ReadSchema: struct<vec_id:bigint,codes:array<tinyint>>" in plan
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<smallint>>" in plan
 
 
 def test_bounded_query_guards(spark):

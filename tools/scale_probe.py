@@ -1,0 +1,170 @@
+"""10× replication scale probe (BASELINE.md / SCALE.md protocol).
+
+Builds a key-shifted 10× replica of the big fixture tables
+(`documents`, `embeddings`, `events`) under /tmp — ids shifted per
+replica, text/vectors/timestamps perturbed so fingerprints, df
+statistics, neighbor structure and session boundaries stay
+non-degenerate — symlinks the untouched tables, then measures named
+registry queries best-of-2 foreground wall seconds at 1× (sf0.1) vs 10×.
+Optionally audits ANN recall (PQ vs brute force) at both scales: wall
+clock alone can hide an approximation tier silently degrading as the
+corpus grows.
+
+Usage:
+    python tools/scale_probe.py [--queries q1 q2 ...] [--recall] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.registry import all_queries
+from trafsys_data_transfer_spark.schemas import FIXTURE_TABLES
+from trafsys_data_transfer_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/tds_scale10x"
+REPS = 10
+SHIFT = 10_000_000
+
+
+def build_replica(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in FIXTURE_TABLES:
+        out = os.path.join(DST, f"{name}.parquet")
+        src = os.path.join(SRC, f"{name}.parquet")
+        if name not in ("documents", "embeddings", "events"):
+            if not os.path.lexists(out):
+                os.symlink(src, out)
+            continue
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue  # replica already built
+        from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+        base = load_table(spark, SRC, name)
+        parts = []
+        for rep in range(REPS):
+            r = F.lit(rep)
+            if name == "documents":
+                parts.append(
+                    base.select(
+                        (F.col("doc_id") + r * SHIFT).alias("doc_id"),
+                        # per-replica suffix breaks exact fingerprints and
+                        # shifts every shingle window once
+                        F.concat(
+                            F.col("text"), F.lit(f" r{rep}t"),
+                            (F.col("doc_id") % 7).cast("string"),
+                        ).alias("text"),
+                        "lang",
+                        "source",
+                        (F.col("n_chars") + 5).alias("n_chars"),
+                    )
+                )
+            elif name == "embeddings":
+                parts.append(
+                    base.select(
+                        (F.col("vec_id") + r * SHIFT).alias("vec_id"),
+                        "label",
+                        # deterministic per-replica rotation-ish perturbation:
+                        # ±0.01·(rep+pos) keeps neighbor structure similar but
+                        # not identical across replicas
+                        F.expr(
+                            f"transform(embedding, (x, i) -> "
+                            f"CAST(x + 0.01 * sin({rep} + i) AS FLOAT))"
+                        ).alias("embedding"),
+                    )
+                )
+            else:  # events
+                parts.append(
+                    base.select(
+                        (F.col("event_id") + r * SHIFT).alias("event_id"),
+                        (F.col("user_id") + r * SHIFT).alias("user_id"),
+                        (F.col("ts") + F.make_interval(secs=r * 17)).alias("ts"),
+                        "event_type",
+                        "value",
+                        "props",
+                    )
+                )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(out)
+        print(f"replica built: {name}", file=sys.stderr)
+
+
+def time_query(spark, spec, sf_dir: str, runs: int) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spec.build(spark, sf_dir).collect()
+        took = time.perf_counter() - t0
+        best = took if best is None else min(best, took)
+    return best
+
+
+def recall_audit(spark, sf_dir: str, n_queries: int = 20, k: int = 5) -> dict[str, float]:
+    """top-k recall of each ANN tier vs brute force on `sf_dir`'s corpus."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_pq,
+        topk_sq8,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, queries, k=k).collect()
+    }
+    out = {}
+    got_pq = {
+        (r.query_id, r.neighbor_id) for r in topk_pq(emb, queries, k=k).collect()
+    }
+    out["pq"] = len(truth & got_pq) / len(truth)
+    got_sq8 = {
+        (r.query_id, r.neighbor_id) for r in topk_sq8(emb, queries, k=k).collect()
+    }
+    out["sq8"] = len(truth & got_sq8) / len(truth)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="*", default=[])
+    ap.add_argument("--recall", action="store_true")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--skip-1x", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("scale_probe")
+    build_replica(spark)
+    specs = all_queries()
+    # warm
+    specs["flagship_revenue_topk"].build(spark, SRC).collect()
+
+    for name in args.queries:
+        spec = specs[name]
+        t1 = None if args.skip_1x else time_query(spark, spec, SRC, args.runs)
+        t10 = time_query(spark, spec, DST, args.runs)
+        one = "—" if t1 is None else f"{t1:.2f} s"
+        print(f"| {name} | {one} | {t10:.2f} s |")
+
+    if args.recall:
+        r1 = recall_audit(spark, SRC)
+        r10 = recall_audit(spark, DST)
+        for tier in sorted(r1):
+            print(
+                f"| recall@5 {tier} | {r1[tier]:.2f} | {r10[tier]:.2f} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,7 @@ WORK_IN_BUILD = {
     "sim_topk_pq",
     "sim_topk_sq8_stored",
     "sim_topk_pq_stored",
+    "sim_topk_ivfpq",
     "dedup_components",
     "dedup_neardup_pipeline",
 }

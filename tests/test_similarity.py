@@ -239,6 +239,37 @@ def test_pq_codebooks_deterministic_and_unpadded(spark):
     assert not np.any(np.all(b1 == 0.0, axis=2))
 
 
+def test_ivfpq_recall_and_pruned_narrow_scan(spark, sf_dir, tmp_path):
+    """The combined index must (a) keep most true top-5 neighbors despite
+    both approximations stacking (coarse pruning × code quantization) and
+    (b) plan the probe as a partition-pruned scan of the smallint code
+    column only."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        ivfpq_index_probe,
+        ivfpq_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_index_write(emb, path)
+    got_df = ivfpq_index_probe(spark, path, emb, queries, k=5)
+    got = {(r.query_id, r.neighbor_id): r.score for r in got_df.collect()}
+    truth = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    hits = set(truth) & set(got)
+    recall = len(hits) / len(truth)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
+    for pair in hits:  # rescore is exact cosine — scores match bit-for-bit
+        assert truth[pair] == got[pair]
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<smallint>>" in plan
+
+
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ tier (8×4-bit codes, ADC shortlist of 50, exact rescore) must
     recover most true top-5 neighbors; reported scores are exact cosine

@@ -1,0 +1,128 @@
+"""PII detection / redaction over the ``documents`` table (north star
+§2.10) — the curation stage every public-web training pipeline runs
+before release: find emails / phone numbers / IPv4 addresses, count them
+per document, and emit redacted text.
+
+Spark shape: one narrow pass of builtin ``regexp_count`` /
+``regexp_replace`` expressions — whole-stage codegen, zero shuffle, zero
+Python; at 100 TB this is scan-bound exactly like the quality/lang-ID
+passes.  Patterns use the conservative regex subset that Java
+(``java.util.regex``) and RE2 (the DuckDB oracle) interpret identically:
+character classes, bounded quantifiers, ``\\b`` anchors, non-capturing
+groups — no lookaround, no backreferences.
+
+The fixture corpus contains no real PII, so the registered query plants
+deterministic pseudo-PII derived from ``doc_id`` (same derivation in the
+Spark builder and the oracle SQL, the ``traffic_raw_from_events``
+convention) — the scrub is then hash-checked against the planted truth.
+
+Reference basis: the reference engine (``/root/reference/script.js``) has
+no text operators; this extends the mandated north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: (name, pattern, replacement token).  Order matters and is part of the
+#: contract: earlier redactions run first and later patterns see their
+#: tokens (none of these tokens can match a later pattern).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One ``regexp_count`` per pattern — narrow, codegen'd."""
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact(col: Column) -> Column:
+    """Sequential redaction in PII_PATTERNS order."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII profile + redacted-text digest.
+
+    The digest (md5 of the redacted text) rather than the text itself
+    keeps the output narrow for auditing/oracle comparison; production
+    writes the redacted column back to the corpus table instead.
+    """
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        *pii_counts(c),
+        F.md5(redact(c)).alias("clean_md5"),
+    )
+
+
+#: Deterministic pseudo-PII planting (builder + oracle must agree).
+def _plant_dirty_text(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", dirty.alias("text"))
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS clean_md5
+    FROM dirty
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with planted pseudo-PII: per-doc
+    email/IP/phone counts plus the md5 of the fully redacted text — a
+    hash mismatch catches a single missed or mangled redaction anywhere
+    in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_documents(_plant_dirty_text(docs)).orderBy("doc_id")

@@ -580,10 +580,11 @@ def topk_sq8(
     tiers) and every Arrow batch scores ALL queries with ONE int64 numpy
     matmul — exact, so the result is bit-identical to the
     :func:`int_dot` expression form, which evaluates as an interpreted
-    higher-order function and measured ~4× slower (BASELINE.md).  The scan
-    side is 4× narrower than float32.  Production refinement re-scores the
-    top-k' (k' > k) candidates with float vectors — the recall/compression
-    trade is asserted in tests."""
+    higher-order function and measured ~4× slower (BASELINE.md).  This
+    inline form quantizes per run (fixture convenience); the production
+    shape — codes stored once, probed without touching the float corpus —
+    is :func:`sq8_index_write` / :func:`sq8_index_probe`, whose results
+    are bit-identical to this tier (asserted in tests)."""
     q_rows = _collect_bounded_queries(
         queries.select(
             F.col(id_col).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("qq")
@@ -1081,5 +1082,136 @@ def sim_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _index_staging("pq", sf_dir)
     pq_index_write(emb, path)
     return pq_index_probe(
+        spark, path, emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse lists × compressed codes, the combined serving index
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = IVF_CLUSTERS,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """IVF-PQ index-as-table: PQ codes partitioned by coarse cluster.
+
+    The FAISS-style shape for billion-vector serving, composed from the
+    two tiers this module already proves separately: the coarse quantizer
+    bounds WHICH files a probe reads (``cluster=N/`` partition pruning,
+    IVF's contract) and PQ bounds HOW WIDE each read is (m bytes/vector,
+    the stored-code contract).  At 100 TB the float corpus is touched only
+    by the one-time build pass and per-query shortlist rescore.
+
+    Codes encode the vector directly (no residual subtraction): our ADC
+    approximates the *cosine* inner product on L2-normalised vectors,
+    where FAISS's residual trick targets L2 distance around centroids —
+    direct encoding keeps the codebooks probe-independent and reuses
+    :func:`train_pq_codebooks` verbatim.  Centroids and codebooks persist
+    as underscore-prefixed JSON beside the partitions.
+    """
+    import json
+    import os
+
+    centroids = train_ivf_centroids(corpus, vec_col, n_clusters, seed)
+    assign1 = _ivf_assign_udf(centroids, 1)
+    books = train_pq_codebooks(corpus, vec_col, m, ks, seed)
+    encode = _pq_encode_udf(books)
+    assigned = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("cv")
+    ).select(
+        id_col,
+        F.element_at(assign1(F.col("cv")), 1).alias("cluster"),
+        F.transform(encode(F.col("cv")), lambda x: x.cast("smallint")).alias(
+            "codes"
+        ),
+    )
+    assigned.repartition(F.col("cluster")).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    with open(os.path.join(path, "_codebooks.json"), "w") as f:
+        json.dump(books.tolist(), f)
+
+
+def ivfpq_index_probe(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an IVF-PQ index: partition-pruned scan of the probed
+    clusters' CODE files (never the float corpus), ADC scoring, exact
+    rescore of the shortlist.
+
+    One deliberate divergence from FAISS: the scan is pruned to the UNION
+    of all queries' probed clusters and every scanned code row is ADC-
+    scored for every query (one gather-sum per Arrow batch), instead of
+    maintaining a per-query cluster mask.  For a bounded query set this
+    reads the same files, costs one matmul, and can only IMPROVE recall
+    over per-query masking (extra candidates are extra chances, and the
+    exact rescore keeps precision).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f), dtype=np.float64)
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        books = np.array(json.load(f), dtype=np.float64)
+    qrows = _collect_bounded_queries(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "ivfpq_index_probe",
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Qraw = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    # nprobe nearest coarse centroids per query, computed driver-side
+    # (|Q|×n_clusters distances — trivially bounded)
+    d2 = (
+        (Qraw**2).sum(axis=1)[:, None]
+        - 2.0 * (Qraw @ centroids.T)
+        + (centroids**2).sum(axis=1)[None, :]
+    )
+    probed = sorted({int(c) for row in np.argsort(d2, axis=1)[:, :nprobe] for c in row})
+    encoded = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probed))
+        .select(F.col(id_col).alias("neighbor_id"), "codes")
+    )
+    c_float = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    Q = _l2_normalize_rows(Qraw)
+    return _pq_adc_topk(encoded, c_float, books, qids, Q, k, shortlist)
+
+
+@register("sim_topk_ivfpq")  # rows-only: k-means quantization isn't ANSI-SQL
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-probe the combined IVF-PQ index for query vectors
+    vec_id < 8: partition-pruned coarse lists, stored smallint codes,
+    ADC + exact rescore; recall and plan shape asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_staging("ivfpq", sf_dir)
+    ivfpq_index_write(emb, path)
+    return ivfpq_index_probe(
         spark, path, emb, emb.filter(F.col("vec_id") < 8), k=5
     ).orderBy("query_id", "rank")

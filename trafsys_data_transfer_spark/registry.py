@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.rangejoin",
     "trafsys_data_transfer_spark.operators.sampling",
     "trafsys_data_transfer_spark.operators.contamination",
+    "trafsys_data_transfer_spark.operators.pii",
     "trafsys_data_transfer_spark.operators.packing",
     "trafsys_data_transfer_spark.operators.salience",
     "trafsys_data_transfer_spark.operators.snapshot",
@@ -160,6 +161,7 @@ _PRIORITY = (
     "text_rolling_fingerprint",
     "sim_topk_lsh",
     "sim_topk_pq_stored",
+    "sim_topk_ivfpq",
     "dedup_approx_distinct",
     "skew_salted_agg",
     "dedup_ngram_jaccard",
@@ -168,6 +170,7 @@ _PRIORITY = (
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",
+    "text_pii_scrub",
     "text_token_count",
     "text_quality",
     "text_repetition",

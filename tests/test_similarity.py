@@ -239,6 +239,36 @@ def test_pq_codebooks_deterministic_and_unpadded(spark):
     assert not np.any(np.all(b1 == 0.0, axis=2))
 
 
+def test_sq8_rescored_recall_beats_raw_qdot(spark, sf_dir):
+    """The exact-cosine rescore must (a) report scores identical to brute
+    force for every returned true pair and (b) recall at least as many
+    true neighbors as raw-qdot ranking (the shortlist is a superset of
+    the raw top-k)."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        topk_sq8,
+        topk_sq8_rescored,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    raw = {
+        (r.query_id, r.neighbor_id) for r in topk_sq8(emb, queries, k=5).collect()
+    }
+    resc = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in topk_sq8_rescored(emb, queries, k=5).collect()
+    }
+    hits = set(truth) & set(resc)
+    assert len(hits) >= len(set(truth) & raw)
+    assert len(hits) / len(truth) >= 0.7
+    for pair in hits:
+        assert truth[pair] == resc[pair]
+
+
 def test_ivfpq_recall_and_pruned_narrow_scan(spark, sf_dir, tmp_path):
     """The combined index must (a) keep most true top-5 neighbors despite
     both approximations stacking (coarse pruning × code quantization) and

@@ -115,6 +115,7 @@ def recall_audit(spark, sf_dir: str, n_queries: int = 20, k: int = 5) -> dict[st
         topk_bruteforce,
         topk_pq,
         topk_sq8,
+        topk_sq8_rescored,
     )
     from trafsys_data_transfer_spark.sources.fixtures import load_table
 
@@ -125,14 +126,13 @@ def recall_audit(spark, sf_dir: str, n_queries: int = 20, k: int = 5) -> dict[st
         for r in topk_bruteforce(emb, queries, k=k).collect()
     }
     out = {}
-    got_pq = {
-        (r.query_id, r.neighbor_id) for r in topk_pq(emb, queries, k=k).collect()
-    }
-    out["pq"] = len(truth & got_pq) / len(truth)
-    got_sq8 = {
-        (r.query_id, r.neighbor_id) for r in topk_sq8(emb, queries, k=k).collect()
-    }
-    out["sq8"] = len(truth & got_sq8) / len(truth)
+    for tier, fn in (
+        ("pq", topk_pq),
+        ("sq8", topk_sq8),
+        ("sq8_rescored", topk_sq8_rescored),
+    ):
+        got = {(r.query_id, r.neighbor_id) for r in fn(emb, queries, k=k).collect()}
+        out[tier] = len(truth & got) / len(truth)
     return out
 
 

@@ -546,6 +546,14 @@ def sq8_quantize(vec: Column) -> Column:
     quantize to zero (guarded identically in the DuckDB oracle).  The
     quantized dot product below is then EXACT int64 arithmetic — no float
     accumulation order to disagree about between engines.
+
+    Geometry note: the per-vector scale makes the codes SCALE-INVARIANT
+    (``q(c·x) == q(x)`` for c>0 — L2-normalising first would be a no-op),
+    and the quantized dot ranks by ``(a·b)/(max|a|·max|b|)`` — close to
+    cosine when max-norm tracks L2-norm, but not equal to either cosine or
+    raw MIPS.  Where exact-cosine ranking is required from the compressed
+    scan, use :func:`topk_sq8_rescored`, which shortlists on the quantized
+    score and rescores candidates with float cosine (the PQ recipe).
     """
     dv = as_double(vec)
     m = F.array_max(F.transform(dv, lambda x: F.abs(x)))
@@ -670,6 +678,92 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     result (unlike any float path) is engine- and order-independent."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_sq8(emb, emb.filter(F.col("vec_id") < 8), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def topk_sq8_rescored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 scan + exact cosine rescore — the PQ recipe applied to the SQ8
+    tier: the int8 matmul shortlists ``shortlist`` candidates per query,
+    and only those rows are joined back to the float corpus for exact
+    cosine ranking.  Quantization noise then affects recall only (whether
+    a true neighbor makes the shortlist), never the reported scores — the
+    fix for the raw-qdot tier's norm-geometry gap (see
+    :func:`sq8_quantize`)."""
+    short = topk_sq8(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    c_float = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q_float = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    rescored = (
+        short.select("query_id", "neighbor_id")
+        .join(c_float, "neighbor_id")
+        .join(F.broadcast(q_float), "query_id")
+        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "sim_topk_sq8_rescored",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding::DOUBLE[], x ->
+                  CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(ROUND(x * 127.0 / m) AS BIGINT) END) AS qv
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+              FROM embeddings)
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1] * s[2])) DESC,
+                       b.vec_id ASC) AS r
+            FROM q a JOIN q b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < 8
+        ) WHERE r <= 50
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id ORDER BY
+                   list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+                   s.neighbor_id ASC) AS rank,
+               ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS score
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_sq8_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-shortlist + exact cosine rescore top-5 for query vectors
+    vec_id < 8 — compressed scan with exact reported scores, hash-checked
+    end to end (shortlist election AND rescore ranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_sq8_rescored(emb, emb.filter(F.col("vec_id") < 8), k=5).orderBy(
         "query_id", "rank"
     )
 

@@ -162,6 +162,7 @@ _PRIORITY = (
     "sim_topk_lsh",
     "sim_topk_pq_stored",
     "sim_topk_ivfpq",
+    "sim_topk_sq8_rescored",
     "dedup_approx_distinct",
     "skew_salted_agg",
     "dedup_ngram_jaccard",

@@ -79,6 +79,86 @@ def test_incremental_merge_picks_up_only_new_files(spark):
     assert spark.read.parquet(target).count() == 2
 
 
+def test_crash_between_sink_and_offset_commit_replays_idempotently(spark):
+    """The effectively-once invariant under a REAL failure ordering: the
+    micro-batch MERGE commits to the sink, then the query dies before the
+    checkpoint records the offset.  On restart the batch replays and the
+    MERGE applies a second time — last-write-wins on the PK must make the
+    replay invisible (at-least-once delivery + idempotent sink, the
+    reference's core contract, script.js:182-215 + :54)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.operators.merge import (
+        dedupe_last_write,
+        merge_upsert_parquet,
+    )
+    from trafsys_data_transfer_spark.plans.pipeline import PARTITION_COL
+    from trafsys_data_transfer_spark.schemas import TRAFFIC_PK
+
+    source = tempfile.mkdtemp(prefix="t_crash_src_")
+    target = tempfile.mkdtemp(prefix="t_crash_tgt_") + "/target"
+    ckpt = tempfile.mkdtemp(prefix="t_crash_ckpt_")
+    with open(os.path.join(source, "b1.json"), "w") as f:
+        for ins, pe in ((5, "2024-01-01T10:00:00"), (7, "2024-01-01T11:00:00")):
+            f.write(
+                json.dumps(
+                    {
+                        "SiteCode": "S1", "Location": "door", "IsInternal": False,
+                        "PeriodEnding": pe, "Ins": ins, "Outs": 1,
+                    }
+                )
+                + "\n"
+            )
+
+    crashed = {"done": False}
+
+    def merge_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        updates = dedupe_last_write(
+            normalize_traffic(batch), keys=TRAFFIC_PK,
+            order_by=["Ins", "Outs", "IsInternal"],
+        )
+        merge_upsert_parquet(
+            batch.sparkSession,
+            target,
+            updates.withColumn(PARTITION_COL, F.col("PeriodEnding").cast("date")),
+            keys=TRAFFIC_PK,
+            partition_col=PARTITION_COL,
+        )
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after sink commit")
+
+    def start():
+        return (
+            read_traffic_stream(spark, source)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    # sink DID commit before the crash
+    assert spark.read.parquet(target).count() == 2
+
+    q2 = start()  # same checkpoint → the uncommitted batch replays
+    q2.awaitTermination()
+    final = {
+        r["PeriodEnding"].isoformat(): (r["Ins"], r["Outs"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == {
+        "2024-01-01T10:00:00": (5, 1),
+        "2024-01-01T11:00:00": (7, 1),
+    }
+
+
 def test_watermark_drops_too_late_rows(spark):
     """Append-mode aggregation with a 2h watermark: a row arriving after the
     watermark has passed its window is dropped — bounded state at scale."""

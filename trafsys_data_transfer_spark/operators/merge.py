@@ -78,6 +78,15 @@ def merge_dataframes(
         MERGE INTO target USING updates ON <keys>
         WHEN MATCHED THEN UPDATE SET *    -- script.js:195-200 updates Ins/Outs
         WHEN NOT MATCHED THEN INSERT *    -- script.js:186-194
+
+    Plan shape (audited at sf0.1): the TARGET scans once and never
+    shuffles — the anti-join broadcasts only the updates' key columns.
+    That is the correct asymmetry at 100 TB (huge target, nightly delta);
+    the union+priority-window alternative would shuffle the entire target
+    by PK.  The trade: the ``updates`` lineage is evaluated twice (key
+    probe + union).  That cost is bounded by delta size; callers whose
+    delta is expensive to derive (long transform chains) should
+    ``.cache()`` or ``localCheckpoint()`` the delta first.
     """
     keys = list(keys)
     survivors = target.join(updates.select(*keys), on=keys, how="left_anti")

@@ -87,6 +87,37 @@ def test_corrupt_payloads_fail_loudly():
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
+def test_parsers_never_crash_on_arbitrary_bytes():
+    """Fuzz: any byte string either parses or raises ValueError — never a
+    struct.error / IndexError escaping into the Arrow worker.  Seeds
+    include truncations of VALID files, the nastiest real-world case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    wav = synthesize_wav(2, 16000, 40, seed=1)
+    png = synthesize_png(9, 7, seed=2)
+    prefixes = [wav[:n] for n in (4, 11, 12, 13, 20, 21, 35)] + [
+        png[:n] for n in (7, 8, 9, 16, 28, 30)
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=64),
+            st.sampled_from(prefixes),
+            st.binary(max_size=16).map(lambda junk: wav[: len(wav) // 2] + junk),
+        )
+    )
+    def check(b):
+        for parser in (_parse_wav, _parse_png):
+            try:
+                parser(b)
+            except ValueError:
+                pass
+
+    check()
+
+
 def test_decode_table_roundtrips_planted_params(spark):
     """Spark pipeline: synthesize real container bytes per doc_id, decode
     via mapInPandas, check the recovered fields equal the planted

@@ -41,6 +41,27 @@ def test_clean_doc_digest_unchanged(spark):
     assert out["clean_md5"] == want
 
 
+def test_redaction_is_idempotent(spark):
+    """redact(redact(x)) == redact(x): no replacement token can match a
+    later (or earlier) pattern, so a double-scrubbed corpus is unchanged —
+    the property that makes re-running the scrub safe in a pipeline."""
+    import random
+
+    rng = random.Random(11)
+    frags = [
+        "plain words", "a@b.io", "10.1.2.3", "555-0100", "x.y+z@mail.example.com",
+        "1.2.3.4.5", "999-99999", "trailing@dot.", "<EMAIL>", "<IP>", "<PHONE>",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8))))
+        for i in range(200)
+    ]
+    docs = _docs(spark, rows)
+    once = docs.select("doc_id", redact(F.col("text")).alias("t"))
+    twice = once.select("doc_id", redact(F.col("t")).alias("t"))
+    assert once.collect() == twice.collect()
+
+
 def test_plan_is_narrow_codegen(spark):
     """The scrub is a scan-bound projection: no exchange, no Python eval."""
     docs = _docs(spark, [(1, "a@b.co")])

@@ -80,6 +80,8 @@ def _parse_wav(b: bytes) -> dict:
     while pos + 8 <= len(b):
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         if cid == b"fmt " and size >= 16:
+            if pos + 8 + 16 > len(b):  # declared fmt chunk truncated
+                raise ValueError("WAVE fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
         elif cid == b"data":
             data_size = size

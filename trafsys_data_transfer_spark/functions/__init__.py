@@ -22,6 +22,13 @@ Vectors::
     dot(a, b) / norm(a) / cosine(a, b)   deterministic sequential-sum math
     as_double(a)                         array<float> → array<double>
     lsh_buckets(vec)                     random-hyperplane LSH bucket ids
+    sq8_quantize(vec)                    symmetric int8 scalar quantization
+    int_dot(a, b)                        exact int64 inner product
+
+PII / media (round 5)::
+
+    pii_redact(col)                      email/IP/phone redaction (codegen)
+    decode_media(bytes, media_type)      real WAV/PNG parse (driver/UDF side)
 """
 
 from ..operators.dedup import (
@@ -32,18 +39,32 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
-from ..operators.similarity import as_double, cosine, dot, lsh_buckets, norm
+from ..operators.multimodal import decode_media
+from ..operators.pii import redact as pii_redact
+from ..operators.similarity import (
+    as_double,
+    cosine,
+    dot,
+    int_dot,
+    lsh_buckets,
+    norm,
+    sq8_quantize,
+)
 
 __all__ = [
     "as_double",
     "cosine",
+    "decode_media",
     "dot",
     "fingerprint",
+    "int_dot",
     "jaccard",
     "lsh_buckets",
     "minhash_signature",
     "norm",
     "normalize_text",
+    "pii_redact",
     "shingles",
     "simhash",
+    "sq8_quantize",
 ]

@@ -1,0 +1,127 @@
+"""Custom Spark DataSource for the TrafSys API: partitioned reads, option
+validation, executor-side 401 retry — all against a stub transport
+(instances are pickled to the Python worker, so the stub rides a class
+attribute exactly as production's urllib transport does)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.plans.traffic import normalize_traffic
+from trafsys_data_transfer_spark.sources.datasource import TrafsysDataSource
+
+BASE = "https://example.test/rest"
+
+
+def _record(day: str, site: str = "S1", ins: int = 5):
+    return {
+        "SiteCode": site,
+        "Location": "door",
+        "IsInternal": False,
+        "PeriodEnding": f"{day}T10:00:00",
+        "Ins": ins,
+        "Outs": 2,
+    }
+
+
+def _stub_transport(fail_first_get: bool = False):
+    state = {"gets": 0}
+
+    def transport(method, url, params=None, data=None, headers=None):
+        if method == "POST" and url.endswith("token"):
+            return 200, json.dumps(
+                {
+                    "access_token": "tok",
+                    ".expires": "Mon, 06 Jan 2125 12:00:00 GMT",
+                }
+            )
+        assert headers["Authorization"].startswith("Bearer ")
+        state["gets"] += 1
+        if fail_first_get and state["gets"] == 1:
+            return 401, "expired"
+        # one record per window start-day; DateFrom drives the payload
+        return 200, json.dumps([_record(params["DateFrom"])])
+
+    return transport
+
+
+class StubSource(TrafsysDataSource):
+    transport_factory = staticmethod(lambda: _stub_transport())
+
+    @classmethod
+    def name(cls):
+        return "trafsys_stub"
+
+
+class Stub401Source(TrafsysDataSource):
+    transport_factory = staticmethod(lambda: _stub_transport(fail_first_get=True))
+
+    @classmethod
+    def name(cls):
+        return "trafsys_stub_401"
+
+
+def _read(spark, source, date_from="2024-01-01", date_to="2024-01-20", **opts):
+    # DataSource classes are pickled BY REFERENCE (module + qualname), so
+    # the Python worker must be able to import this test module.
+    spark.sparkContext.addPyFile(__file__)
+    spark.dataSource.register(source)
+    reader = (
+        spark.read.format(source.name())
+        .option("url", BASE)
+        .option("user", "u")
+        .option("password", "p")
+        .option("date_from", date_from)
+        .option("date_to", date_to)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_partitioned_read_covers_window(spark):
+    """A 20-day window at 7 days/chunk → 3 partitions, one GET each; the
+    union is schema-typed raw records ready for normalize_traffic."""
+    df = _read(spark, StubSource)
+    rows = df.collect()
+    assert {r["PeriodEnding"] for r in rows} == {
+        "2024-01-01T10:00:00", "2024-01-08T10:00:00", "2024-01-15T10:00:00"
+    }
+    assert df.rdd.getNumPartitions() == 3
+    assert [f.name for f in df.schema.fields] == [
+        "SiteCode", "Location", "IsInternal", "PeriodEnding", "Ins", "Outs"
+    ]
+    norm = normalize_traffic(df)
+    assert norm.filter(F.col("PeriodEnding").isNull()).count() == 0
+    assert norm.schema["IsInternal"].dataType.simpleString() == "int"
+
+
+def test_single_day_window_is_one_partition(spark):
+    df = _read(spark, StubSource, date_from="2024-02-01", date_to="2024-02-01")
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 1
+
+
+def test_executor_side_401_retry(spark):
+    """First GET in the worker answers 401: the reader sleeps, re-auths and
+    retries once (script.js:243-254) — the rows still arrive."""
+    df = _read(
+        spark, Stub401Source, date_from="2024-03-01", date_to="2024-03-01"
+    )
+    assert df.count() == 1
+
+
+def test_missing_options_fail_loudly(spark):
+    spark.dataSource.register(StubSource)
+    with pytest.raises(Exception, match="missing options"):
+        (
+            spark.read.format("trafsys_stub")
+            .option("url", BASE)
+            .option("date_from", "2024-01-01")
+            .option("date_to", "2024-01-02")
+            .load()
+            .collect()
+        )

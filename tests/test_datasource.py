@@ -114,6 +114,50 @@ def test_executor_side_401_retry(spark):
     assert df.count() == 1
 
 
+def test_stream_reader_offsets_are_the_watermark(spark):
+    """readStream over the API: the checkpoint offset is the reference's
+    NeDB watermark.  First drain fetches every complete window; a second
+    drain from the SAME checkpoint fetches nothing new (offset held);
+    extending date_to and re-draining fetches only the new days."""
+    import tempfile
+
+    from trafsys_data_transfer_spark.sources.offline import OfflineTrafsysSource
+
+    # The streaming source runner imports the class by MODULE PATH (no
+    # cloudpickle-by-value), so the offline source lives in the package.
+    spark.dataSource.register(OfflineTrafsysSource)
+    ckpt = tempfile.mkdtemp(prefix="t_ds_stream_ckpt_")
+    out = tempfile.mkdtemp(prefix="t_ds_stream_out_") + "/sink"
+
+    def drain(date_to):
+        q = (
+            spark.readStream.format("trafsys_offline")
+            .option("url", BASE)
+            .option("user", "u")
+            .option("password", "p")
+            .option("date_from", "2024-01-01")
+            .option("date_to", date_to)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["PeriodEnding"] for r in spark.read.parquet(out).collect()}
+
+    first = drain("2024-01-20")
+    assert first == {
+        "2024-01-01T10:00:00", "2024-01-08T10:00:00", "2024-01-15T10:00:00"
+    }
+    assert drain("2024-01-20") == first  # caught up → no new rows
+    # Watermark resumes at Jan 21 (day after the drained Jan 1-20 window):
+    # new 7-day windows start Jan 21 and Jan 28 — only the new days fetch.
+    extended = drain("2024-02-01")
+    assert extended == first | {"2024-01-21T10:00:00", "2024-01-28T10:00:00"}
+
+
 def test_missing_options_fail_loudly(spark):
     spark.dataSource.register(StubSource)
     with pytest.raises(Exception, match="missing options"):

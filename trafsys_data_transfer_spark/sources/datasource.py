@@ -31,7 +31,12 @@ import json
 import time
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schemas import TRAFFIC_RAW_SCHEMA
 from .trafsys_api import (
@@ -126,8 +131,62 @@ class TrafsysReader(DataSourceReader):
             yield tuple(r.get(f.name) for f in TRAFFIC_RAW_SCHEMA.fields)
 
 
+class TrafsysStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the source: the reference's nightly cron as a
+    genuine Structured Streaming source.
+
+    The offset IS the watermark — ``{"next_date": <ISO day>}``, the exact
+    state the reference persists in NeDB (`ToDate` of the last run,
+    script.js:54) — but stored in the query's CHECKPOINT, so restart
+    resumes from the first unfetched day with no hand-rolled run log.
+    Each ``read(start)`` fetches the days that have become COMPLETE since
+    the last micro-batch (up to yesterday, the reference's default upper
+    bound, script.js:12) and returns the advanced offset; an up-to-date
+    stream yields an empty batch and an unchanged offset.
+    """
+
+    def __init__(self, options: dict, transport_factory):
+        self.options = options
+        self.transport_factory = transport_factory
+        self._reader = TrafsysReader(options, transport_factory)
+
+    def initialOffset(self) -> dict:
+        return {"next_date": self.options["date_from"]}
+
+    def _upper_bound(self):
+        import datetime as dt
+
+        if "date_to" in self.options:
+            return dt.date.fromisoformat(self.options["date_to"])
+        return dt.date.today() - dt.timedelta(days=1)  # yesterday
+
+    def read(self, start: dict):
+        import datetime as dt
+
+        next_date = dt.date.fromisoformat(start["next_date"])
+        last = self._upper_bound()
+        if next_date > last:
+            return iter([]), start  # caught up: empty batch, offset holds
+        # The Simple stream contract: return ALL data available past the
+        # offset.  days_per_chunk bounds each API GET (the reference's
+        # paginationless fetch made windowed), not the micro-batch.
+        days = int(self.options.get("days_per_chunk", "7"))
+        rows: list[tuple] = []
+        cur = next_date
+        while cur <= last:
+            window_end = min(cur + dt.timedelta(days=days - 1), last)
+            part = _WindowPartition(cur.isoformat(), window_end.isoformat())
+            rows.extend(self._reader.read(part))
+            cur = window_end + dt.timedelta(days=1)
+        return iter(rows), {"next_date": cur.isoformat()}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing engine-side to ack
+
+
 class TrafsysDataSource(DataSource):
-    """``spark.read.format("trafsys")`` — see module docstring."""
+    """``spark.read.format("trafsys")`` / ``spark.readStream.format("trafsys")``
+    — see module docstring."""
 
     #: Overridable HTTP layer (class attribute so it survives pickling to
     #: the Python worker; tests subclass with a stub).
@@ -140,9 +199,18 @@ class TrafsysDataSource(DataSource):
     def schema(self):
         return TRAFFIC_RAW_SCHEMA
 
-    def reader(self, schema) -> TrafsysReader:
-        missing = [k for k in ("url", "user", "password", "date_from", "date_to")
-                   if k not in self.options]
+    def _validated(self, *required: str) -> dict:
+        missing = [k for k in required if k not in self.options]
         if missing:
             raise ValueError(f"trafsys source: missing options {missing}")
-        return TrafsysReader(dict(self.options), type(self).transport_factory)
+        return dict(self.options)
+
+    def reader(self, schema) -> TrafsysReader:
+        opts = self._validated("url", "user", "password", "date_from", "date_to")
+        return TrafsysReader(opts, type(self).transport_factory)
+
+    def simpleStreamReader(self, schema) -> TrafsysStreamReader:
+        # date_to optional for the stream: absent → "through yesterday",
+        # re-evaluated every micro-batch, exactly the reference's default.
+        opts = self._validated("url", "user", "password", "date_from")
+        return TrafsysStreamReader(opts, type(self).transport_factory)

@@ -158,6 +158,47 @@ def test_stream_reader_offsets_are_the_watermark(spark):
     assert extended == first | {"2024-01-21T10:00:00", "2024-01-28T10:00:00"}
 
 
+def test_api_stream_feeds_nightly_merge_pipeline(spark):
+    """Capstone: the registered streaming API source drains straight into
+    the nightly MERGE sink — fetch → normalize → dedupe → last-write-wins
+    upsert, with incremental pickup riding the source's checkpoint offset.
+    A re-drain over an extended window adds only the new days and leaves
+    prior state untouched (the reference's whole nightly loop, one query)."""
+    import tempfile
+
+    from trafsys_data_transfer_spark.sources.offline import OfflineTrafsysSource
+    from trafsys_data_transfer_spark.streaming.incremental import run_stream_merge
+
+    spark.dataSource.register(OfflineTrafsysSource)
+    ckpt = tempfile.mkdtemp(prefix="t_api_merge_ckpt_")
+    target = tempfile.mkdtemp(prefix="t_api_merge_tgt_") + "/target"
+
+    def stream(date_to):
+        return (
+            spark.readStream.format("trafsys_offline")
+            .option("url", BASE)
+            .option("user", "u")
+            .option("password", "p")
+            .option("date_from", "2024-01-01")
+            .option("date_to", date_to)
+            .load()
+        )
+
+    run_stream_merge(stream("2024-01-14"), target, ckpt)
+    first = {
+        r["PeriodEnding"].isoformat(): r["Ins"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert first == {"2024-01-01T10:00:00": 5, "2024-01-08T10:00:00": 5}
+
+    run_stream_merge(stream("2024-01-21"), target, ckpt)
+    final = {
+        r["PeriodEnding"].isoformat(): r["Ins"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == dict(first, **{"2024-01-15T10:00:00": 5})
+
+
 def test_missing_options_fail_loudly(spark):
     spark.dataSource.register(StubSource)
     with pytest.raises(Exception, match="missing options"):

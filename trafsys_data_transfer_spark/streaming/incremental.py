@@ -205,6 +205,49 @@ def run_stream_stream_join_to_memory(
     return spark.table(table_name)
 
 
+def run_stream_merge(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain ANY raw-traffic stream through the nightly MERGE sink: one
+    ``AvailableNow`` pass, each micro-batch normalized, deduped
+    last-write-wins and MERGEd into the partitioned parquet target.
+
+    Source-agnostic on purpose — the file-landing stream
+    (:func:`run_incremental_merge`) and the registered ``trafsys``
+    streaming DataSource (`sources/datasource.py`, where the checkpoint
+    offset is the API watermark) both terminate here, so "fetch → upsert"
+    is the same audited sink code whichever source feeds it.
+    """
+    spark = stream.sparkSession
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return  # T5: empty-batch short-circuit (script.js:183)
+        updates = dedupe_last_write(
+            normalize_traffic(batch),
+            keys=TRAFFIC_PK,
+            order_by=["Ins", "Outs", "IsInternal"],
+        )
+        merge_upsert_parquet(
+            batch.sparkSession,
+            target_path,
+            updates.withColumn(PARTITION_COL, F.col("PeriodEnding").cast("date")),
+            keys=TRAFFIC_PK,
+            partition_col=PARTITION_COL,
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def run_incremental_merge(
     spark: SparkSession,
     source_dir: str,
@@ -222,35 +265,4 @@ def run_incremental_merge(
     MERGE across batches — at-least-once + idempotent sink = effectively
     once, the exact invariant the reference relies on (§2.8).
     """
-
-    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return  # T5: empty-batch short-circuit (script.js:183) — checked
-            # on the raw batch (a limit-1 probe) so the dedup window plan
-            # isn't executed once for the probe and again for the MERGE.
-        updates = dedupe_last_write(
-            normalize_traffic(batch), keys=TRAFFIC_PK, order_by=["Ins", "Outs", "IsInternal"]
-        )
-        with_partition = updates.withColumn(
-            PARTITION_COL, F.col("PeriodEnding").cast("date")
-        )
-        merge_upsert_parquet(
-            batch.sparkSession,
-            target_path,
-            with_partition,
-            keys=TRAFFIC_PK,
-            partition_col=PARTITION_COL,
-        )
-
-    # The foreachBatch body runs batch plans (window dedup, MERGE join)
-    # under the same reduced partition count — right-sized for a nightly
-    # delta, and AQE re-coalesces anyway.
-    with _stream_partitions(spark):
-        q = (
-            read_traffic_stream(spark, source_dir)
-            .writeStream.foreachBatch(_merge_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    run_stream_merge(read_traffic_stream(spark, source_dir), target_path, checkpoint_dir)

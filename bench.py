@@ -91,6 +91,7 @@ WORK_IN_BUILD = {
     "sim_topk_sq8_stored",
     "sim_topk_pq_stored",
     "sim_topk_ivfpq",
+    "sim_semantic_dedup_pipeline",
     "dedup_components",
     "dedup_neardup_pipeline",
 }

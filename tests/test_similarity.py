@@ -300,6 +300,53 @@ def test_ivfpq_recall_and_pruned_narrow_scan(spark, sf_dir, tmp_path):
     assert "ReadSchema: struct<vec_id:bigint,codes:array<smallint>>" in plan
 
 
+def test_embedding_neardup_lsh_precision_exact_recall_audited(spark, sf_dir):
+    """The LSH pair generator must return ONLY true pairs (exact cosine
+    verify) and recover a solid fraction of the exact pair set on the
+    bounded ground-truth scope."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from trafsys_data_transfer_spark.operators.similarity import as_double, cosine
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine(as_double(F.col("ea")), as_double(F.col("eb"))))
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert got <= exact, "LSH tier returned a pair below threshold"
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.5, f"near-dup recall {recall:.2f} too low"
+
+
+def test_semantic_dedup_pipeline_composes(spark):
+    """Yield accounting invariants: keepers ≤ vectors per label, totals
+    cover the corpus, and every component elects exactly one keeper."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        sim_semantic_dedup_pipeline,
+    )
+
+    rows = sim_semantic_dedup_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    emb_count = load_table(spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == emb_count
+    for r in rows:
+        assert 0 < r["n_keepers"] <= r["n_vectors"]
+        assert abs(r["yield_frac"] - r["n_keepers"] / r["n_vectors"]) < 1e-6
+
+
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ tier (8×4-bit codes, ADC shortlist of 50, exact rescore) must
     recover most true top-5 neighbors; reported scores are exact cosine

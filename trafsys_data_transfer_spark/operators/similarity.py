@@ -513,6 +513,71 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH-bucket candidate generation
+    (banded equi-join, never an all-pairs cross join) + exact cosine
+    verification.  The scale-path form of :func:`sim_embedding_neardup`'s
+    bounded exact scan: precision is exact (every returned pair really has
+    ``cos ≥ threshold``); the bucket stage only affects recall, audited in
+    tests against the exact pairs on a bounded scope."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).select(
+        "id", "v", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "bucket")
+    )
+    a = c.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bucket"
+    )
+    b = c.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bucket"
+    )
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+
+@register("sim_semantic_dedup_pipeline")  # rows-only: LSH isn't ANSI-SQL
+def sim_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, end to end: LSH-bucketed embedding
+    near-dup pairs (cos ≥ 0.4) → connected components → min-id keeper per
+    cluster → per-label yield accounting — the embedding-space twin of
+    ``dedup_neardup_pipeline``, certifying the similarity and graph
+    operators compose on the vector id space."""
+    from .graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_lsh(emb, threshold=0.4)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
+    labeled = (
+        emb.join(comp, emb.vec_id == comp.id)
+        .join(keepers, "component")
+        .withColumn("is_keeper", (F.col("vec_id") == F.col("keeper_id")).cast("int"))
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("is_keeper").alias("n_keepers"),
+            F.round(F.sum("is_keeper") / F.count(F.lit(1)), 6).alias("yield_frac"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization (SQ8) + exact-integer MIPS
 # ---------------------------------------------------------------------------

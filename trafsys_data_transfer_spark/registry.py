@@ -163,6 +163,7 @@ _PRIORITY = (
     "sim_topk_pq_stored",
     "sim_topk_ivfpq",
     "sim_topk_sq8_rescored",
+    "sim_semantic_dedup_pipeline",
     "dedup_approx_distinct",
     "skew_salted_agg",
     "dedup_ngram_jaccard",

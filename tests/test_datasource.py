@@ -199,6 +199,34 @@ def test_api_stream_feeds_nightly_merge_pipeline(spark):
     assert final == dict(first, **{"2024-01-15T10:00:00": 5})
 
 
+def test_cli_stream_mode_offline(spark, monkeypatch, tmp_path):
+    """`python -m trafsys_data_transfer_spark --mode stream` with the
+    offline transport: the reference CLI surface drives the streaming
+    source through the MERGE sink end to end, and a second invocation
+    resumes from the checkpoint watermark (no duplicate work)."""
+    from trafsys_data_transfer_spark.__main__ import main
+
+    target = str(tmp_path / "target")
+    runlog = str(tmp_path / "runlog")
+    for k, v in {
+        "TRAFSYS_URL": BASE,
+        "TRAFSYS_USER": "u",
+        "TRAFSYS_PASSWORD": "p",
+        "TRAFSYS_TARGET_PATH": target,
+        "TRAFSYS_RUN_LOG_PATH": runlog,
+        "TRAFSYS_OFFLINE": "1",
+    }.items():
+        monkeypatch.setenv(k, v)
+
+    assert main(["--mode", "stream", "--from", "2024-01-01", "--to", "2024-01-14"]) == 0
+    days = {r["PeriodEnding"].isoformat() for r in spark.read.parquet(target).collect()}
+    assert days == {"2024-01-01T10:00:00", "2024-01-08T10:00:00"}
+
+    assert main(["--mode", "stream", "--from", "2024-01-01", "--to", "2024-01-21"]) == 0
+    days2 = {r["PeriodEnding"].isoformat() for r in spark.read.parquet(target).collect()}
+    assert days2 == days | {"2024-01-15T10:00:00"}
+
+
 def test_missing_options_fail_loudly(spark):
     spark.dataSource.register(StubSource)
     with pytest.raises(Exception, match="missing options"):

@@ -14,24 +14,51 @@ import sys
 
 
 def build_transport():
-    """Production transport over ``requests``/urllib — constructed lazily so
-    the module imports (and tests run) without network libraries."""
-    import json as _json
-    import urllib.parse
-    import urllib.request
+    """Production transport (stdlib urllib) — shared with the registered
+    DataSource; constructed lazily so the module imports without it."""
+    from .sources.datasource import urllib_transport
 
-    def transport(method, url, params=None, data=None, headers=None):
-        if params:
-            url = url + "?" + urllib.parse.urlencode(params)
-        body = urllib.parse.urlencode(data).encode() if data else None
-        req = urllib.request.Request(url, data=body, headers=headers or {}, method=method)
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                return resp.status, resp.read().decode()
-        except urllib.error.HTTPError as e:  # non-2xx still carries a body
-            return e.code, e.read().decode()
+    return urllib_transport()
 
-    return transport
+
+def _run_stream_mode(spark, cfg, args) -> int:
+    """``--mode stream``: the nightly loop as ONE Structured Streaming
+    query — the registered ``trafsys`` source (checkpoint offset = the
+    incremental watermark) drained through the MERGE sink.  The NeDB-style
+    run-log table is not needed in this mode; the checkpoint directory
+    under the run-log path carries all resume state.
+    ``TRAFSYS_OFFLINE=1`` swaps in the packaged offline transport
+    (dev/CI; no network)."""
+    import datetime as dt
+    import os
+
+    from .sources.datasource import TrafsysDataSource
+    from .sources.offline import OfflineTrafsysSource
+    from .streaming.incremental import run_stream_merge
+
+    src = (
+        OfflineTrafsysSource
+        if os.environ.get("TRAFSYS_OFFLINE") == "1"
+        else TrafsysDataSource
+    )
+    spark.dataSource.register(src)
+    reader = (
+        spark.readStream.format(src.name())
+        .option("url", cfg.trafsys_url)
+        .option("user", cfg.api_user)
+        .option("password", cfg.api_password)
+        .option(
+            "date_from",
+            args.date_from
+            or (dt.date.today() - dt.timedelta(days=1)).isoformat(),
+        )
+    )
+    if args.date_to:
+        reader = reader.option("date_to", args.date_to)
+    ckpt = os.path.join(cfg.run_log_path, "stream_checkpoint")
+    run_stream_merge(reader.load(), cfg.target_path, ckpt)
+    print(f"stream drained into {cfg.target_path} (watermark: {ckpt})")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -42,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     # `--from` matches the reference flag names (README.md:9).
     parser.add_argument("--from", dest="date_from", default=None, metavar="YYYY-MM-DD")
     parser.add_argument("--to", dest="date_to", default=None, metavar="YYYY-MM-DD")
+    parser.add_argument(
+        "--mode",
+        choices=["batch", "stream"],
+        default="batch",
+        help="batch = the reference's driver-side fetch + MERGE; stream = "
+        "the same load as one Structured Streaming query over the "
+        "registered trafsys source",
+    )
     args = parser.parse_args(argv)
 
     from .config import JobConfig, MissingConfigError
@@ -56,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_spark("trafsys-nightly")
+    if args.mode == "stream":
+        try:
+            return _run_stream_mode(spark, cfg, args)
+        except Exception as e:  # same containment contract as batch mode
+            print(f"run failed: {e}", file=sys.stderr)
+            return 1
     transport = build_transport()
     tokens = TokenProvider(cfg.trafsys_url, cfg.api_user, cfg.api_password, transport)
     fetch = make_fetch_window(spark, cfg.trafsys_url, tokens, transport)

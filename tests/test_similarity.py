@@ -300,6 +300,32 @@ def test_ivfpq_recall_and_pruned_narrow_scan(spark, sf_dir, tmp_path):
     assert "ReadSchema: struct<vec_id:bigint,codes:array<smallint>>" in plan
 
 
+def test_pq_recall_holds_at_sf01(spark):
+    """Recall regression gate at the LARGEST fixture (2 000 vectors): the
+    round-5 scale probe caught 4-bit PQ codes at recall@5 = 0.43 here
+    while the sf0.001 test corpus (500 vectors, 50-wide shortlists) masked
+    it completely.  8-bit codebooks measured 0.91 / rescored-SQ8 0.98 —
+    gate with margin below those."""
+    from trafsys_data_transfer_spark.operators.similarity import (
+        topk_pq,
+        topk_sq8_rescored,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    pq = {(r.query_id, r.neighbor_id) for r in topk_pq(emb, queries, k=5).collect()}
+    assert len(truth & pq) / len(truth) >= 0.8
+    sq = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_sq8_rescored(emb, queries, k=5).collect()
+    }
+    assert len(truth & sq) / len(truth) >= 0.9
+
+
 def test_embedding_neardup_lsh_precision_exact_recall_audited(spark, sf_dir):
     """The LSH pair generator must return ONLY true pairs (exact cosine
     verify) and recover a solid fraction of the exact pair set on the

@@ -71,6 +71,96 @@ def test_png_pixels_decode_with_zlib():
     assert all(raw[y * (1 + w_)] == 0 for y in range(h_))  # filter byte None
 
 
+def test_png_pixel_decode_roundtrip():
+    """Full decode of a synthesized PNG recovers the exact planted pixel
+    formula — inflate + unfilter, end to end."""
+    from trafsys_data_transfer_spark.operators.multimodal import decode_png_pixels
+
+    w_, h_, seed = 13, 6, 42
+    _, _, px = decode_png_pixels(synthesize_png(w_, h_, seed=seed))
+    for y in range(h_):
+        for x in range(w_):
+            assert px[y * w_ + x] == (seed + x * 7 + y * 13) % 256
+
+
+def test_png_unfilter_all_filter_types():
+    """Hand-built PNGs using each non-trivial filter type (Sub/Up/Average/
+    Paeth) must unfilter to the same known pixels — the spec algorithms,
+    not just the filter-0 path the synthesizer emits."""
+    import struct
+    import zlib
+
+    from trafsys_data_transfer_spark.operators.multimodal import (
+        _paeth,
+        decode_png_pixels,
+    )
+
+    w_, h_ = 4, 3
+    pixels = [[(x * 11 + y * 29) % 256 for x in range(w_)] for y in range(h_)]
+
+    def encode_with_filter(ftype):
+        raw = bytearray()
+        prev = [0] * w_
+        for y in range(h_):
+            raw.append(ftype)
+            line = pixels[y]
+            for x in range(w_):
+                a = line[x - 1] if x else 0
+                up = prev[x]
+                c = prev[x - 1] if x else 0
+                if ftype == 0:
+                    f = line[x]
+                elif ftype == 1:
+                    f = (line[x] - a) & 0xFF
+                elif ftype == 2:
+                    f = (line[x] - up) & 0xFF
+                elif ftype == 3:
+                    f = (line[x] - (a + up) // 2) & 0xFF
+                else:
+                    f = (line[x] - _paeth(a, up, c)) & 0xFF
+                raw.append(f)
+            prev = line
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w_, h_, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    flat = bytes(v for row in pixels for v in row)
+    for ftype in range(5):
+        _, _, px = decode_png_pixels(encode_with_filter(ftype))
+        assert px == flat, f"filter type {ftype} mis-decoded"
+
+
+def test_resize_nearest_known_mapping():
+    from trafsys_data_transfer_spark.operators.multimodal import resize_nearest
+
+    # 4x2 image downsampled to 2x1: picks src (0,0) and (2,0)
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    assert resize_nearest(px, 4, 2, 2, 1) == bytes([10, 30])
+    # identity resize returns the same bytes
+    assert resize_nearest(px, 4, 2, 4, 2) == px
+
+
+def test_wav_pcm_sample_roundtrip():
+    from trafsys_data_transfer_spark.operators.multimodal import decode_wav_samples
+
+    b = synthesize_wav(channels=2, sample_rate=8000, n_samples=5, seed=3)
+    ch, samples = decode_wav_samples(b)
+    assert ch == 2 and len(samples) == 10
+    expected = [((3 * 31 + i * 257) % 65536) - 32768 for i in range(5)]
+    assert samples == [v for e in expected for v in (e, e)]  # interleaved
+
+
 def test_corrupt_payloads_fail_loudly():
     wav = synthesize_wav(1, 8000, 32)
     png = synthesize_png(8, 8)

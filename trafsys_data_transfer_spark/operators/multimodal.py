@@ -145,6 +145,96 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     )
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """FULL PNG pixel decode for 8-bit grayscale: IDAT inflate (zlib) +
+    per-scanline unfilter, all five PNG filter types (None/Sub/Up/
+    Average/Paeth).  Returns (width, height, row-major pixel bytes).
+    Color/palette/interlaced images raise — the documented scope is the
+    grayscale profile the fixture synthesizer emits, but the unfilter is
+    the real spec algorithm, unit-tested per filter type."""
+    import struct
+    import zlib
+
+    meta = _parse_png(b)
+    if meta["bit_depth"] != 8 or meta["color_type"] != 0 or meta["interlaced"]:
+        raise ValueError("decode_png_pixels supports non-interlaced 8-bit grayscale")
+    w, h = meta["width"], meta["height"]
+    pos, idat = 8, b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + w):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        ftype = raw[y * (1 + w)]
+        line = bytearray(raw[y * (1 + w) + 1 : (y + 1) * (1 + w)])
+        for x in range(w):
+            a = line[x - 1] if x else 0  # left (bpp=1)
+            up = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + up) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + up) // 2) & 0xFF
+            elif ftype == 4:
+                line[x] = (line[x] + _paeth(a, up, c)) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = bytes(line)
+    return w, h, bytes(out)
+
+
+def resize_nearest(px: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of row-major grayscale pixels:
+    ``src = (dst * src_dim) // dst_dim`` — integer math, deterministic,
+    and mirrored exactly by the SQL oracle."""
+    out = bytearray(out_w * out_h)
+    for y2 in range(out_h):
+        sy = y2 * h // out_h
+        base = sy * w
+        obase = y2 * out_w
+        for x2 in range(out_w):
+            out[obase + x2] = px[base + (x2 * w // out_w)]
+    return bytes(out)
+
+
+def decode_wav_samples(b: bytes) -> tuple[int, list[int]]:
+    """Decode 16-bit PCM WAVE payload bytes to (channels, samples) —
+    interleaved int16 little-endian, the real ``data`` chunk contents."""
+    import struct
+
+    meta = _parse_wav(b)
+    if meta["bits_per_sample"] != 16:
+        raise ValueError("decode_wav_samples supports 16-bit PCM")
+    # locate the data chunk again (parse only returns its size)
+    pos = 12
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"data":
+            body = b[pos + 8 : pos + 8 + size]
+            n = len(body) // 2
+            return meta["channels"], list(struct.unpack(f"<{n}h", body[: 2 * n]))
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAVE missing data chunk")
+
+
 def synthesize_wav(
     channels: int, sample_rate: int, n_samples: int, bits: int = 16, seed: int = 0
 ) -> bytes:
@@ -424,6 +514,113 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute the planted parameters in SQL — a hash mismatch means the
     encoder or parser corrupted a single field anywhere in the corpus."""
     return decode_table(synth_media_table(spark, sf_dir))
+
+
+#: Fixed thumbnail geometry for the resize operator.
+RESIZE_W, RESIZE_H = 16, 12
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id % 64 + 1 AS INT) AS width,
+           CAST(doc_id * 3 % 48 + 1 AS INT) AS height,
+           CAST({RESIZE_W} AS INT) AS out_w,
+           CAST({RESIZE_H} AS INT) AS out_h,
+           CAST(SUM(
+               ((doc_id
+                 + ((x2 * (doc_id % 64 + 1)) // {RESIZE_W}) * 7
+                 + ((y2 * (doc_id * 3 % 48 + 1)) // {RESIZE_H}) * 13) % 256)
+               * (y2 * {RESIZE_W} + x2 + 1)
+           ) AS BIGINT) AS checksum
+    FROM documents,
+         unnest(generate_series(0, {RESIZE_W - 1})) AS tx(x2),
+         unnest(generate_series(0, {RESIZE_H - 1})) AS ty(y2)
+    WHERE doc_id % 2 = 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the REAL pixel path: zlib-inflate the PNG,
+    unfilter scanlines (full five-filter spec), nearest-neighbor resample
+    to a 16×12 thumbnail, and emit a position-weighted pixel checksum.
+    The oracle recomputes the checksum from the planted pixel formula and
+    the same integer resample mapping — a hash mismatch catches a
+    one-pixel error anywhere in inflate/unfilter/resample."""
+    mm = synth_media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "out_w": [], "out_h": [], "checksum": [],
+        }
+        for pdf in batches:
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png_pixels(bytes(payload))
+                small = resize_nearest(px, w, h, RESIZE_W, RESIZE_H)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(RESIZE_W)
+                out["out_h"].append(RESIZE_H)
+                out["checksum"].append(
+                    sum(p * (i + 1) for i, p in enumerate(small))
+                )
+        yield pd.DataFrame(out)
+
+    return mm.mapInPandas(
+        gen,
+        schema="doc_id long, width int, height int, out_w int, out_h int, checksum long",
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch, doc_id % 256 + 16 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (
+        SELECT doc_id, ch, ((doc_id * 31 + i * 257) % 65536) - 32768 AS v
+        FROM p, unnest(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(ch) * COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(MAX(ch) * SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ch) * SUM(v * v) AS BIGINT) AS sum_sq
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL PCM path: struct-unpack
+    the int16 data chunk, compute exact-integer loudness statistics
+    (sample count, peak, Σ|v|, Σv² — all order-independent ints, so the
+    SQL oracle matches bit-for-bit with no float-accumulation hazard).
+    RMS/dBFS are one float expression away downstream."""
+    mm = synth_media_table(spark, sf_dir).filter(F.col("media_type") == "audio/wav")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "n_samples": [], "peak": [], "sum_abs": [], "sum_sq": [],
+        }
+        for pdf in batches:
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_wav_samples(bytes(payload))
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(samples))
+                out["peak"].append(max(abs(v) for v in samples))
+                out["sum_abs"].append(sum(abs(v) for v in samples))
+                out["sum_sq"].append(sum(v * v for v in samples))
+        yield pd.DataFrame(out)
+
+    return mm.mapInPandas(
+        gen,
+        schema="doc_id long, n_samples long, peak long, sum_abs long, sum_sq long",
+    ).orderBy("doc_id")
 
 
 def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

@@ -188,6 +188,8 @@ _PRIORITY = (
     "sim_topk_ivf",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_stats",
     "text_top_terms",
     "pricing_summary",
     "regional_market_share",

@@ -337,13 +337,20 @@ def test_embedding_neardup_lsh_precision_exact_recall_audited(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    from trafsys_data_transfer_spark.operators.similarity import as_double, cosine
+    from trafsys_data_transfer_spark.operators.similarity import (
+        _cos_pairs_np,
+        as_double,
+    )
 
+    # ground truth under the SAME float64 arithmetic the pipeline uses, so
+    # threshold-boundary pairs can't flip between summation orders
     exact = {
         (r.id_a, r.id_b)
         for r in a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("c", cosine(as_double(F.col("ea")), as_double(F.col("eb"))))
+        .withColumn(
+            "c", _cos_pairs_np(as_double(F.col("ea")), as_double(F.col("eb")))
+        )
         .filter(F.col("c") >= 0.4)
         .collect()
     }

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 from pyspark.sql.window import Window
 
 from ..registry import register
@@ -513,6 +513,20 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pandas_udf(DoubleType())
+def _cos_pairs_np(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized pair-cosine: one numpy pass per Arrow batch.  The bulk
+    candidate-verification path — the interpreted ``zip_with/aggregate``
+    expression form measured ~6× slower on the ~1M-pair sf0.1 candidate
+    set (BASELINE.md round-5 note)."""
+    A = np.stack(va.values)
+    B = np.stack(vb.values)
+    num = (A * B).sum(axis=1)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    den[den == 0.0] = 1.0
+    return pd.Series(num / den)
+
+
 def embedding_neardup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -521,26 +535,50 @@ def embedding_neardup_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH-bucket candidate generation
     (banded equi-join, never an all-pairs cross join) + exact cosine
-    verification.  The scale-path form of :func:`sim_embedding_neardup`'s
-    bounded exact scan: precision is exact (every returned pair really has
-    ``cos ≥ threshold``); the bucket stage only affects recall, audited in
-    tests against the exact pairs on a bounded scope."""
-    c = corpus.select(
+    verification (numpy per Arrow batch).  The scale-path form of
+    :func:`sim_embedding_neardup`'s bounded exact scan: precision is exact
+    (every returned pair really has ``cos ≥ threshold`` under float64
+    arithmetic); the bucket stage only affects recall, audited in tests
+    against the exact pairs on a bounded scope.
+
+    Plan shape (the MinHash lesson, re-learned here by measurement): the
+    bucket self-join and the pair dedupe run on the SKINNY (id, table,
+    bucket) projection — at sf0.1 the candidate stage is ~1M rows, and
+    carrying two 64-dim double arrays through that join + distinct was
+    ~1 GB of shuffle (11.8 s for 700 final pairs).  Vectors are attached
+    AFTER the distinct, by joining the deduped id pairs back to the
+    corpus (broadcast here; at 100 TB two hash joins on the narrow pair
+    table), then verified in one numpy pass per Arrow batch.  Measured
+    11.8 s → 1.7 s on identical output.
+
+    Fixture-tuning note: the synthetic corpus is only weakly similar
+    (true neighbor cosines ≈ 0.4), which forces few LSH planes and a low
+    threshold → dense candidates.  A production near-dup pass (cos ≥ 0.9)
+    uses more planes per table, collapsing candidate counts by orders of
+    magnitude at the same recall."""
+    vecs = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).select(
-        "id", "v", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "bucket")
     )
-    a = c.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bucket"
+    skinny = vecs.select(
+        "id", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "bucket")
     )
-    b = c.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bucket"
-    )
-    return (
+    a = skinny.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = skinny.select(F.col("id").alias("id_b"), "t", "bucket")
+    pair_ids = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_sim_raw", cosine(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    attached = pair_ids.join(
+        F.broadcast(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))),
+        "id_a",
+    ).join(
+        F.broadcast(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))),
+        "id_b",
+    )
+    return (
+        attached.withColumn("cos_sim_raw", _cos_pairs_np(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )

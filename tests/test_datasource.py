@@ -199,6 +199,47 @@ def test_api_stream_feeds_nightly_merge_pipeline(spark):
     assert final == dict(first, **{"2024-01-15T10:00:00": 5})
 
 
+def test_stream_backfill_caps_micro_batches(spark, tmp_path):
+    """max_days_per_batch bounds each committed batch of a backfill: with
+    Trigger.AvailableNow each INVOCATION advances the watermark by at most
+    the cap (the Simple-reader prefetch is snapshotted per run), so a
+    21-day window at a 7-day cap catches up over 3 scheduled runs instead
+    of one giant batch — the reference's own nightly cadence."""
+    import tempfile
+
+    from trafsys_data_transfer_spark.sources.offline import OfflineTrafsysSource
+
+    spark.dataSource.register(OfflineTrafsysSource)
+    ckpt = tempfile.mkdtemp(prefix="t_cap_ckpt_")
+    out = tempfile.mkdtemp(prefix="t_cap_out_") + "/sink"
+
+    def drain():
+        q = (
+            spark.readStream.format("trafsys_offline")
+            .option("url", BASE)
+            .option("user", "u")
+            .option("password", "p")
+            .option("date_from", "2024-01-01")
+            .option("date_to", "2024-01-21")
+            .option("max_days_per_batch", "7")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["PeriodEnding"] for r in spark.read.parquet(out).collect()}
+
+    assert drain() == {"2024-01-01T10:00:00"}
+    assert drain() == {"2024-01-01T10:00:00", "2024-01-08T10:00:00"}
+    assert drain() == {
+        "2024-01-01T10:00:00", "2024-01-08T10:00:00", "2024-01-15T10:00:00"
+    }
+    assert len(drain()) == 3  # caught up: further runs are no-ops
+
+
 def test_cli_stream_mode_offline(spark, monkeypatch, tmp_path):
     """`python -m trafsys_data_transfer_spark --mode stream` with the
     offline transport: the reference CLI surface drives the streaming

@@ -167,14 +167,26 @@ class TrafsysStreamReader(SimpleDataSourceStreamReader):
         last = self._upper_bound()
         if next_date > last:
             return iter([]), start  # caught up: empty batch, offset holds
-        # The Simple stream contract: return ALL data available past the
+        # The Simple stream contract: return all data available past the
         # offset.  days_per_chunk bounds each API GET (the reference's
-        # paginationless fetch made windowed), not the micro-batch.
+        # paginationless fetch made windowed); max_days_per_batch
+        # additionally caps ONE micro-batch — without it, the first run of
+        # a multi-year backfill lands as a single giant batch.  A capped
+        # read returns a mid-window offset.  Trigger semantics: a
+        # processingTime trigger drains cap-sized batches back-to-back;
+        # Trigger.AvailableNow snapshots the Simple-reader prefetch, so
+        # each INVOCATION commits exactly one capped batch — a scheduled
+        # nightly/cron run catches up one bounded step per run, which is
+        # precisely the reference's own cadence (script.js:54).
         days = int(self.options.get("days_per_chunk", "7"))
+        cap = self.options.get("max_days_per_batch")
+        batch_last = (
+            min(next_date + dt.timedelta(days=int(cap) - 1), last) if cap else last
+        )
         rows: list[tuple] = []
         cur = next_date
-        while cur <= last:
-            window_end = min(cur + dt.timedelta(days=days - 1), last)
+        while cur <= batch_last:
+            window_end = min(cur + dt.timedelta(days=days - 1), batch_last)
             part = _WindowPartition(cur.isoformat(), window_end.isoformat())
             rows.extend(self._reader.read(part))
             cur = window_end + dt.timedelta(days=1)

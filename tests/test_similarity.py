@@ -364,6 +364,33 @@ def test_embedding_neardup_lsh_precision_exact_recall_audited(spark, sf_dir):
         assert recall >= 0.5, f"near-dup recall {recall:.2f} too low"
 
 
+def test_lsh_banding_factory(spark):
+    """Custom bandings reuse the fixed hyperplane pool: shapes honored,
+    pool bound enforced, and the default banding matches lsh_buckets."""
+    import pytest as _pytest
+
+    from trafsys_data_transfer_spark.operators.similarity import (
+        LSH_PLANES,
+        LSH_TABLES,
+        lsh_buckets,
+        lsh_buckets_banded,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    b84 = lsh_buckets_banded(8, 4)
+    rows = emb.select(b84(F.col("embedding")).alias("b")).collect()
+    assert all(len(r["b"]) == 4 and all(0 <= x < 256 for x in r["b"]) for r in rows)
+
+    default = lsh_buckets_banded(LSH_PLANES, LSH_TABLES)
+    got = emb.select(
+        lsh_buckets(F.col("embedding")).alias("x"), default(F.col("embedding")).alias("y")
+    ).collect()
+    assert all(r["x"] == r["y"] for r in got)
+
+    with _pytest.raises(ValueError, match="≤"):
+        lsh_buckets_banded(9, 4)
+
+
 def test_semantic_dedup_pipeline_composes(spark):
     """Yield accounting invariants: keepers ≤ vectors per label, totals
     cover the corpus, and every component elects exactly one keeper."""

@@ -162,6 +162,40 @@ def lsh_buckets(vec: Column) -> Column:
     return _lsh_buckets_np(vec)
 
 
+def lsh_buckets_banded(planes: int, tables: int):
+    """Factory: bucket UDF with a custom (planes, tables) banding of the
+    SAME fixed hyperplane pool (``planes·tables ≤ 32``), so signatures
+    stay deterministic while the bits-per-bucket trade is tunable.
+
+    More planes → smaller buckets → quadratically fewer candidate pairs,
+    at lower recall for weakly-similar pairs.  The default 4×8 banding
+    targets the weakly-similar fixture corpus; a DUP-DENSE corpus (real
+    near-dups at cos ≥ 0.9, where each bit agrees w.p. ~0.97) wants 8×4:
+    twin-pair recall stays ≈ 1 while bucket population drops 16× (the
+    measured 10× blowup in SCALE.md round 5).
+    """
+    if planes * tables > _H_FLAT.shape[0]:
+        raise ValueError(f"planes*tables must be ≤ {_H_FLAT.shape[0]}")
+    H = _H_FLAT[: planes * tables]
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == LSH_DIM
+                else np.zeros(LSH_DIM)
+                for v in vecs
+            ]
+        )
+        bits = (V @ H.T > 0).astype(np.int64)
+        out = (bits.reshape(len(V), tables, planes) * weights).sum(axis=2)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -532,6 +566,8 @@ def embedding_neardup_pairs_lsh(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH-bucket candidate generation
     (banded equi-join, never an all-pairs cross join) + exact cosine
@@ -556,11 +592,16 @@ def embedding_neardup_pairs_lsh(
     threshold → dense candidates.  A production near-dup pass (cos ≥ 0.9)
     uses more planes per table, collapsing candidate counts by orders of
     magnitude at the same recall."""
+    bucket_fn = (
+        _lsh_buckets_np
+        if (planes, tables) == (LSH_PLANES, LSH_TABLES)
+        else lsh_buckets_banded(planes, tables)
+    )
     vecs = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
     skinny = vecs.select(
-        "id", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "bucket")
+        "id", F.posexplode(bucket_fn(F.col("v"))).alias("t", "bucket")
     )
     a = skinny.select(F.col("id").alias("id_a"), "t", "bucket")
     b = skinny.select(F.col("id").alias("id_b"), "t", "bucket")

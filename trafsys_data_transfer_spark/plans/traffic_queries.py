@@ -128,6 +128,79 @@ def traffic_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "traffic_resample_ffill",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    hourly AS (
+        SELECT SiteCode, Location,
+               date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
+               CAST(SUM(Ins) AS BIGINT) AS Ins, CAST(SUM(Outs) AS BIGINT) AS Outs
+        FROM traffic GROUP BY 1, 2, 3
+    ),
+    spine AS (
+        SELECT SiteCode, Location,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS PeriodEnding
+        FROM (SELECT SiteCode, Location, MIN(PeriodEnding) mn, MAX(PeriodEnding) mx
+              FROM hourly GROUP BY 1, 2)
+    )
+    SELECT s.SiteCode, s.Location, s.PeriodEnding,
+           last_value(h.Ins IGNORE NULLS) OVER w AS Ins,
+           last_value(h.Outs IGNORE NULLS) OVER w AS Outs,
+           CAST(h.Ins IS NOT NULL AS INT) AS is_observed
+    FROM spine s LEFT JOIN hourly h
+      ON h.SiteCode = s.SiteCode AND h.Location = s.Location
+     AND h.PeriodEnding = s.PeriodEnding
+    WINDOW w AS (PARTITION BY s.SiteCode, s.Location ORDER BY s.PeriodEnding)
+    ORDER BY s.SiteCode, s.Location, s.PeriodEnding
+    """,
+)
+def traffic_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each (site, location) series to a
+    complete hourly spine between its first and last observed bucket, then
+    forward-fill the counts (``last(..., ignorenulls)`` running window)
+    with an ``is_observed`` provenance flag — the resample/interpolate
+    stage every downstream hourly model expects.
+
+    Scale shape (plan-audited): the spine explodes ``sequence(min, max,
+    1 hour)`` per group — O(groups) rows before the explode, so the spine
+    side is tiny at any corpus size — and the densify-fill costs two key
+    shuffles beyond the rollup itself: the (site, location) bounds
+    aggregate, and the fill window (the gap join reuses the window's
+    3-column key ordering).  Sequence length per group is bounded by the
+    series' own span, never the global time range.
+    """
+    hourly = rollup_traffic(_normalized(spark, sf_dir), grain="hour")
+    from pyspark.sql.window import Window
+
+    bounds = hourly.groupBy("SiteCode", "Location").agg(
+        F.min("PeriodEnding").alias("mn"), F.max("PeriodEnding").alias("mx")
+    )
+    spine = bounds.select(
+        "SiteCode",
+        "Location",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("PeriodEnding"),
+    )
+    joined = spine.join(
+        hourly, ["SiteCode", "Location", "PeriodEnding"], "left"
+    )
+    w = (
+        Window.partitionBy("SiteCode", "Location")
+        .orderBy("PeriodEnding")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "SiteCode",
+        "Location",
+        "PeriodEnding",
+        F.last("Ins", ignorenulls=True).over(w).alias("Ins"),
+        F.last("Outs", ignorenulls=True).over(w).alias("Outs"),
+        F.col("Ins").isNotNull().cast("int").alias("is_observed"),
+    ).orderBy("SiteCode", "Location", "PeriodEnding")
+
+
+@register(
     "traffic_merge_upsert",
     oracle=f"""
     WITH {_TRAFFIC_CTE},

@@ -182,6 +182,7 @@ _PRIORITY = (
     "docs_mixture_sample",
     "export_shard_assign",
     "traffic_daily_rollup",
+    "traffic_resample_ffill",
     "traffic_backfill_partitioned",
     "dedup_fingerprint",
     "layout_zorder",

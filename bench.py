@@ -94,6 +94,7 @@ WORK_IN_BUILD = {
     "sim_semantic_dedup_pipeline",
     "dedup_components",
     "dedup_neardup_pipeline",
+    "dedup_incremental_neardup",
 }
 
 

@@ -47,6 +47,37 @@ def planted(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_minhash_index_probe_equals_direct_cross_pairs(planted, spark, tmp_path):
+    """The stored-index probe must find EXACTLY the cross-group pairs the
+    direct full-corpus pass finds (same signatures, same banding): split
+    the planted corpus into batch {0,2,4} / corpus {1,3,5}, index the
+    corpus, probe the batch, compare against the direct pairs filtered to
+    the batch/corpus boundary."""
+    from trafsys_data_transfer_spark.operators.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    batch_ids = {0, 2, 4}
+    batch = planted.filter(F.col("doc_id").isin(*batch_ids))
+    corpus = planted.filter(~F.col("doc_id").isin(*batch_ids))
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, path)
+    got = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in minhash_index_probe(
+            spark, path, batch, corpus, threshold=0.5
+        ).collect()
+    }
+    direct = {
+        (a, b, j)
+        for r in minhash_near_dups(planted, threshold=0.5).collect()
+        for a, b, j in [(r.id_a, r.id_b, r.jaccard), (r.id_b, r.id_a, r.jaccard)]
+        if a in batch_ids and b not in batch_ids
+    }
+    assert got == direct and got  # non-trivial: planted dups cross the split
+
+
 def test_exact_dedup(planted):
     assert exact_dedup(planted, ["text"]).count() == 5  # 0/1 collapse
 

@@ -138,6 +138,27 @@ def minhash_bands(sig: Column) -> Column:
     )
 
 
+def banded_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Skinny LSH band table ``(id, band, bucket)``: narrow shingle →
+    signature → banding, exploded per band.  The shared front half of the
+    full-corpus candidate pass AND the persisted index
+    (:func:`minhash_index_write`)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh_df = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("id"), shingles(toks, n).alias("sh")
+    )
+    # Two-step projection: the Pandas-UDF signature must be a materialized
+    # column before the banding lambda can reference it (Spark disallows
+    # Python UDFs inside higher-order-function lambdas).
+    sigs = sh_df.select("id", minhash_signature(F.col("sh")).alias("sig"))
+    return sigs.select(
+        "id", F.explode(minhash_bands(F.col("sig"))).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -164,18 +185,7 @@ def minhash_candidates(
     should be pre-filtered upstream.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    sh_df = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("id"), shingles(toks, n).alias("sh")
-    )
-    # Two-step projection: the Pandas-UDF signature must be a materialized
-    # column before the banding lambda can reference it (Spark disallows
-    # Python UDFs inside higher-order-function lambdas).
-    sigs = sh_df.select("id", minhash_signature(F.col("sh")).alias("sig"))
-    banded = sigs.select(
-        "id", F.explode(minhash_bands(F.col("sig"))).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_signatures(df, id_col, text_col, n)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -231,6 +241,75 @@ def minhash_near_dups(
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_index_write(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> None:
+    """Persist the corpus's LSH band table as the near-dup INDEX: the
+    skinny ``(id, band, bucket)`` rows are all a future batch needs to
+    find its candidates — signatures are never recomputed for the corpus,
+    and the raw text is only consulted for verification of candidate ids
+    (index-as-table, the same contract as the IVF/PQ tiers)."""
+    banded_signatures(df, id_col, text_col, n).write.mode("overwrite").parquet(path)
+
+
+def minhash_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup: tonight's batch against the stored corpus
+    index.  The batch computes its own band table (narrow, O(|batch|));
+    candidates come from an equi-join against the persisted skinny index —
+    the corpus pays no signature work at probe time, and its text is
+    re-attached ONLY for the candidate ids (semi-join economics, the
+    winnow lesson).  Returns verified ``(batch_id, corpus_id, jaccard)``
+    pairs at ``jaccard ≥ threshold``.
+
+    Completes the dedup matrix: exact×full (``dedup_exact``),
+    exact×incremental (``dedup_incremental``), near×full
+    (``minhash_near_dups``), near×incremental (this)."""
+    b_banded = banded_signatures(batch, id_col, text_col, n).select(
+        F.col("id").alias("batch_id"), "band", "bucket"
+    )
+    index = spark.read.parquet(path).select(
+        F.col("id").alias("corpus_id"), "band", "bucket"
+    )
+    pairs = (
+        b_banded.join(index, ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def sh_of(src: DataFrame, alias: str) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias(alias), shingles(toks, n).alias(f"sh_{alias}")
+        )
+
+    # Shingle ONLY corpus docs that appear in a candidate pair (semi-join
+    # pre-filter): without it the verify stage re-shingles the whole
+    # corpus — the exact trap the winnow operator measured at ~30×.
+    corpus_cand = corpus.join(
+        pairs.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    return (
+        pairs.join(F.broadcast(sh_of(batch, "batch_id")), "batch_id")
+        .join(sh_of(corpus_cand, "corpus_id"), "corpus_id")
+        .withColumn(
+            "jaccard", F.round(jaccard(F.col("sh_batch_id"), F.col("sh_corpus_id")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
     )
 
 
@@ -488,6 +567,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage only affects recall, never precision)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.5)
+
+
+@register("dedup_incremental_neardup")  # rows-only: MinHash isn't ANSI-SQL
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup — tonight's ingest batch (src0/src1) probed
+    against the STORED corpus band index: batch-side signatures only,
+    candidates from the skinny index join, Jaccard verify on candidate
+    text.  Probe == direct cross-group pairs is asserted in tests."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"tds_mhindex_{os.path.basename(os.path.normpath(sf_dir))}",
+        "minhash_bands",
+    )
+    minhash_index_write(corpus, path)
+    return minhash_index_probe(spark, path, batch, corpus, threshold=0.5).orderBy(
+        "batch_id", "corpus_id"
+    )
 
 
 @register("dedup_simhash")  # rows-only: bit-level simhash isn't ANSI-SQL

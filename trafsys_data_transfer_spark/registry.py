@@ -160,6 +160,7 @@ _PRIORITY = (
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",
+    "dedup_incremental_neardup",
     "sim_topk_pq_stored",
     "sim_topk_ivfpq",
     "sim_topk_sq8_rescored",

@@ -71,10 +71,15 @@ def zorder_layouts(spark, tmp_path_factory):
     li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
     base = tmp_path_factory.mktemp("layouts")
     naive, zed = str(base / "naive"), str(base / "zorder")
-    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+    # 32 files: range-bound sampling is seeded by the RDD id (varies with
+    # session history), so pruning fractions jitter run-to-run; finer
+    # files keep the z-prune expectation comfortably above the assertion
+    # threshold instead of on its edge (observed 0.43 @16 files once under
+    # a loaded session vs 0.56 solo).
+    li.repartitionByRange(32, "l_orderkey").sortWithinPartitions(
         "l_orderkey"
     ).write.parquet(naive)
-    zorder_by(li, ["l_partkey", "l_suppkey"], n_files=16).write.parquet(zed)
+    zorder_by(li, ["l_partkey", "l_suppkey"], n_files=32).write.parquet(zed)
     return li, naive, zed
 
 

@@ -115,6 +115,13 @@ def zorder_by(
     bounds (one extra pass over the projection, no full sort), then
     ``sortWithinPartitions`` orders rows inside each task — a total
     ordering across files without a single-partition global sort.
+
+    Determinism note: Spark seeds the range-bound sampling with the RDD
+    id, so file BOUNDARIES shift slightly between runs of the same data in
+    a long-lived session (the relation and the total ordering are exact
+    either way).  Pruning fractions are therefore statistical, not exact —
+    size ``n_files`` so the expected skip rate clears your planning
+    threshold with margin rather than sitting on it.
     """
     with_z = df.withColumn("__z", _zvalue(df, cols, bits))
     return (

@@ -38,6 +38,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.graph",
     "trafsys_data_transfer_spark.operators.text",
+    "trafsys_data_transfer_spark.operators.lm",
+    "trafsys_data_transfer_spark.operators.spans",
     "trafsys_data_transfer_spark.operators.retrieval",
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",
@@ -177,6 +179,8 @@ _PRIORITY = (
     "text_token_count",
     "text_quality",
     "text_repetition",
+    "text_lm_perplexity",
+    "text_dup_segments",
     "corpus_snapshot_diff",
     "docs_chunk_manifest",
     "docs_overlap_chunks",

@@ -1,0 +1,165 @@
+"""BPE tokenizer training over the corpus (north star §2.10).
+
+Every LLM data pipeline ends at a tokenizer; training one IS a corpus
+aggregation job.  This implements byte-pair-encoding vocabulary learning
+(Sennrich et al. 2016) the way production tokenizer trainers
+(HuggingFace `tokenizers`, SentencePiece BPE mode) actually scale:
+
+1. **Distributed word counting** — the only pass over the corpus: one
+   shuffle, vocabulary-bounded output.  100 TB of text reduces to O(V)
+   ``(word, count)`` rows (V ≈ millions at web scale — collectable).
+2. **Driver-side merge loop over the word-count table** — BPE's merge
+   statistics depend only on (word, count), never on documents, so the
+   iterative part runs in memory on the bounded table.  A hard cap
+   (``MAX_TRAIN_VOCAB``) makes the driver bound explicit instead of
+   silently OOMing (the IVF-trainer convention, similarity.py).
+3. **Vocabulary-bounded encode, broadcast back** — per-word subtoken
+   counts are computed once for the V unique words and broadcast; the
+   corpus-side accounting is then explode → broadcast-join → sum, pure
+   JVM expressions.  The per-word Python encode cost is O(V), NOT
+   O(corpus): the 100 TB never crosses into Python.
+
+Determinism: merge selection breaks frequency ties lexicographically and
+the pair-count dict is rebuilt from sorted items, so the learned merge
+list is a pure function of the word-count multiset (pytest-asserted).
+The operator is iterative and therefore not ANSI-SQL-expressible — it
+registers as a rows-only query; correctness rides on the hand-computed
+toy-corpus oracle and invariants in tests/test_tokenizer.py.
+
+The reference engine (/root/reference/script.js) has no text operators;
+this extends the mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: End-of-word sentinel (the Sennrich formulation: word-final symbols are
+#: distinct so merges never cross word boundaries).
+EOW = "</w>"
+
+#: Number of merge operations to learn in the registered query.
+BPE_MERGES = 200
+
+#: Driver-side training bound: word-count tables beyond this are a config
+#: error at our scales, not something to spill silently.
+MAX_TRAIN_VOCAB = 2_000_000
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus pass: whitespace-word counts (map-side combined)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe(counts: list[tuple[str, int]], num_merges: int) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from ``(word, count)`` pairs.
+
+    Classic Sennrich algorithm on the word-count table; ties on pair
+    frequency break lexicographically so the result is order-independent
+    of the input list.
+    """
+    if len(counts) > MAX_TRAIN_VOCAB:
+        raise ValueError(
+            f"word-count table has {len(counts)} entries, over the driver "
+            f"training bound {MAX_TRAIN_VOCAB}; raise MAX_TRAIN_VOCAB "
+            "deliberately or pre-prune the vocabulary"
+        )
+    # word → (symbol tuple, count); start from characters + EOW sentinel.
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, n in sorted(counts):
+        sym = tuple(word) + (EOW,)
+        vocab[sym] = vocab.get(sym, 0) + n
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # max by (count, then lexicographically smallest pair)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + n
+        vocab = nxt
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with the learned merges (greedy best-rank-first,
+    the standard BPE encode)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i, (a, b) in enumerate(zip(sym, sym[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_token_stats(
+    docs: DataFrame, num_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Train BPE on the corpus, then report per-document token accounting.
+
+    Returns (doc_id, n_words, n_bpe_tokens, n_chars): the corpus path is
+    explode → broadcast join on the O(V) ``(word, n_subtokens)`` table →
+    per-doc integer sums.  No Python executes over corpus rows.
+    """
+    spark = docs.sparkSession
+    counts = [(r["word"], r["n"]) for r in word_counts(docs, text_col).collect()]
+    merges = train_bpe(counts, num_merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    enc_table = spark.createDataFrame(
+        [(w, len(encode_word(w, ranks))) for w, _ in counts],
+        "word string, n_sub int",
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        exploded.join(F.broadcast(enc_table), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_words", "n_bpe_tokens", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register("tokenizer_bpe_stats")  # rows-only: BPE training is iterative,
+# not ANSI-SQL-expressible; certified by tests/test_tokenizer.py's
+# hand-computed merge oracle + invariants.
+def tokenizer_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under a 200-merge BPE trained on the corpus."""
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))

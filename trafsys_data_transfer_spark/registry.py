@@ -40,6 +40,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.text",
     "trafsys_data_transfer_spark.operators.lm",
     "trafsys_data_transfer_spark.operators.spans",
+    "trafsys_data_transfer_spark.operators.scd",
+    "trafsys_data_transfer_spark.operators.tokenizer",
     "trafsys_data_transfer_spark.operators.retrieval",
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",
@@ -181,6 +183,7 @@ _PRIORITY = (
     "text_repetition",
     "text_lm_perplexity",
     "text_dup_segments",
+    "tokenizer_bpe_stats",
     "corpus_snapshot_diff",
     "docs_chunk_manifest",
     "docs_overlap_chunks",
@@ -208,6 +211,7 @@ _PRIORITY = (
     "top_parts_per_brand",
     "orders_status_priority_cube",
     "events_user_gaps",
+    "events_scd2_user_type",
     "orders_above_customer_avg",
     "orders_retention_cohort",
     "nation_revenue_share",

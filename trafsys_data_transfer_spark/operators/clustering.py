@@ -1,0 +1,169 @@
+"""Distributed Lloyd's k-means over the ``embeddings`` table.
+
+Embedding-space clustering is a first-class pipeline operator (SemDeDup
+prunes per cluster; domain discovery, diversity sampling and IVF coarse
+quantizers all start from k-means).  The IVF trainer (similarity.py)
+k-means-fits a BOUNDED DRIVER SAMPLE — correct for building a quantizer,
+but not a clustering of the corpus.  This operator runs full Lloyd
+iterations over ALL vectors with per-iteration cost shaped for 100 TB:
+
+* **One Arrow pass per iteration, partials out.** The k×d centroid matrix
+  broadcasts into a ``mapInPandas`` stage; each batch computes all
+  nearest-centroid assignments with one numpy matmul and emits only its
+  k·d fixed-point partial sums — ≤1024 rows per batch cross the shuffle,
+  the map-side-combine discipline with the combine done in numpy.  (A
+  builtin ``aggregate``/``transform`` argmin fold was measured first:
+  higher-order functions are interpreted per element — 51M lambda evals
+  per iteration, 12.8 s at sf0.1 vs ~2 s for the Arrow pass; same
+  move as similarity.py's SQ8 scan, ff36ef5.)
+* **Centroid sums are exact integers.** Each float32 component is
+  quantized once to fixed-point (×2^24, exact for float32 mantissas at
+  |v| ≥ 2^-24) and summed as int64 within a batch, DECIMAL across
+  batches — order-free, so the whole fit is bit-deterministic across
+  partitionings (a double SUM would drift by partition order and flip
+  boundary assignments).  Driver state per iteration is the k×d cell
+  table, nothing corpus-sized.
+* Init is data-deterministic: the k vectors with the smallest
+  ``md5(vec_id)`` (the engine's seeded-shuffle convention).
+
+Iterative fixpoints are not ANSI-SQL-expressible — registered rows-only;
+certified by tests/test_clustering.py (planted separable clusters
+recovered exactly, monotone inertia, cross-partitioning determinism).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Fixed-point scale for centroid accumulation: 2^24 preserves every
+#: float32 mantissa bit for |v| ≥ 2^-24 and bounds quantization error at
+#: 2^-25 per component otherwise.
+_FP = float(1 << 24)
+
+KMEANS_K = 16
+KMEANS_ITERS = 5
+
+
+def _nearest(batch_emb, centroids):
+    """(cluster, d2) per row via one matmul against the k×d matrix.
+
+    d2 through the |x|²-2x·c+|c|² identity: row-independent, fixed-shape
+    numpy reductions — deterministic regardless of batching.
+    """
+    import numpy as np
+
+    x = np.asarray([np.asarray(e, dtype=np.float64) for e in batch_emb])
+    c = np.asarray(centroids, dtype=np.float64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    best = d2.argmin(axis=1)
+    return x, best, d2[np.arange(len(best)), best]
+
+
+def _partial_sums(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One Arrow pass: per-batch (cluster, pos, s, n) fixed-point partials."""
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x, best, _ = _nearest(pdf["embedding"], centroids)
+            q = np.rint(x * _FP).astype(np.int64)
+            out = []
+            for cl in np.unique(best):
+                rows = q[best == cl]
+                s = rows.sum(axis=0)  # int64, exact
+                for pos in range(s.shape[0]):
+                    out.append((int(cl), pos, int(s[pos]), rows.shape[0]))
+            yield pd.DataFrame(out, columns=["cluster", "pos", "s", "n"])
+
+    return vecs.select("embedding").mapInPandas(
+        gen, "cluster int, pos int, s long, n long"
+    )
+
+
+def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach (cluster, d2_micro) per vector; micro-quantized distance so
+    downstream aggregates stay order-free."""
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _, best, d2 = _nearest(pdf["embedding"], centroids)
+            out = pdf[["vec_id"]].copy()
+            out["cluster"] = best.astype("int32")
+            out["d2_micro"] = np.rint(d2 * 1000000.0).astype(np.int64)
+            yield out
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, cluster int, d2_micro long"
+    )
+
+
+def kmeans_fit(
+    vecs: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Full-corpus Lloyd's; returns the final k×d centroid list."""
+    seeds = (
+        vecs.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    src = vecs.select("vec_id", "embedding")
+    for _ in range(iters):
+        cells = (
+            _partial_sums(src, centroids)
+            .groupBy("cluster", "pos")
+            .agg(
+                # int64 per batch; DECIMAL across batches so 100 TB of
+                # 2^24-scaled components cannot overflow the global sum.
+                F.sum(F.col("s").cast("decimal(30,0)")).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty clusters keep position
+        for r in cells:
+            nxt[r["cluster"]][r["pos"]] = float(int(r["s"])) / _FP / int(r["n"])
+        centroids = nxt
+    return centroids
+
+
+def kmeans_cluster_profile(
+    vecs: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-cluster accounting: size, exact micro-inertia, mean d²."""
+    centroids = kmeans_fit(vecs, k, iters)
+    return (
+        _assign(vecs, centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2_micro").alias("inertia_micro"),
+            F.expr("sum(d2_micro) div count(1)").alias("mean_d2_micro"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("embeddings_kmeans")  # rows-only: iterative fixpoint, not
+# ANSI-SQL-expressible; certified by tests/test_clustering.py.
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-cluster full-corpus Lloyd's k-means profile over embeddings."""
+    return kmeans_cluster_profile(load_table(spark, sf_dir, "embeddings"))

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.spans",
     "trafsys_data_transfer_spark.operators.scd",
     "trafsys_data_transfer_spark.operators.tokenizer",
+    "trafsys_data_transfer_spark.operators.clustering",
     "trafsys_data_transfer_spark.operators.retrieval",
     "trafsys_data_transfer_spark.operators.similarity",
     "trafsys_data_transfer_spark.operators.multimodal",
@@ -184,6 +185,7 @@ _PRIORITY = (
     "text_lm_perplexity",
     "text_dup_segments",
     "tokenizer_bpe_stats",
+    "embeddings_kmeans",
     "corpus_snapshot_diff",
     "docs_chunk_manifest",
     "docs_overlap_chunks",

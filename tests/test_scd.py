@@ -6,7 +6,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from trafsys_data_transfer_spark.operators.scd import scd2_build
+from trafsys_data_transfer_spark.operators.scd import scd2_apply, scd2_build
 from trafsys_data_transfer_spark.sources.fixtures import load_table
 
 
@@ -76,6 +76,51 @@ def test_scd2_fixture_invariants(spark, sf_dir):
         # to the newer interval; same-ts attribute flips can cover twice.
         assert covering, (e, by_user[e.user_id])
     assert n_versions >= len(by_user)
+
+
+def test_scd2_apply_equals_one_shot(spark, sf_dir):
+    """For every cutoff, dim ⊕ later-batch == one-shot build."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.selectExpr(
+        "min(cast(ts as long))", "max(cast(ts as long))"
+    ).first()
+    one_shot = [tuple(r) for r in scd2_build(events).collect()]
+    for frac in (0.25, 0.5, 0.9):
+        cutoff = int(lo) + int((int(hi) - int(lo)) * frac)
+        from pyspark.sql import functions as F
+
+        early = events.filter(F.col("ts").cast("long") < cutoff)
+        late = events.filter(F.col("ts").cast("long") >= cutoff)
+        applied = [
+            tuple(r) for r in scd2_apply(scd2_build(early), late).collect()
+        ]
+        assert applied == one_shot, f"cutoff frac {frac}"
+
+
+def test_scd2_apply_edge_batches(spark):
+    stream = _stream(spark)
+    dim = scd2_build(stream)
+    # appending a no-change batch (same attrs, later ts) leaves versions
+    # and open/closed structure intact, with no new rows
+    tail = spark.createDataFrame(
+        [(1, _t(30), 99, "A"), (2, _t(31), 98, "X")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = scd2_apply(dim, tail).collect()
+    assert len(out) == len(dim.collect())
+    assert {(r.user_id, r.version, r.event_type, r.is_current) for r in out} == {
+        (r.user_id, r.version, r.event_type, r.is_current) for r in dim.collect()
+    }
+    # a brand-new key in the batch opens version 1
+    fresh = spark.createDataFrame(
+        [(7, _t(40), 70, "Q"), (7, _t(41), 71, "R")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = [r for r in scd2_apply(dim, fresh).collect() if r.user_id == 7]
+    assert [(r.version, r.event_type, r.is_current) for r in got] == [
+        (1, "Q", False),
+        (2, "R", True),
+    ]
 
 
 def test_scd2_single_window_stage(spark, sf_dir):

@@ -62,6 +62,74 @@ def scd2_build(
     )
 
 
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Apply a strictly-later event batch to a stored SCD2 dimension.
+
+    The production nightly shape: the dimension's own rows plus the new
+    batch are sufficient — no raw-history rescan.  Per key: batch rows
+    open versions where the attribute differs from the previous batch row
+    OR, for the first batch row, from the key's current dim attribute;
+    version numbers continue from the stored maximum; the stored open row
+    closes at the first new version's ``valid_from``.  Equality with the
+    one-shot ``scd2_build`` over the concatenated stream (for batches
+    wholly after the dim's events) is both the registered oracle and a
+    pytest property.
+
+    Scale: one ``(key)`` shuffle on the batch, one broadcast-sized join
+    of per-key current state, one key join to close open rows — the dim's
+    closed rows pass through untouched (predicate-pushdown friendly).
+    """
+    wb = Window.partitionBy(key).orderBy(ts, tiebreak)
+    cur = dim.filter(F.col("is_current")).select(
+        key,
+        F.col(attr).alias("_cur_attr"),
+        F.col("version").alias("_cur_ver"),
+    )
+    seeded = (
+        batch.select(key, attr, ts, tiebreak)
+        .join(cur, key, "left")
+        .withColumn("_prev", F.lag(attr).over(wb))
+        .withColumn("_eff_prev", F.coalesce(F.col("_prev"), F.col("_cur_attr")))
+    )
+    changes = seeded.filter(
+        F.col("_eff_prev").isNull() | (F.col("_eff_prev") != F.col(attr))
+    )
+    new_rows = (
+        changes.select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts).alias("valid_from"),
+            F.lead(ts).over(wb).alias("valid_to"),
+            (
+                F.row_number().over(wb) + F.coalesce(F.col("_cur_ver"), F.lit(0))
+            ).alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    first_new = new_rows.groupBy(key).agg(F.min("valid_from").alias("_fn"))
+    closed = (
+        dim.join(first_new, key, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("_fn").isNotNull(), F.col("_fn")
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn("is_current", F.col("is_current") & F.col("_fn").isNull())
+        .drop("_fn")
+    )
+    return closed.unionByName(
+        new_rows.select(*closed.columns)
+    ).orderBy(key, "version")
+
+
 _SCD2_ORACLE = """
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
@@ -88,3 +156,22 @@ ORDER BY user_id, version
 def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity history of each user's event_type attribute."""
     return scd2_build(load_table(spark, sf_dir, "events"))
+
+
+@register("events_scd2_apply_late_batch", oracle=_SCD2_ORACLE)
+def events_scd2_apply_late_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-vs-one-shot SCD2 maintenance: build the dimension from the
+    first half of the stream, apply the second half as a late batch, and
+    hash-match the ONE-SHOT oracle — certifying the incremental path.
+
+    The epoch-midpoint cutoff is two scalar aggregates collected to the
+    driver (bounded by construction); the split itself stays lazy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    cutoff = (int(lo) + int(hi)) // 2
+    early = ev.filter(F.col("ts").cast("long") < cutoff)
+    late = ev.filter(F.col("ts").cast("long") >= cutoff)
+    return scd2_apply(scd2_build(early), late)

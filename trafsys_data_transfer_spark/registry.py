@@ -214,6 +214,7 @@ _PRIORITY = (
     "orders_status_priority_cube",
     "events_user_gaps",
     "events_scd2_user_type",
+    "events_scd2_apply_late_batch",
     "orders_above_customer_avg",
     "orders_retention_cohort",
     "nation_revenue_share",

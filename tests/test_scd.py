@@ -6,7 +6,11 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from trafsys_data_transfer_spark.operators.scd import scd2_apply, scd2_build
+from trafsys_data_transfer_spark.operators.scd import (
+    scd2_apply,
+    scd2_build,
+    scd2_pit_join,
+)
 from trafsys_data_transfer_spark.sources.fixtures import load_table
 
 
@@ -121,6 +125,31 @@ def test_scd2_apply_edge_batches(spark):
         (1, "Q", False),
         (2, "R", True),
     ]
+
+
+def test_scd2_pit_join_exactly_one_version_per_fact(spark, sf_dir):
+    """Every event is covered by exactly one version (half-open chain;
+    zero-length versions match nothing) and that version's attribute is
+    the event's own — the self-consistency the construction guarantees."""
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_pit_join(ev, scd2_build(ev))
+    assert out.count() == ev.count()
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+    assert out.filter(~F.col("is_consistent")).count() == 0
+
+
+def test_scd2_pit_join_same_ts_flip(spark):
+    """A same-ts attribute flip creates a zero-length version; the PIT
+    probe must land on the surviving (second) version."""
+    stream = _stream(spark)
+    dim = scd2_build(stream)
+    probe = spark.createDataFrame(
+        [(3, _t(7), 900, "A")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = scd2_pit_join(probe, dim).collect()
+    assert len(got) == 1
+    assert got[0].version == 2 and got[0].attr_active == "A"
 
 
 def test_scd2_single_window_stage(spark, sf_dir):

@@ -158,6 +158,80 @@ def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_build(load_table(spark, sf_dir, "events"))
 
 
+def scd2_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Point-in-time enrichment: attach the dim version active at each
+    fact's timestamp (half-open containment, so a version opening AT the
+    fact's ts wins and zero-length versions from same-ts flips match
+    nothing).  Exactly one version covers each fact by construction.
+
+    Scale: key-equi join with a residual range predicate — the dimension
+    is versions-per-key small relative to facts, so at scale it
+    broadcasts; locally Catalyst picks SMJ on the key.  No interval
+    explosion needed because containment is resolved per key.
+    """
+    e, d = facts.alias("e"), dim.alias("d")
+    return (
+        e.join(
+            d,
+            (F.col(f"e.{key}") == F.col(f"d.{key}"))
+            & (F.col(f"e.{ts}") >= F.col("d.valid_from"))
+            & (F.col("d.valid_to").isNull() | (F.col(f"e.{ts}") < F.col("d.valid_to"))),
+        )
+        .select(
+            F.col("e.event_id"),
+            F.col(f"e.{key}").alias(key),
+            F.col(f"e.{ts}").alias(ts),
+            F.col("d.version"),
+            F.col("d.event_type").alias("attr_active"),
+            (F.col("e.event_type") == F.col("d.event_type")).alias("is_consistent"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_PIT_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS _prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changed AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered WHERE _prev IS NULL OR _prev <> event_type
+),
+dim AS (
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e.event_id, e.user_id, e.ts AS ts, d.version,
+       d.event_type AS attr_active,
+       e.event_type = d.event_type AS is_consistent
+FROM events e
+JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+ORDER BY event_id
+"""
+
+
+@register("events_scd2_pit_join", oracle=_PIT_ORACLE)
+def events_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach the active SCD2 version to every event (PIT probe)."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_pit_join(ev, scd2_build(ev))
+
+
 @register("events_scd2_apply_late_batch", oracle=_SCD2_ORACLE)
 def events_scd2_apply_late_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-vs-one-shot SCD2 maintenance: build the dimension from the

@@ -215,6 +215,7 @@ _PRIORITY = (
     "events_user_gaps",
     "events_scd2_user_type",
     "events_scd2_apply_late_batch",
+    "events_scd2_pit_join",
     "orders_above_customer_avg",
     "orders_retention_cohort",
     "nation_revenue_share",

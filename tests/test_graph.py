@@ -37,3 +37,79 @@ def test_long_chain_converges_within_log_rounds(spark):
 def test_direction_and_duplicates_ignored(spark):
     comp = _cc(spark, 4, [(1, 0), (1, 0), (2, 1), (0, 2), (3, 3)])
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point)
+# ---------------------------------------------------------------------------
+
+from trafsys_data_transfer_spark.operators.graph import (  # noqa: E402
+    PR_INIT,
+    pagerank_fixed,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _pr_reference(pairs, n_iters, nodes=None):
+    """Plain-Python mirror of the integer recurrence."""
+    from collections import defaultdict
+
+    out = defaultdict(int)
+    adj = defaultdict(list)
+    ns = set(nodes or [])
+    for s, d in pairs:
+        out[s] += 1
+        adj[s].append(d)
+        ns.update((s, d))
+    rank = {v: PR_INIT for v in ns}
+    teleport = PR_INIT * 3 // 20
+    for _ in range(n_iters):
+        inflow = defaultdict(int)
+        for s, ds in adj.items():
+            c = rank[s] // out[s]
+            for d in ds:
+                inflow[d] += c
+        rank = {v: teleport + (17 * inflow[v]) // 20 for v in ns}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 0), (3, 0)]  # 3 dangles into 0
+    got = {r.node: r.rank for r in pagerank_fixed(_edges(spark, pairs), 4).collect()}
+    assert got == _pr_reference(pairs, 4)
+
+
+def test_pagerank_symmetric_pair_and_star(spark):
+    # two mutually-linked nodes: identical ranks, fixpoint at PR_INIT
+    # minus only truncation leak
+    got = {r.node: r.rank for r in pagerank_fixed(_edges(spark, [(0, 1), (1, 0)]), 5).collect()}
+    assert got[0] == got[1]
+    assert abs(got[0] - PR_INIT) <= 5
+    # star: center receives from all leaves → outranks them
+    star = [(i, 9) for i in range(5)] + [(9, i) for i in range(5)]
+    ranks = {r.node: r.rank for r in pagerank_fixed(_edges(spark, star), 5).collect()}
+    assert all(ranks[9] > ranks[i] for i in range(5))
+
+
+def test_pagerank_bit_deterministic_and_mass_bounded(spark, sf_dir):
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    links = li.select(
+        (F.col("l_partkey") * 2).alias("p"), (F.col("l_suppkey") * 2 + 1).alias("s")
+    ).distinct()
+    edges = links.selectExpr("p as src", "s as dst").union(
+        links.selectExpr("s as src", "p as dst")
+    )
+    a = {r.node: r.rank for r in pagerank_fixed(edges, 3).collect()}
+    b = {r.node: r.rank for r in pagerank_fixed(edges.repartition(13), 3).collect()}
+    assert a == b  # integer arithmetic: partitioning cannot change a bit
+    n = len(a)
+    total = sum(a.values())
+    # truncation only ever LEAKS mass; teleport floor bounds it below
+    assert total <= n * PR_INIT
+    assert total >= n * (PR_INIT * 3 // 20)

@@ -146,3 +146,100 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — random-walk centrality, exact fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+#: Per-node initial mass in fixed-point units (1e9 = "parts per billion of
+#: one node-share").  Integer ranks make every iteration order-free: float
+#: PageRank sums drift by partition order; integer sums cannot.
+PR_INIT = 1_000_000_000
+
+#: Damping 0.85 as an exact rational (17/20) so the decay step is integer
+#: multiply + integer divide, never a float.
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
+
+PR_ITERS = 5
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Damped PageRank over directed ``(src, dst)`` edges, all-integer.
+
+    Per iteration: each node sends ``rank div out_degree`` along each
+    out-edge (exact integer; the truncated remainder is deliberately
+    dropped — a deterministic, vanishing mass leak), and receives
+    ``teleport + (17 · inflow) div 20``.  Dangling-node mass is dropped
+    (the standard simplified variant).  The result is bit-identical
+    across partitionings and engines.
+
+    Scale shape: the edge set joins the rank table on ``src`` and
+    re-aggregates on ``dst`` — two key shuffles per iteration on
+    edge-bounded rows.  Degrees are attached to the edges ONCE before the
+    loop (no per-iteration degree join); ``localCheckpoint`` truncates
+    lineage each round like ``connected_components`` above.  The rank
+    table is node-bounded; at web scale both sides stay distributed and
+    the per-iteration cost is O(E) shuffle — the canonical Spark PageRank
+    plan, minus the float nondeterminism.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    teleport = PR_INIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("long"))
+    for _ in range(iters):
+        inflow = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@register("graph_pagerank_partsupp")  # rows-only: iterative fixpoint, not
+# ANSI-SQL-expressible; certified by tests/test_graph.py (hand-computed
+# toy ranks, mass bounds, cross-partitioning bit-determinism).
+def graph_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 nodes by random-walk centrality in the part–supplier
+    bipartite graph (distinct lineitem (part, supplier) links, both
+    directions).  Node encoding: part → 2·partkey, supplier → 2·suppkey+1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    links = li.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = links.selectExpr("p as src", "s as dst").union(
+        links.selectExpr("s as src", "p as dst")
+    )
+    ranks = pagerank_fixed(edges)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_id"),
+            F.col("rank").alias("rank_ppb"),
+        )
+        .orderBy(F.col("rank_ppb").desc(), "node_type", "node_id")
+        .limit(50)
+    )

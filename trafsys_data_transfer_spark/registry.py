@@ -186,6 +186,7 @@ _PRIORITY = (
     "text_dup_segments",
     "tokenizer_bpe_stats",
     "embeddings_kmeans",
+    "graph_pagerank_partsupp",
     "corpus_snapshot_diff",
     "docs_chunk_manifest",
     "docs_overlap_chunks",

@@ -95,3 +95,56 @@ def test_streaming_rollup_matches_batch_on_boundary_timestamps(spark):
         dt.datetime(2024, 1, 1, 1, 0, 0): (12, 5),
         dt.datetime(2024, 1, 1, 2, 0, 0): (9, 1),
     }
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    """Constant 9am history + one spike day: only the spike flags; an
+    equally-sized value at an hour with matching history does not."""
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.plans.traffic_queries import (
+        traffic_seasonal_anomalies,  # noqa: F401 — registered builder
+    )
+
+    rows = []
+    # 9:00-ending bucket: Ins=100 for 9 days, then a 500 spike on day 10
+    for day in range(1, 10):
+        rows.append(("S1", "door", dt.datetime(2024, 1, day, 8, 30), 100, 0))
+    rows.append(("S1", "door", dt.datetime(2024, 1, 10, 8, 30), 500, 0))
+    # 14:00-ending bucket: wildly varying history → nothing flags
+    for day, v in enumerate((10, 400, 80, 300, 20, 350, 60, 250, 30, 380), start=1):
+        rows.append(("S1", "door", dt.datetime(2024, 1, day, 13, 30), v, 0))
+    df = spark.createDataFrame(
+        rows,
+        "SiteCode string, Location string, PeriodEnding timestamp, Ins long, Outs long",
+    )
+    from trafsys_data_transfer_spark.plans.traffic import rollup_traffic
+
+    rolled = rollup_traffic(df, grain="hour").select(
+        "SiteCode", "Location", "PeriodEnding", "Ins"
+    )
+    hod = F.hour("PeriodEnding")
+    profile = (
+        rolled.groupBy("SiteCode", "Location", hod.alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("Ins").alias("s"),
+            F.sum(F.col("Ins") * F.col("Ins")).alias("ss"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    m = F.col("n") - F.lit(1)
+    dev = m * F.col("Ins") - (F.col("s") - F.col("Ins"))
+    thr = F.lit(9) * (
+        m * (F.col("ss") - F.col("Ins") * F.col("Ins"))
+        - (F.col("s") - F.col("Ins")) * (F.col("s") - F.col("Ins"))
+    )
+    out = (
+        rolled.withColumn("hod", hod)
+        .join(F.broadcast(profile), ["SiteCode", "hod", "Location"])
+        .filter(dev * dev > thr)
+        .collect()
+    )
+    assert [(r.PeriodEnding, r.Ins) for r in out] == [
+        (dt.datetime(2024, 1, 10, 9, 0), 500)
+    ]

@@ -477,3 +477,100 @@ def traffic_backfill_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         days_per_chunk=7,
     )
     return normalize_traffic(raw)
+
+
+@register(
+    "traffic_seasonal_anomalies",
+    # Exact-integer LEAVE-ONE-OUT anomaly test.  Plain z-scores against a
+    # profile that includes the point itself are bounded at √(n−1): one
+    # spike among 9 constant days lands at z = 3.0 exactly and can NEVER
+    # exceed 3σ, because the spike inflates its own baseline (found by the
+    # planted-spike pytest).  Excluding the point (m = n−1 peers, S−x,
+    # SS−x²) removes the masking; clearing denominators keeps it integer:
+    #   |x − μ₋ᵢ| > 3σ₋ᵢ(pop)  ⇔  (m·x − (S−x))² > 9·(m·(SS−x²) − (S−x)²)
+    # No float anywhere → no cross-engine rounding hazard; a constant
+    # history (σ₋ᵢ = 0) flags any deviation, strict > keeps exact repeats
+    # clean.  BIGINT headroom: needs m·x < 3·10⁹ — satisfied by hourly
+    # counts at any realistic site density; beyond that, promote to DECIMAL.
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    rollup AS (
+        SELECT SiteCode, Location,
+               date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
+               CAST(SUM(Ins) AS BIGINT) AS Ins
+        FROM traffic
+        GROUP BY 1, 2, 3
+    ),
+    profile AS (
+        SELECT SiteCode, Location,
+               CAST(extract('hour' FROM PeriodEnding) AS INT) AS hod,
+               COUNT(*) AS n, CAST(SUM(Ins) AS BIGINT) AS s,
+               CAST(SUM(Ins * Ins) AS BIGINT) AS ss
+        FROM rollup
+        GROUP BY 1, 2, 3
+    )
+    SELECT SiteCode, Location, PeriodEnding, Ins, n_obs, dev_sq, thr_sq
+    FROM (
+        SELECT r.SiteCode, r.Location, r.PeriodEnding, r.Ins,
+               p.n AS n_obs,
+               ((p.n - 1) * r.Ins - (p.s - r.Ins))
+                 * ((p.n - 1) * r.Ins - (p.s - r.Ins)) AS dev_sq,
+               9 * ((p.n - 1) * (p.ss - r.Ins * r.Ins)
+                    - (p.s - r.Ins) * (p.s - r.Ins)) AS thr_sq
+        FROM rollup r
+        JOIN profile p
+          ON r.SiteCode = p.SiteCode AND r.Location = p.Location
+         AND CAST(extract('hour' FROM r.PeriodEnding) AS INT) = p.hod
+        WHERE p.n >= 4
+    )
+    WHERE dev_sq > thr_sq
+    ORDER BY SiteCode, Location, PeriodEnding
+    """,
+)
+def traffic_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the hourly rollup: flag buckets whose
+    count deviates >3σ from the SAME (site, location, hour-of-day)
+    historical profile, leave-one-out — people-counter data is strongly
+    diurnal, so a global threshold (events_value_outliers) misses
+    rush-hour-shaped anomalies, and an include-self baseline caps a lone
+    spike at √(n−1)σ (see oracle comment).
+
+    Scale: the profile is O(sites × locations × 24) — broadcast back onto
+    the rollup; the leave-one-out correction is pure row-local arithmetic,
+    so detection stays a narrow integer filter.  The rollup's own shuffle
+    is the only data-sized exchange.
+    """
+    rolled = rollup_traffic(_normalized(spark, sf_dir), grain="hour").select(
+        "SiteCode", "Location", "PeriodEnding", "Ins"
+    )
+    hod = F.hour("PeriodEnding")
+    profile = (
+        rolled.groupBy("SiteCode", "Location", hod.alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("Ins").alias("s"),
+            F.sum(F.col("Ins") * F.col("Ins")).alias("ss"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    m = F.col("n") - F.lit(1)
+    dev = m * F.col("Ins") - (F.col("s") - F.col("Ins"))
+    thr = F.lit(9) * (
+        m * (F.col("ss") - F.col("Ins") * F.col("Ins"))
+        - (F.col("s") - F.col("Ins")) * (F.col("s") - F.col("Ins"))
+    )
+    return (
+        rolled.withColumn("hod", hod)
+        .join(F.broadcast(profile), ["SiteCode", "Location", "hod"])
+        .filter(dev * dev > thr)
+        .select(
+            "SiteCode",
+            "Location",
+            "PeriodEnding",
+            "Ins",
+            F.col("n").alias("n_obs"),
+            (dev * dev).alias("dev_sq"),
+            thr.alias("thr_sq"),
+        )
+        .orderBy("SiteCode", "Location", "PeriodEnding")
+    )

@@ -194,6 +194,7 @@ _PRIORITY = (
     "export_shard_assign",
     "traffic_daily_rollup",
     "traffic_resample_ffill",
+    "traffic_seasonal_anomalies",
     "traffic_backfill_partitioned",
     "dedup_fingerprint",
     "layout_zorder",

@@ -83,6 +83,7 @@ WORK_IN_BUILD = {
     "streaming_sessionize",
     "streaming_session_window",
     "streaming_enrich_join",
+    "streaming_scd2",
     "layout_compaction",
     "layout_zorder",
     "bucketed_colocated_join",

@@ -211,3 +211,58 @@ def test_watermark_drops_too_late_rows(spark):
     # The far-future window may still be open (no later event advances the
     # watermark past it) — it must NOT have emitted prematurely.
     assert "2024-01-02T13:00:00" not in got
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 state function
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stub for driving _scd2_fn directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_scd2_state_fn_cross_batch_versions():
+    import pandas as pd
+
+    from trafsys_data_transfer_spark.streaming.scd2 import _scd2_fn
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id", "event_type"]
+        ).astype({"ts": "datetime64[ns]"})
+
+    st = _FakeState()
+    t = lambda m: pd.Timestamp(2024, 1, 1, 0, m)  # noqa: E731
+    # batch 1: A A B — emits version 1 (A), leaves B open in state
+    out1 = list(_scd2_fn((1,), iter([batch([(1, t(0), 10, "A"), (1, t(1), 11, "A"), (1, t(2), 12, "B")])]), st))
+    assert len(out1) == 1
+    assert out1[0]["event_type"].tolist() == ["A"]
+    assert out1[0]["version"].tolist() == [1]
+    assert st.get[0] == "B" and st.get[1] == 2
+    # batch 2: B A — closes the cross-batch B version, opens A as v3
+    out2 = list(_scd2_fn((1,), iter([batch([(1, t(5), 13, "B"), (1, t(6), 14, "A")])]), st))
+    assert out2[0]["event_type"].tolist() == ["B"]
+    assert out2[0]["version"].tolist() == [2]
+    # the open B kept its ORIGINAL valid_from from batch 1
+    assert out2[0]["valid_from"].tolist() == [t(2)]
+    assert out2[0]["valid_to"].tolist() == [t(6)]
+    assert st.get[0] == "A" and st.get[1] == 3
+    # no-change batch: nothing emitted, state untouched
+    out3 = list(_scd2_fn((1,), iter([batch([(1, t(9), 15, "A")])]), st))
+    assert out3 == [] and st.get[1] == 3

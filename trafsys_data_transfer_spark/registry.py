@@ -218,6 +218,7 @@ _PRIORITY = (
     "events_scd2_user_type",
     "events_scd2_apply_late_batch",
     "events_scd2_pit_join",
+    "streaming_scd2",
     "orders_above_customer_avg",
     "orders_retention_cohort",
     "nation_revenue_share",

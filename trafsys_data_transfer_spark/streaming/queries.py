@@ -394,3 +394,107 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the emitted rows, but guard anyway in case a future change flushes
     # them on drain.
     return spark.table(table).filter(F.col("session_start") < F.lit("2030-01-01"))
+
+
+_SCD2_STREAM_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS _prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changed AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered WHERE _prev IS NULL OR _prev <> event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+@register("streaming_scd2", oracle=_SCD2_STREAM_ORACLE)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SCD2 (applyInPandasWithState) against the batch
+    one-shot oracle.  The events fixture is split at its epoch midpoint
+    into two time-ordered drops drained through ONE checkpoint (two
+    AvailableNow passes) — versions opened by drop 1 and closed by drop 2
+    certify cross-micro-batch state continuity, exactly the
+    ``events_scd2_apply_late_batch`` split pushed down into keyed state.
+    A far-future sentinel attribute closes every real open version on the
+    second pass; the sentinel's own versions stay in state unemitted, and
+    real last versions get their ``valid_to`` nulled back (they closed at
+    the sentinel, not at real data).
+    """
+    from .incremental import _stream_partitions
+    from .scd2 import scd2_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    cutoff = (int(lo) + int(hi)) // 2
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("__flush__").alias("event_type"),
+        )
+    )
+    fmt = lambda df: df.select(  # noqa: E731 — timestamps as micros strings
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    source = tempfile.mkdtemp(prefix="tds_stream_scd2_src_")
+    target = tempfile.mkdtemp(prefix="tds_stream_scd2_tgt_") + "/out"
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_scd2_ckpt_")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        ).json(source)
+        with _stream_partitions(spark):
+            q = (
+                scd2_stream(stream)
+                .writeStream.foreachBatch(
+                    lambda batch, _bid: batch.write.mode("append").parquet(target)
+                )
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    fmt(ev.filter(F.col("ts").cast("long") < cutoff)).coalesce(1).write.mode(
+        "append"
+    ).json(source)
+    drain()
+    fmt(
+        ev.filter(F.col("ts").cast("long") >= cutoff).unionByName(sentinel)
+    ).coalesce(1).write.mode("append").json(source)
+    drain()
+
+    out = spark.read.parquet(target)
+    sentinel_ts = F.lit("2030-01-01 00:00:00").cast("timestamp")
+    return (
+        out.withColumn(
+            "valid_to",
+            F.when(F.col("valid_to") >= sentinel_ts, F.lit(None)).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )

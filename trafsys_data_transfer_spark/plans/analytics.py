@@ -510,3 +510,130 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_sliding_active_users",
+    # Spine-join formulation of Spark's sliding window(): every 3-hour
+    # window sliding hourly that CONTAINS at least one event, with exact
+    # distinct-user and event counts.  Spark's window() emits exactly the
+    # non-empty windows; the inner spine join reproduces that.
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(
+            date_trunc('hour', (SELECT MIN(ts) FROM events)) - INTERVAL 2 HOUR,
+            date_trunc('hour', (SELECT MAX(ts) FROM events)),
+            INTERVAL 1 HOUR)) AS w_start
+    )
+    SELECT s.w_start AS w_start,
+           s.w_start + INTERVAL 3 HOUR AS w_end,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM spine s
+    JOIN events e
+      ON e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 3 HOUR
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window engagement: distinct active users per 3-hour window
+    sliding hourly — the overlapping-window shape (`window(ts, size,
+    slide)`) that tumbling rollups can't express; each event lands in
+    size/slide = 3 windows.
+
+    Scale: the slide multiplies rows 3× BEFORE the shuffle, then exact
+    `count_distinct` adds its expand — the cost model to know is
+    rows × (size/slide) × 2 through one exchange.  When that bites at
+    100 TB, swap `approx_count_distinct` or the HLL-sketch rollup
+    (`dedup_hll_sketch_union`) into the same plan; the exact form here is
+    what makes the oracle hashable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "3 hours", "1 hour")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("w_start")
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "profile_orders_columns",
+    # One long-format row per column: the Deequ/Great-Expectations-style
+    # completeness/cardinality profile, counts-only so every cell is an
+    # exact integer (min/max would drag engine-specific value formatting
+    # into the hash).
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(COUNT({c}) * 1000000 // COUNT(*) AS BIGINT) AS completeness_ppm
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of ``orders``: row count, null
+    count, exact distinct cardinality and completeness (ppm) per column —
+    the scan a warehouse runs before trusting a feed, complementing the
+    inline `observe` gating (which asserts invariants; this MEASURES).
+
+    Scale: ONE pass computes every per-column aggregate simultaneously
+    (Spark evaluates the 6×3 aggregates in a single stage over a single
+    scan); the long format is a stack() of the one aggregated row —
+    nothing per-column touches the table again.  Exact COUNT(DISTINCT) on
+    all columns in one pass expands rows ×columns through the shuffle; at
+    100 TB swap in approx_count_distinct / HLL sketches per column, same
+    plan shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.count(c).alias(f"{c}__present"),
+        ]
+    one = orders.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__present" for c in _PROFILE_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+            "(column_name, n_nulls, n_distinct, n_present)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            F.expr("n_present * 1000000 div n_rows").alias("completeness_ppm"),
+        )
+        .orderBy("column_name")
+    )

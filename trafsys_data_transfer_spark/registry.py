@@ -215,12 +215,14 @@ _PRIORITY = (
     "top_parts_per_brand",
     "orders_status_priority_cube",
     "events_user_gaps",
+    "events_sliding_active_users",
     "events_scd2_user_type",
     "events_scd2_apply_late_batch",
     "events_scd2_pit_join",
     "streaming_scd2",
     "orders_above_customer_avg",
     "orders_retention_cohort",
+    "profile_orders_columns",
     "nation_revenue_share",
 )
 

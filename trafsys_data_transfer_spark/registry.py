@@ -95,9 +95,13 @@ _PRIORITY = (
     # latter is a bounded ground-truth audit, driver-green since r01.
     # round 5: dedup_approx_distinct (rows-only, driver-green since r01)
     # yields its slot to the hash-checked stored-SQ8-index probe below.
+    # round 5 (late): dedup_simhash (rows-only; minhash_lsh remains the
+    # family's rows-only near-dup representative and neardup_pipeline its
+    # composed flagship) yields its window slot to text_lm_perplexity —
+    # hash-checked corpus-LM scoring with material work behind it.
     "dedup_incremental",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "text_lm_perplexity",
     "dedup_neardup_pipeline",
     "dedup_components",
     # text analysis family (text_token_count / text_quality — driver-green
@@ -118,7 +122,11 @@ _PRIORITY = (
     "sim_topk_pq",
     "sim_label_centroids",
     "text_vocab_coverage",
-    "sim_topk_sq8",
+    # round 5 (late): the inline SQ8 scan rotates out for the new SCD2
+    # dimension family's hash-checked flagship — sim_topk_sq8_stored keeps
+    # the quantized-MIPS window row (same hash-checked oracle, stronger
+    # claim: probe never touches the float corpus).
+    "events_scd2_user_type",
     "sim_topk_sq8_stored",
     # multimodal family (round 5: the real-codec decode round trip takes
     # multimodal_frame_sample's slot — the sampler is a grain variant of
@@ -168,7 +176,9 @@ _PRIORITY = (
     "dedup_incremental_neardup",
     "sim_topk_pq_stored",
     "sim_topk_ivfpq",
+    "sim_topk_sq8",
     "sim_topk_sq8_rescored",
+    "dedup_simhash",
     "sim_semantic_dedup_pipeline",
     "dedup_approx_distinct",
     "skew_salted_agg",
@@ -182,7 +192,6 @@ _PRIORITY = (
     "text_token_count",
     "text_quality",
     "text_repetition",
-    "text_lm_perplexity",
     "text_dup_segments",
     "tokenizer_bpe_stats",
     "embeddings_kmeans",
@@ -216,7 +225,6 @@ _PRIORITY = (
     "orders_status_priority_cube",
     "events_user_gaps",
     "events_sliding_active_users",
-    "events_scd2_user_type",
     "events_scd2_apply_late_batch",
     "events_scd2_pit_join",
     "streaming_scd2",

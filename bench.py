@@ -86,6 +86,7 @@ WORK_IN_BUILD = {
     "streaming_scd2",
     "layout_compaction",
     "layout_zorder",
+    "layout_partition_overwrite_restate",
     "bucketed_colocated_join",
     "sim_topk_ivf",
     "sim_topk_pq",

@@ -120,3 +120,44 @@ def test_zorder_single_column_degenerates_to_sort(spark, zorder_layouts):
     )
     for prev, nxt in zip(bounds, bounds[1:]):
         assert prev["hi"] <= nxt["lo"]
+
+
+def test_dynamic_partition_overwrite_touches_only_changed_days(spark, tmp_path):
+    """The restatement must be partition-granular: files under untouched
+    day partitions survive byte-identical (same paths), and the restate
+    leaves earlier partitions present (static overwrite would drop them)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("A", "2024-01-01", 1), ("A", "2024-01-02", 2), ("A", "2024-01-03", 3)],
+        "k string, day string, v long",
+    ).withColumn("day", F.col("day").cast("date"))
+    base.write.partitionBy("day").mode("overwrite").parquet(tgt)
+
+    def files_under(day):
+        d = os.path.join(tgt, f"day={day}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ), max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_files, before_mtime = files_under("2024-01-01")
+    fix = spark.createDataFrame(
+        [("A", "2024-01-03", 30)], "k string, day string, v long"
+    ).withColumn("day", F.col("day").cast("date"))
+    fix.write.partitionBy("day").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(tgt)
+
+    after_files, after_mtime = files_under("2024-01-01")
+    assert after_files == before_files and after_mtime == before_mtime
+    got = {
+        (r.k, str(r.day)): r.v for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == {
+        ("A", "2024-01-01"): 1,
+        ("A", "2024-01-02"): 2,
+        ("A", "2024-01-03"): 30,
+    }

@@ -243,3 +243,83 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(staging)
     return spark.read.parquet(staging)
+
+
+@register(
+    "layout_partition_overwrite_restate",
+    # One-shot CORRECTED rollup: days < Jan 15 original, days >= Jan 15
+    # with Ins+1000 applied at the source.  The Spark side reaches the
+    # same table state by partition-granular replacement.
+    oracle="""
+    WITH traffic AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS SiteCode,
+               event_type AS Location,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+                   AS PeriodEnding,
+               CAST(FLOOR(value) AS BIGINT)
+                 + CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:01'
+                        THEN 1000 ELSE 0 END AS Ins
+        FROM events
+    )
+    SELECT SiteCode, Location,
+           CAST(date_trunc('day', PeriodEnding - INTERVAL 1 SECOND)
+                + INTERVAL 1 DAY AS DATE) AS day,
+           CAST(SUM(Ins) AS BIGINT) AS Ins
+    FROM traffic
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def layout_partition_overwrite_restate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nightly restatement WITHOUT MERGE: the daily rollup lands
+    partitioned by day; a correction re-runs only the affected days and
+    replaces exactly those partitions via **dynamic partition overwrite**
+    (`partitionOverwriteMode=dynamic` write option).  Untouched days'
+    files are never rewritten — the INSERT OVERWRITE idiom every
+    warehouse uses when corrections arrive partition-aligned, and the
+    cheap alternative to row-level MERGE (`traffic_merge_upsert`) when
+    they do.
+
+    Scale: write amplification is O(changed partitions), not O(table);
+    the partition column is the natural date key, so partition pruning
+    serves both the restatement write and every downstream day-ranged
+    read.  Final state is hash-checked against the one-shot corrected
+    rollup.
+    """
+    from ..plans.traffic import normalize_traffic, rollup_traffic
+    from ..plans.traffic_queries import traffic_raw_from_events
+
+    t = normalize_traffic(
+        traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return (
+            rollup_traffic(df, grain="day")
+            .select(
+                "SiteCode",
+                "Location",
+                F.col("PeriodEnding").cast("date").alias("day"),
+                "Ins",
+            )
+        )
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"tds_part_overwrite_{uuid.uuid4().hex[:8]}"
+    )
+    # initial nightly load: full history, partitioned by day
+    daily(t).write.partitionBy("day").mode("overwrite").parquet(target)
+    # correction arrives for Jan 15 onward: restate ONLY those partitions
+    corrected = t.filter(
+        F.col("PeriodEnding") >= F.lit("2024-01-15 00:00:01").cast("timestamp")
+    ).withColumn("Ins", F.col("Ins") + 1000)
+    daily(corrected).write.partitionBy("day").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(target)
+    return (
+        spark.read.parquet(target)
+        .select("SiteCode", "Location", "day", "Ins")
+        .orderBy("SiteCode", "Location", "day")
+    )

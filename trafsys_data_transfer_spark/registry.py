@@ -207,6 +207,7 @@ _PRIORITY = (
     "traffic_backfill_partitioned",
     "dedup_fingerprint",
     "layout_zorder",
+    "layout_partition_overwrite_restate",
     "sim_topk_ivf",
     "multimodal_features",
     "multimodal_frame_sample",

@@ -266,3 +266,73 @@ def test_scd2_state_fn_cross_batch_versions():
     # no-change batch: nothing emitted, state untouched
     out3 = list(_scd2_fn((1,), iter([batch([(1, t(9), 15, "A")])]), st))
     assert out3 == [] and st.get[1] == 3
+
+
+def test_scd2_tws_processor_matches_applyinpandas_path():
+    """Both stateful-API implementations share _compress_runs; drive the
+    transformWithState processor with a fake handle and assert it emits
+    exactly what the applyInPandasWithState path emits."""
+    import pandas as pd
+
+    from trafsys_data_transfer_spark.streaming.scd2 import (
+        SCD2Processor,
+        _scd2_fn,
+    )
+
+    class _FakeVS:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.vs = _FakeVS()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.vs
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id", "event_type"]
+        ).astype({"ts": "datetime64[ns]"})
+
+    t = lambda m: pd.Timestamp(2024, 1, 1, 0, m)  # noqa: E731
+    b1 = [(5, t(0), 1, "A"), (5, t(1), 2, "B")]
+    b2 = [(5, t(2), 3, "B"), (5, t(3), 4, "C")]
+
+    proc = SCD2Processor()
+    proc.init(_FakeHandle())
+    tws_out = [
+        df
+        for b in (b1, b2)
+        for df in proc.handleInputRows((5,), iter([batch(b)]), None)
+    ]
+
+    st = _FakeState()
+    apip_out = [
+        df for b in (b1, b2) for df in _scd2_fn((5,), iter([batch(b)]), st)
+    ]
+    assert len(tws_out) == len(apip_out) == 2
+    for a, b in zip(tws_out, apip_out):
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_scd2_tws_end_to_end_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas e2e == batch oracle — requires
+    google.protobuf (the TWS worker protocol), so it runs only in
+    environments that ship it."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from trafsys_data_transfer_spark.operators.scd import scd2_build
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+    from trafsys_data_transfer_spark.streaming.queries import streaming_scd2_tws
+
+    got = [tuple(r) for r in streaming_scd2_tws(spark, sf_dir).collect()]
+    want = [tuple(r) for r in scd2_build(load_table(spark, sf_dir, "events")).collect()]
+    assert got == want

@@ -418,21 +418,18 @@ ORDER BY user_id, version
 """
 
 
-@register("streaming_scd2", oracle=_SCD2_STREAM_ORACLE)
-def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming SCD2 (applyInPandasWithState) against the batch
-    one-shot oracle.  The events fixture is split at its epoch midpoint
-    into two time-ordered drops drained through ONE checkpoint (two
-    AvailableNow passes) — versions opened by drop 1 and closed by drop 2
-    certify cross-micro-batch state continuity, exactly the
-    ``events_scd2_apply_late_batch`` split pushed down into keyed state.
-    A far-future sentinel attribute closes every real open version on the
-    second pass; the sentinel's own versions stay in state unemitted, and
-    real last versions get their ``valid_to`` nulled back (they closed at
-    the sentinel, not at real data).
+def _scd2_drain(spark: SparkSession, sf_dir: str, stream_op) -> DataFrame:
+    """Shared two-drop harness for both streaming SCD2 APIs: the events
+    fixture is split at its epoch midpoint into two time-ordered drops
+    drained through ONE checkpoint (two AvailableNow passes) — versions
+    opened by drop 1 and closed by drop 2 certify cross-micro-batch state
+    continuity, exactly the ``events_scd2_apply_late_batch`` split pushed
+    down into keyed state.  A far-future sentinel attribute closes every
+    real open version on the second pass; the sentinel's own versions stay
+    in state unemitted, and real last versions get their ``valid_to``
+    nulled back (they closed at the sentinel, not at real data).
     """
     from .incremental import _stream_partitions
-    from .scd2 import scd2_stream
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
@@ -467,7 +464,7 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).json(source)
         with _stream_partitions(spark):
             q = (
-                scd2_stream(stream)
+                stream_op(stream)
                 .writeStream.foreachBatch(
                     lambda batch, _bid: batch.write.mode("append").parquet(target)
                 )
@@ -498,3 +495,43 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "version")
     )
+
+
+@register("streaming_scd2", oracle=_SCD2_STREAM_ORACLE)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SCD2 on ``applyInPandasWithState`` (see
+    ``_scd2_drain`` for the two-drop cross-batch harness)."""
+    from .scd2 import scd2_stream
+
+    return _scd2_drain(spark, sf_dir, scd2_stream)
+
+
+def streaming_scd2_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME operator on Spark 4's ``transformWithStateInPandas``
+    (typed ValueState, RocksDB state-store provider) through the same
+    two-drop harness and batch oracle — certifying semantics across the
+    engine's stateful-API migration.
+
+    NOT in the registry: the TWS Python worker protocol needs
+    ``google.protobuf``, absent in this container (and installs are out of
+    scope), so an end-to-end run here dies in worker init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The processor is
+    certified by the shared-core equivalence unit test
+    (tests/test_streaming.py) and by the skipif-gated e2e test that runs
+    wherever protobuf exists.  The RocksDB provider conf is scoped to this
+    call and restored afterwards."""
+    from .scd2 import scd2_stream_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _scd2_drain(spark, sf_dir, scd2_stream_tws)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -1,4 +1,4 @@
-"""Stateful streaming SCD Type-2 — ``applyInPandasWithState``.
+"""Stateful streaming SCD Type-2 — both Spark stateful APIs.
 
 The streaming twin of :func:`operators.scd.scd2_build`: per-key dimension
 state (current attribute, version, ``valid_from``) lives in the state
@@ -7,6 +7,12 @@ later event CLOSES it by carrying a different attribute.  The open
 version per key stays in state (checkpointed) — what an always-on
 pipeline wants; the registered query flushes real versions with a
 sentinel attribute so the drained output matches the batch oracle.
+
+Implemented on BOTH stateful APIs over one shared run-compression core:
+``applyInPandasWithState`` (the 3.x-era operator, opaque tuple state) and
+Spark 4's ``transformWithStateInPandas`` (typed state variables, RocksDB
+provider).  The registered queries certify both against the SAME batch
+oracle — the engine's semantics survive its own API migration.
 
 Assumes in-order arrival per key across micro-batches (the nightly
 time-ordered drop; the registered query stages two time-split drops
@@ -53,19 +59,25 @@ SCD2_STATE_SCHEMA = StructType(
 )
 
 
-def _scd2_fn(key, pdf_iter, state: GroupState):
+def _compress_runs(user_id, pdf_iter, stored):
+    """Shared core for both stateful APIs: compress one micro-batch of a
+    key's events into closed SCD2 versions.
+
+    Returns ``(emit, new_state)`` — ``emit`` a pandas DataFrame of closed
+    versions (or None), ``new_state`` the (attr, version, from_us) tuple
+    to store (or None to leave state untouched).
+    """
     import numpy as np
 
-    (user_id,) = key
     pdf = pd.concat(list(pdf_iter), ignore_index=True)
     if pdf.empty:
-        return
+        return None, None
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
     attrs = pdf["event_type"].to_numpy()
     ts_us = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1_000
 
-    if state.exists:
-        cur_attr, cur_ver, cur_from = state.get
+    if stored is not None:
+        cur_attr, cur_ver, cur_from = stored
     else:
         cur_attr, cur_ver, cur_from = None, 0, None
 
@@ -74,7 +86,7 @@ def _scd2_fn(key, pdf_iter, state: GroupState):
     change[1:] = attrs[1:] != attrs[:-1]
     idx = np.flatnonzero(change)
     if len(idx) == 0:
-        return  # batch continues the open version untouched
+        return None, None  # batch continues the open version untouched
 
     out_attr: list[str] = []
     out_from: list[int] = []
@@ -93,11 +105,10 @@ def _scd2_fn(key, pdf_iter, state: GroupState):
         out_to.append(int(ts_us[idx[j + 1]]))
         out_ver.append(int(cur_ver) + j + 1)
 
-    state.update(
-        (str(attrs[idx[-1]]), int(cur_ver) + len(idx), int(ts_us[idx[-1]]))
-    )
+    new_state = (str(attrs[idx[-1]]), int(cur_ver) + len(idx), int(ts_us[idx[-1]]))
+    emit = None
     if out_attr:
-        yield pd.DataFrame(
+        emit = pd.DataFrame(
             {
                 "user_id": [user_id] * len(out_attr),
                 "event_type": out_attr,
@@ -106,6 +117,18 @@ def _scd2_fn(key, pdf_iter, state: GroupState):
                 "version": out_ver,
             }
         )
+    return emit, new_state
+
+
+def _scd2_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    emit, new_state = _compress_runs(
+        user_id, pdf_iter, state.get if state.exists else None
+    )
+    if new_state is not None:
+        state.update(new_state)
+    if emit is not None:
+        yield emit
 
 
 def scd2_stream(events_stream: DataFrame) -> DataFrame:
@@ -120,5 +143,57 @@ def scd2_stream(events_stream: DataFrame) -> DataFrame:
             stateStructType=SCD2_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+try:  # PySpark >= 4.0; guarded so the module imports on older runtimes
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - environment is 4.1
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment,misc]
+
+
+class SCD2Processor(StatefulProcessor):
+    """``transformWithStateInPandas`` port — typed ValueState on the
+    RocksDB state-store provider instead of one opaque tuple; the
+    run-compression core is shared with ``_scd2_fn`` verbatim."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._cur = handle.getValueState(
+            "cur", "attr string, version long, from_us long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        emit, new_state = _compress_runs(user_id, rows, self._cur.get())
+        if new_state is not None:
+            self._cur.update(new_state)
+        if emit is not None:
+            yield emit
+
+    def close(self) -> None:
+        pass
+
+
+def scd2_stream_tws(events_stream: DataFrame) -> DataFrame:
+    """SCD2 closed versions via ``transformWithStateInPandas``.  Needs the
+    RocksDB state-store provider (set by the caller; see
+    ``queries.streaming_scd2_tws``)."""
+    return (
+        events_stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SCD2Processor(),
+            outputStructType=SCD2_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
     )

@@ -87,6 +87,7 @@ WORK_IN_BUILD = {
     "layout_compaction",
     "layout_zorder",
     "layout_partition_overwrite_restate",
+    "timetravel_restate_read",
     "bucketed_colocated_join",
     "sim_topk_ivf",
     "sim_topk_pq",

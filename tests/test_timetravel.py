@@ -1,0 +1,111 @@
+"""Versioned-table time travel: snapshot isolation, append/replace
+commits, file immutability, error paths."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.timetravel import (
+    table_versions,
+    versioned_commit,
+    versioned_read,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, day string, v long")
+
+
+def test_append_and_read_as_of(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    v1 = versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    v2 = versioned_commit(spark, _df(spark, [("b", "d2", 2)]), table)
+    assert (v1, v2) == (1, 2)
+    assert table_versions(spark, table) == [1, 2]
+    assert {tuple(r) for r in versioned_read(spark, table, 1).collect()} == {
+        ("a", "d1", 1)
+    }
+    assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
+        ("a", "d1", 1),
+        ("b", "d2", 2),
+    }
+
+
+def test_replace_keeps_history_and_never_rewrites_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+
+    def routed(df):
+        return df.withColumn("_r", F.col("day"))
+
+    versioned_commit(
+        spark,
+        routed(_df(spark, [("a", "d1", 1), ("b", "d2", 2)])),
+        table,
+        partition_by="_r",
+    )
+    data_dir = os.path.join(table, "data")
+    before = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    }
+    # restate d2 only; d1's file carries over untouched
+    versioned_commit(
+        spark,
+        routed(_df(spark, [("b", "d2", 20)])),
+        table,
+        replace=True,
+        carry_unreplaced=F.col("day") == "d1",
+        partition_by="_r",
+    )
+    after = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    }
+    # every v1 file still exists with its original mtime (immutable)
+    for f, mt in before.items():
+        assert after[f] == mt
+    assert {tuple(r) for r in versioned_read(spark, table, 1).select("k", "day", "v").collect()} == {
+        ("a", "d1", 1),
+        ("b", "d2", 2),
+    }
+    assert {tuple(r) for r in versioned_read(spark, table, 2).select("k", "day", "v").collect()} == {
+        ("a", "d1", 1),
+        ("b", "d2", 20),
+    }
+
+
+def test_replace_granularity_requires_partition_alignment(spark, tmp_path):
+    """Without partition routing, a file mixing carried and replaced rows
+    is dropped whole — the carried rows vanish.  The test pins the
+    failure mode the partition_by contract exists to prevent."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(
+        spark, _df(spark, [("a", "d1", 1), ("b", "d2", 2)]).coalesce(1), table
+    )
+    versioned_commit(
+        spark,
+        _df(spark, [("b", "d2", 20)]),
+        table,
+        replace=True,
+        carry_unreplaced=F.col("day") == "d1",
+    )
+    got = {tuple(r) for r in versioned_read(spark, table, 2).collect()}
+    assert got == {("b", "d2", 20)}  # d1 row gone: misaligned files drop whole
+
+
+def test_version_errors(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, table)
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    with pytest.raises(ValueError):
+        versioned_read(spark, table, 7)

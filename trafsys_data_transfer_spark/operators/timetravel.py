@@ -1,0 +1,255 @@
+"""Snapshot-versioned tables (time travel) over plain parquet + manifests.
+
+The lakehouse property the parquet sinks so far lack: after a
+restatement, YESTERDAY'S table state must still be readable — auditors,
+reproducible-training runs and incident forensics all read "the table as
+of version N", not "whatever the directory holds now".  Delta/Iceberg
+provide this with a transaction log; this operator implements the
+minimal same-shaped contract on the engine's own primitives:
+
+* Data files are immutable, uniquely named, written once under
+  ``<table>/data/`` and NEVER rewritten or deleted by later commits.
+* A commit is one JSON manifest ``<table>/_manifests/v{N}.json`` naming
+  the complete live file set for that version — written AFTER its data
+  files (readers either see the manifest and all its files, or neither;
+  the single-writer assumption of ``fsutil`` applies, and the
+  multi-writer upgrade path is a real Delta/Iceberg commit protocol, as
+  documented there).
+* ``read(version=None)`` resolves latest-or-pinned manifest and reads
+  exactly its files — an O(1) metadata hop, no directory listing of
+  data, so stale files from abandoned writes are invisible.
+
+Scale: a manifest is O(files) names; data-file IO is whatever the commit
+writes — replaced partitions only, the dynamic-partition-overwrite
+economics with history retained.  Reading any version costs the same as
+reading a plain parquet table of that size.
+
+The reference keeps no history at all (its Oracle MERGE overwrites in
+place, script.js:184-214); this is the §2.10 scope extension applied to
+the storage layer.
+
+Deliberate scope bound: manifest IO and the staging flatten use local
+``os`` calls (unlike the ``fsutil``-routed sinks) — this is the
+single-writer LOCAL/POSIX tier of the contract, and the documented
+upgrade for object storage / multi-writer is adopting a real Delta /
+Iceberg commit protocol, not re-implementing one here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fsutil import list_data_files, path_exists
+from ..registry import register
+from ..sources.fixtures import load_table
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifests")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"v{version}.json")
+
+
+def table_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Committed versions, ascending.  O(manifests) metadata listing."""
+    if not path_exists(spark, _manifest_dir(table_dir)):
+        return []
+    names = [
+        os.path.basename(p) for p, _ in list_data_files(spark, _manifest_dir(table_dir))
+    ]
+    return sorted(
+        int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def versioned_commit(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    replace: bool = False,
+    carry_unreplaced=None,
+    partition_by: str | None = None,
+) -> int:
+    """Commit ``df`` as the next version.
+
+    ``replace=False`` appends: the new version's live set is the previous
+    version's files plus the new ones.  ``replace=True`` with
+    ``carry_unreplaced`` (a predicate on the previous version's rows —
+    evaluated per FILE via a read of that file) starts from only the
+    previous files whose rows ALL satisfy the predicate; files with any
+    replaced row are dropped from the live set (their rows must be
+    re-written by ``df`` if retained — pass ``partition_by`` so files
+    align with the replacement key and no file ever mixes carried and
+    replaced rows).  ``partition_by`` names a WRITE-ROUTING column that
+    must duplicate a data column (it is consumed by the partitioned
+    write; the data column keeps the value readable per file).  Data
+    files are never mutated.
+    """
+    prev = table_versions(spark, table_dir)
+    prev_files: list[str] = []
+    if prev:
+        with open(_manifest_path(table_dir, prev[-1])) as fh:
+            prev_files = json.load(fh)["files"]
+    if replace and carry_unreplaced is not None and prev_files:
+        # ONE scan decides every file's fate: tag rows with their source
+        # file, keep files with zero rows outside the carry predicate.
+        bad = {
+            os.path.basename(r["f"])
+            for r in (
+                spark.read.parquet(
+                    *[os.path.join(table_dir, "data", f) for f in prev_files]
+                )
+                .withColumn("f", F.input_file_name())
+                .filter(~carry_unreplaced)
+                .select("f")
+                .distinct()
+                .collect()
+            )
+        }
+        prev_files = [f for f in prev_files if f not in bad]
+    elif replace and carry_unreplaced is None:
+        prev_files = []
+
+    # land the new data files under a unique commit prefix; a partitioned
+    # staging write yields one subtree per key, flattened into unique
+    # names so the manifest stays a plain file list
+    commit_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table_dir, "data", f"_stage_{commit_id}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+    new_files = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), staging)
+            token = rel.replace(os.sep, "~").replace("=", "_")
+            final = f"{commit_id}-{token}"
+            os.replace(
+                os.path.join(root, name), os.path.join(table_dir, "data", final)
+            )
+            new_files.append(final)
+    version = (prev[-1] + 1) if prev else 1
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    manifest = {"version": version, "files": sorted(prev_files + new_files)}
+    tmp = _manifest_path(table_dir, version) + f".tmp{commit_id}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def versioned_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF ``version`` (latest when None)."""
+    versions = table_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    with open(_manifest_path(table_dir, version)) as fh:
+        files = json.load(fh)["files"]
+    if not files:
+        raise ValueError(f"version {version} is empty")
+    return spark.read.parquet(
+        *[os.path.join(table_dir, "data", f) for f in files]
+    )
+
+
+@register(
+    "timetravel_restate_read",
+    # Both table states, one result: version 1 must remain byte-identical
+    # to the ORIGINAL rollup after version 2 (the Jan-15+ correction)
+    # was committed — the defining time-travel property.
+    oracle="""
+    WITH traffic AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS SiteCode,
+               event_type AS Location,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+                   AS PeriodEnding,
+               CAST(FLOOR(value) AS BIGINT) AS Ins, ts
+        FROM events
+    ),
+    rolled AS (
+        SELECT SiteCode, Location,
+               CAST(date_trunc('day', PeriodEnding - INTERVAL 1 SECOND)
+                    + INTERVAL 1 DAY AS DATE) AS day,
+               CAST(SUM(Ins) AS BIGINT) AS Ins,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:01'
+                             THEN Ins + 1000 ELSE Ins END) AS BIGINT)
+                   AS Ins_corrected
+        FROM traffic
+        GROUP BY 1, 2, 3
+    )
+    SELECT 1 AS version, SiteCode, Location, day, Ins FROM rolled
+    UNION ALL
+    SELECT 2 AS version, SiteCode, Location, day, Ins_corrected AS Ins
+    FROM rolled
+    ORDER BY version, SiteCode, Location, day
+    """,
+)
+def timetravel_restate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit the daily rollup as v1, commit a Jan-15+ correction as v2
+    (replacing only the affected days' files, history retained), then
+    read BOTH versions back — v1 AFTER v2 exists must still equal the
+    original state.
+    """
+    from ..plans.traffic import normalize_traffic, rollup_traffic
+    from ..plans.traffic_queries import traffic_raw_from_events
+
+    t = normalize_traffic(
+        traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return rollup_traffic(df, grain="day").select(
+            "SiteCode",
+            "Location",
+            F.col("PeriodEnding").cast("date").alias("day"),
+            "Ins",
+        )
+
+    cutoff_day = F.lit("2024-01-15").cast("date")
+    table = os.path.join(
+        tempfile.gettempdir(), f"tds_timetravel_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def routed(df: DataFrame) -> DataFrame:
+        # write-routing duplicate of `day`: guarantees one-day-per-file so
+        # replace-granularity never strands carried rows in dropped files
+        return df.withColumn("_day_route", F.col("day").cast("string"))
+
+    versioned_commit(spark, routed(daily(t)), table, partition_by="_day_route")
+    # v2: corrected days replace their files; untouched days carry over
+    corrected = t.filter(
+        F.col("PeriodEnding") >= F.lit("2024-01-15 00:00:01").cast("timestamp")
+    ).withColumn("Ins", F.col("Ins") + 1000)
+    versioned_commit(
+        spark,
+        routed(daily(corrected)),
+        table,
+        replace=True,
+        carry_unreplaced=F.col("day") <= cutoff_day,
+        partition_by="_day_route",
+    )
+    v1 = versioned_read(spark, table, 1).withColumn("version", F.lit(1))
+    v2 = versioned_read(spark, table, 2).withColumn("version", F.lit(2))
+    return (
+        v1.unionByName(v2)
+        .select("version", "SiteCode", "Location", "day", "Ins")
+        .orderBy("version", "SiteCode", "Location", "day")
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.skew",
     "trafsys_data_transfer_spark.operators.bucketing",
     "trafsys_data_transfer_spark.operators.layout",
+    "trafsys_data_transfer_spark.operators.timetravel",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -208,6 +209,7 @@ _PRIORITY = (
     "dedup_fingerprint",
     "layout_zorder",
     "layout_partition_overwrite_restate",
+    "timetravel_restate_read",
     "sim_topk_ivf",
     "multimodal_features",
     "multimodal_frame_sample",

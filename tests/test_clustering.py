@@ -96,3 +96,12 @@ def test_kmeans_all_vectors_assigned_once(spark, sf_dir):
     assert sum(r.n_vecs for r in prof) == vecs.count()
     for r in prof:
         assert r.mean_d2_micro == r.inertia_micro // r.n_vecs
+
+
+def test_kmeans_more_clusters_than_points(spark):
+    """k > n: empty clusters keep their seed positions; every point still
+    assigned exactly once; profile only reports non-empty clusters."""
+    vecs = _planted(spark, n_per=2, dim=4, k=2)  # 4 points
+    prof = kmeans_cluster_profile(vecs, k=4, iters=2).collect()
+    assert sum(r.n_vecs for r in prof) == 4
+    assert len(prof) <= 4

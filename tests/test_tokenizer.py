@@ -86,3 +86,17 @@ def test_bpe_corpus_path_is_jvm_only(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_bpe_vocab_cap_raises():
+    import pytest
+
+    from trafsys_data_transfer_spark.operators import tokenizer as tok
+
+    old = tok.MAX_TRAIN_VOCAB
+    tok.MAX_TRAIN_VOCAB = 2
+    try:
+        with pytest.raises(ValueError, match="training bound"):
+            tok.train_bpe([("a", 1), ("b", 1), ("c", 1)], 5)
+    finally:
+        tok.MAX_TRAIN_VOCAB = old

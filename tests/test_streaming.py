@@ -336,3 +336,22 @@ def test_scd2_tws_end_to_end_matches_batch(spark, sf_dir):
     got = [tuple(r) for r in streaming_scd2_tws(spark, sf_dir).collect()]
     want = [tuple(r) for r in scd2_build(load_table(spark, sf_dir, "events")).collect()]
     assert got == want
+
+
+def test_scd2_sink_replay_idempotent(spark, tmp_path):
+    """Crash between sink write and offset commit replays the micro-batch:
+    the batch-id-keyed overwrite sink must leave the target unchanged."""
+    from trafsys_data_transfer_spark.streaming.queries import _scd2_sink
+
+    target = str(tmp_path / "out")
+    sink = _scd2_sink(target)
+    df = spark.createDataFrame(
+        [(1, "A", 10)], "user_id long, event_type string, version long"
+    )
+    sink(df, 3)
+    once = sorted(tuple(r) for r in spark.read.parquet(target).drop("batch_id").collect())
+    sink(df, 3)  # replay of the SAME micro-batch
+    twice = sorted(tuple(r) for r in spark.read.parquet(target).drop("batch_id").collect())
+    assert once == twice
+    sink(df, 4)  # a genuinely new batch still lands
+    assert spark.read.parquet(target).count() == 2

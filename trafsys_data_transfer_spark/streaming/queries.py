@@ -418,6 +418,23 @@ ORDER BY user_id, version
 """
 
 
+def _scd2_sink(target: str):
+    """Idempotent foreachBatch sink: each micro-batch OVERWRITES its own
+    ``batch_id=N`` subdirectory.  A plain append would double-emit closed
+    versions when a crash lands between sink write and offset commit and
+    the micro-batch replays (§2.8d; the MERGE sink is idempotent by
+    construction, a file-append sink must be made so by batch-id keying).
+    Replay-idempotence is unit-tested directly in tests/test_streaming.py.
+    """
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(target, f"batch_id={bid}")
+        )
+
+    return sink
+
+
 def _scd2_drain(spark: SparkSession, sf_dir: str, stream_op) -> DataFrame:
     """Shared two-drop harness for both streaming SCD2 APIs: the events
     fixture is split at its epoch midpoint into two time-ordered drops
@@ -465,9 +482,7 @@ def _scd2_drain(spark: SparkSession, sf_dir: str, stream_op) -> DataFrame:
         with _stream_partitions(spark):
             q = (
                 stream_op(stream)
-                .writeStream.foreachBatch(
-                    lambda batch, _bid: batch.write.mode("append").parquet(target)
-                )
+                .writeStream.foreachBatch(_scd2_sink(target))
                 .option("checkpointLocation", checkpoint)
                 .trigger(availableNow=True)
                 .start()
@@ -493,6 +508,12 @@ def _scd2_drain(spark: SparkSession, sf_dir: str, stream_op) -> DataFrame:
             ),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
+        # explicit projection: the batch_id=N sink dirs surface as an
+        # inferred partition column on read-back
+        .select(
+            "user_id", "event_type", "valid_from", "valid_to", "version",
+            "is_current",
+        )
         .orderBy("user_id", "version")
     )
 

@@ -88,6 +88,7 @@ WORK_IN_BUILD = {
     "layout_zorder",
     "layout_partition_overwrite_restate",
     "timetravel_restate_read",
+    "timetravel_version_diff",
     "bucketed_colocated_join",
     "sim_topk_ivf",
     "sim_topk_pq",

@@ -253,3 +253,93 @@ def timetravel_restate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "SiteCode", "Location", "day", "Ins")
         .orderBy("version", "SiteCode", "Location", "day")
     )
+
+
+@register(
+    "timetravel_version_diff",
+    # CDC between stored versions: exactly the corrected days change,
+    # nothing is added or removed, everything else is untouched.
+    oracle="""
+    WITH traffic AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS SiteCode,
+               event_type AS Location,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+                   AS PeriodEnding,
+               CAST(FLOOR(value) AS BIGINT) AS Ins, ts
+        FROM events
+    ),
+    rolled AS (
+        SELECT SiteCode, Location,
+               CAST(date_trunc('day', PeriodEnding - INTERVAL 1 SECOND)
+                    + INTERVAL 1 DAY AS DATE) AS day,
+               CAST(SUM(Ins) AS BIGINT) AS Ins,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:01'
+                             THEN Ins + 1000 ELSE Ins END) AS BIGINT)
+                   AS Ins_corrected
+        FROM traffic
+        GROUP BY 1, 2, 3
+    )
+    SELECT SiteCode || '|' || Location || '|' || CAST(day AS VARCHAR) AS row_key,
+           CASE WHEN Ins != Ins_corrected THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM rolled
+    ORDER BY row_key
+    """,
+)
+def timetravel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two STORED versions of the same table: commit v1 and
+    the v2 restatement (as ``timetravel_restate_read``), then run the
+    fingerprint snapshot diff over ``read(v1)`` vs ``read(v2)`` — the
+    time-travel store composes with the CDC operator, so "what changed
+    between yesterday's and today's table" is a query, not an ETL run.
+    """
+    from ..plans.traffic import normalize_traffic, rollup_traffic
+    from ..plans.traffic_queries import traffic_raw_from_events
+    from .snapshot import snapshot_diff
+
+    t = normalize_traffic(
+        traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return rollup_traffic(df, grain="day").select(
+            "SiteCode",
+            "Location",
+            F.col("PeriodEnding").cast("date").alias("day"),
+            "Ins",
+        )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.concat_ws(
+                "|", "SiteCode", "Location", F.col("day").cast("string")
+            ).alias("row_key"),
+            F.col("Ins").cast("string").alias("content"),
+        )
+
+    table = os.path.join(
+        tempfile.gettempdir(), f"tds_ttdiff_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def routed(df: DataFrame) -> DataFrame:
+        return df.withColumn("_day_route", F.col("day").cast("string"))
+
+    versioned_commit(spark, routed(daily(t)), table, partition_by="_day_route")
+    corrected = t.filter(
+        F.col("PeriodEnding") >= F.lit("2024-01-15 00:00:01").cast("timestamp")
+    ).withColumn("Ins", F.col("Ins") + 1000)
+    versioned_commit(
+        spark,
+        routed(daily(corrected)),
+        table,
+        replace=True,
+        carry_unreplaced=F.col("day") <= F.lit("2024-01-15").cast("date"),
+        partition_by="_day_route",
+    )
+    return snapshot_diff(
+        keyed(versioned_read(spark, table, 1)),
+        keyed(versioned_read(spark, table, 2)),
+        key="row_key",
+        content_col="content",
+    ).orderBy("row_key")

@@ -210,6 +210,7 @@ _PRIORITY = (
     "layout_zorder",
     "layout_partition_overwrite_restate",
     "timetravel_restate_read",
+    "timetravel_version_diff",
     "sim_topk_ivf",
     "multimodal_features",
     "multimodal_frame_sample",

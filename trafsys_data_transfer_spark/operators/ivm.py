@@ -1,0 +1,89 @@
+"""Incremental view maintenance for JOIN views (delta joins).
+
+``traffic_rollup_incremental`` maintains an AGGREGATE view additively;
+this operator completes the IVM pair with the JOIN-view rule.  For a
+materialised view ``V = L ⋈ O`` receiving deltas on both inputs, the
+classic delta-join algebra gives
+
+    V_new = V₀  ∪  (ΔL ⋈ O₀)  ∪  (L₀ ⋈ ΔO)  ∪  (ΔL ⋈ ΔO)
+
+— the three delta terms touch only delta-sized probe sides, so a nightly
+maintenance run joins the small deltas against the big stored inputs
+instead of re-joining two full tables (at 100 TB: ΔL and ΔO broadcast or
+shuffle delta-sized partitions; L₀/O₀ are scanned but never re-joined
+against each other).  Correctness is the algebra itself: the union of
+the four terms must equal the one-shot join EXACTLY — no duplicates at
+the seams (each pair of rows lands in exactly one term because the
+base/delta split partitions each input), no misses.  That equality IS
+the registered oracle.
+
+The reference has no joins at all; this is §2.10 scope applied to the
+materialised-view layer every warehouse runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Deterministic split knobs: orders delta = late order dates, lineitem
+#: delta = high line numbers (late-arriving lines for EXISTING orders) —
+#: independent splits so every delta term is non-empty.
+IVM_ORDER_CUTOFF = "1997-01-01"
+IVM_LINE_DELTA_MIN = 4
+
+
+def delta_join(
+    l0: DataFrame, dl: DataFrame, o0: DataFrame, do: DataFrame, on: list[str]
+) -> DataFrame:
+    """V₀ plus the three delta terms (the incremental plan)."""
+    return (
+        l0.join(o0, on)
+        .unionByName(dl.join(o0, on))
+        .unionByName(l0.join(do, on))
+        .unionByName(dl.join(do, on))
+    )
+
+
+@register(
+    "ivm_delta_join_orders",
+    # One-shot join: the incremental union must reproduce it exactly.
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+           o.o_orderdate AS orderdate, o.o_orderstatus AS orderstatus,
+           CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ORDER BY orderkey, linenumber
+    """,
+)
+def ivm_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the order-lines join view through independent deltas on
+    BOTH inputs and hash-match the one-shot join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_orderstatus").alias("orderstatus"),
+    )
+    cutoff = F.lit(IVM_ORDER_CUTOFF).cast("timestamp")
+    o0 = orders.filter(F.col("orderdate") < cutoff)
+    do = orders.filter(F.col("orderdate") >= cutoff)
+    l0 = li.filter(F.col("linenumber") < IVM_LINE_DELTA_MIN)
+    dl = li.filter(F.col("linenumber") >= IVM_LINE_DELTA_MIN)
+    return (
+        delta_join(l0, dl, o0, do, ["orderkey"])
+        .select("orderkey", "linenumber", "orderdate", "orderstatus", "revenue_cents")
+        .orderBy("orderkey", "linenumber")
+    )

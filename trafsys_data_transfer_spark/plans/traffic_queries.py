@@ -574,3 +574,51 @@ def traffic_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("SiteCode", "Location", "PeriodEnding")
     )
+
+
+@register(
+    "events_variant_extract",
+    # Same oracle as events_json_extract: the VARIANT path must produce
+    # bit-identical answers to the from_json path (and to DuckDB's JSON
+    # functions) — open-type ingestion without schema declarations.
+    oracle="""
+    SELECT event_type AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_absent_hits
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT-native semi-structured processing: ``parse_json``
+    ingests ``props`` into the open VARIANT encoding once (no declared
+    schema, unlike ``from_json``), ``variant_get`` does typed path access
+    against the binary encoding, and ``try_variant_get`` on a missing
+    path degrades to NULL instead of failing — the modern replacement for
+    string-re-parsing ``get_json_object`` chains when the prop set is NOT
+    stable.  Results must equal the schema-declared path
+    (``events_json_extract``) exactly.
+
+    Scale: the parse happens once per row inside codegen; typed access on
+    the variant binary avoids per-expression JSON re-parsing, which is
+    the whole point at 100 TB of heterogeneous props.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    absent = F.try_variant_get(v, "$.absent", "string")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.sum(F.when(absent.isNull(), F.lit(0)).otherwise(F.lit(1)))
+            .alias("n_absent_hits"),
+        )
+        .orderBy("event_type")
+    )

@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.bucketing",
     "trafsys_data_transfer_spark.operators.layout",
     "trafsys_data_transfer_spark.operators.timetravel",
+    "trafsys_data_transfer_spark.operators.ivm",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -171,6 +172,7 @@ _PRIORITY = (
     "events_value_histogram",
     "events_value_approx_quantiles",
     "traffic_rollup_incremental",
+    "ivm_delta_join_orders",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",
@@ -229,6 +231,7 @@ _PRIORITY = (
     "orders_status_priority_cube",
     "events_user_gaps",
     "events_sliding_active_users",
+    "events_variant_extract",
     "events_scd2_apply_late_batch",
     "events_scd2_pit_join",
     "streaming_scd2",

@@ -121,3 +121,26 @@ def test_new_ops_plan_shape(spark, sf_dir):
     )
     assert "BatchEvalPython" not in seg_plan and "ArrowEvalPython" not in seg_plan
     assert "CartesianProduct" not in seg_plan
+
+
+def test_lm_hypothesis_random_corpora(spark):
+    """Property: the Spark LM score equals the plain-Python reference for
+    arbitrary small corpora (vocabulary, repetition, doc lengths all
+    fuzzed)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "aa", "xyz"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_scored, r.nll_micro)
+            for r in lm_score_docs(df).collect()
+        }
+        assert got == _lm_reference(rows)
+
+    run()

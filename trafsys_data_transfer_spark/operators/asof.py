@@ -151,3 +151,129 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").alias("last_totalprice"),
     ).orderBy("event_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+) -> DataFrame:
+    """Forward as-of join: for every left row, the EARLIEST right row with
+    ``right.ts >= left.ts`` on the same key (left-outer).  Same
+    union-and-carry plan as the backward join run in descending time:
+    one key shuffle, no range explosion — `first following` is `last
+    preceding` on the reversed axis.
+    """
+    on = list(on)
+    payload = list(right_payload)
+    left_cols = [
+        f.name for f in left.schema.fields if f.name not in on and f.name != left_ts
+    ]
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *left_cols,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in payload
+        ],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+            if f.name not in on and f.name != left_ts
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    # Descending time; right rows still sort before left rows at equal
+    # timestamps so a right row AT the left timestamp satisfies ">=".
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tag.unionByName(l_tag).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in payload
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *left_cols,
+        *[F.col(f"__carried_{c}").alias(c) for c in payload],
+    )
+
+
+@register(
+    "events_asof_next_order",
+    oracle="""
+    WITH o_dedup AS (
+        SELECT * FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS next_orderkey,
+           o.o_totalprice AS next_totalprice
+    FROM (SELECT * FROM events WHERE user_id < 500) e
+    ASOF LEFT JOIN o_dedup o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each user event annotated with that user's NEXT
+    order at-or-after event time — the attribution direction ("which
+    purchase followed this touchpoint"), mirroring the backward query's
+    dedup discipline."""
+    from pyspark.sql.window import Window as W
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 500)
+        .select("event_id", "user_id", "ts")
+    )
+    w = W.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        asof_join_forward(
+            events,
+            orders,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            right_payload=["o_orderkey", "o_totalprice"],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("next_orderkey"),
+            F.col("o_totalprice").alias("next_totalprice"),
+        )
+        .orderBy("event_id")
+    )

@@ -139,6 +139,7 @@ _PRIORITY = (
     "events_sessionize",
     "events_session_window_native",
     "events_asof_latest_order",
+    "events_asof_next_order",
     "events_range_join_purchase_window",
     "split_train_test",
     "stratified_event_sample",

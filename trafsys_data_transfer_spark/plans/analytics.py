@@ -637,3 +637,73 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@register(
+    "events_value_winsorize",
+    # Exact linear-interpolation percentiles (Spark `percentile` ==
+    # DuckDB `quantile_cont`), clamp accounting in integers; the clamped
+    # SUM itself is withheld (cross-engine float sum order) — counts and
+    # rounded bounds carry the semantics.
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type,
+           ROUND(b.p05, 4) AS p05,
+           ROUND(b.p95, 4) AS p95,
+           CAST(b.n AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_high
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95, b.n
+    ORDER BY event_type
+    """,
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization bounds + clamp accounting per event type: exact
+    p05/p95 (linear interpolation — Spark's `percentile` and DuckDB's
+    `quantile_cont` share the definition) broadcast back onto the fact
+    scan; rows outside the band are the ones a robust feature pipeline
+    clamps.  Complements the z-score scrubs (`events_value_outliers`,
+    seasonal LOO): quantile bounds hold under heavy tails where moment
+    statistics saturate.
+
+    Scale: O(types) bounds table broadcast; the fact table never shuffles
+    (same shape as the outlier scrub).  Exact percentile needs the
+    per-type sort — at 100 TB swap `approx_percentile` with a bounded
+    error for the same plan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p05", "p95", "n_rows")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clamped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clamped_high"
+            ),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "n_rows",
+            "n_clamped_low",
+            "n_clamped_high",
+        )
+        .orderBy("event_type")
+    )

@@ -171,6 +171,7 @@ _PRIORITY = (
     # slot went to a hash-checked query.)
     "events_props_map",
     "events_value_histogram",
+    "events_value_winsorize",
     "events_value_approx_quantiles",
     "traffic_rollup_incremental",
     "ivm_delta_join_orders",

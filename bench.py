@@ -99,6 +99,7 @@ WORK_IN_BUILD = {
     "dedup_components",
     "dedup_neardup_pipeline",
     "dedup_incremental_neardup",
+    "pretrain_data_pipeline",
 }
 
 

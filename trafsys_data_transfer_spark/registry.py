@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.layout",
     "trafsys_data_transfer_spark.operators.timetravel",
     "trafsys_data_transfer_spark.operators.ivm",
+    "trafsys_data_transfer_spark.operators.pretrain",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -186,6 +187,7 @@ _PRIORITY = (
     "dedup_simhash",
     "sim_semantic_dedup_pipeline",
     "dedup_approx_distinct",
+    "pretrain_data_pipeline",
     "skew_salted_agg",
     "dedup_ngram_jaccard",
     "dedup_hll_sketch_union",

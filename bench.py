@@ -84,6 +84,7 @@ WORK_IN_BUILD = {
     "streaming_session_window",
     "streaming_enrich_join",
     "streaming_scd2",
+    "streaming_seasonal_anomalies",
     "layout_compaction",
     "layout_zorder",
     "layout_partition_overwrite_restate",

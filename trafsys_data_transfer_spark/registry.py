@@ -239,6 +239,7 @@ _PRIORITY = (
     "events_scd2_apply_late_batch",
     "events_scd2_pit_join",
     "streaming_scd2",
+    "streaming_seasonal_anomalies",
     "orders_above_customer_avg",
     "orders_retention_cohort",
     "profile_orders_columns",

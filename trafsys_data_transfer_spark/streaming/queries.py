@@ -556,3 +556,114 @@ def streaming_scd2_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@register(
+    "streaming_seasonal_anomalies",
+    # Batch oracle: identical to traffic_seasonal_anomalies — the drained
+    # stream must flag exactly the same buckets.
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    rollup AS (
+        SELECT SiteCode, Location,
+               date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
+               CAST(SUM(Ins) AS BIGINT) AS Ins
+        FROM traffic
+        GROUP BY 1, 2, 3
+    ),
+    profile AS (
+        SELECT SiteCode, Location,
+               CAST(extract('hour' FROM PeriodEnding) AS INT) AS hod,
+               COUNT(*) AS n, CAST(SUM(Ins) AS BIGINT) AS s,
+               CAST(SUM(Ins * Ins) AS BIGINT) AS ss
+        FROM rollup
+        GROUP BY 1, 2, 3
+    )
+    SELECT SiteCode, Location, PeriodEnding, Ins, n_obs, dev_sq, thr_sq
+    FROM (
+        SELECT r.SiteCode, r.Location, r.PeriodEnding, r.Ins,
+               p.n AS n_obs,
+               ((p.n - 1) * r.Ins - (p.s - r.Ins))
+                 * ((p.n - 1) * r.Ins - (p.s - r.Ins)) AS dev_sq,
+               9 * ((p.n - 1) * (p.ss - r.Ins * r.Ins)
+                    - (p.s - r.Ins) * (p.s - r.Ins)) AS thr_sq
+        FROM rollup r
+        JOIN profile p
+          ON r.SiteCode = p.SiteCode AND r.Location = p.Location
+         AND CAST(extract('hour' FROM r.PeriodEnding) AS INT) = p.hod
+        WHERE p.n >= 4
+    )
+    WHERE dev_sq > thr_sq
+    ORDER BY SiteCode, Location, PeriodEnding
+    """,
+)
+def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``traffic_seasonal_anomalies``: the stateful
+    hour-ending rollup runs INSIDE the stream, the stored (site, location,
+    hour-of-day) profile joins in as a broadcast static dimension, and the
+    leave-one-out 3σ flag fires per micro-batch — anomaly alerting at
+    ingest latency instead of a nightly batch sweep.  The drained stream
+    must flag exactly the batch operator's buckets (same oracle).
+
+    Scale: inherits the rollup's bounded window state; the profile is
+    O(sites·locations·24) static broadcast — no extra streaming state for
+    the detection itself.
+    """
+    from ..plans.traffic import rollup_traffic
+    from .incremental import (
+        _stream_partitions,
+        hourly_rollup_stream,
+        read_traffic_stream,
+    )
+
+    raw = traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    staging = _stage_raw_json(raw, "tds_stream_anom_")
+
+    # the stored historical profile (batch-derived static dimension)
+    rolled = rollup_traffic(
+        normalize_traffic(raw), grain="hour"
+    ).select("SiteCode", "Location", "PeriodEnding", "Ins")
+    profile = (
+        rolled.groupBy(
+            "SiteCode", "Location", F.hour("PeriodEnding").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("Ins").alias("s"),
+            F.sum(F.col("Ins") * F.col("Ins")).alias("ss"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+
+    m = F.col("n") - F.lit(1)
+    dev = m * F.col("Ins") - (F.col("s") - F.col("Ins"))
+    thr = F.lit(9) * (
+        m * (F.col("ss") - F.col("Ins") * F.col("Ins"))
+        - (F.col("s") - F.col("Ins")) * (F.col("s") - F.col("Ins"))
+    )
+    flagged = (
+        hourly_rollup_stream(read_traffic_stream(spark, staging))
+        .withColumn("hod", F.hour("PeriodEnding"))
+        .join(F.broadcast(profile), ["SiteCode", "Location", "hod"])
+        .filter(dev * dev > thr)
+        .select(
+            "SiteCode",
+            "Location",
+            "PeriodEnding",
+            "Ins",
+            F.col("n").alias("n_obs"),
+            (dev * dev).alias("dev_sq"),
+            thr.alias("thr_sq"),
+        )
+    )
+    table = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table).orderBy("SiteCode", "Location", "PeriodEnding")

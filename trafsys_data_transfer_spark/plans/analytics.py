@@ -707,3 +707,79 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_windowed_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_1h,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_1h
+    """,
+)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE sequential windowed funnel: first view → first click STRICTLY
+    AFTER it and within 1 hour → first purchase within 1 hour of that
+    click.  ``events_funnel`` compares global first occurrences (cheap,
+    joinless, but a click made 3 days after the view still converts);
+    this is the product-analytics semantics where each step must happen
+    inside the conversion window of the previous one.
+
+    Scale: K funnel steps = K user-keyed aggregate/join rounds, every one
+    partitioned on the SAME key — Catalyst reuses the exchange, so the
+    event log shuffles once and each subsequent round joins O(converting
+    users) rows.  (A single-pass alternative — per-user sorted-array fold
+    via `aggregate` — trades the extra rounds for interpreted HOF eval;
+    measured slower at fixture scale and harder to oracle.)
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_1h")))
+    )

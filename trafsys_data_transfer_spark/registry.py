@@ -161,6 +161,7 @@ _PRIORITY = (
     # analytics flagships (one per distinct operator shape)
     "events_value_outliers",
     "events_funnel",
+    "events_windowed_funnel",
     "events_regression_stats",
     "orders_without_lineitems",
     # ---- past the round-1 driver's 50-row window: same-family variants,

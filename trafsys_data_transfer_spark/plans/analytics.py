@@ -720,26 +720,26 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.user_id, MIN(e.ts) AS t2
         FROM events e JOIN s1 USING (user_id)
         WHERE e.event_type = 'click'
-          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
         GROUP BY e.user_id
     ),
     s3 AS (
         SELECT e.user_id, MIN(e.ts) AS t3
         FROM events e JOIN s2 USING (user_id)
         WHERE e.event_type = 'purchase'
-          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
         GROUP BY e.user_id
     )
     SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_viewed,
-           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_1h,
-           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_1h
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_24h,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_24h
     """,
 )
 def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE sequential windowed funnel: first view → first click STRICTLY
-    AFTER it and within 1 hour → first purchase within 1 hour of that
+    AFTER it and within 24 hours → first purchase within 24 hours of that
     click.  ``events_funnel`` compares global first occurrences (cheap,
-    joinless, but a click made 3 days after the view still converts);
+    joinless, but a click made a week after the view still converts);
     this is the product-analytics semantics where each step must happen
     inside the conversion window of the previous one.
 
@@ -763,7 +763,7 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s1, "user_id")
         .filter(
             (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
@@ -773,13 +773,13 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "user_id")
         .filter(
             (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
     return (
         s1.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_1h")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_24h")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
     )

@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.timetravel",
     "trafsys_data_transfer_spark.operators.ivm",
     "trafsys_data_transfer_spark.operators.pretrain",
+    "trafsys_data_transfer_spark.operators.mor",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -218,6 +219,7 @@ _PRIORITY = (
     "layout_partition_overwrite_restate",
     "timetravel_restate_read",
     "timetravel_version_diff",
+    "orders_mor_read",
     "sim_topk_ivf",
     "multimodal_features",
     "multimodal_frame_sample",

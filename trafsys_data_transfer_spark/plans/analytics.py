@@ -783,3 +783,59 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_24h")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    row_tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n * 1000000 // row_n AS BIGINT) AS p_ppm
+    FROM t JOIN row_tot USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and row-normalised probabilities (exact ppm integers) for each
+    (prev → next) event-type pair — the behavioural-model input (next-step
+    prediction, anomaly scoring against expected flows, funnel discovery)
+    that sessionization and funnels don't surface.
+
+    Scale: one (user) shuffle for the lag window; the transition table is
+    O(types²) and the row totals derive from it — nothing else moves.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 1000000 div row_n").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

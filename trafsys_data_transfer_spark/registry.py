@@ -115,7 +115,8 @@ _PRIORITY = (
     "text_lang_profile",
     "text_curation_pipeline",
     "text_gopher_rules",
-    "text_winnow_candidates",
+    # round 5 (late): text_winnow_candidates (rows-only, driver-green since
+    # r03) yields its slot to the hash-checked sequential windowed funnel.
     "text_salient_terms",
     "text_pmi_collocations",
     "text_bm25_topk",
@@ -141,7 +142,6 @@ _PRIORITY = (
     "events_sessionize",
     "events_session_window_native",
     "events_asof_latest_order",
-    "events_asof_next_order",
     "events_range_join_purchase_window",
     "split_train_test",
     "stratified_event_sample",
@@ -178,6 +178,9 @@ _PRIORITY = (
     "events_value_approx_quantiles",
     "traffic_rollup_incremental",
     "ivm_delta_join_orders",
+    "events_asof_next_order",
+    "events_markov_transitions",
+    "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",

@@ -1,0 +1,217 @@
+"""Attribution / RFM / drift / CUSUM semantics on planted rows.
+
+Each operator's fixture-level correctness is hash-checked by the oracle
+gate (tools/verify_local.py); these tests pin the SEMANTICS on small
+constructed inputs where the right answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+# ---------------------------------------------------------------------------
+# attribution
+# ---------------------------------------------------------------------------
+
+
+def _attribution_on(spark, rows):
+    """Run the events_attribution pipeline on a constructed events frame."""
+    from trafsys_data_transfer_spark.plans import behavior
+    from trafsys_data_transfer_spark.sources import fixtures
+
+    df = spark.createDataFrame(rows)
+    orig = fixtures.load_table
+    try:
+        fixtures.load_table = lambda _s, _d, name: df
+        behavior.load_table = fixtures.load_table
+        return behavior.events_attribution(spark, "unused")
+    finally:
+        fixtures.load_table = orig
+        behavior.load_table = orig
+
+
+def _ev(eid, uid, etype, ts):
+    return Row(event_id=eid, user_id=uid, event_type=etype, ts=ts,
+               value=0.0, props="{}")
+
+
+def test_attribution_linear_credits_sum_to_1e6_per_conversion(spark):
+    # user 1: two touches (view then click) inside 24 h, one purchase.
+    rows = [
+        _ev(1, 1, "view", _ts(1, 8)),
+        _ev(2, 1, "click", _ts(1, 9)),
+        _ev(3, 1, "purchase", _ts(1, 10)),
+        # user 2: three views -> purchase (1e6 not divisible by 3: floor
+        # share 333333, remainder 1 goes to the most recent touch).
+        _ev(4, 2, "view", _ts(2, 8)),
+        _ev(5, 2, "view", _ts(2, 9)),
+        _ev(6, 2, "view", _ts(2, 9, 30)),
+        _ev(7, 2, "purchase", _ts(2, 10)),
+        # user 3: touch OUTSIDE the 24 h lookback -> no credit at all.
+        _ev(8, 3, "view", _ts(1, 8)),
+        _ev(9, 3, "purchase", _ts(3, 8)),
+    ]
+    out = {r["channel"]: r for r in _attribution_on(spark, rows).collect()}
+    # user1: view 500000, click 500000 + last-touch conv.
+    # user2: views 333333+333333+(333333+1 to most recent).
+    assert out["click"]["last_touch_convs"] == 1
+    assert out["view"]["last_touch_convs"] == 1
+    assert out["click"]["linear_credit_ppm"] == 500_000
+    assert out["view"]["linear_credit_ppm"] == 500_000 + 999_999 + 1
+    total = sum(r["linear_credit_ppm"] for r in out.values())
+    assert total == 2_000_000  # exactly 1e6 per attributed conversion
+
+
+def test_attribution_touch_at_conversion_instant_excluded(spark):
+    # touch_ts < conv_ts is strict: a simultaneous event earns nothing.
+    rows = [
+        _ev(1, 1, "click", _ts(1, 10)),
+        _ev(2, 1, "purchase", _ts(1, 10)),
+    ]
+    assert _attribution_on(spark, rows).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# RFM
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_cover_all_customers_and_scores_in_range(spark, sf_dir):
+    from trafsys_data_transfer_spark.plans.behavior import orders_rfm_segments
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    seg = orders_rfm_segments(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in seg) == n_cust
+    for r in seg:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+
+
+# ---------------------------------------------------------------------------
+# drift
+# ---------------------------------------------------------------------------
+
+
+def test_drift_chi2_zero_on_identical_distributions(spark):
+    """Same per-bin shares in both periods -> every contribution 0 and no
+    drift flags."""
+    from trafsys_data_transfer_spark.operators import drift
+
+    rows = []
+    okey = 0
+    d_a = dt.datetime(1996, 1, 1)
+    d_b = dt.datetime(1999, 1, 1)
+    for d in (d_a, d_b):
+        for price in (10_000.0, 60_000.0, 60_000.0, 120_000.0):
+            okey += 1
+            rows.append(Row(o_orderkey=okey, o_custkey=1, o_orderstatus="F",
+                            o_totalprice=price, o_orderdate=d,
+                            o_orderpriority="1-URGENT"))
+    df = spark.createDataFrame(rows)
+    orig = drift.load_table
+    try:
+        drift.load_table = lambda _s, _d, name: df
+        out = drift.orders_drift_chi2(spark, "unused").collect()
+    finally:
+        drift.load_table = orig
+    assert len(out) == 3
+    for r in out:
+        assert r["chi2_contrib_ppm"] == 0
+        assert not r["drifted"]
+        assert r["a_ppm"] == r["b_ppm"]
+
+
+def test_drift_chi2_flags_shifted_bin(spark):
+    from trafsys_data_transfer_spark.operators import drift
+
+    rows = []
+    okey = 0
+    # period A: all mass in bin 0; period B: all mass in bin 2.
+    for _ in range(10):
+        okey += 1
+        rows.append(Row(o_orderkey=okey, o_custkey=1, o_orderstatus="F",
+                        o_totalprice=10_000.0,
+                        o_orderdate=dt.datetime(1996, 1, 1),
+                        o_orderpriority="1-URGENT"))
+        okey += 1
+        rows.append(Row(o_orderkey=okey, o_custkey=1, o_orderstatus="F",
+                        o_totalprice=110_000.0,
+                        o_orderdate=dt.datetime(1999, 1, 1),
+                        o_orderpriority="1-URGENT"))
+    df = spark.createDataFrame(rows)
+    orig = drift.load_table
+    try:
+        drift.load_table = lambda _s, _d, name: df
+        out = {r["price_bin"]: r for r in
+               drift.orders_drift_chi2(spark, "unused").collect()}
+    finally:
+        drift.load_table = orig
+    assert out[0]["drifted"] and out[2]["drifted"]
+    # total disjoint shift: contribution = (1e6)^2 / 1e6 = 1e6 per bin
+    assert out[0]["chi2_contrib_ppm"] == 1_000_000
+    assert out[2]["chi2_contrib_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+def _cusum_on(spark, rows):
+    from trafsys_data_transfer_spark.operators import drift
+
+    df = spark.createDataFrame(rows)
+    orig = drift.load_table
+    try:
+        drift.load_table = lambda _s, _d, name: df
+        return drift.events_cusum_changepoints(
+            spark, "unused"
+        ).collect()
+    finally:
+        drift.load_table = orig
+
+
+def _hourly_events(eid0, etype, day0, hours, per_hour):
+    rows = []
+    eid = eid0
+    for i in range(hours):
+        base = dt.datetime(2024, 1, day0) + dt.timedelta(hours=i)
+        for j in range(per_hour):
+            eid += 1
+            rows.append(_ev(eid, 1, etype, base + dt.timedelta(minutes=j)))
+    return rows
+
+
+def test_cusum_flat_series_has_no_changepoints(spark):
+    rows = _hourly_events(0, "view", 1, 48, 3)
+    assert _cusum_on(spark, rows) == []
+
+
+def test_cusum_detects_sustained_level_shift(spark):
+    # 48 flat hours at 2/h, then 24 hours at 12/h: the shift accumulates
+    # and must cross the 5-sigma limit; the flat prefix alone must not.
+    rows = _hourly_events(0, "view", 1, 48, 2)
+    rows += _hourly_events(10_000, "view", 3, 24, 12)
+    out = _cusum_on(spark, rows)
+    assert out, "sustained shift not detected"
+    shift_start = dt.datetime(2024, 1, 3)
+    first_flag_hour = min(r["epoch_hour"] for r in out)
+    assert first_flag_hour >= int(shift_start.timestamp()) // 3600
+    # running statistic is non-decreasing through the sustained shift
+    svals = [r["cusum_scaled"] for r in
+             sorted(out, key=lambda r: r["epoch_hour"])]
+    assert svals == sorted(svals)

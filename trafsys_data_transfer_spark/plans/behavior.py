@@ -1,0 +1,211 @@
+"""Customer-behaviour analytics: marketing attribution and RFM segmentation.
+
+The reference pipeline (script.js) moves raw traffic counts; a warehouse
+user of the rebuilt engine layers behavioural models on top.  This module
+adds the two classic shapes the funnel/cohort/Markov queries don't cover:
+
+* **Multi-touch attribution** — credit each conversion (purchase) to the
+  marketing touches (view/click) that preceded it inside a lookback
+  window, under both last-touch and linear models.  Exact integer ppm
+  credits (floor division, remainder to the final touch) keep the output
+  hash-checkable across engines.
+* **RFM segmentation** — recency/frequency/monetary quintile scores per
+  customer, the standard CRM segmentation.
+
+Scale notes (100 TB posture):
+* Attribution joins touches to conversions on ``user_id`` (one key
+  shuffle); the lookback predicate rides the join as a post-filter, so
+  per-user touch×conversion fan-out is bounded by per-user activity —
+  never a cross join.  Credits aggregate per channel with map-side
+  partials.
+* RFM's ntile windows are over the *customer* grain (dimension-sized,
+  same documented single-sort exception as ``customer_balance_deciles``);
+  the per-customer rollup from orders is one key shuffle first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Attribution lookback: touches more than this many hours before the
+#: conversion earn no credit.
+LOOKBACK_HOURS = 24
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    attributed AS (
+        SELECT c.conv_id, t.touch_id, t.channel,
+               ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.touch_ts DESC, t.touch_id DESC)
+                   AS recency_rank,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM conv c
+        JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL {LOOKBACK_HOURS} HOUR
+    )
+    SELECT channel,
+           CAST(COUNT(*) FILTER (WHERE recency_rank = 1) AS BIGINT)
+               AS last_touch_convs,
+           CAST(SUM(1000000 // n_touches
+                    + CASE WHEN recency_rank = 1
+                           THEN 1000000 % n_touches ELSE 0 END) AS BIGINT)
+               AS linear_credit_ppm
+    FROM attributed
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each purchase distributes exactly
+    1 000 000 ppm of credit across its view/click touches inside a 24 h
+    lookback — equally under the linear model (integer floor share, the
+    remainder to the most recent touch so every conversion's credits sum
+    to exactly 1e6), and winner-takes-all under last-touch.
+
+    Scale: one ``user_id`` equi-join (conversions ⋈ touches) with the
+    lookback as a join-time filter; the two per-conversion windows share
+    one Exchange; final channel rollup is O(channels).
+    """
+    events = load_table(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    attributed = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {LOOKBACK_HOURS} HOURS")
+        )
+    )
+    w = Window.partitionBy("conv_id")
+    ranked = attributed.select(
+        "conv_id",
+        "channel",
+        F.row_number()
+        .over(w.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc()))
+        .alias("recency_rank"),
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.count(F.when(F.col("recency_rank") == 1, 1)).alias(
+                "last_touch_convs"
+            ),
+            F.sum(
+                F.expr("1000000 div n_touches")
+                + F.when(
+                    F.col("recency_rank") == 1,
+                    F.expr("1000000 % n_touches"),
+                ).otherwise(F.lit(0))
+            ).alias("linear_credit_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    per_cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(DATE_DIFF('day', MAX(o_orderdate),
+                              (SELECT max_d FROM anchor)) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary, custkey) AS m_score
+        FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 2) AS segment_revenue
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    anchored at the corpus max date), frequency (order count) and monetary
+    (revenue) quintiles — higher score = better on every axis (most recent,
+    most frequent, highest spend) — rolled up to segment cells.
+
+    Scale: per-customer rollup is one ``o_custkey`` shuffle over the fact
+    table with map-side partials; the three ntile windows then run over the
+    *customer* grain — dimension-sized, the documented global-sort
+    exception (`customer_balance_deciles`).  At 100 TB swap ntile for
+    exact percentile boundaries + a broadcast join if the customer
+    dimension itself outgrows a single sort task.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    # Corpus max date as a 1-row broadcast (BroadcastNestedLoopJoin on a
+    # single-row side — the intended plan), never a global window sort.
+    anchor = orders.agg(F.max("o_orderdate").alias("_max_d"))
+    anchored = per_cust.join(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("_max_d"), F.col("last_order")).cast("bigint"),
+    )
+    scored = anchored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("int").alias("r_score"),
+            F.col("f_score").cast("int").alias("f_score"),
+            F.col("m_score").cast("int").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -34,6 +34,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = (
     "trafsys_data_transfer_spark.plans.relational",
     "trafsys_data_transfer_spark.plans.analytics",
+    "trafsys_data_transfer_spark.plans.behavior",
     "trafsys_data_transfer_spark.plans.traffic_queries",
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.graph",
@@ -62,6 +63,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.ivm",
     "trafsys_data_transfer_spark.operators.pretrain",
     "trafsys_data_transfer_spark.operators.mor",
+    "trafsys_data_transfer_spark.operators.drift",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -180,6 +182,10 @@ _PRIORITY = (
     "ivm_delta_join_orders",
     "events_asof_next_order",
     "events_markov_transitions",
+    "events_attribution",
+    "orders_rfm_segments",
+    "orders_drift_chi2",
+    "events_cusum_changepoints",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

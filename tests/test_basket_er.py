@@ -1,0 +1,107 @@
+"""Market-basket, triangle-census and entity-resolution semantics on
+planted inputs (fixture-level correctness is oracle-hash-checked)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators import basket, er
+
+
+def _li(okey, pkey):
+    return Row(l_orderkey=okey, l_partkey=pkey, l_suppkey=1, l_linenumber=1,
+               l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+               l_returnflag="N", l_linestatus="O",
+               l_shipdate=__import__("datetime").datetime(1996, 1, 1))
+
+
+def _with_lineitem(monkey_rows, spark, fn):
+    df = spark.createDataFrame(monkey_rows)
+    orig = basket.load_table
+    try:
+        basket.load_table = lambda _s, _d, name: df
+        return fn(spark, "unused").collect()
+    finally:
+        basket.load_table = orig
+
+
+def test_association_rules_exact_metrics(spark):
+    # orders: {1: A,B,C}, {2: A,B}, {3: A,C}, {4: B}  (A=1, B=2, C=3)
+    rows = [_li(1, 1), _li(1, 2), _li(1, 3),
+            _li(2, 1), _li(2, 2),
+            _li(3, 1), _li(3, 3),
+            _li(4, 2)]
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in _with_lineitem(rows, spark, basket.basket_association_rules)}
+    # AB co-occurs twice, AC twice, BC once (below minsup) -> 4 directed rules
+    assert set(out) == {(1, 2), (2, 1), (1, 3), (3, 1)}
+    r = out[(1, 2)]
+    assert r["n_ab"] == 2
+    assert r["support_ppm"] == 2 * 1_000_000 // 4
+    assert r["confidence_ppm"] == 2 * 1_000_000 // 3  # A in 3 orders
+    assert r["lift_ppm"] == 2 * 4 * 1_000_000 // (3 * 3)
+    r = out[(2, 1)]
+    assert r["confidence_ppm"] == 2 * 1_000_000 // 3  # B in 3 orders
+    assert r["lift_ppm"] == out[(1, 2)]["lift_ppm"]  # lift is symmetric
+
+
+def test_triangle_census_counts_one_planted_triangle(spark):
+    # parts 1,2,3 pairwise co-occur in >=2 orders (triangle); part 4 hangs
+    # off part 1 with support 2 (edge, no triangle).
+    rows = []
+    for okey in (1, 2):
+        rows += [_li(okey, 1), _li(okey, 2), _li(okey, 3)]
+    for okey in (3, 4):
+        rows += [_li(okey, 1), _li(okey, 4)]
+    out = _with_lineitem(rows, spark, basket.graph_triangle_census)
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_edges"] == 4       # 12,13,23,14
+    assert r["n_nodes"] == 4
+    assert r["n_triangles"] == 1
+    # degrees: 1->3, 2->2, 3->2, 4->1 => wedges 3+1+1+0 = 5
+    assert r["n_wedges"] == 5
+    assert r["clustering_ppm"] == 3 * 1 * 1_000_000 // 5
+
+
+def _part(pk, name):
+    return Row(p_partkey=pk, p_name=name, p_mfgr="m", p_brand="b",
+               p_type="t", p_size=1, p_container="c", p_retailprice=1.0)
+
+
+def test_er_finds_planted_corruptions_and_respects_blocks(spark):
+    # keys chosen for their corruption class: 3,7 clean (%4=3), 4 char-drop
+    # (%4=0), 5 adjacent transposition (%4=1); 6 a different entity in a
+    # different block.
+    rows = [_part(3, "red widget"), _part(7, "red widget"),
+            _part(4, "red widget"), _part(5, "red widget"),
+            _part(6, "blue bolt"), _part(11, "blue bolt")]
+    df = spark.createDataFrame(rows)
+    orig = er.load_table
+    try:
+        er.load_table = lambda _s, _d, name: df
+        out = er.er_fuzzy_matches(spark, "unused").collect()
+    finally:
+        er.load_table = orig
+    pairs = {(r["pk_a"], r["pk_b"]): r for r in out}
+    # no pair crosses the first-character block boundary
+    for a, b in pairs:
+        assert ({a, b} <= {3, 4, 5, 7}) or ({a, b} <= {6, 11})
+    dists = {frozenset(k): v["dist"] for k, v in pairs.items()}
+    assert dists[frozenset({3, 7})] == 0     # clean == clean
+    assert dists[frozenset({3, 4})] == 1     # one dropped char
+    assert dists[frozenset({3, 5})] == 2     # one transposition
+    # every verified pair here is a true match
+    assert all(r["same_entity"] for r in out)
+
+
+def test_er_fixture_precision_is_high(spark, sf_dir):
+    out = er.er_fuzzy_matches(spark, sf_dir)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("same_entity"), 1)).alias("tp"),
+    ).collect()[0]
+    assert agg["n"] > 0
+    assert agg["tp"] / agg["n"] >= 0.9

@@ -64,6 +64,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.pretrain",
     "trafsys_data_transfer_spark.operators.mor",
     "trafsys_data_transfer_spark.operators.drift",
+    "trafsys_data_transfer_spark.operators.basket",
+    "trafsys_data_transfer_spark.operators.er",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -186,6 +188,9 @@ _PRIORITY = (
     "orders_rfm_segments",
     "orders_drift_chi2",
     "events_cusum_changepoints",
+    "basket_association_rules",
+    "graph_triangle_census",
+    "er_fuzzy_matches",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -101,6 +101,7 @@ WORK_IN_BUILD = {
     "dedup_neardup_pipeline",
     "dedup_incremental_neardup",
     "pretrain_data_pipeline",
+    "events_heavy_hitters_cms",
 }
 
 

@@ -1,0 +1,102 @@
+"""Heavy hitters / CMS / skew profile / A/B z-test semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from trafsys_data_transfer_spark.operators import abtest, freq
+
+
+def _ev(eid, uid, etype="view"):
+    return Row(event_id=eid, user_id=uid, event_type=etype,
+               ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=eid % 1440),
+               value=0.0, props="{}")
+
+
+def _run(spark, module, fn, rows):
+    df = spark.createDataFrame(rows)
+    orig = module.load_table
+    try:
+        module.load_table = lambda _s, _d, name: df
+        return fn(spark, "unused").collect()
+    finally:
+        module.load_table = orig
+
+
+def test_heavy_hitters_exact_ranks_and_shares(spark):
+    rows, eid = [], 0
+    for uid, n in ((1, 50), (2, 30), (3, 20)):
+        for _ in range(n):
+            eid += 1
+            rows.append(_ev(eid, uid))
+    out = _run(spark, freq, freq.events_heavy_hitters, rows)
+    assert [(r["rnk"], r["user_id"], r["cnt"]) for r in out] == [
+        (1, 1, 50), (2, 2, 30), (3, 3, 20)]
+    assert out[0]["share_ppm"] == 50 * 1_000_000 // 100
+
+
+def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    out = freq.events_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(out) == freq.TOP_K
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    n_rows = load_table(spark, sf_dir, "events").count()
+    for r in out:
+        assert r["est_cnt"] >= r["exact_cnt"]  # CMS never under-counts
+        assert r["est_cnt"] <= r["exact_cnt"] + freq.CMS_EPS * 2.72 * n_rows
+
+
+def test_skew_profile_buckets_and_top1(spark):
+    # uid 1: 8 events (bucket len(bin(8))=4); uids 2..5: 1 event each
+    # (bucket 1).
+    rows, eid = [], 0
+    for _ in range(8):
+        eid += 1
+        rows.append(_ev(eid, 1))
+    for uid in (2, 3, 4, 5):
+        eid += 1
+        rows.append(_ev(eid, uid))
+    out = {r["log2_bucket"]: r for r in
+           _run(spark, freq, freq.events_key_skew_profile, rows)}
+    assert set(out) == {1, 4}
+    assert out[1]["n_keys"] == 4 and out[1]["n_rows"] == 4
+    assert out[4]["n_keys"] == 1 and out[4]["n_rows"] == 8
+    assert out[4]["top1_share_ppm"] == 8 * 1_000_000 // 12
+
+
+def test_ab_test_flags_planted_effect_and_not_null_effect(spark):
+    # 200 even users (variant 0) and 200 odd users (variant 1); every
+    # user views; variant 0 converts ("purchase") at 60%, variant 1 at
+    # 10% -> massive real effect. A second metric ("click") converts
+    # identically in both arms -> must NOT be significant.
+    rows, eid = [], 0
+    for uid in range(400):
+        eid += 1
+        rows.append(_ev(eid, uid, "view"))
+        variant = uid % 2
+        idx = uid // 2
+        if (variant == 0 and idx % 5 < 3) or (variant == 1 and idx % 10 == 0):
+            eid += 1
+            rows.append(_ev(eid, uid, "purchase"))
+        if idx % 4 == 0:
+            eid += 1
+            rows.append(_ev(eid, uid, "click"))
+    out = {r["event_type"]: r for r in
+           _run(spark, abtest, abtest.events_ab_test, rows)}
+    p = out["purchase"]
+    assert p["n1"] == 200 and p["n2"] == 200
+    assert p["c1"] == 120 and p["c2"] == 20
+    assert p["rate1_ppm"] == 600_000 and p["rate2_ppm"] == 100_000
+    assert p["significant"]
+    assert not out["click"]["significant"]
+    assert out["click"]["z2_ppm"] == 0  # identical arms: zero statistic
+    v = out["view"]
+    assert v["c1"] == v["n1"] and v["c2"] == v["n2"]  # everyone views
+    assert not v["significant"]
+
+
+def test_ab_test_fixture_uniform_generator_not_significant(spark, sf_dir):
+    out = abtest.events_ab_test(spark, sf_dir).collect()
+    assert out and not any(r["significant"] for r in out)

@@ -1,0 +1,139 @@
+"""A/B experiment analysis: two-proportion z-test in exact rational
+arithmetic.
+
+The experimentation readout every product pipeline runs nightly: split
+users into variants, compare per-variant conversion, decide
+significance.  The whole computation stays in integers so the output
+hash-checks across engines:
+
+* variant assignment: ``user_id % 2`` (deterministic; the hash-bucket
+  splitter in sampling.py is the production assignment — modulo keeps
+  the oracle trivially portable),
+* per-variant rates in exact ppm,
+* the pooled two-proportion z² statistic as an exact integer ratio:
+
+      z² = (c₁n₂ − c₂n₁)² · N / (n₁ · n₂ · C · (N−C))
+
+  with C = c₁+c₂, N = n₁+n₂ — scaled ×1e6, floor division.  The
+  significance flag is z² > 4 (the 2σ level, exactly representable;
+  the 1.96σ boundary would drag an irrational constant through the
+  comparison).
+
+BIGINT headroom: the numerator is (c₁n₂ − c₂n₁)²·N ≤ (n₁n₂)²·N — safe
+while n₁n₂ < 3·10⁹ (≈55 k users per arm).  Beyond that, move the ratio
+to DECIMAL(38) — the metric join shape is unchanged.
+
+Scale: one conditional aggregation per (event_type) over a per-user
+rollup — two key shuffles total (user grain, then metric grain),
+map-side partials both times; the final stats table is O(event types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: z² significance threshold: 4 = the 2σ level, exact in integers.
+Z2_THRESHOLD = 4
+
+
+@register(
+    "events_ab_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant, event_type
+        FROM events GROUP BY user_id, event_type
+    ),
+    users AS (
+        SELECT user_id % 2 AS variant, COUNT(DISTINCT user_id) AS n
+        FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT event_type, variant, COUNT(*) AS c
+        FROM per_user GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT c.event_type,
+               MAX(CASE WHEN c.variant = 0 THEN c.c ELSE 0 END) AS c1,
+               MAX(CASE WHEN c.variant = 1 THEN c.c ELSE 0 END) AS c2,
+               (SELECT n FROM users WHERE variant = 0) AS n1,
+               (SELECT n FROM users WHERE variant = 1) AS n2
+        FROM conv c GROUP BY c.event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+           CAST(c1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+           CAST(c2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
+           CAST(CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0
+                THEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) * 1000000
+                     // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))
+                ELSE 0 END AS BIGINT) AS z2_ppm,
+           CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0
+                THEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) * 1000000
+                     // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))
+                ELSE 0 END > {Z2_THRESHOLD} * 1000000 AS significant
+    FROM wide
+    ORDER BY event_type
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B readout: for each metric "user did ≥1 X", both
+    variants' user counts, converter counts, exact ppm rates, the exact
+    pooled z² (×1e6) and a 2σ significance flag.
+
+    The fixture's uniform generator should flag nothing — a significant
+    row here would itself be a generator bug; the planted-effect pytest
+    proves the flag fires when a real effect exists.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "user_id", (F.col("user_id") % 2).alias("variant"), "event_type"
+        )
+        .distinct()
+    )
+    users = events.select("user_id").distinct().groupBy(
+        (F.col("user_id") % 2).alias("variant")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    conv = per_user.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wide = conv.groupBy("event_type").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("c")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("c")).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    arms = (
+        users.groupBy()
+        .pivot("variant", [0, 1])
+        .agg(F.first("n"))
+        .toDF("n1", "n2")
+    )
+    z2 = (
+        "CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0"
+        " THEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) * 1000000"
+        "      div (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        wide.join(F.broadcast(arms))
+        .select(
+            "event_type",
+            F.col("n1").cast("bigint").alias("n1"),
+            "c1",
+            F.col("n2").cast("bigint").alias("n2"),
+            "c2",
+            F.expr("c1 * 1000000 div n1").alias("rate1_ppm"),
+            F.expr("c2 * 1000000 div n2").alias("rate2_ppm"),
+            F.expr(z2).alias("z2_ppm"),
+            (F.expr(z2) > Z2_THRESHOLD * 1_000_000).alias("significant"),
+        )
+        .orderBy("event_type")
+    )

@@ -100,11 +100,14 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n_ab · N / (n_a · n_b)``) — lift > 1e6 ppm means the pair
     co-occurs more than independence predicts.
     """
+    # Referenced by BOTH union branches of the directed-rule expansion:
+    # checkpoint lazily so the basket self-join runs once.
     pair_n = (
         _pairs(spark, sf_dir)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= MINSUP_ORDERS)
+        .localCheckpoint(eager=False)
     )
     li = load_table(spark, sf_dir, "lineitem")
     part_n = li.groupBy(F.col("l_partkey").alias("p")).agg(
@@ -194,12 +197,16 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented edge between t1 and t2 (either direction, since (deg, id)
     ordering of t1/t2 is unknown at wedge time).
     """
+    # The support-pruned edge list feeds degree, orientation, wedge AND
+    # closing subtrees — lazily localCheckpoint it (the graph.py pattern)
+    # so the basket self-join runs once, not once per reference.
     edges = (
         _pairs(spark, sf_dir)
         .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= MINSUP_ORDERS)
         .select("u", "v")
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -220,6 +227,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.toDF("s", "t1")
     e2 = oriented.toDF("s", "t2")

@@ -1,0 +1,179 @@
+"""Frequency analytics: exact heavy hitters, count-min-sketch estimates,
+and key-skew profiling.
+
+Three operators around the same production question — "which keys are
+hot, and how hot?" — at three cost tiers:
+
+* ``events_heavy_hitters`` — EXACT top-k keys by count with ppm share
+  (one groupBy + a WindowGroupLimit top-k; the ground truth).
+* ``events_heavy_hitters_cms`` — count-min-sketch estimates for those
+  same keys (Spark's mergeable ``count_min_sketch`` aggregate, fixed
+  seed).  CMS only ever OVER-estimates, so ``est ≥ exact`` is a hard
+  invariant (pytest), and the ε·N error bound caps the overshoot.
+  Rows-only: sketch estimates aren't ANSI-SQL-reproducible.
+* ``events_key_skew_profile`` — the distribution OF per-key counts in
+  exact power-of-two buckets (``length(bin(cnt))`` = ⌊log₂⌋+1 — integer
+  string length, no float log), plus total keys/rows and the top-1 key
+  share: the one-look diagnostic that tells you whether a groupBy/join
+  on this key needs salting (the skew.py machinery) before you burn a
+  cluster run discovering it.
+
+Scale notes (100 TB posture):
+* All three are one key shuffle with map-side partials; heavy-hitter
+  top-k uses the rank-limit pushdown (WindowGroupLimit) over the
+  aggregated key table, never the raw events.
+* The CMS sketch is MERGEABLE — per-partition sketches combine
+  associatively (the HLL-union story, dedup.py:593): shard or stream
+  partial sketches and union without rescanning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+TOP_K = 10
+#: CMS accuracy knobs (relative error eps over the stream length, with
+#: confidence 1-delta) and the fixed seed that makes runs reproducible.
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS n_rows FROM keyed),
+    ranked AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+        FROM keyed
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm
+    FROM ranked, tot
+    WHERE rnk <= {TOP_K}
+    ORDER BY rnk
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k hottest keys (users) by event count, with exact ppm
+    share of all rows.  The rank-over-aggregate + filter shape compiles
+    to a WindowGroupLimit: each shuffle partition keeps only its own
+    top-k candidate keys before the final single-partition rank."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = keyed.agg(F.sum("cnt").alias("n_rows"))
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .join(F.broadcast(tot))
+        .select(
+            "rnk",
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div n_rows").alias("share_ppm"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@register("events_heavy_hitters_cms")  # rows-only: sketch estimates
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-k keys:
+    ONE mergeable sketch of the full user_id stream (fixed seed), probed
+    for each heavy hitter.  Invariants (pytest): ``est ≥ exact`` always
+    (CMS never under-counts) and ``est ≤ exact + ε·N`` at the sketch's
+    confidence.
+
+    The probe decodes the sketch ONCE on the driver (it is a single
+    aggregated binary, KB-sized) and joins estimates back against the
+    exact top-k — the sketch aggregation itself is fully distributed and
+    mergeable across partitions/shards/streams.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sketch_row = events.agg(
+        F.count_min_sketch(
+            "user_id", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    # Decode driver-side with the JVM sketch library (same bytes the
+    # executors produced — KB-sized, bounded).
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_row["sk"])
+    )
+    exact = events_heavy_hitters(spark, sf_dir).collect()
+    est_rows = [
+        (r["rnk"], r["user_id"], r["cnt"], sk.estimateCount(r["user_id"]))
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        est_rows, "rnk bigint, user_id bigint, exact_cnt bigint, est_cnt bigint"
+    ).orderBy("rnk")
+
+
+@register(
+    "events_key_skew_profile",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    buckets AS (
+        SELECT LENGTH(bin(cnt)) AS log2_bucket,
+               COUNT(*) AS n_keys, SUM(cnt) AS n_rows
+        FROM keyed GROUP BY 1
+    ),
+    summary AS (
+        SELECT SUM(n_keys) AS total_keys, SUM(n_rows) AS total_rows,
+               (SELECT MAX(cnt) FROM keyed) AS max_cnt
+        FROM buckets
+    )
+    SELECT CAST(b.log2_bucket AS INT) AS log2_bucket,
+           CAST(b.n_keys AS BIGINT) AS n_keys,
+           CAST(b.n_rows AS BIGINT) AS n_rows,
+           CAST(b.n_rows * 1000000 // s.total_rows AS BIGINT) AS rows_ppm,
+           CAST(s.total_keys AS BIGINT) AS total_keys,
+           CAST(s.max_cnt * 1000000 // s.total_rows AS BIGINT)
+               AS top1_share_ppm
+    FROM buckets b, summary s
+    ORDER BY log2_bucket
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key-count distribution in exact power-of-two buckets
+    (``length(bin(cnt))`` — no float log2), with each bucket's row mass
+    in ppm and the top-1 key's share: decides salting BEFORE the
+    expensive run.  A healthy key has everything in 2-3 adjacent
+    buckets; a skewed one shows a long bucket tail or a fat
+    ``top1_share_ppm``."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = keyed.groupBy(
+        F.length(F.bin("cnt")).cast("int").alias("log2_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows"))
+    summary = keyed.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        buckets.join(F.broadcast(summary))
+        .select(
+            "log2_bucket",
+            "n_keys",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total_rows").alias("rows_ppm"),
+            "total_keys",
+            F.expr("max_cnt * 1000000 div total_rows").alias("top1_share_ppm"),
+        )
+        .orderBy("log2_bucket")
+    )

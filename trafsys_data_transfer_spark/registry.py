@@ -66,6 +66,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.drift",
     "trafsys_data_transfer_spark.operators.basket",
     "trafsys_data_transfer_spark.operators.er",
+    "trafsys_data_transfer_spark.operators.freq",
+    "trafsys_data_transfer_spark.operators.abtest",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -191,6 +193,10 @@ _PRIORITY = (
     "basket_association_rules",
     "graph_triangle_census",
     "er_fuzzy_matches",
+    "events_heavy_hitters",
+    "events_heavy_hitters_cms",
+    "events_key_skew_profile",
+    "events_ab_test",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -102,6 +102,8 @@ WORK_IN_BUILD = {
     "dedup_incremental_neardup",
     "pretrain_data_pipeline",
     "events_heavy_hitters_cms",
+    "text_bm25_index_probe",
+    "streaming_trending_topk",
 }
 
 

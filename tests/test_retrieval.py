@@ -72,3 +72,35 @@ def test_bm25_query_terms_exist_in_fixture(spark, sf_dir):
         .collect()
     }
     assert present == set(BM25_QUERY)
+
+
+def test_bm25_index_probe_identical_to_inline_and_scan_is_pruned(
+    spark, sf_dir, tmp_path
+):
+    """Stored-postings probe == inline explode bit-for-bit, and the probe
+    scan reads the postings with the term predicate PUSHED (no corpus
+    text column anywhere in the plan)."""
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        bm25_index_probe,
+        bm25_index_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25idx")
+    bm25_index_write(docs, path)
+    probe = bm25_index_probe(spark, path)
+    inline = bm25_topk(docs)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "In(term, " in plan
+    # the probe reads ONLY postings columns — never the corpus text
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" not in s for s in schemas)

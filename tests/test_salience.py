@@ -105,3 +105,30 @@ def test_pmi_ranking_invariant_under_corpus_duplication(spark):
     top1 = [(r["w1"], r["w2"]) for r in pmi_collocations(df1, min_count=2).collect()]
     top2 = [(r["w1"], r["w2"]) for r in pmi_collocations(df2, min_count=2).collect()]
     assert top1 == top2
+
+
+def test_rake_scores_planted_phrases(spark):
+    """Hand-computed RAKE on one constructed doc:
+    'deep learning of red widget in deep learning' →
+    phrases: [deep learning], [red widget], [deep learning].
+    freq: deep 2, learning 2, red 1, widget 1; deg: deep 4, learning 4,
+    red 2, widget 2.  word scores (ppm): deep 2e6, learning 2e6, red 2e6,
+    widget 2e6 → both phrases score 4e6; tie broken lexicographically."""
+    from pyspark.sql import Row
+
+    from trafsys_data_transfer_spark.operators import salience
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="deep learning of red widget in deep learning",
+             lang="en", source="s", n_chars=0)]
+    )
+    orig = salience.load_table
+    try:
+        salience.load_table = lambda _s, _d, name: df
+        out = salience.text_keyphrases_rake(spark, "unused").collect()
+    finally:
+        salience.load_table = orig
+    assert [(r["rnk"], r["phrase"], r["score_ppm"]) for r in out] == [
+        (1, "deep learning", 4_000_000),
+        (2, "red widget", 4_000_000),
+    ]

@@ -355,3 +355,54 @@ def test_scd2_sink_replay_idempotent(spark, tmp_path):
     assert once == twice
     sink(df, 4)  # a genuinely new batch still lands
     assert spark.read.parquet(target).count() == 2
+
+
+def test_trending_topk_accumulates_across_micro_batches(spark, sf_dir):
+    """Counts for one (window, user) must accumulate across micro-batches:
+    stage the events in TWO parquet drops (maxFilesPerTrigger=1 → two
+    batches), drain, and compare against the one-shot batch rank."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_trend_2batch_")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(staging)
+    other.coalesce(1).write.mode("append").parquet(staging)
+    table = f"trend2b_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rnk_w = W.partitionBy("w").orderBy(F.col("cnt").desc(), "user_id")
+    drained = (
+        spark.table(table)
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= 5)
+        .select(F.col("w.start").alias("ws"), "rnk", "user_id", "cnt")
+    )
+    batch = (
+        events.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= 5)
+        .select(F.col("w.start").alias("ws"), "rnk", "user_id", "cnt")
+    )
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

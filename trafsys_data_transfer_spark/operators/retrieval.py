@@ -68,6 +68,15 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("total_dl"),
     )
+    return _score_hits(tf, stats, terms, k)
+
+
+def _score_hits(tf: DataFrame, stats: DataFrame, terms, k: int) -> DataFrame:
+    """Shared BM25 ranking over hit rows ``(term, doc_id, dl, tf)`` plus a
+    1-row stats frame ``(n_docs, total_dl)`` — the SAME double expression
+    and fixed-order sum whether hits come from an inline corpus explode
+    (:func:`bm25_topk`) or a stored postings index
+    (:func:`bm25_index_probe`), so the two tiers are bit-identical."""
     # Document frequency per term: one row per query term, broadcast.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -156,3 +165,85 @@ def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by Okapi BM25 against a fixed 4-term query."""
     return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# stored inverted index (postings as parquet — the sparse-retrieval serving
+# tier, mirroring similarity.py's stored SQ8/PQ index-as-table contract)
+# ---------------------------------------------------------------------------
+
+
+def bm25_index_write(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """Materialize the full inverted index: ``(term, doc_id, tf, dl)``
+    postings parquet, range-partitioned and sorted by term so a probe's
+    ``term IN (...)`` predicate prunes row groups via min/max stats —
+    the storage ORDER is the index, the ivf partition-directory idea at
+    the row-group grain (term cardinality is far too high for one
+    directory per term).
+
+    ``dl`` rides every posting row (denormalized) so probes never join a
+    doc-length table; corpus constants land in ``_stats.json``
+    (underscore prefix → invisible to parquet listings) as exact ints.
+    """
+    import json
+    import os
+
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    postings = base.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    n_docs, total_dl = docs.select(
+        F.count(F.lit(1)), F.sum(F.size(toks))
+    ).first()
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump({"n_docs": int(n_docs), "total_dl": int(total_dl)}, f)
+
+
+def bm25_index_probe(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-k FROM THE STORED INDEX: the scan reads only the pruned
+    postings rows (``PushedFilters: In(term, ...)`` — plan-asserted in
+    tests), the corpus text appears nowhere in the plan, and scoring is
+    the shared :func:`_score_hits` expression, so results are
+    bit-identical to the inline tier."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats.json")) as f:
+        st = json.load(f)
+    hits = spark.read.parquet(path).filter(F.col("term").isin(*terms))
+    stats = spark.createDataFrame(
+        [(st["n_docs"], st["total_dl"])], "n_docs bigint, total_dl bigint"
+    )
+    return _score_hits(hits, stats, terms, k)
+
+
+@register("text_bm25_index_probe", oracle=_bm25_oracle(BM25_QUERY, BM25_TOPK))
+def text_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-probe the stored inverted index: shares
+    ``text_bm25_topk``'s hash-checked oracle, proving the postings
+    round-trip (including the denormalized dl and sidecar stats) loses
+    nothing vs the inline corpus explode."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"tds_bm25index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    bm25_index_write(docs, path)
+    return bm25_index_probe(spark, path)

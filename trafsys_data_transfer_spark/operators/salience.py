@@ -191,3 +191,146 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_xy/(c_x·c_y) is PMI ranking with the constant totals cancelled)."""
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (phrase-level salience)
+# ---------------------------------------------------------------------------
+
+#: Candidate phrases longer than this many words are discarded (standard
+#: RAKE practice; also bounds the score of stopword-free run-on text).
+RAKE_MAX_PHRASE = 4
+RAKE_TOP_N = 3
+
+#: Phrase-boundary words (reuse the text module's stopword list so every
+#: text operator agrees on what a function word is).
+from .text import STOPWORDS as _RAKE_STOPS  # noqa: E402
+
+
+def _rake_stop_in() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+@register(
+    "text_keyphrases_rake",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS pos, parts[t.i] AS tok,
+               parts[t.i] IN ({_rake_stop_in()}) AS is_stop
+        FROM split, unnest(generate_series(1, len(parts))) AS t(i)
+    ),
+    marked AS (
+        -- island id BEFORE dropping stopword rows: a WHERE on the same
+        -- SELECT would make the window see only non-stop rows (grp = 0
+        -- everywhere, one giant phrase per doc)
+        SELECT doc_id, pos, tok, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM toks
+    ),
+    grouped AS (
+        SELECT doc_id, pos, tok, grp FROM marked WHERE NOT is_stop
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM grouped GROUP BY doc_id, grp
+        HAVING COUNT(*) <= {RAKE_MAX_PHRASE}
+    ),
+    members AS (
+        SELECT p.doc_id, p.grp, p.phrase, p.plen, g.tok
+        FROM phrases p JOIN grouped g
+          ON g.doc_id = p.doc_id AND g.grp = p.grp
+    ),
+    word_stats AS (
+        SELECT tok, COUNT(*) AS freq, SUM(plen) AS deg
+        FROM members GROUP BY tok
+    ),
+    phrase_scores AS (
+        SELECT m.doc_id, m.phrase,
+               SUM(w.deg * 1000000 // w.freq) AS score_ppm
+        FROM members m JOIN word_stats w USING (tok)
+        GROUP BY m.doc_id, m.grp, m.phrase
+    ),
+    dedup AS (
+        SELECT doc_id, phrase, MAX(score_ppm) AS score_ppm
+        FROM phrase_scores GROUP BY doc_id, phrase
+    ),
+    ranked AS (
+        SELECT doc_id, phrase, CAST(score_ppm AS BIGINT) AS score_ppm,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_ppm DESC, phrase) AS rnk
+        FROM dedup
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score_ppm
+    FROM ranked WHERE rnk <= {RAKE_TOP_N}
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases are maximal stopword-free
+    token runs (gaps-and-islands on a per-doc window) capped at
+    RAKE_MAX_PHRASE words; corpus-level word scores ``deg/freq`` (deg =
+    sum of lengths of phrases containing the word, freq = occurrences)
+    in exact integer ppm; a phrase scores the sum of its words' scores —
+    top-3 distinct phrases per document.
+
+    Scale: the island window is per-doc (bounded by doc length); word
+    stats are one O(phrase-vocab) shuffle; scores join back on the word
+    key; ranking is a per-doc WindowGroupLimit.  All integer arithmetic —
+    floor-divide per word THEN sum, so the oracle agrees bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).withColumn("is_stop", F.col("tok").isin(*_RAKE_STOPS))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = (
+        toks.withColumn(
+            "grp", F.sum(F.col("is_stop").cast("int")).over(w_doc)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "pos", "tok", "grp")
+    )
+    phrases = (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+    )
+    members = phrases.join(grouped, ["doc_id", "grp"]).select(
+        "doc_id", "grp", "phrase", "plen", "tok"
+    )
+    word_stats = members.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phrase_scores = (
+        members.join(word_stats, "tok")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum(F.expr("deg * 1000000 div freq")).alias("score_ppm"))
+    )
+    dedup = phrase_scores.groupBy("doc_id", "phrase").agg(
+        F.max("score_ppm").alias("score_ppm")
+    )
+    rnk_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), "phrase"
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
+        .filter(F.col("rnk") <= RAKE_TOP_N)
+        .select("doc_id", "rnk", "phrase", "score_ppm")
+        .orderBy("doc_id", "rnk")
+    )

@@ -197,6 +197,9 @@ _PRIORITY = (
     "events_heavy_hitters_cms",
     "events_key_skew_profile",
     "events_ab_test",
+    "text_bm25_index_probe",
+    "streaming_trending_topk",
+    "text_keyphrases_rake",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

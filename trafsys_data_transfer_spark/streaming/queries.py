@@ -667,3 +667,76 @@ def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(table).orderBy("SiteCode", "Location", "PeriodEnding")
+
+
+@register(
+    "streaming_trending_topk",
+    oracle="""
+    WITH winned AS (
+        SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)
+                   AS window_start_epoch,
+               user_id, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_epoch, CAST(rnk AS BIGINT) AS rnk, user_id,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM (
+        SELECT window_start_epoch, user_id, cnt,
+               ROW_NUMBER() OVER (PARTITION BY window_start_epoch
+                                  ORDER BY cnt DESC, user_id) AS rnk
+        FROM winned
+    )
+    WHERE rnk <= 5
+    ORDER BY window_start_epoch, rnk
+    """,
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items at ingest latency: the STREAM maintains per-(6 h
+    tumbling window, user) counts — the stateful half — and the top-5
+    ranking is a cheap batch read over the finalized windows (streaming
+    can't rank across keys mid-flight; every production trending feature
+    splits exactly here).  The fully-drained counts ranked batch-side
+    must equal the one-shot batch window/rank of the same input.
+
+    Scale: windowed-count state is (windows-in-lateness × active keys);
+    the rank runs per window partition over the aggregated table —
+    WindowGroupLimit keeps only each partition's top-5 candidates.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_trend_")
+    events.coalesce(1).write.mode("append").parquet(staging)
+    table = f"stream_trend_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(staging)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(table)
+    from pyspark.sql.window import Window
+
+    rnk_w = Window.partitionBy("w").orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        drained.withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.unix_timestamp(F.col("w.start"))
+            .cast("bigint")
+            .alias("window_start_epoch"),
+            "rnk",
+            "user_id",
+            "cnt",
+        )
+        .orderBy("window_start_epoch", "rnk")
+    )

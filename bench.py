@@ -104,6 +104,7 @@ WORK_IN_BUILD = {
     "events_heavy_hitters_cms",
     "text_bm25_index_probe",
     "streaming_trending_topk",
+    "streaming_cusum_changepoints",
 }
 
 

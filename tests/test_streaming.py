@@ -406,3 +406,39 @@ def test_trending_topk_accumulates_across_micro_batches(spark, sf_dir):
     assert sorted(map(tuple, drained.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_cusum_equals_batch_across_slice_boundaries(spark):
+    """A sustained level shift that starts in one micro-batch and crosses
+    into the next must accumulate through keyed state: drained streaming
+    flags == batch fold flags on the same constructed series."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from trafsys_data_transfer_spark.operators import drift
+    from trafsys_data_transfer_spark.streaming import queries as sq
+
+    rows, eid = [], 0
+    # days 1-2: flat 2/h; day 3: 12/h (the shift) — slices are one day
+    # each, so the statistic must carry from the day-2 batch into day 3.
+    for day, hours, per in ((1, 24, 2), (2, 24, 2), (3, 24, 12)):
+        for i in range(hours):
+            base = dt.datetime(2024, 1, day) + dt.timedelta(hours=i)
+            for j in range(per):
+                eid += 1
+                rows.append(Row(event_id=eid, user_id=1, event_type="view",
+                                ts=base + dt.timedelta(minutes=j),
+                                value=0.0, props="{}"))
+    df = spark.createDataFrame(rows)
+    orig_d, orig_q = drift.load_table, sq.load_table
+    try:
+        drift.load_table = lambda _s, _d, name: df
+        sq.load_table = lambda _s, _d, name: df
+        batch = drift.events_cusum_changepoints(spark, "unused").collect()
+        stream = sq.streaming_cusum_changepoints(spark, "unused").collect()
+    finally:
+        drift.load_table = orig_d
+        sq.load_table = orig_q
+    assert batch, "planted shift must flag in batch"
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))

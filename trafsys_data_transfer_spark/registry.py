@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.plans.relational",
     "trafsys_data_transfer_spark.plans.analytics",
     "trafsys_data_transfer_spark.plans.behavior",
+    "trafsys_data_transfer_spark.plans.growth",
     "trafsys_data_transfer_spark.plans.traffic_queries",
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.graph",
@@ -200,6 +201,9 @@ _PRIORITY = (
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "text_keyphrases_rake",
+    "events_growth_accounting",
+    "fk_integrity_audit",
+    "streaming_cusum_changepoints",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -740,3 +740,90 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_epoch", "rnk")
     )
+
+
+def _cusum_oracle() -> str:
+    # Stream == batch: reuse the batch operator's recursive-CTE oracle
+    # verbatim (drift registers before this module in _QUERY_MODULES, and
+    # the direct import below guarantees registration under pytest too).
+    from ..operators import drift as _drift  # noqa: F401
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["events_cusum_changepoints"].oracle
+
+
+@register("streaming_cusum_changepoints", oracle=_cusum_oracle())
+def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_cusum_changepoints``: the reflected
+    CUSUM fold runs inside the stream (keyed state = two integers per
+    series), against a pre-computed control profile; the events are
+    staged as THREE day-sliced drops (maxFilesPerTrigger=1 → three
+    micro-batches), each carrying one sentinel row per series at the
+    slice's final hour so every key folds exactly through the batch
+    frontier — zero-count hours decay state across batch boundaries.
+    The drained stream must flag exactly the batch operator's hours
+    (same recursive-CTE oracle)."""
+    import datetime as dt
+
+    from .cusum import cusum_profile, cusum_stream
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    profile = cusum_profile(events)
+    types = sorted(profile["series"])
+
+    d0, d1 = events.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).first()
+    n_days = (d1 - d0).days + 1
+    step = max(1, n_days // 3)
+    bounds = [d0 + dt.timedelta(days=i * step) for i in range(3)] + [
+        d1 + dt.timedelta(days=1)
+    ]
+
+    staging = tempfile.mkdtemp(prefix="tds_stream_cusum_")
+    for i in range(3):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo >= hi:
+            continue
+        sl = events.filter(
+            (F.col("ts").cast("date") >= F.lit(lo))
+            & (F.col("ts").cast("date") < F.lit(hi))
+        ).withColumn("is_sentinel", F.lit(False))
+        sentinel_ts = dt.datetime.combine(hi, dt.time()) - dt.timedelta(
+            seconds=1
+        )
+        sentinels = spark.createDataFrame(
+            [(t, sentinel_ts, True) for t in types],
+            "event_type string, ts timestamp, is_sentinel boolean",
+        )
+        tmp = tempfile.mkdtemp(prefix="tds_cusum_slice_")
+        sl.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(
+            tmp
+        )
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(staging, f"slice-{i:03d}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        base = 1_700_000_000 + i * 10
+        os.utime(dst, (base, base))  # mtime order == time order
+
+    schema = "event_type string, ts timestamp, is_sentinel boolean"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    table = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        cusum_stream(stream, profile)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).orderBy("event_type", "epoch_hour")

@@ -105,6 +105,7 @@ WORK_IN_BUILD = {
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "streaming_cusum_changepoints",
+    "graph_kcore_members",
 }
 
 

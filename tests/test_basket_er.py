@@ -105,3 +105,42 @@ def test_er_fixture_precision_is_high(spark, sf_dir):
     ).collect()[0]
     assert agg["n"] > 0
     assert agg["tp"] / agg["n"] >= 0.9
+
+
+def test_kcore_converges_inside_round_budget_and_peels_planted_graph(spark):
+    """Planted graph: a 4-clique (parts 1-4, every pair in >=2 shared
+    orders) plus a pendant chain 5-6.  The 3-core is exactly the clique;
+    the chain and its attachment must peel away.  Also assert the round
+    budget strictly covers convergence (one extra round changes nothing
+    — the bounded unrolling IS the fixpoint)."""
+    rows = []
+    okey = 0
+    # two orders containing parts 1..4 -> all 6 clique pairs at support 2
+    for _ in range(2):
+        okey += 1
+        rows += [_li(okey, p) for p in (1, 2, 3, 4)]
+    # pendant: part 5 with part 1 (support 2), part 6 with part 5
+    for _ in range(2):
+        okey += 1
+        rows += [_li(okey, 1), _li(okey, 5)]
+        okey += 1
+        rows += [_li(okey, 5), _li(okey, 6)]
+    out = _with_lineitem(rows, spark, basket.graph_kcore_members)
+    assert {(r["node"], r["core_degree"]) for r in out} == {
+        (1, 3), (2, 3), (3, 3), (4, 3)
+    }
+
+
+def test_kcore_fixture_is_converged(spark, sf_dir):
+    """On the real fixture, one extra peeling round must change nothing —
+    proof the bounded unrolling reached the fixpoint."""
+    import trafsys_data_transfer_spark.operators.basket as b
+
+    base = b.graph_kcore_members(spark, sf_dir).collect()
+    orig = b.KCORE_ROUNDS
+    try:
+        b.KCORE_ROUNDS = orig + 1
+        more = b.graph_kcore_members(spark, sf_dir).collect()
+    finally:
+        b.KCORE_ROUNDS = orig
+    assert sorted(map(tuple, base)) == sorted(map(tuple, more))

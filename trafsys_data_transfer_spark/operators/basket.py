@@ -262,3 +262,103 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded-round peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+#: Peeling rounds.  Each round deletes every node of degree < k, which can
+#: only lower other nodes' degrees — the fixpoint is reached when a round
+#: deletes nothing.  tests assert the fixture converges strictly inside
+#: this budget (round R-1 == round R), so the bounded unrolling IS the
+#: exact k-core here; production wraps the same round body in a loop with
+#: a convergence check (the connected-components localCheckpoint pattern).
+KCORE_ROUNDS = 12
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Generate the peeling rounds as chained CTEs (DuckDB's recursive CTE
+    forbids the per-round degree aggregate, so the bounded unrolling is
+    the portable form)."""
+    parts = [
+        f"""
+    WITH pair_occ AS ({_PAIR_SQL}),
+    e0 AS MATERIALIZED (
+        SELECT p1 AS u, p2 AS v FROM pair_occ GROUP BY 1, 2
+        HAVING COUNT(*) >= {MINSUP_ORDERS}
+    )"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+        ) GROUP BY node HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN d{i} a ON a.node = e.u
+        JOIN d{i} b ON b.node = e.v
+    )"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node
+    ORDER BY node
+    """
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore_members", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the {k}-core of the support-filtered co-purchase graph
+    (the maximal subgraph where every node keeps ≥ k neighbours), with
+    each member's within-core degree — the standard cohesion filter before
+    community detection or embedding training.
+
+    Peeling is inherently iterative (deleting a node lowers neighbour
+    degrees); each round is one degree aggregate + two semi-joins on the
+    surviving edge set, lineage cut per round with ``localCheckpoint``
+    (the connected-components pattern) so the plan stays round-sized.
+    Early-converged rounds are no-ops, keeping the bounded unrolling
+    exactly equal to the fixpoint (convergence asserted in tests).
+    """
+    edges = (
+        _pairs(spark, sf_dir)
+        .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MINSUP_ORDERS)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    e = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+        e = (
+            e.join(deg.withColumnRenamed("node", "u"), "u")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

@@ -204,6 +204,7 @@ _PRIORITY = (
     "events_growth_accounting",
     "fk_integrity_audit",
     "streaming_cusum_changepoints",
+    "graph_kcore_members",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -98,6 +98,14 @@ def get_spark(app_name: str = "trafsys_data_transfer_spark") -> SparkSession:
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # In local mode every slot is process-local, so the scheduler's
+        # default 3 s locality wait can only ever add latency; on a busy
+        # cluster, waiting seconds to save an intra-rack fetch is the wrong
+        # trade for this engine's many-small-jobs mix.  (Not the cause of
+        # the slow tiny staging writes — that was a list-backed
+        # createDataFrame's 32 Python slices evaluated sequentially under
+        # coalesce(1); see streaming/queries.py sentinel staging.)
+        .config("spark.locality.wait", "0s")
     )
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")

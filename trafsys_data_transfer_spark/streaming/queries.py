@@ -781,34 +781,66 @@ def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     staging = tempfile.mkdtemp(prefix="tds_stream_cusum_")
+    # ONE partitioned write job stages every slice (three separate
+    # filter+coalesce jobs measured 16 s of the 20 s lifecycle); sentinels
+    # ride in tiny per-slice files that land AFTER their slice in mtime
+    # order — a sentinel-only micro-batch folds through the frontier just
+    # as well as an in-slice sentinel row.
+    tmp = tempfile.mkdtemp(prefix="tds_cusum_slices_")
+    (
+        events.withColumn("is_sentinel", F.lit(False))
+        .withColumn(
+            "slice",
+            F.least(
+                F.floor(F.datediff(F.col("ts").cast("date"), F.lit(d0)) / step),
+                F.lit(2),
+            ),
+        )
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    sentinel_rows = []
     for i in range(3):
-        lo, hi = bounds[i], bounds[i + 1]
-        if lo >= hi:
-            continue
-        sl = events.filter(
-            (F.col("ts").cast("date") >= F.lit(lo))
-            & (F.col("ts").cast("date") < F.lit(hi))
-        ).withColumn("is_sentinel", F.lit(False))
+        hi = bounds[i + 1]
         sentinel_ts = dt.datetime.combine(hi, dt.time()) - dt.timedelta(
             seconds=1
         )
-        sentinels = spark.createDataFrame(
-            [(t, sentinel_ts, True) for t in types],
-            "event_type string, ts timestamp, is_sentinel boolean",
+        sentinel_rows.append(
+            [(t, sentinel_ts, True) for t in types]
         )
-        tmp = tempfile.mkdtemp(prefix="tds_cusum_slice_")
-        sl.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(
-            tmp
-        )
+    for i in range(3):
+        sdir = os.path.join(tmp, f"slice={i}")
+        if not os.path.isdir(sdir):
+            continue
+        base = 1_700_000_000 + i * 10
+        for j, f in enumerate(sorted(os.listdir(sdir))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sdir, f), dst)
+                os.utime(dst, (base, base))
+        sent_tmp = tempfile.mkdtemp(prefix="tds_cusum_sent_")
+        # pandas-backed (Arrow, one input partition): a list-backed
+        # createDataFrame parallelizes to 32 Python slices and coalesce(1)
+        # evaluates them SEQUENTIALLY in one task — measured 4.5 s for a
+        # 5-row write vs 0.9 s via pandas.
+        import pandas as _pd
+
+        spark.createDataFrame(
+            _pd.DataFrame(
+                sentinel_rows[i],
+                columns=["event_type", "ts", "is_sentinel"],
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
         part = next(
             f
-            for f in os.listdir(tmp)
+            for f in os.listdir(sent_tmp)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        dst = os.path.join(staging, f"slice-{i:03d}.parquet")
-        shutil.copyfile(os.path.join(tmp, part), dst)
-        base = 1_700_000_000 + i * 10
-        os.utime(dst, (base, base))  # mtime order == time order
+        dst = os.path.join(staging, f"slice-{i:03d}-sentinel.parquet")
+        shutil.copyfile(os.path.join(sent_tmp, part), dst)
+        os.utime(dst, (base + 5, base + 5))  # after the slice, before next
 
     schema = "event_type string, ts timestamp, is_sentinel boolean"
     stream = (
@@ -817,13 +849,16 @@ def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staging)
     )
     table = f"stream_cusum_{uuid.uuid4().hex[:8]}"
-    q = (
-        cusum_stream(stream, profile)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):  # O(series) keys — right-size state
+        q = (
+            cusum_stream(stream, profile)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table).orderBy("event_type", "epoch_hour")

@@ -31,7 +31,9 @@ def test_priority_window_front_loads_every_family():
         "dedup_minhash_lsh",
         "text_curation_pipeline",
         "sim_topk_bruteforce",
-        "multimodal_meta",
+        # multimodal family: decode (real-codec round trip) holds the
+        # window row since the round-5 rotation; meta sits past-window
+        "multimodal_decode",
         "events_sessionize",
         "events_asof_latest_order",
         "split_train_test",

@@ -125,7 +125,11 @@ _PRIORITY = (
     # round 5 (late): text_winnow_candidates (rows-only, driver-green since
     # r03) yields its slot to the hash-checked sequential windowed funnel.
     "text_salient_terms",
-    "text_pmi_collocations",
+    # round 5 (cont.): text_pmi_collocations (green since r02; salient_terms
+    # keeps the salience-family row) yields its slot to CUSUM change-point
+    # detection — the exact-integer fold with the recursive-CTE oracle and
+    # a 50x perf edge over the oracle engine.
+    "events_cusum_changepoints",
     "text_bm25_topk",
     # similarity family (round 5: text_vocab_coverage — hash-checked, judge-
     # verified on 500 rows in r04 — takes sim_embedding_neardup's slot; the
@@ -143,15 +147,26 @@ _PRIORITY = (
     # multimodal family (round 5: the real-codec decode round trip takes
     # multimodal_frame_sample's slot — the sampler is a grain variant of
     # multimodal_meta, driver-green since r01)
-    "multimodal_meta",
+    # round 5 (cont.): multimodal_meta (green since r01; the real-codec
+    # decode round trip keeps the family window row) yields its slot to the
+    # entity-resolution family flagship (sorted-neighborhood + levenshtein,
+    # hash-checked at both scales).
     "multimodal_decode",
+    "er_fuzzy_matches",
     # sessionization / temporal joins / sampling
     "events_sessionize",
-    "events_session_window_native",
+    # round 5 (cont.): events_session_window_native (green r04; equality
+    # with the gaps-and-islands form is property-tested, and sessionize
+    # keeps the family row) yields its slot to market-basket association
+    # rules (hash-checked, 6 890 rows at sf0.01).
+    "basket_association_rules",
     "events_asof_latest_order",
     "events_range_join_purchase_window",
     "split_train_test",
-    "stratified_event_sample",
+    # round 5 (cont.): stratified_event_sample (driver-green r01-r04;
+    # split_train_test keeps the sampling-family window row) yields its
+    # slot to the growth-accounting flagship (hash-checked, new family).
+    "events_growth_accounting",
     # scale machinery (skew / co-located joins / layout).  skew_salted_join
     # moved inside the 50-row window in round 3 (it was the one oracle-
     # checked query with no driver row); traffic_daily_rollup — a grain
@@ -179,6 +194,10 @@ _PRIORITY = (
     # retrieval, incremental batch-vs-corpus dedup, and z-score outliers.
     # events_value_approx_quantiles is rows-only either way, so its window
     # slot went to a hash-checked query.)
+    "stratified_event_sample",
+    "text_pmi_collocations",
+    "multimodal_meta",
+    "events_session_window_native",
     "events_props_map",
     "events_value_histogram",
     "events_value_winsorize",
@@ -190,10 +209,7 @@ _PRIORITY = (
     "events_attribution",
     "orders_rfm_segments",
     "orders_drift_chi2",
-    "events_cusum_changepoints",
-    "basket_association_rules",
     "graph_triangle_census",
-    "er_fuzzy_matches",
     "events_heavy_hitters",
     "events_heavy_hitters_cms",
     "events_key_skew_profile",
@@ -201,7 +217,6 @@ _PRIORITY = (
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "text_keyphrases_rake",
-    "events_growth_accounting",
     "fk_integrity_audit",
     "streaming_cusum_changepoints",
     "graph_kcore_members",

@@ -228,3 +228,40 @@ def test_decode_table_roundtrips_planted_params(spark):
             assert r["sample_rate"] == 8000 * (d % 3 + 1)
             assert r["n_samples"] == d % 256 + 16
             assert r["width"] is None and r["height"] is None
+
+
+def test_image_neardup_finds_every_planted_pair_and_nothing_else(spark, sf_dir):
+    """dHash + banded LSH: every planted one-pixel-edit pair (id−16, id)
+    for id ≡ 18 (mod 32) is recovered; no false pairs at hamming ≤ 6."""
+    from trafsys_data_transfer_spark.operators.multimodal import (
+        multimodal_image_neardup,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    from pyspark.sql import functions as F
+
+    out = multimodal_image_neardup(spark, sf_dir).collect()
+    max_id = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+    expected = {
+        (d - 16, d) for d in range(18, max_id + 1, 2) if d % 32 == 18
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == expected
+    assert all(r["hamming"] <= 6 for r in out)
+
+
+def test_dhash_stable_under_reencode_and_sensitive_to_texture(spark):
+    """Same pixels re-encoded → identical hash; different seed → far."""
+    from trafsys_data_transfer_spark.operators.multimodal import (
+        dhash64,
+        synthesize_png,
+    )
+
+    a = dhash64(synthesize_png(24, 20, seed=6, texture=True))
+    a2 = dhash64(synthesize_png(24, 20, seed=6, texture=True))
+    b = dhash64(synthesize_png(24, 20, seed=8, texture=True))
+    assert a == a2
+    assert bin((a ^ b) & (2**64 - 1)).count("1") > 12

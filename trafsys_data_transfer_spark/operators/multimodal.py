@@ -260,7 +260,7 @@ def synthesize_wav(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def synthesize_png(width: int, height: int, seed: int = 0) -> bytes:
+def synthesize_png(width: int, height: int, seed: int = 0, texture: bool = False) -> bytes:
     """Real 8-bit grayscale PNG bytes: deterministic pixels, zlib-packed
     scanlines, CRC'd chunks — opens in any image viewer."""
     import struct
@@ -279,7 +279,22 @@ def synthesize_png(width: int, height: int, seed: int = 0) -> bytes:
     for y in range(height):
         raw.append(0)  # filter byte: None
         for x in range(width):
-            raw.append((seed + x * 7 + y * 13) % 256)
+            if texture:
+                # hash-textured pixels: every image gets a distinct,
+                # random-looking dHash.  The default smooth gradient has a
+                # CONSTANT horizontal derivative sign, which would collapse
+                # every image to one identical dHash; and a purely ADDITIVE
+                # seed mix leaves cross-seed pixel correlations that showed
+                # up as thousands of hamming≤6 false pairs at sf0.1 — hence
+                # the murmur-style multiply-after-xor finalizer.
+                v = (
+                    (x * 73856093) ^ (y * 19349663) ^ (seed * 83492791)
+                ) & 0xFFFFFFFF
+                v = (v ^ (v >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+                v = (v ^ (v >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+                raw.append((v ^ (v >> 16)) % 256)
+            else:
+                raw.append((seed + x * 7 + y * 13) % 256)
     idat = zlib.compress(bytes(raw), 6)
     return (
         _PNG_SIG
@@ -642,4 +657,151 @@ def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> D
         F.col("length").alias("byte_length"),
         F.col("content").alias("payload"),
         F.element_at(F.split(F.col("path"), "\\."), -1).alias("extension"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (dHash + banded LSH)
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 9×8 samples → 64 horizontal-gradient bits.
+DHASH_W, DHASH_H = 9, 8
+#: Pairs at hamming distance ≤ this are near-duplicates.
+DHASH_MAX_HAMMING = 6
+#: LSH bands over the 64-bit hash (4 × 16 bits): a pair with ≤6 differing
+#: bits almost surely leaves one band untouched (planted-recall pytest).
+DHASH_BANDS = 4
+
+
+def dhash64(payload: bytes) -> int:
+    """Perceptual difference hash: decode, nearest-neighbor resize to
+    9×8, emit 1 bit per horizontal neighbor comparison (px[x] > px[x+1])
+    — row-major, MSB first.  Tolerant of re-encoding and small local
+    edits: only gradients at the 72 sample points matter."""
+    w, h, px = decode_png_pixels(payload)
+    small = resize_nearest(px, w, h, DHASH_W, DHASH_H)
+    bits = 0
+    for y in range(DHASH_H):
+        row = small[y * DHASH_W : (y + 1) * DHASH_W]
+        for x in range(DHASH_W - 1):
+            bits = (bits << 1) | (1 if row[x] > row[x + 1] else 0)
+    # two's-complement into int64 for a BIGINT column
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_neardup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived image fixture with PLANTED near-duplicates: one textured
+    PNG per even doc_id; ids ≡ 18 (mod 32) re-render their source image
+    (id − 16: same size, same seed — and itself never perturbed, so the
+    pairing doesn't chain) with ONE pixel flipped — a true perceptual
+    near-dup whose ground-truth pairing is (id−16, id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2:
+                    continue
+                src = d - 16 if (d % 32 == 18 and d >= 16) else d
+                w, hh = src % 32 + 16, src * 3 % 32 + 16
+                png = synthesize_png(w, hh, seed=src, texture=True)
+                if src != d:
+                    ww, hhh, px = decode_png_pixels(png)
+                    px = bytearray(px)
+                    px[0] = (px[0] + 128) % 256  # one-pixel edit
+                    raw = bytearray()
+                    for y in range(hhh):
+                        raw.append(0)
+                        raw.extend(px[y * ww : (y + 1) * ww])
+
+                    def chunk(ctype: bytes, body: bytes) -> bytes:
+                        return (
+                            struct.pack(">I", len(body))
+                            + ctype
+                            + body
+                            + struct.pack(
+                                ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+                            )
+                        )
+
+                    png = (
+                        _PNG_SIG
+                        + chunk(
+                            b"IHDR",
+                            struct.pack(">IIBBBBB", ww, hhh, 8, 0, 0, 0, 0),
+                        )
+                        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                        + chunk(b"IEND", b"")
+                    )
+                ids.append(d)
+                payloads.append(png)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+@register("multimodal_image_neardup")  # rows-only: codec lives in Python
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash per image (Arrow batches,
+    bytes never become Python rows outside the codec), 4×16-bit banded
+    LSH buckets from ONE groupBy-free explode, candidate pairs only
+    within a bucket, exact hamming verify JVM-side (`bit_count(h1^h2)`).
+
+    Scale: the image corpus is hashed once (64 bits/image survive);
+    banding bounds candidates exactly like dedup.py's SimHash tier; the
+    verify join carries two BIGINTs per side.  Pairs at hamming ≤ 6 (the
+    textured fixture shows borderline structural collisions at 8-10).
+    """
+    imgs = image_neardup_table(spark, sf_dir)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h": [dhash64(p) for p in pdf["payload"]],
+                }
+            )
+
+    hashed = imgs.mapInPandas(
+        hash_batches, schema="doc_id long, h long"
+    ).localCheckpoint(eager=False)
+    bands = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.toDF("doc_a", "h_a", "band", "val")
+    b = bands.toDF("doc_b", "h_b", "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )

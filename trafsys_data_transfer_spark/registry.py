@@ -220,6 +220,7 @@ _PRIORITY = (
     "fk_integrity_audit",
     "streaming_cusum_changepoints",
     "graph_kcore_members",
+    "multimodal_image_neardup",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -106,6 +106,7 @@ WORK_IN_BUILD = {
     "streaming_trending_topk",
     "streaming_cusum_changepoints",
     "graph_kcore_members",
+    "streaming_view_click_leftjoin",
 }
 
 

@@ -442,3 +442,23 @@ def test_streaming_cusum_equals_batch_across_slice_boundaries(spark):
         sq.load_table = orig_q
     assert batch, "planted shift must flag in batch"
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
+def test_leftjoin_stream_emits_unmatched_views_via_watermark_eviction(
+    spark, sf_dir
+):
+    """The outer join's null-click rows only exist if state EVICTION ran
+    (an unmatched view is emitted when the watermark proves no click can
+    arrive) — assert both populations are present and consistent with
+    the batch join."""
+    from trafsys_data_transfer_spark.streaming.queries import (
+        streaming_view_click_leftjoin,
+    )
+
+    out = streaming_view_click_leftjoin(spark, sf_dir)
+    matched = out.filter(F.col("click_id").isNotNull()).count()
+    unmatched = out.filter(F.col("click_id").isNull()).count()
+    assert matched > 0 and unmatched > 0
+    ev = load_table(spark, sf_dir, "events")
+    n_views = ev.filter(F.col("event_type") == "view").count()
+    assert out.select("view_id").distinct().count() == n_views

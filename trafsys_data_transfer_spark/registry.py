@@ -221,6 +221,7 @@ _PRIORITY = (
     "streaming_cusum_changepoints",
     "graph_kcore_members",
     "multimodal_image_neardup",
+    "streaming_view_click_leftjoin",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -862,3 +862,98 @@ def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(table).orderBy("event_type", "epoch_hour")
+
+
+@register(
+    "streaming_view_click_leftjoin",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+)
+def streaming_view_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join: views with their clicks
+    inside a 10-minute window, AND every unconverted view exactly once
+    with a null click.  The outer side is the hard part of stream-stream
+    joins — an unmatched view can only be emitted once the watermark
+    proves no qualifying click can still arrive (view_ts + range +
+    lateness), so correct output REQUIRES state eviction, not just
+    buffering.  A far-future sentinel row staged as a second file per
+    side (maxFilesPerTrigger=1 → its own batch) pushes the final
+    watermark past every real view's horizon; sentinels join nothing
+    (user −1) and are filtered from the output.  The drained stream must
+    equal the batch LEFT JOIN of the same input."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views_dir = tempfile.mkdtemp(prefix="tds_ssoj_views_")
+    clicks_dir = tempfile.mkdtemp(prefix="tds_ssoj_clicks_")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    sentinel_ts = max_ts + dt.timedelta(hours=2)
+    for d, et in ((views_dir, "view"), (clicks_dir, "click")):
+        events.filter(F.col("event_type") == et).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        sent_tmp = tempfile.mkdtemp(prefix="tds_ssoj_sent_")
+        import pandas as _pd
+
+        spark.createDataFrame(
+            _pd.DataFrame(
+                [(-1, sentinel_ts, -1, et)],
+                columns=["event_id", "ts", "user_id", "event_type"],
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
+        part = next(
+            f for f in os.listdir(sent_tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        shutil.copyfile(
+            os.path.join(sent_tmp, part), os.path.join(d, "zz-sentinel.parquet")
+        )
+    table = f"stream_ssoj_{uuid.uuid4().hex[:8]}"
+    left = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(views_dir)
+        .withWatermark("ts", "30 minutes")
+        .alias("l")
+    )
+    right = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks_dir)
+        .withWatermark("ts", "30 minutes")
+        .alias("r")
+    )
+    join_expr = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            left.join(right, join_expr, "left_outer")
+            .select(
+                F.col("l.event_id").alias("view_id"),
+                F.col("r.event_id").alias("click_id"),
+                F.col("l.user_id").alias("user_id"),
+                F.col("l.ts").alias("view_ts"),
+                F.col("r.ts").alias("click_ts"),
+            )
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table).filter(F.col("view_id") != -1)

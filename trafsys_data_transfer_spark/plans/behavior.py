@@ -209,3 +209,87 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(first_buy)) AS BIGINT)
+                   - CAST(FLOOR(epoch(first_view)) AS BIGINT) AS ttc_sec
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    ),
+    ranked AS (
+        SELECT ttc_sec,
+               ROW_NUMBER() OVER (ORDER BY ttc_sec, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           CAST(MIN(ttc_sec) AS BIGINT) AS min_sec,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN ttc_sec END)
+                AS BIGINT) AS p50_sec,
+           CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN ttc_sec END)
+                AS BIGINT) AS p90_sec,
+           CAST(MAX(ttc_sec) AS BIGINT) AS max_sec
+    FROM ranked
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from each user's FIRST view
+    to their FIRST purchase (converters only), summarised with exact
+    nearest-rank percentiles — ``p50 = value at rank ⌈n/2⌉``, ``p90 at
+    ⌈9n/10⌉`` — order statistics of exact integers, so the row hashes
+    across engines where interpolated percentiles would not.
+
+    Scale: per-user firsts are one key shuffle with map-side MIN
+    partials; the rank runs over the CONVERTERS-only table (one bounded
+    sort — converters per analysis window, not events).  At 100 TB with
+    billions of converters, swap the exact rank for approx_percentile
+    and keep this as the audit tier.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
+        ).alias("ttc_sec"),
+    )
+    w = Window.orderBy("ttc_sec", "user_id")
+    ranked = conv.select(
+        "ttc_sec",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        F.min("ttc_sec").alias("min_sec"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ttc_sec"))
+        ).alias("p50_sec"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("ttc_sec"))
+        ).alias("p90_sec"),
+        F.max("ttc_sec").alias("max_sec"),
+    )

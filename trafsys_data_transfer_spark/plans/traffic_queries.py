@@ -622,3 +622,77 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "traffic_uptime_coverage",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    rollup AS (
+        SELECT SiteCode, Location,
+               CAST(FLOOR(epoch(PeriodEnding) / 3600) AS BIGINT) AS h
+        FROM traffic GROUP BY 1, 2, 3
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM rollup),
+    per_sensor AS (
+        SELECT SiteCode, Location,
+               COUNT(*) AS observed_hours,
+               MIN(h) AS first_h, MAX(h) AS last_h
+        FROM rollup GROUP BY 1, 2
+    )
+    SELECT SiteCode, Location,
+           CAST(observed_hours AS BIGINT) AS observed_hours,
+           CAST(b.h1 - b.h0 + 1 AS BIGINT) AS spine_hours,
+           CAST(observed_hours * 1000000 // (b.h1 - b.h0 + 1) AS BIGINT)
+               AS coverage_ppm,
+           CAST(last_h - first_h + 1 - observed_hours AS BIGINT)
+               AS internal_gap_hours
+    FROM per_sensor, bounds b
+    ORDER BY SiteCode, Location
+    """,
+)
+def traffic_uptime_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor uptime report: per (site, location), hours with ≥1 record
+    vs the corpus hour spine (coverage ppm) and the hours missing INSIDE
+    the sensor's own active span (internal gaps = dropouts, as opposed to
+    late install / early decommission).  The monitoring query a
+    people-counter fleet runs nightly next to the load itself.
+
+    Scale: one (site, location, hour) distinct shuffle with map-side
+    partials, then an O(sensors) rollup against a 1-row broadcast spine.
+    """
+    traffic = normalize_traffic(
+        traffic_raw_from_events(load_table(spark, sf_dir, "events"))
+    )
+    rollup = (
+        traffic.select(
+            "SiteCode",
+            "Location",
+            F.expr(
+                "CAST(unix_timestamp(PeriodEnding) div 3600 AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    bounds = rollup.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    per_sensor = rollup.groupBy("SiteCode", "Location").agg(
+        F.count(F.lit(1)).alias("observed_hours"),
+        F.min("h").alias("first_h"),
+        F.max("h").alias("last_h"),
+    )
+    return (
+        per_sensor.join(F.broadcast(bounds))
+        .select(
+            "SiteCode",
+            "Location",
+            "observed_hours",
+            (F.col("h1") - F.col("h0") + 1).alias("spine_hours"),
+            F.expr(
+                "observed_hours * 1000000 div (h1 - h0 + 1)"
+            ).alias("coverage_ppm"),
+            (
+                F.col("last_h") - F.col("first_h") + 1 - F.col("observed_hours")
+            ).alias("internal_gap_hours"),
+        )
+        .orderBy("SiteCode", "Location")
+    )

@@ -222,6 +222,8 @@ _PRIORITY = (
     "graph_kcore_members",
     "multimodal_image_neardup",
     "streaming_view_click_leftjoin",
+    "traffic_uptime_coverage",
+    "events_time_to_convert",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -144,3 +144,21 @@ def test_kcore_fixture_is_converged(spark, sf_dir):
     finally:
         b.KCORE_ROUNDS = orig
     assert sorted(map(tuple, base)) == sorted(map(tuple, more))
+
+
+def test_item_similarity_ranks_by_exact_cosine(spark):
+    """Hand-computed: orders {1:AB, 2:AB, 3:AC, 4:AC, 5:A} — A pairs with
+    B (2 of 5×2) and C (2 of 5×2) at equal cos²; B–C never co-occur."""
+    rows = []
+    for okey, parts in ((1, (1, 2)), (2, (1, 2)), (3, (1, 3)), (4, (1, 3)),
+                        (5, (1,))):
+        rows += [_li(okey, p) for p in parts]
+    out = _with_lineitem(rows, spark, basket.basket_item_similarity)
+    got = {(r["item"], r["rnk"]): (r["other"], r["cos2_ppm"]) for r in out}
+    # A: n=5; B,C: n=2; cos2 = 4*1e6/(5*2) = 400000, tie -> lower id first
+    assert got[(1, 1)] == (2, 400_000)
+    assert got[(1, 2)] == (3, 400_000)
+    # B's only neighbour is A; C's only neighbour is A
+    assert got[(2, 1)] == (1, 400_000)
+    assert got[(3, 1)] == (1, 400_000)
+    assert (2, 2) not in got and (3, 2) not in got  # B-C absent

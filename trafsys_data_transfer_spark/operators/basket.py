@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.fixtures import load_table
@@ -361,4 +362,97 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# item-item collaborative filtering (co-occurrence cosine)
+# ---------------------------------------------------------------------------
+
+CF_TOP_N = 5
+
+
+@register(
+    "basket_item_similarity",
+    oracle=f"""
+    WITH pair_occ AS ({_PAIR_SQL}),
+    pair_n AS (
+        SELECT p1, p2, COUNT(*) AS n_ab FROM pair_occ GROUP BY 1, 2
+        HAVING COUNT(*) >= {MINSUP_ORDERS}
+    ),
+    part_n AS (
+        SELECT l_partkey AS p, COUNT(DISTINCT l_orderkey) AS n_p
+        FROM lineitem GROUP BY 1
+    ),
+    directed AS (
+        SELECT p1 AS item, p2 AS other, n_ab FROM pair_n
+        UNION ALL
+        SELECT p2, p1, n_ab FROM pair_n
+    ),
+    scored AS (
+        SELECT d.item, d.other, CAST(d.n_ab AS BIGINT) AS n_ab,
+               CAST(d.n_ab * d.n_ab * 1000000 // (na.n_p * nb.n_p) AS BIGINT)
+                   AS cos2_ppm
+        FROM directed d
+        JOIN part_n na ON na.p = d.item
+        JOIN part_n nb ON nb.p = d.other
+    ),
+    ranked AS (
+        SELECT item, other, n_ab, cos2_ppm,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY cos2_ppm DESC, other) AS rnk
+        FROM scored
+    )
+    SELECT item, CAST(rnk AS BIGINT) AS rnk, other, n_ab, cos2_ppm
+    FROM ranked WHERE rnk <= {CF_TOP_N}
+    ORDER BY item, rnk
+    """,
+)
+def basket_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 most-similar parts per
+    part by co-occurrence cosine — ranked via the EXACT rational
+    ``cos² = n_ab² / (n_a·n_b)`` in integer ppm (cosine itself needs a
+    sqrt; squaring is rank-equivalent and hashes), ties broken by item
+    id.  The "customers who bought X also bought" primitive.
+
+    Scale: reuses the support-filtered pair aggregate (basket-bounded
+    self-join); per-item ranking is a WindowGroupLimit over the pair
+    table — no new corpus pass.
+    """
+    pair_n = (
+        _pairs(spark, sf_dir)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MINSUP_ORDERS)
+        .localCheckpoint(eager=False)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    part_n = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").alias("n_p")
+    )
+    directed = pair_n.select(
+        F.col("p1").alias("item"), F.col("p2").alias("other"), "n_ab"
+    ).unionAll(
+        pair_n.select(
+            F.col("p2").alias("item"), F.col("p1").alias("other"), "n_ab"
+        )
+    )
+    scored = (
+        directed.join(part_n.toDF("item", "n_a"), "item")
+        .join(part_n.toDF("other", "n_b"), "other")
+        .select(
+            "item",
+            "other",
+            "n_ab",
+            F.expr("n_ab * n_ab * 1000000 div (n_a * n_b)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cos2_ppm").desc(), "other")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= CF_TOP_N)
+        .select("item", "rnk", "other", "n_ab", "cos2_ppm")
+        .orderBy("item", "rnk")
     )

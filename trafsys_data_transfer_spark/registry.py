@@ -224,6 +224,7 @@ _PRIORITY = (
     "streaming_view_click_leftjoin",
     "traffic_uptime_coverage",
     "events_time_to_convert",
+    "basket_item_similarity",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

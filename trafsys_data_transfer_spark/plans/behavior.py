@@ -293,3 +293,69 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_sec"),
         F.max("ttc_sec").alias("max_sec"),
     )
+
+
+PATH_LEN = 3
+PATH_TOP_N = 20
+
+
+@register(
+    "events_path_mining",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 2) OVER w AS t0,
+               LAG(event_type, 1) OVER w AS t1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT t0 || '>' || t1 || '>' || event_type AS path, COUNT(*) AS n
+        FROM seq WHERE t0 IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM paths),
+    ranked AS (
+        SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+        FROM paths
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, path, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+    FROM ranked, tot
+    WHERE rnk <= {PATH_TOP_N}
+    ORDER BY rnk
+    """,
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the top-20 most-travelled length-3
+    event-type paths across all per-user timelines, with exact ppm
+    share.  Complements the Markov matrix (aggregated one-step
+    transitions) with the actual multi-step journeys — the input to
+    funnel DISCOVERY, where the funnel operators assume the steps are
+    already known.
+
+    Scale: one user-keyed window (two lags share the single Exchange +
+    Sort), then an O(types^3)-bounded path aggregate; ranking is a
+    WindowGroupLimit over that tiny table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    ).filter(F.col("t0").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "t0", "t1", "t2").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = paths.agg(F.sum("n").alias("total"))
+    rnk_w = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
+        .filter(F.col("rnk") <= PATH_TOP_N)
+        .join(F.broadcast(tot))
+        .select(
+            "rnk", "path", "n", F.expr("n * 1000000 div total").alias("share_ppm")
+        )
+        .orderBy("rnk")
+    )

@@ -225,6 +225,7 @@ _PRIORITY = (
     "traffic_uptime_coverage",
     "events_time_to_convert",
     "basket_item_similarity",
+    "events_path_mining",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -107,6 +107,7 @@ WORK_IN_BUILD = {
     "streaming_cusum_changepoints",
     "graph_kcore_members",
     "streaming_view_click_leftjoin",
+    "streaming_growth_accounting",
 }
 
 

@@ -462,3 +462,42 @@ def test_leftjoin_stream_emits_unmatched_views_via_watermark_eviction(
     ev = load_table(spark, sf_dir, "events")
     n_views = ev.filter(F.col("event_type") == "view").count()
     assert out.select("view_id").distinct().count() == n_views
+
+
+def test_streaming_growth_classifies_across_slice_boundaries(spark):
+    """A user active on days 1-2 (slice 1) and day 4 (slice 3) must be
+    new -> retained -> resurrected, with the resurrection decided by
+    STATE carried across micro-batches."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from trafsys_data_transfer_spark.plans import growth as bg
+    from trafsys_data_transfer_spark.streaming import queries as sq
+
+    rows = []
+    eid = 0
+    for day in (1, 2, 4):
+        for uid in (1, 2):
+            if uid == 2 and day == 4:
+                continue  # user 2 churns after day 2
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=uid, event_type="view",
+                            ts=dt.datetime(2024, 1, day, 12), value=0.0,
+                            props="{}"))
+    df = spark.createDataFrame(rows)
+    orig_b, orig_q = bg.load_table, sq.load_table
+    try:
+        bg.load_table = lambda _s, _d, name: df
+        sq.load_table = lambda _s, _d, name: df
+        batch = bg.events_growth_accounting(spark, "unused").collect()
+        stream = sq.streaming_growth_accounting(spark, "unused").collect()
+    finally:
+        bg.load_table = orig_b
+        sq.load_table = orig_q
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    by_day = {r["day"].day: r for r in stream}
+    assert by_day[1]["new_users"] == 2
+    assert by_day[2]["retained"] == 2
+    assert by_day[4]["resurrected"] == 1
+    assert by_day[4]["churned_from_prev"] == 2  # day-2 actives not on day 3

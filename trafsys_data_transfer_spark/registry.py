@@ -226,6 +226,7 @@ _PRIORITY = (
     "events_time_to_convert",
     "basket_item_similarity",
     "events_path_mining",
+    "streaming_growth_accounting",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -1,0 +1,82 @@
+"""Streaming growth accounting — ``applyInPandasWithState``.
+
+The streaming twin of :func:`plans.growth.events_growth_accounting`: each
+user's last-active-day lives in keyed state across micro-batches, so
+every (user, day) activation classifies as NEW / RETAINED / RESURRECTED
+the moment it streams in — growth metrics at ingest latency.  The per-day
+rollup (plus churn and cumulative, which need cross-user day-grain
+windows) happens batch-side over the drained classifications, exactly the
+split the trending operator makes (rank) and for the same reason:
+cross-key aggregation isn't a keyed-state concern.
+
+Staging day-slices the feed (the CUSUM pattern, no sentinels needed —
+classification never depends on silent days), so a user active in two
+slices exercises real cross-batch state.
+
+Scale: state is ONE integer (epoch day) per user; each micro-batch
+shuffles only its own rows to their key's state partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+GROWTH_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("epoch_day", LongType()),
+        StructField("cls", StringType()),
+    ]
+)
+
+GROWTH_STATE_SCHEMA = StructType([StructField("last_day", LongType())])
+
+
+def _growth_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    days: set[int] = set()
+    for pdf in pdf_iter:
+        ts = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        days.update((ts // (86_400 * 1_000_000_000)).tolist())
+    (last,) = state.get if state.exists else (None,)
+    out_day, out_cls = [], []
+    for d in sorted(days):
+        if last is None:
+            cls = "new"
+        elif d == last:
+            continue  # same-day redelivery: already classified
+        elif d == last + 1:
+            cls = "retained"
+        else:
+            cls = "resurrected"
+        out_day.append(d)
+        out_cls.append(cls)
+        last = d
+    state.update((int(last),))
+    if out_day:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_day),
+                "epoch_day": out_day,
+                "cls": out_cls,
+            }
+        )
+
+
+def growth_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-(user, day) NEW/RETAINED/RESURRECTED classifications, emitted
+    as days stream in.  Input needs ``user_id`` and ``ts``."""
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _growth_fn,
+            outputStructType=GROWTH_OUT_SCHEMA,
+            stateStructType=GROWTH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

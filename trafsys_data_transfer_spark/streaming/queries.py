@@ -957,3 +957,108 @@ def streaming_view_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination()
     return spark.table(table).filter(F.col("view_id") != -1)
+
+
+def _growth_oracle() -> str:
+    from ..plans import growth as _growth  # noqa: F401
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["events_growth_accounting"].oracle
+
+
+@register("streaming_growth_accounting", oracle=_growth_oracle())
+def streaming_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_growth_accounting``: each user's
+    last-active-day is ONE integer of keyed state; (user, day)
+    activations classify as new/retained/resurrected per micro-batch
+    (three day-sliced drops), and the day-grain rollup + churn/cumulative
+    windows run batch-side over the drained classifications.  Same
+    oracle as the batch operator — the drained stream must reproduce the
+    one-shot decomposition exactly."""
+    import datetime as dt
+
+    from .growth import growth_stream
+    from .incremental import _stream_partitions
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    d0, d1 = events.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).first()
+    n_days = (d1 - d0).days + 1
+    step = max(1, n_days // 3)
+    staging = tempfile.mkdtemp(prefix="tds_stream_growth_")
+    tmp = tempfile.mkdtemp(prefix="tds_growth_slices_")
+    (
+        events.withColumn(
+            "slice",
+            F.least(
+                F.floor(F.datediff(F.col("ts").cast("date"), F.lit(d0)) / step),
+                F.lit(2),
+            ),
+        )
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(3):
+        sdir = os.path.join(tmp, f"slice={i}")
+        if not os.path.isdir(sdir):
+            continue
+        base = 1_700_000_000 + i * 10
+        for j, f in enumerate(sorted(os.listdir(sdir))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sdir, f), dst)
+                os.utime(dst, (base, base))
+    table = f"stream_growth_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark):
+        q = (
+            growth_stream(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.table(table)
+    classified = drained.groupBy("epoch_day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.count(F.when(F.col("cls") == "new", 1)).alias("new_users"),
+        F.count(F.when(F.col("cls") == "retained", 1)).alias("retained"),
+        F.count(F.when(F.col("cls") == "resurrected", 1)).alias(
+            "resurrected"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    day_w = W.orderBy("epoch_day")
+    return (
+        classified.select(
+            F.expr("CAST(date_add(DATE '1970-01-01', CAST(epoch_day AS INT)) AS TIMESTAMP)")
+            .alias("day"),
+            "epoch_day",
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+        )
+        .withColumn(
+            "churned_from_prev",
+            F.coalesce(F.lag("dau").over(day_w), F.lit(0)) - F.col("retained"),
+        )
+        .withColumn(
+            "cumulative_users",
+            F.sum("new_users").over(
+                day_w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .drop("epoch_day")
+        .orderBy("day")
+    )

@@ -111,3 +111,33 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     plan = decontaminate_hits(tr, ev, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_decontamination_flags_edited_eval_copy(spark):
+    """A training doc that is a lightly edited copy of an eval doc must be
+    flagged; an unrelated training doc must not; eval-eval and
+    train-train near-dups are not decontamination hits."""
+    from pyspark.sql import Row
+
+    from trafsys_data_transfer_spark.operators import contamination as c
+
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = " ".join(f"w{i}" for i in range(59)) + " zz"
+    rows = [
+        Row(doc_id=1, text=base, lang="en", source="src0", n_chars=0),  # eval
+        Row(doc_id=2, text=edited, lang="en", source="src9", n_chars=0),  # train copy
+        Row(doc_id=3, text=" ".join(f"q{i}" for i in range(60)), lang="en",
+            source="src9", n_chars=0),  # unrelated train
+        Row(doc_id=4, text=edited, lang="en", source="src8", n_chars=0),  # train dup of 2
+    ]
+    df = spark.createDataFrame(rows)
+    orig = c.load_table
+    try:
+        c.load_table = lambda _s, _d, name: df
+        out = c.text_decontaminate_fuzzy(spark, "unused").collect()
+    finally:
+        c.load_table = orig
+    got = {(r["train_doc_id"], r["eval_doc_id"]) for r in out}
+    assert (2, 1) in got and (4, 1) in got  # both edited copies flagged
+    assert all(t != 3 for t, _ in got)      # unrelated never flagged
+    assert all(e == 1 for _, e in got)      # train-train pair (2,4) excluded

@@ -221,3 +221,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences, top-bigram occupancy, and duplicate-bigram fraction."""
     docs = load_table(spark, sf_dir, "documents")
     return repetition_stats(docs).orderBy("doc_id")
+
+
+@register("text_decontaminate_fuzzy")  # rows-only: MinHash isn't ANSI-SQL
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: training documents that are
+    near-duplicates of an eval document (MinHash-LSH candidates, exact
+    Jaccard ≥ 0.7 verify) — the tier the exact n-gram overlap
+    (``text_decontaminate``) cannot see once an eval item has been
+    paraphrased, re-wrapped or lightly edited (the Llama-style MinHash
+    decontamination recipe).
+
+    Composes ``minhash_near_dups`` over the full corpus, then keeps only
+    pairs that CROSS the train/eval boundary — the banding, candidate
+    bounding and verify plan (and its scale posture) are exactly the
+    dedup family's; only the boundary filter and the flag orientation
+    (which side is the training doc) are new.
+
+    Output: one row per (train doc, matching eval doc) with the exact
+    Jaccard — downstream either drops the doc or audits the match.
+    """
+    from .dedup import minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.7)
+    src = docs.select("doc_id", F.col("source").isin(*EVAL_SOURCES).alias("is_eval"))
+    flagged = (
+        pairs.join(src.toDF("id_a", "eval_a"), "id_a")
+        .join(src.toDF("id_b", "eval_b"), "id_b")
+        .filter(F.col("eval_a") != F.col("eval_b"))
+        .select(
+            F.when(F.col("eval_a"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_doc_id"),
+            F.when(F.col("eval_a"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("eval_doc_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return flagged.orderBy("train_doc_id", "eval_doc_id")

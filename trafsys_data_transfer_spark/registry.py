@@ -227,6 +227,7 @@ _PRIORITY = (
     "basket_item_similarity",
     "events_path_mining",
     "streaming_growth_accounting",
+    "text_decontaminate_fuzzy",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -238,30 +238,54 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v is not None]
     total = round(sum(ok), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_exec": exec_only,
-                "exec_total_sec": round(sum(exec_only.values()), 4),
-                "bench_runs": BENCH_RUNS,
-                "errors": errors,
-                "failed": len(errors),
-                "total_is_partial": bool(errors),
-                "canary": CANARY,
-                "canary_ref_sec": round(canary_ref, 4),
-                "canary_baseline_sec": CANARY_BASELINE_SEC,
-                "host_contended_at_start": host_contended_at_start,
-                "canary_samples": canary_samples,
-                "contended_reruns": contended_reruns,
-                "loadavg1": loadavg,
-                "sf": sf,
-            }
-        )
+    worst5 = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:5]
     )
+    # Field ORDER is load-bearing (VERDICT r05 #1): the driver captures only
+    # the LAST 2000 chars of this line, so the big per-query maps go FIRST
+    # and every summary scalar the driver needs (totals, canary, errors,
+    # contention state) goes LAST, guaranteed inside the tail window.
+    payload = {
+        # -- big maps first (sacrificial under tail truncation) --
+        "queries": timings,
+        "queries_exec": exec_only,
+        "loadavg1": loadavg,
+        "canary_samples": canary_samples,
+        # -- summary tail: everything below fits well inside 2000 chars --
+        "errors": errors,
+        "contended_reruns": contended_reruns,
+        "worst5_wall_sec": worst5,
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "exec_total_sec": round(sum(exec_only.values()), 4),
+        "n_queries": len(timings),
+        "bench_runs": BENCH_RUNS,
+        "failed": len(errors),
+        "total_is_partial": bool(errors),
+        "canary": CANARY,
+        "canary_ref_sec": round(canary_ref, 4),
+        "canary_baseline_sec": CANARY_BASELINE_SEC,
+        "host_contended_at_start": host_contended_at_start,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # Belt-and-braces: persist the complete artifact in-repo so no tail
+    # capture is ever the only record of a round's numbers.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -28,7 +28,10 @@ def test_priority_window_front_loads_every_family():
         "traffic_hourly_rollup",
         "traffic_merge_upsert",
         "streaming_hourly_rollup",
-        "dedup_minhash_lsh",
+        # dedup family: the hash-checked ground-truth audit holds the window
+        # row since the round-6 all-strict curation (minhash_lsh, rows-only,
+        # sits past the window with its pytest recall gate)
+        "dedup_ngram_jaccard",
         "text_curation_pipeline",
         "sim_topk_bruteforce",
         # multimodal family: decode (real-codec round trip) holds the
@@ -45,6 +48,18 @@ def test_priority_window_front_loads_every_family():
         "layout_compaction",
     ):
         assert family_member in window, f"{family_member} outside 50-row window"
+
+
+def test_priority_window_is_all_strict_oracle():
+    """VERDICT r05 task 2/7: the driver's 50-row scorecard records rows-only
+    queries as `err`, so every query inside the window must carry a strict
+    DuckDB oracle.  Locks the round-6 curation against future rotations."""
+    qs = all_queries()
+    rows_only = [n for n in list(qs)[:50] if qs[n].oracle is None]
+    assert rows_only == [], (
+        f"rows-only queries inside the driver's 50-row window: {rows_only}; "
+        "swap in a strict-oracle family representative instead"
+    )
 
 
 def test_all_queries_is_ordered_by_priority():

@@ -100,3 +100,37 @@ def test_ab_test_flags_planted_effect_and_not_null_effect(spark):
 def test_ab_test_fixture_uniform_generator_not_significant(spark, sf_dir):
     out = abtest.events_ab_test(spark, sf_dir).collect()
     assert out and not any(r["significant"] for r in out)
+
+
+def test_ab_test_z2_exact_past_bigint_headroom(spark):
+    """ADVICE r05 #5 regression: at arm sizes where the old BIGINT form
+    overflowed (~55 k users/arm), the DECIMAL(38,0) expression must
+    return the exact floor-divided statistic, matching Python's
+    arbitrary-precision integers, in both engines."""
+    import duckdb
+
+    cases = [
+        (600_000, 100_000, 1_000_000, 1_000_000),    # big effect, 1M/arm
+        (100_000, 100_200, 70_000_000, 70_000_000),  # tiny diff, huge n
+        (55_000, 1_000, 60_000, 60_000),             # just past old bound
+    ]
+    duck_expr = abtest.Z2_EXPR.replace(
+        "DECIMAL(38,0)", "HUGEINT"
+    ).replace(" div ", " // ")
+    for c1, c2, n1, n2 in cases:
+        want = ((c1 * n2 - c2 * n1) ** 2 * (n1 + n2) * 1_000_000) // (
+            n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+        )
+        got = (
+            spark.createDataFrame(
+                [(c1, c2, n1, n2)], "c1 long, c2 long, n1 long, n2 long"
+            )
+            .selectExpr(f"{abtest.Z2_EXPR} AS z2")
+            .first()["z2"]
+        )
+        assert got == want, (c1, c2, n1, n2, got, want)
+        duck = duckdb.sql(
+            f"SELECT CAST({duck_expr} AS BIGINT) AS z2 FROM (SELECT "
+            f"{c1} AS c1, {c2} AS c2, {n1} AS n1, {n2} AS n2)"
+        ).fetchone()[0]
+        assert duck == want, (c1, c2, n1, n2, duck, want)

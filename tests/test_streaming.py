@@ -237,6 +237,34 @@ class _FakeState:
         self._v = v
 
 
+def test_growth_state_fn_ignores_out_of_order_replay():
+    """ADVICE r05 #2 regression: a replayed or out-of-order micro-batch
+    delivering a day at or before the stored last-active-day must be a
+    no-op — state never moves backward, later classifications unchanged."""
+    import pandas as pd
+
+    from trafsys_data_transfer_spark.streaming.growth import _growth_fn
+
+    def batch(day_list):
+        return pd.DataFrame(
+            {"ts": [pd.Timestamp(1970, 1, 1) + pd.Timedelta(days=d)
+                    for d in day_list]}
+        )
+
+    st = _FakeState()
+    out1 = list(_growth_fn((7,), iter([batch([100, 101])]), st))
+    assert out1[0]["cls"].tolist() == ["new", "retained"]
+    assert st.get == (101,)
+    # replay of day 100 (and a stale day 99): both skipped, state intact
+    out2 = list(_growth_fn((7,), iter([batch([99, 100])]), st))
+    assert out2 == []
+    assert st.get == (101,)
+    # next genuine day still classifies correctly off the unmoved state
+    out3 = list(_growth_fn((7,), iter([batch([103])]), st))
+    assert out3[0]["cls"].tolist() == ["resurrected"]
+    assert st.get == (103,)
+
+
 def test_scd2_state_fn_cross_batch_versions():
     import pandas as pd
 
@@ -441,6 +469,50 @@ def test_streaming_cusum_equals_batch_across_slice_boundaries(spark):
         drift.load_table = orig_d
         sq.load_table = orig_q
     assert batch, "planted shift must flag in batch"
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
+def test_streaming_cusum_frontier_capped_at_batch_spine_end(spark):
+    """ADVICE r05 #1 regression: the final slice's sentinel sits at
+    end-of-day, but the batch spine stops at the global max event hour h1.
+    With the last event mid-day and the statistic still above the limit,
+    an uncapped fold would flag hours h1+1..23 that the batch recurrence
+    never evaluates.  The fold must cap its frontier at h1."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from trafsys_data_transfer_spark.operators import drift
+    from trafsys_data_transfer_spark.streaming import queries as sq
+
+    rows, eid = [], 0
+    # days 1-2: flat 2/h for all 24 h; day 3: 12/h for hours 0-11 ONLY —
+    # h1 lands at day-3 hour 11 while the sentinel lands at hour 23, and
+    # the planted shift leaves the statistic far above the 5-sigma limit
+    # at h1 (decay needs ~15 silent hours to drop below it).
+    for day, hours, per in ((1, 24, 2), (2, 24, 2), (3, 12, 12)):
+        for i in range(hours):
+            base = dt.datetime(2024, 1, day) + dt.timedelta(hours=i)
+            for j in range(per):
+                eid += 1
+                rows.append(Row(event_id=eid, user_id=1, event_type="view",
+                                ts=base + dt.timedelta(minutes=j),
+                                value=0.0, props="{}"))
+    df = spark.createDataFrame(rows)
+    orig_d, orig_q = drift.load_table, sq.load_table
+    try:
+        drift.load_table = lambda _s, _d, name: df
+        sq.load_table = lambda _s, _d, name: df
+        batch = drift.events_cusum_changepoints(spark, "unused").collect()
+        stream = sq.streaming_cusum_changepoints(spark, "unused").collect()
+    finally:
+        drift.load_table = orig_d
+        sq.load_table = orig_q
+    assert batch, "planted shift must flag in batch"
+    h1 = max(r["epoch_hour"] for r in batch)
+    assert all(r["epoch_hour"] <= h1 for r in stream), (
+        "stream flagged hours past the batch spine end h1"
+    )
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
 
 

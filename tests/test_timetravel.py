@@ -101,6 +101,75 @@ def test_replace_granularity_requires_partition_alignment(spark, tmp_path):
     assert got == {("b", "d2", 20)}  # d1 row gone: misaligned files drop whole
 
 
+def test_commit_cleans_staging_dirs(spark, tmp_path):
+    """ADVICE r05 #4: the staging flatten must remove its _stage_<id>
+    directory (and its _SUCCESS marker) after the moves — stage skeletons
+    must not accumulate under data/ across commits."""
+    table = str(tmp_path / "t")
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir)
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    versioned_commit(spark, _df(spark, [("b", "d2", 2)]), table)
+    leftovers = [n for n in os.listdir(data_dir) if n.startswith("_stage_")]
+    assert leftovers == []
+    # every remaining entry is a live data file, readable via the manifest
+    assert all(n.endswith(".parquet") for n in os.listdir(data_dir))
+
+
+def test_concurrent_committers_linearize_via_cas_rebase(spark, tmp_path):
+    """VERDICT r05 task 4: two interleaved committers — B commits while A
+    sits between manifest computation and its CAS claim.  A must LOSE the
+    claim on that version number, rebase onto B's manifest, and land as
+    the next version; both histories linearizable (each version extends
+    the previous one's live set)."""
+    import json
+
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        _manifest_path,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _df(spark, [("base", "d0", 0)]), table)
+
+    b_done = {"fired": False}
+
+    def interleave_b(_version):
+        # Runs after A computed its v2 manifest, before A's claim: B's
+        # whole commit executes here and wins v2.
+        if not b_done["fired"]:
+            b_done["fired"] = True
+            got = versioned_commit(spark, _df(spark, [("b", "d2", 2)]), table)
+            assert got == 2
+
+    v_a = versioned_commit(
+        spark,
+        _df(spark, [("a", "d1", 1)]),
+        table,
+        _pre_claim_hook=interleave_b,
+    )
+    assert b_done["fired"]
+    assert v_a == 3, "loser must rebase past the winner's version"
+    assert table_versions(spark, table) == [1, 2, 3]
+    # linearizable: each manifest extends the one before it
+    files = {
+        v: set(json.load(open(_manifest_path(table, v)))["files"])
+        for v in (1, 2, 3)
+    }
+    assert files[1] < files[2] < files[3]
+    # final state holds all three writers' rows
+    assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
+        ("base", "d0", 0),
+        ("b", "d2", 2),
+        ("a", "d1", 1),
+    }
+    # and the intermediate version is exactly base + B
+    assert {tuple(r) for r in versioned_read(spark, table, 2).collect()} == {
+        ("base", "d0", 0),
+        ("b", "d2", 2),
+    }
+
+
 def test_version_errors(spark, tmp_path):
     table = str(tmp_path / "t")
     os.makedirs(os.path.join(table, "data"))

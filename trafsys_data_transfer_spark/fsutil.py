@@ -87,3 +87,28 @@ def list_data_files(spark: SparkSession, path_str: str) -> list[tuple[str, int]]
 def dir_data_bytes(spark: SparkSession, path_str: str) -> int:
     """Total bytes of data files under ``path_str`` (metadata excluded)."""
     return sum(size for _, size in list_data_files(spark, path_str))
+
+
+_PROCESS_STAGING_BASE: str | None = None
+
+
+def process_staging_dir(*parts: str) -> str:
+    """A staging path unique to THIS process: ``mkdtemp`` base (0700,
+    unguessable — concurrent sessions on the same fixture can't race each
+    other's overwrites, and a well-known /tmp name can't be squatted;
+    ADVICE r05 #3), created once per process and removed at exit so
+    repeated invocations inside one bench/verify run reuse a single
+    directory instead of leaking tmpdirs.  ``parts`` subdivide the base
+    (e.g. ``("bm25", "sf0.01")``)."""
+    global _PROCESS_STAGING_BASE
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _PROCESS_STAGING_BASE is None:
+        _PROCESS_STAGING_BASE = tempfile.mkdtemp(prefix="tds_stage_")
+        atexit.register(
+            shutil.rmtree, _PROCESS_STAGING_BASE, ignore_errors=True
+        )
+    return os.path.join(_PROCESS_STAGING_BASE, *parts)

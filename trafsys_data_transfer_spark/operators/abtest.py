@@ -19,9 +19,17 @@ hash-checks across engines:
   the 1.96σ boundary would drag an irrational constant through the
   comparison).
 
-BIGINT headroom: the numerator is (c₁n₂ − c₂n₁)²·N ≤ (n₁n₂)²·N — safe
-while n₁n₂ < 3·10⁹ (≈55 k users per arm).  Beyond that, move the ratio
-to DECIMAL(38) — the metric join shape is unchanged.
+Numeric headroom (ADVICE r05 #5): the ratio is computed in DECIMAL(38,0)
+on the Spark side and HUGEINT (128-bit) on the DuckDB side — both exact
+integer arithmetic with ~10³⁸ of numerator headroom, then ``div``-floored
+back to BIGINT.  The binding constraint is d²·N·10⁶ < 10³⁸ with
+d = c₁n₂ − c₂n₁ = n²·Δp for equal arms of size n and a conversion-rate
+gap Δp: safe through ~10⁶ users per arm at a 50-point gap, ~10⁷ at a
+1-point gap (vs ~5·10⁴ for the old BIGINT form).  Past the bound Spark's
+decimal overflow raises under ANSI mode (and yields NULL with ANSI off)
+— never a silently wrapped wrong number; the exact-ppm contract would
+need a reduced-fraction or float fallback tier before arms grow past
+tens of millions of users, at which point z-tests are academic anyway.
 
 Scale: one conditional aggregation per (event_type) over a per-user
 rollup — two key shuffles total (user grain, then metric grain),
@@ -38,6 +46,19 @@ from ..sources.fixtures import load_table
 
 #: z² significance threshold: 4 = the 2σ level, exact in integers.
 Z2_THRESHOLD = 4
+
+#: Exact pooled z²×1e6 over columns (c1, c2, n1, n2) — DECIMAL(38,0)
+#: keeps the whole ratio exact far past BIGINT's range (see module
+#: docstring); `div` floor-divides decimals back to BIGINT.
+Z2_EXPR = (
+    "CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0"
+    " THEN (CAST(c1 AS DECIMAL(38,0))*n2 - CAST(c2 AS DECIMAL(38,0))*n1)"
+    "      * (CAST(c1 AS DECIMAL(38,0))*n2 - CAST(c2 AS DECIMAL(38,0))*n1)"
+    "      * (n1 + n2) * 1000000"
+    "      div (CAST(n1 AS DECIMAL(38,0)) * n2 * (c1 + c2)"
+    "           * (n1 + n2 - c1 - c2))"
+    " ELSE CAST(0 AS BIGINT) END"
+)
 
 
 @register(
@@ -69,13 +90,19 @@ Z2_THRESHOLD = 4
            CAST(c1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
            CAST(c2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
            CAST(CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0
-                THEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) * 1000000
-                     // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))
+                THEN (CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1)
+                     * (CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1)
+                     * (n1 + n2) * 1000000
+                     // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+                         * (n1 + n2 - c1 - c2))
                 ELSE 0 END AS BIGINT) AS z2_ppm,
-           CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0
-                THEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) * 1000000
-                     // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))
-                ELSE 0 END > {Z2_THRESHOLD} * 1000000 AS significant
+           CAST(CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0
+                THEN (CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1)
+                     * (CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1)
+                     * (n1 + n2) * 1000000
+                     // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+                         * (n1 + n2 - c1 - c2))
+                ELSE 0 END AS BIGINT) > {Z2_THRESHOLD} * 1000000 AS significant
     FROM wide
     ORDER BY event_type
     """,
@@ -116,12 +143,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("n"))
         .toDF("n1", "n2")
     )
-    z2 = (
-        "CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0"
-        " THEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) * 1000000"
-        "      div (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))"
-        " ELSE CAST(0 AS BIGINT) END"
-    )
+    z2 = Z2_EXPR
     return (
         wide.join(F.broadcast(arms))
         .select(

@@ -576,14 +576,14 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from the skinny index join, Jaccard verify on candidate
     text.  Probe == direct cross-group pairs is asserted in tests."""
     import os
-    import tempfile
+
+    from ..fsutil import process_staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
     corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"tds_mhindex_{os.path.basename(os.path.normpath(sf_dir))}",
+    path = process_staging_dir(
+        f"mhindex_{os.path.basename(os.path.normpath(sf_dir))}",
         "minhash_bands",
     )
     minhash_index_write(corpus, path)

@@ -33,7 +33,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import dir_data_bytes, list_data_files, swap_directories
+from ..fsutil import (
+    dir_data_bytes,
+    list_data_files,
+    process_staging_dir,
+    swap_directories,
+)
 from ..registry import register
 from ..sources.fixtures import load_table
 
@@ -152,12 +157,11 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value", "props"
     )
-    # Fixed per-sf staging path, overwritten on every run: repeated driver /
-    # bench / verify invocations reuse one directory instead of leaking a
-    # fresh mkdtemp copy of `events` into /tmp each time.
-    staging = os.path.join(
-        tempfile.gettempdir(),
-        f"tds_layout_{os.path.basename(os.path.normpath(sf_dir))}",
+    # Per-sf staging under the process-unique mkdtemp base: repeated
+    # invocations in one process reuse a single directory (no tmpdir leak)
+    # and concurrent sessions can't race each other's overwrites.
+    staging = process_staging_dir(
+        f"layout_{os.path.basename(os.path.normpath(sf_dir))}",
         "events_smallfiles",
     )
     events.repartition(64).write.mode("overwrite").parquet(staging)
@@ -234,9 +238,8 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value", "props"
     )
-    staging = os.path.join(
-        tempfile.gettempdir(),
-        f"tds_zorder_{os.path.basename(os.path.normpath(sf_dir))}",
+    staging = process_staging_dir(
+        f"zorder_{os.path.basename(os.path.normpath(sf_dir))}",
         "events_zordered",
     )
     zorder_by(events, ["user_id", "value"], n_files=8).write.mode(

@@ -238,12 +238,12 @@ def text_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip (including the denormalized dl and sidecar stats) loses
     nothing vs the inline corpus explode."""
     import os
-    import tempfile
+
+    from ..fsutil import process_staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"tds_bm25index_{os.path.basename(os.path.normpath(sf_dir))}",
+    path = process_staging_dir(
+        f"bm25index_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     bm25_index_write(docs, path)
     return bm25_index_probe(spark, path)

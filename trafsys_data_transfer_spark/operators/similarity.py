@@ -1258,15 +1258,18 @@ def pq_index_probe(
 
 
 def _index_staging(kind: str, sf_dir: str) -> str:
-    """Fixed per-sf staging path, overwritten on every build — repeated
-    driver/bench/verify invocations reuse one directory (the layout-
-    operator convention) instead of leaking tmpdirs."""
+    """Per-sf staging path under the process-unique mkdtemp base —
+    repeated invocations inside one driver/bench/verify process reuse a
+    single directory (no tmpdir leak) while concurrent sessions on the
+    same fixture can never race each other's overwrites (ADVICE r05 #3)."""
     import os
-    import tempfile
+
+    from ..fsutil import process_staging_dir
 
     return os.path.join(
-        tempfile.gettempdir(),
-        f"tds_simindex_{os.path.basename(os.path.normpath(sf_dir))}",
+        process_staging_dir(
+            f"simindex_{os.path.basename(os.path.normpath(sf_dir))}"
+        ),
         kind,
     )
 

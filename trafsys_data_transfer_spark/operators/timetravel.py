@@ -11,10 +11,13 @@ minimal same-shaped contract on the engine's own primitives:
   ``<table>/data/`` and NEVER rewritten or deleted by later commits.
 * A commit is one JSON manifest ``<table>/_manifests/v{N}.json`` naming
   the complete live file set for that version — written AFTER its data
-  files (readers either see the manifest and all its files, or neither;
-  the single-writer assumption of ``fsutil`` applies, and the
-  multi-writer upgrade path is a real Delta/Iceberg commit protocol, as
-  documented there).
+  files (readers either see the manifest and all its files, or neither).
+  The manifest claim is an optimistic-concurrency CAS (atomic
+  link-if-absent) with rebase-and-retry, so CONCURRENT writers are safe
+  on this tier: exactly one writer wins each version number and every
+  loser recomputes its live set on top of the winner's manifest — the
+  Delta/Iceberg commit shape on POSIX primitives (see
+  :func:`versioned_commit`).
 * ``read(version=None)`` resolves latest-or-pinned manifest and reads
   exactly its files — an O(1) metadata hop, no directory listing of
   data, so stale files from abandoned writes are invisible.
@@ -30,15 +33,19 @@ the storage layer.
 
 Deliberate scope bound: manifest IO and the staging flatten use local
 ``os`` calls (unlike the ``fsutil``-routed sinks) — this is the
-single-writer LOCAL/POSIX tier of the contract, and the documented
-upgrade for object storage / multi-writer is adopting a real Delta /
-Iceberg commit protocol, not re-implementing one here.
+LOCAL/POSIX tier of the contract (multi-writer-safe via the CAS claim;
+the link-if-absent primitive is atomic on POSIX and HDFS but not on
+plain S3, where the upgrade is a real Delta / Iceberg commit protocol
+or an S3 conditional-PUT, not more rename choreography).  The parquet
+MERGE sink in ``operators/merge.py`` remains the one single-writer
+component (its rename swap replaces state in place).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -70,6 +77,11 @@ def table_versions(spark: SparkSession, table_dir: str) -> list[int]:
     )
 
 
+#: Bounded optimistic-concurrency retries: each loser of a commit race
+#: rebases onto the winner's manifest and tries the next version number.
+COMMIT_CAS_RETRIES = 16
+
+
 def versioned_commit(
     spark: SparkSession,
     df: DataFrame,
@@ -77,6 +89,7 @@ def versioned_commit(
     replace: bool = False,
     carry_unreplaced=None,
     partition_by: str | None = None,
+    _pre_claim_hook=None,
 ) -> int:
     """Commit ``df`` as the next version.
 
@@ -92,35 +105,25 @@ def versioned_commit(
     must duplicate a data column (it is consumed by the partitioned
     write; the data column keeps the value readable per file).  Data
     files are never mutated.
-    """
-    prev = table_versions(spark, table_dir)
-    prev_files: list[str] = []
-    if prev:
-        with open(_manifest_path(table_dir, prev[-1])) as fh:
-            prev_files = json.load(fh)["files"]
-    if replace and carry_unreplaced is not None and prev_files:
-        # ONE scan decides every file's fate: tag rows with their source
-        # file, keep files with zero rows outside the carry predicate.
-        bad = {
-            os.path.basename(r["f"])
-            for r in (
-                spark.read.parquet(
-                    *[os.path.join(table_dir, "data", f) for f in prev_files]
-                )
-                .withColumn("f", F.input_file_name())
-                .filter(~carry_unreplaced)
-                .select("f")
-                .distinct()
-                .collect()
-            )
-        }
-        prev_files = [f for f in prev_files if f not in bad]
-    elif replace and carry_unreplaced is None:
-        prev_files = []
 
-    # land the new data files under a unique commit prefix; a partitioned
-    # staging write yields one subtree per key, flattened into unique
-    # names so the manifest stays a plain file list
+    MULTI-WRITER SAFETY (optimistic concurrency, the Delta/Iceberg shape
+    on POSIX primitives): data files land under a commit-unique prefix,
+    so concurrent writers never collide on data.  The manifest claim is a
+    compare-and-swap — ``os.link(tmp, v{N}.json)`` atomically fails if
+    another writer already committed N — and a losing writer REBASES:
+    re-reads the winner's manifest, recomputes its live set (append adds
+    on top of the winner's files; replace re-evaluates the carry scan
+    against them), and retries at N+1, bounded by COMMIT_CAS_RETRIES.
+    Histories are therefore linearizable: every manifest extends the one
+    it was claimed against.
+
+    ``_pre_claim_hook`` (tests only) runs after the manifest is computed
+    but before the claim, making commit races deterministic to stage.
+    """
+    # Stage the new data files ONCE under a unique commit prefix (they are
+    # version-number independent, so CAS retries never rewrite data); a
+    # partitioned staging write yields one subtree per key, flattened into
+    # unique names so the manifest stays a plain file list.
     commit_id = uuid.uuid4().hex[:12]
     staging = os.path.join(table_dir, "data", f"_stage_{commit_id}")
     writer = df.write.mode("overwrite")
@@ -128,25 +131,80 @@ def versioned_commit(
         writer = writer.partitionBy(partition_by)
     writer.parquet(staging)
     new_files = []
+    moves = []  # (src, final_name) — verified complete before any manifest
     for root, _dirs, names in os.walk(staging):
         for name in names:
             if not name.endswith(".parquet"):
                 continue
             rel = os.path.relpath(os.path.join(root, name), staging)
             token = rel.replace(os.sep, "~").replace("=", "_")
-            final = f"{commit_id}-{token}"
-            os.replace(
-                os.path.join(root, name), os.path.join(table_dir, "data", final)
-            )
-            new_files.append(final)
-    version = (prev[-1] + 1) if prev else 1
-    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    manifest = {"version": version, "files": sorted(prev_files + new_files)}
-    tmp = _manifest_path(table_dir, version) + f".tmp{commit_id}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(table_dir, version))
-    return version
+            moves.append((os.path.join(root, name), f"{commit_id}-{token}"))
+    for src, final in moves:
+        os.replace(src, os.path.join(table_dir, "data", final))
+        new_files.append(final)
+    # Every move verified in place before any manifest can reference them
+    # (a crash above leaves only never-referenced files + the stage dir,
+    # both invisible to readers); then drop the exhausted staging tree so
+    # _stage_* skeletons and _SUCCESS markers don't accumulate under
+    # data/ across commits (ADVICE r05 #4).
+    missing = [
+        f for _, f in moves
+        if not os.path.exists(os.path.join(table_dir, "data", f))
+    ]
+    if missing:
+        raise IOError(f"staging flatten incomplete, aborting commit: {missing}")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    for _attempt in range(COMMIT_CAS_RETRIES):
+        prev = table_versions(spark, table_dir)
+        prev_files: list[str] = []
+        if prev:
+            with open(_manifest_path(table_dir, prev[-1])) as fh:
+                prev_files = json.load(fh)["files"]
+        if replace and carry_unreplaced is not None and prev_files:
+            # ONE scan decides every file's fate: tag rows with their
+            # source file, keep files with zero rows outside the carry
+            # predicate.  Re-runs on rebase — the winner's files must be
+            # re-judged against the predicate too.
+            bad = {
+                os.path.basename(r["f"])
+                for r in (
+                    spark.read.parquet(
+                        *[os.path.join(table_dir, "data", f) for f in prev_files]
+                    )
+                    .withColumn("f", F.input_file_name())
+                    .filter(~carry_unreplaced)
+                    .select("f")
+                    .distinct()
+                    .collect()
+                )
+            }
+            prev_files = [f for f in prev_files if f not in bad]
+        elif replace and carry_unreplaced is None:
+            prev_files = []
+
+        version = (prev[-1] + 1) if prev else 1
+        os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+        manifest = {"version": version, "files": sorted(prev_files + new_files)}
+        tmp = _manifest_path(table_dir, version) + f".tmp{commit_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        if _pre_claim_hook is not None:
+            _pre_claim_hook(version)
+        try:
+            # CAS: hard-link is atomic and FAILS if v{N}.json exists —
+            # exactly one writer wins each version number.
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: rebase onto the winner and retry
+        os.unlink(tmp)
+        return version
+    raise IOError(
+        f"commit lost {COMMIT_CAS_RETRIES} consecutive CAS races on "
+        f"{table_dir}; giving up (staged files {commit_id}-* remain "
+        "unreferenced and invisible to readers)"
+    )
 
 
 def versioned_read(

@@ -83,6 +83,7 @@ def cusum_profile(events) -> dict:
 def _cusum_fn(profile: dict):
     big_h = profile["H"]
     h0 = profile["h0"]
+    h1 = profile["h1"]
     series = profile["series"]
 
     def fn(key, pdf_iter, state: GroupState):
@@ -108,6 +109,12 @@ def _cusum_fn(profile: dict):
         out_h, out_s = [], []
         # Fold every hour from the last frontier to this slice's frontier —
         # zero-count hours decay the statistic exactly like the batch fold.
+        # The sentinel sits at the slice's end-of-day, which can overshoot
+        # the batch spine's global max event hour h1; cap the fold there so
+        # the stream never evaluates (and flags) hours the batch recurrence
+        # never reaches (ADVICE r05 #1).
+        if frontier is not None:
+            frontier = min(frontier, h1)
         for h in range(last_h + 1, (frontier or last_h) + 1):
             s = max(0, s + big_h * counts.get(h, 0) - tot - k)
             if s * s > limit:

@@ -13,6 +13,16 @@ Staging day-slices the feed (the CUSUM pattern, no sentinels needed —
 classification never depends on silent days), so a user active in two
 slices exercises real cross-batch state.
 
+IN-ORDER ARRIVAL REQUIRED (the same contract streaming SCD2 documents):
+micro-batches must not deliver a day earlier than one already folded into
+state.  The fold enforces this — days at or before the stored
+last-active-day are skipped rather than moving state backward, so an
+out-of-order or replayed micro-batch re-delivers no-ops instead of
+silently corrupting every subsequent classification (ADVICE r05 #2).
+The staged day-slice source satisfies the contract by construction; a
+production deployment must stage from an ordered log (or re-key by
+event-time window) the same way.
+
 Scale: state is ONE integer (epoch day) per user; each micro-batch
 shuffles only its own rows to their key's state partition.
 """
@@ -46,8 +56,11 @@ def _growth_fn(key, pdf_iter, state: GroupState):
     for d in sorted(days):
         if last is None:
             cls = "new"
-        elif d == last:
-            continue  # same-day redelivery: already classified
+        elif d <= last:
+            # Same-day redelivery OR an out-of-order/replayed earlier day:
+            # both already folded — never move state backward (see module
+            # docstring's in-order contract).
+            continue
         elif d == last + 1:
             cls = "retained"
         else:

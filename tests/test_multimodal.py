@@ -7,11 +7,13 @@ from __future__ import annotations
 import pytest
 
 from trafsys_data_transfer_spark.operators.multimodal import (
+    _parse_mp4,
     _parse_png,
     _parse_wav,
     decode_media,
     decode_table,
     synth_media_table,
+    synthesize_mp4,
     synthesize_png,
     synthesize_wav,
 )
@@ -173,8 +175,86 @@ def test_corrupt_payloads_fail_loudly():
     broken[18] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         _parse_png(bytes(broken))
-    with pytest.raises(NotImplementedError):
+    # a bare ftyp header whose declared size overruns the buffer
+    with pytest.raises(ValueError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    # genuinely codec-less formats keep the injection-point contract
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x1a\x45\xdf\xa3", "video/webm")
+
+
+def test_mp4_roundtrip_known_params():
+    b = synthesize_mp4(
+        width=640, height=360, duration_units=4500, timescale=3000, seed=4
+    )
+    p = _parse_mp4(b)
+    assert p["kind"] == "video"
+    assert p["major_brand"] == "isom"
+    assert p["width"] == 640 and p["height"] == 360
+    assert p["timescale"] == 3000 and p["duration_units"] == 4500
+    assert p["duration_sec"] == pytest.approx(1.5)
+
+
+def test_mp4_parser_handles_largesize_and_v1_headers():
+    """Spec coverage beyond what the synthesizer emits: a 64-bit
+    ``largesize`` mdat and version-1 mvhd/tkhd (64-bit times) must parse
+    to the same planted values."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    unity = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxQQIQ", 1, 0, 0, 90000, 180000)
+        + struct.pack(">ihxx", 0x00010000, 0x0100)
+        + bytes(8) + unity + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BBBBQQIxxxxQ", 1, 0, 0, 7, 0, 0, 1, 180000)
+        + bytes(8)
+        + struct.pack(">hhhxx", 0, 0, 0)
+        + unity
+        + struct.pack(">II", 1920 << 16, 1080 << 16),
+    )
+    body = b"\x00" * 16
+    largesize_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body)) + body
+    )
+    p = _parse_mp4(ftyp + box(b"moov", mvhd + box(b"trak", tkhd)) + largesize_mdat)
+    assert p["major_brand"] == "mp42"
+    assert p["width"] == 1920 and p["height"] == 1080
+    assert p["timescale"] == 90000 and p["duration_units"] == 180000
+    assert p["duration_sec"] == pytest.approx(2.0)
+
+
+def test_mp4_truncations_raise_valueerror():
+    """Every strict prefix of a valid mp4 either still contains the full
+    ftyp+moov metadata (a legal headers-only file) or raises ValueError —
+    never a struct.error / garbage parse."""
+    b = synthesize_mp4(100, 80, 2400, 1200, seed=7)
+    full = _parse_mp4(b)
+    import struct
+
+    moov_end = None
+    pos = 0
+    while pos < len(b):
+        size, btype = struct.unpack_from(">I4s", b, pos)
+        if btype == b"moov":
+            moov_end = pos + size
+        pos += size
+    for n in range(len(b)):
+        try:
+            p = _parse_mp4(b[:n])
+        except ValueError:
+            continue
+        # parse succeeded: only legal at box boundaries past moov
+        assert n >= moov_end and p == full
 
 
 def test_parsers_never_crash_on_arbitrary_bytes():
@@ -199,11 +279,37 @@ def test_parsers_never_crash_on_arbitrary_bytes():
         )
     )
     def check(b):
-        for parser in (_parse_wav, _parse_png):
+        for parser in (_parse_wav, _parse_png, _parse_mp4):
             try:
                 parser(b)
             except ValueError:
                 pass
+
+    check()
+
+
+def test_mp4_parser_never_crashes_on_arbitrary_bytes():
+    """Fuzz the box walk specifically: truncations of a valid mp4 (every
+    hostile size field a real truncated upload produces), plus junk tails
+    and random bytes — ValueError or a clean parse, nothing else."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    mp4 = synthesize_mp4(48, 32, 999, 2000, seed=11)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=96),
+            st.integers(min_value=0, max_value=len(mp4)).map(lambda n: mp4[:n]),
+            st.binary(max_size=16).map(lambda junk: mp4[: len(mp4) // 2] + junk),
+        )
+    )
+    def check(b):
+        try:
+            _parse_mp4(b)
+        except ValueError:
+            pass
 
     check()
 
@@ -215,19 +321,31 @@ def test_decode_table_roundtrips_planted_params(spark):
     mm = synth_media_table(spark, "/root/testdata/sf0.001")
     rows = decode_table(mm).collect()
     assert rows
+    kinds = set()
     for r in rows:
         d = r["doc_id"]
-        if d % 2 == 0:
+        kinds.add(r["kind"])
+        if d % 3 == 0:
             assert r["kind"] == "image"
             assert r["width"] == d % 64 + 1
             assert r["height"] == d * 3 % 48 + 1
             assert r["channels"] is None and r["n_samples"] is None
-        else:
+            assert r["duration_sec"] is None
+        elif d % 3 == 1:
             assert r["kind"] == "audio"
             assert r["channels"] == (d // 2) % 2 + 1
-            assert r["sample_rate"] == 8000 * (d % 3 + 1)
+            assert r["sample_rate"] == 8000 * ((d // 3) % 3 + 1)
             assert r["n_samples"] == d % 256 + 16
             assert r["width"] is None and r["height"] is None
+        else:
+            assert r["kind"] == "video"
+            assert r["width"] == d % 128 + 16
+            assert r["height"] == d * 5 % 96 + 16
+            assert r["duration_sec"] == pytest.approx(
+                (d % 5000 + 100) / (1000 * (d % 7 + 1))
+            )
+            assert r["channels"] is None and r["n_samples"] is None
+    assert kinds == {"image", "audio", "video"}
 
 
 def test_image_neardup_finds_every_planted_pair_and_nothing_else(spark, sf_dir):

@@ -5,14 +5,17 @@ Model: media lives in opaque ``BinaryType`` columns next to typed metadata
 run as Arrow-batched Pandas UDFs over ``mapInPandas`` so bytes cross the
 JVM↔Python boundary in columnar batches, never row-at-a-time.
 
-:func:`decode_media` ships REAL pure-stdlib codecs for the two public
-container formats that need no native libraries: RIFF/WAVE (fmt/data chunk
-walk) and PNG (signature + CRC-verified IHDR).  Formats that genuinely
-need native decoders (video/mp4) keep the documented injection-point
-behavior — a clear ``NotImplementedError`` until a codec is injected.
-The fixture generators below synthesize real-format bytes with known
-parameters, so decode is oracle-checked end to end: plant → encode →
-parse → compare against the planted values in SQL.
+:func:`decode_media` ships REAL pure-stdlib codecs for all three public
+container formats the fixtures cycle: RIFF/WAVE (fmt/data chunk walk),
+PNG (signature + CRC-verified IHDR, full five-filter pixel decode), and
+ISO-BMFF mp4 (box walk: ftyp brand, mvhd duration/timescale, tkhd
+geometry — the metadata hop ffprobe does before touching samples).
+Frame-level VIDEO decode is the one remaining native-codec slot: an
+unknown media_type still raises ``NotImplementedError`` as the documented
+ffmpeg/PIL injection point, swappable without touching the Spark
+plumbing.  The fixture generators below synthesize real-format bytes with
+known parameters, so decode is oracle-checked end to end: plant → encode
+→ parse → compare against the planted values in SQL.
 
 Scale posture: payload columns make parquet row groups large — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition is
@@ -127,19 +130,112 @@ def _parse_png(b: bytes) -> dict:
     }
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) walking ISO-BMFF boxes in
+    ``b[start:end]``.  Handles 64-bit ``largesize`` (size==1) and
+    to-end-of-file (size==0) per ISO/IEC 14496-12 §4.2; any declared size
+    that runs past the buffer, or a header that doesn't fit, raises
+    ``ValueError`` — truncated files fail loudly."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4 box header truncated")
+        size, btype = struct.unpack_from(">I4s", b, pos)
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4 largesize header truncated")
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"mp4 box {btype!r} size overruns buffer")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """Parse an ISO-BMFF (mp4) container with a pure-stdlib box walk:
+    ``ftyp`` major brand, ``moov``→``mvhd`` timescale/duration (version
+    0 and 1), first ``moov``→``trak``→``tkhd`` width/height (16.16 fixed
+    point, both versions).  Geometry/duration live in the movie header,
+    not the codec bitstream, so no native decoder is needed — this is the
+    same metadata hop MP4Box/ffprobe do before touching samples."""
+    import struct
+
+    if len(b) < 8:
+        raise ValueError("not an ISO-BMFF file (too short)")
+    brand = None
+    mvhd = None
+    tkhd = None
+    for btype, body, bend in _mp4_boxes(b, 0, len(b)):
+        if btype == b"ftyp":
+            if bend - body < 8:
+                raise ValueError("mp4 ftyp box truncated")
+            brand = b[body : body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for ctype, cbody, cend in _mp4_boxes(b, body, bend):
+                if ctype == b"mvhd" and mvhd is None:
+                    if cend - cbody < 4:
+                        raise ValueError("mp4 mvhd truncated")
+                    ver = b[cbody]
+                    if ver == 1:
+                        if cend - cbody < 32:
+                            raise ValueError("mp4 mvhd v1 truncated")
+                        ts, dur = struct.unpack_from(">IQ", b, cbody + 20)
+                    else:
+                        if cend - cbody < 20:
+                            raise ValueError("mp4 mvhd v0 truncated")
+                        ts, dur = struct.unpack_from(">II", b, cbody + 12)
+                    mvhd = (ts, dur)
+                elif ctype == b"trak" and tkhd is None:
+                    for ttype, tbody, tend in _mp4_boxes(b, cbody, cend):
+                        if ttype == b"tkhd":
+                            ver = b[tbody]
+                            need = 92 if ver == 1 else 80
+                            if tend - tbody < need + 4:
+                                raise ValueError("mp4 tkhd truncated")
+                            w16, h16 = struct.unpack_from(
+                                ">II", b, tbody + need - 4
+                            )
+                            tkhd = (w16 >> 16, h16 >> 16)
+                            break
+    if brand is None:
+        raise ValueError("mp4 missing ftyp box")
+    if mvhd is None or tkhd is None:
+        raise ValueError("mp4 missing moov/mvhd/tkhd")
+    ts, dur = mvhd
+    w, h = tkhd
+    return {
+        "kind": "video",
+        "major_brand": brand,
+        "width": w,
+        "height": h,
+        "timescale": ts,
+        "duration_units": dur,
+        "duration_sec": dur / ts if ts else 0.0,
+    }
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Decode a media payload to typed properties.
 
-    Real parsers for the stdlib-decodable formats (``audio/wav``,
-    ``image/png``); anything needing native codecs (``video/mp4`` etc.)
-    raises ``NotImplementedError`` — the documented injection point for a
-    production deployment's ffmpeg/PIL, swappable without touching the
-    Spark plumbing."""
+    Real pure-stdlib parsers for all three fixture formats: ``audio/wav``
+    (RIFF chunk walk), ``image/png`` (CRC-verified IHDR), ``video/mp4``
+    (ISO-BMFF box walk — ftyp brand, mvhd duration/timescale, tkhd
+    geometry).  Frame-level video decode would still need a native codec
+    (ffmpeg) injected here, but every header/metadata field the pipeline
+    consumes is parsed from real container bytes."""
     b = bytes(payload)
     if media_type == "audio/wav":
         return _parse_wav(b)
     if media_type == "image/png":
         return _parse_png(b)
+    if media_type == "video/mp4":
+        return _parse_mp4(b)
     raise NotImplementedError(
         f"no decoder available for {media_type}; install codecs and inject"
     )
@@ -304,6 +400,53 @@ def synthesize_png(width: int, height: int, seed: int = 0, texture: bool = False
     )
 
 
+def synthesize_mp4(
+    width: int,
+    height: int,
+    duration_units: int,
+    timescale: int,
+    seed: int = 0,
+    n_mdat_bytes: int = 64,
+) -> bytes:
+    """Real ISO-BMFF bytes with deterministic planted parameters: ``ftyp``
+    (isom/mp42), ``moov`` holding a version-0 ``mvhd`` (timescale,
+    duration) and one ``trak``/``tkhd`` (16.16 fixed-point geometry), and
+    an ``mdat`` of seeded filler — box structure walkable by any BMFF
+    reader (MP4Box, ffprobe, this module's :func:`_parse_mp4`)."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    unity = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration_units)
+        + struct.pack(">ihxx", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + bytes(8)
+        + unity
+        + bytes(24)
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BBBBIIIxxxxI", 0, 0, 0, 7, 0, 0, 1, duration_units)
+        + bytes(8)
+        + struct.pack(">hhhxx", 0, 0, 0)
+        + unity
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    mdat = box(
+        b"mdat",
+        bytes((seed * 31 + i * 257) % 256 for i in range(n_mdat_bytes)),
+    )
+    return ftyp + moov + mdat
+
+
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-payload metadata, vectorised per batch."""
     for pdf in batches:
@@ -441,8 +584,8 @@ DECODE_SCHEMA = (
 
 def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-format media fixtures: per-doc parameters derived from doc_id,
-    then ACTUAL WAV/PNG container bytes synthesized in Arrow batches —
-    even doc_ids become PNGs, odd become WAVs.  The parameter formulas are
+    then ACTUAL PNG/WAV/MP4 container bytes synthesized in Arrow batches —
+    doc_id % 3 cycles image → audio → video.  The parameter formulas are
     the contract the decode oracle recomputes in SQL."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -451,21 +594,33 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads, mtypes = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                if d % 2 == 0:
+                r = d % 3
+                if r == 0:
                     payloads.append(
                         synthesize_png(d % 64 + 1, d * 3 % 48 + 1, seed=d)
                     )
                     mtypes.append("image/png")
-                else:
+                elif r == 1:
                     payloads.append(
                         synthesize_wav(
                             (d // 2) % 2 + 1,
-                            8000 * (d % 3 + 1),
+                            8000 * ((d // 3) % 3 + 1),
                             d % 256 + 16,
                             seed=d,
                         )
                     )
                     mtypes.append("audio/wav")
+                else:
+                    payloads.append(
+                        synthesize_mp4(
+                            d % 128 + 16,
+                            d * 5 % 96 + 16,
+                            d % 5000 + 100,
+                            1000 * (d % 7 + 1),
+                            seed=d,
+                        )
+                    )
+                    mtypes.append("video/mp4")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_type": mtypes, "payload": payloads}
             )
@@ -510,24 +665,32 @@ def decode_table(mm: DataFrame) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 3 % 48 + 1 AS INT) END AS height,
-           CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id // 2) % 2 + 1 AS INT) END AS channels,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (doc_id % 3 + 1) AS INT) END AS sample_rate,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 256 + 16 AS BIGINT) END AS n_samples,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 256 + 16 AS DOUBLE)
-                                          / (8000 * (doc_id % 3 + 1)) END AS duration_sec
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 64 + 1 AS INT)
+                WHEN 2 THEN CAST(doc_id % 128 + 16 AS INT) END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id * 3 % 48 + 1 AS INT)
+                WHEN 2 THEN CAST(doc_id * 5 % 96 + 16 AS INT) END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id // 2) % 2 + 1 AS INT) END AS channels,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(8000 * ((doc_id // 3) % 3 + 1) AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 256 + 16 AS BIGINT) END AS n_samples,
+           CASE doc_id % 3
+                WHEN 1 THEN CAST(doc_id % 256 + 16 AS DOUBLE)
+                            / (8000 * ((doc_id // 3) % 3 + 1))
+                WHEN 2 THEN CAST(doc_id % 5000 + 100 AS DOUBLE)
+                            / (1000 * (doc_id % 7 + 1)) END AS duration_sec
     FROM documents
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end real-codec round trip: synthesize actual WAV/PNG
+    """End-to-end real-codec round trip: synthesize actual PNG/WAV/MP4
     container bytes with doc_id-derived parameters, parse them back with
-    the pure-stdlib decoders (CRC-verified for PNG), and let the oracle
-    recompute the planted parameters in SQL — a hash mismatch means the
-    encoder or parser corrupted a single field anywhere in the corpus."""
+    the pure-stdlib decoders (CRC-verified for PNG, box-walked for MP4),
+    and let the oracle recompute the planted parameters in SQL — a hash
+    mismatch means the encoder or parser corrupted a single field
+    anywhere in the corpus."""
     return decode_table(synth_media_table(spark, sf_dir))
 
 
@@ -552,7 +715,7 @@ RESIZE_W, RESIZE_H = 16, 12
     FROM documents,
          unnest(generate_series(0, {RESIZE_W - 1})) AS tx(x2),
          unnest(generate_series(0, {RESIZE_H - 1})) AS ty(y2)
-    WHERE doc_id % 2 = 0
+    WHERE doc_id % 3 = 0
     GROUP BY doc_id
     ORDER BY doc_id
     """,
@@ -596,7 +759,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch, doc_id % 256 + 16 AS n
-        FROM documents WHERE doc_id % 2 = 1
+        FROM documents WHERE doc_id % 3 = 1
     ),
     s AS (
         SELECT doc_id, ch, ((doc_id * 31 + i * 257) % 65536) - 32768 AS v

@@ -99,6 +99,55 @@ def build_replica(spark) -> None:
         print(f"replica built: {name}", file=sys.stderr)
 
 
+DST_FLAT = "/tmp/tds_scale10x_flat"
+
+
+def build_flat_replica(spark) -> None:
+    """Constant-dup-density 10× documents replica (VERDICT r05 task 6):
+    the standard replica's light suffix keeps cross-replica copies ABOVE
+    the 0.7-Jaccard near-dup threshold, so planted-pair density grows
+    ~10× and output-sensitive fuzzy queries look super-linear.  Here each
+    replica's text is interleaved with a replica-specific marker token
+    after every 3rd word — cross-replica Jaccard over 3-gram shingles
+    drops to ~0.14 (no cross-replica candidates survive the verify),
+    while WITHIN-replica planted pairs share the same markers at the
+    same positions and stay matched — 10× corpus, ~10× pairs, constant
+    density."""
+    os.makedirs(DST_FLAT, exist_ok=True)
+    for name in FIXTURE_TABLES:
+        out = os.path.join(DST_FLAT, f"{name}.parquet")
+        if name != "documents":
+            src = os.path.join(DST, f"{name}.parquet")
+            if not os.path.lexists(out):
+                os.symlink(src, out)
+            continue
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+        base = load_table(spark, SRC, name)
+        parts = []
+        for rep in range(REPS):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(rep) * SHIFT).alias("doc_id"),
+                    F.expr(
+                        "array_join(flatten(transform(split(text, ' '), "
+                        f"(w, i) -> CASE WHEN i % 3 = 2 THEN array(w, 'zz{rep}q') "
+                        "ELSE array(w) END)), ' ')"
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    (F.col("n_chars") + 5).alias("n_chars"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(out)
+        print(f"flat replica built: {name}", file=sys.stderr)
+
+
 def time_query(spark, spec, sf_dir: str, runs: int) -> float:
     best = None
     for _ in range(runs):
@@ -142,10 +191,24 @@ def main() -> None:
     ap.add_argument("--recall", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--skip-1x", action="store_true")
+    ap.add_argument(
+        "--flat",
+        action="store_true",
+        help="time against the constant-dup-density replica (documents "
+        "interleaved with per-replica markers) instead of the standard one",
+    )
+    ap.add_argument(
+        "--rows",
+        action="store_true",
+        help="also print result-row counts at each scale (density evidence)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
     build_replica(spark)
+    if args.flat:
+        build_flat_replica(spark)
+    big = DST_FLAT if args.flat else DST
     specs = all_queries()
     # warm
     specs["flagship_revenue_topk"].build(spark, SRC).collect()
@@ -153,9 +216,14 @@ def main() -> None:
     for name in args.queries:
         spec = specs[name]
         t1 = None if args.skip_1x else time_query(spark, spec, SRC, args.runs)
-        t10 = time_query(spark, spec, DST, args.runs)
+        t10 = time_query(spark, spec, big, args.runs)
         one = "—" if t1 is None else f"{t1:.2f} s"
-        print(f"| {name} | {one} | {t10:.2f} s |")
+        extra = ""
+        if args.rows:
+            r1 = "—" if args.skip_1x else spec.build(spark, SRC).count()
+            r10 = spec.build(spark, big).count()
+            extra = f" rows {r1}→{r10} |"
+        print(f"| {name} | {one} | {t10:.2f} s |{extra}")
 
     if args.recall:
         r1 = recall_audit(spark, SRC)

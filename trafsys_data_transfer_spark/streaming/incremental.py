@@ -21,6 +21,7 @@ rewrites only the date partitions present in each micro-batch.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,8 +39,13 @@ from ..schemas import TRAFFIC_PK, TRAFFIC_RAW_SCHEMA
 #: partition forever.  Size it to expected state volume, not to cores: the
 #: correctness-gate drains here hold fixture-scale state, where 8 beats 32
 #: by ~2.5× wall-clock.  A production stream sizes this to its own volume
-#: BEFORE first start (it is frozen into the checkpoint).
-STREAM_SHUFFLE_PARTITIONS = 8
+#: BEFORE first start (it is frozen into the checkpoint).  The env
+#: override is the sizing lever (used by tools/scale_probe.py sweeps and
+#: by any deployment that wants cluster-scale state partitioning without
+#: a code change).
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
 
 
 @contextmanager

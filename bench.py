@@ -108,6 +108,7 @@ WORK_IN_BUILD = {
     "graph_kcore_members",
     "streaming_view_click_leftjoin",
     "streaming_growth_accounting",
+    "layout_zonemap_skip",
 }
 
 

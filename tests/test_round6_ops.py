@@ -1,0 +1,265 @@
+"""Round-6 operators: data-quality expectations, retractable-aggregate
+IVM, zone-map skipping, exact prefix-filtered similarity join, k-fold
+splits, weighted sampling, decayed heavy hitters."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations
+# ---------------------------------------------------------------------------
+
+
+def test_dq_expectations_flags_planted_violations(spark):
+    """Each rule must flip to failed on a fixture that violates exactly
+    it, with the failed count equal to the planted violation count."""
+    from trafsys_data_transfer_spark.operators.quality import (
+        dq_expectations_over,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            # orderkey, custkey, status, totalprice, date
+            (1, 10, "O", 100.0),
+            (2, None, "X", -5.0),   # null custkey, bad status, negative
+            (2, 11, "F", 50.0),     # duplicate orderkey
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1, 0.05, 10.0),
+            (99, 1, 0.5, 99.0),     # orphan orderkey, discount + qty range
+        ],
+        "l_orderkey long, l_linenumber long, l_discount double, l_quantity double",
+    )
+    events = spark.createDataFrame(
+        [(1, t0)], "event_id long, ts timestamp"
+    )  # stale: max ts < freshness contract
+    out = {
+        (r["rule"], r["target"]): r
+        for r in dq_expectations_over(orders, lineitem, events).collect()
+    }
+    assert out[("not_null", "orders.o_custkey")]["failed"] == 1
+    assert out[("accepted_values", "orders.o_orderstatus")]["failed"] == 1
+    assert out[("non_negative", "orders.o_totalprice")]["failed"] == 1
+    assert out[("unique", "orders.o_orderkey")]["failed"] == 1
+    assert out[("range_0_0.1", "lineitem.l_discount")]["failed"] == 1
+    assert out[("range_1_50", "lineitem.l_quantity")]["failed"] == 1
+    assert out[("referential", "lineitem.l_orderkey->orders")]["failed"] == 1
+    assert out[("freshness", "events.ts")]["failed"] == 1
+    assert not any(r["passed"] for r in out.values())
+    # pass_ppm carries the rate evidence
+    assert out[("not_null", "orders.o_custkey")]["pass_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_dq_expectations_all_pass_on_clean_fixture(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.quality import dq_expectations
+
+    rows = dq_expectations(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r["passed"] and r["failed"] == 0 for r in rows)
+    assert all(r["pass_ppm"] == 1_000_000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# retractable IVM
+# ---------------------------------------------------------------------------
+
+
+def test_delta_agg_retraction_drops_empty_groups_and_merges(spark):
+    from trafsys_data_transfer_spark.operators.ivm import (
+        delta_agg_with_retractions,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 10)], "k string, cnt long, sum long"
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", -1, 20),   # retract one of a's rows
+            ("b", -1, 10),   # retract b's ONLY row -> group must vanish
+            ("c", 1, 7),     # brand-new group
+        ],
+        "k string, sign long, measure long",
+    )
+    got = {
+        r["k"]: (r["cnt"], r["sum"])
+        for r in delta_agg_with_retractions(base, delta, ["k"]).collect()
+    }
+    assert got == {"a": (1, 10), "c": (1, 7)}
+
+
+# ---------------------------------------------------------------------------
+# zone-map skipping
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_probe_reads_fewer_files_and_same_answer(spark, sf_dir):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.fsutil import process_staging_dir
+    from trafsys_data_transfer_spark.operators.layout import (
+        ZONEMAP_FILES,
+        zonemap_build,
+        zonemap_probe,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    path = process_staging_dir("test_zonemap")
+    zm = zonemap_build(spark, events, path, "ts")
+    assert len(zm) == ZONEMAP_FILES
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 7)
+    pruned, n_read = zonemap_probe(
+        spark, zm, lo, hi, "event_id long, ts timestamp_ntz"
+    )
+    # the 2-day window must SKIP most of the month's range-clustered files
+    assert 0 < n_read < ZONEMAP_FILES / 2
+    got = pruned.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))).count()
+    want = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))).count()
+    assert got == want > 0
+    # zones must actually bound their files (index honesty)
+    for r in zm:
+        assert r["zmin"] <= r["zmax"]
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-filtered similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_simjoin_exact_equals_bruteforce_on_planted_corpus(spark):
+    """Prefix filtering must lose NOTHING: compare against the quadratic
+    ground truth on a corpus planted with matching, borderline and
+    non-matching pairs."""
+    from trafsys_data_transfer_spark.operators.simjoin import simjoin_exact
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # J=4/6=0.667 with 1 -> in
+        (3, "alpha beta gamma eta theta"),       # J=3/7 with 1 -> out
+        (4, "iota kappa lam mu nu"),
+        (5, "iota kappa lam mu nu"),             # J=1 with 4 -> in
+        (6, "alpha beta gamma delta epsilon zeta eta"),  # J=5/7 with 1 -> in
+        (7, "solo words only here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simjoin_exact(df, "id", "name").collect()
+    }
+    # brute force in python
+    sets = {i: set(n.split()) for i, n in rows}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and 5 * len(sets[a] & sets[b]) >= 3 * len(sets[a] | sets[b])
+    }
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got and (1, 6) in got
+    assert (1, 3) not in got
+
+
+def test_simjoin_prefix_is_strictly_smaller_than_token_join(spark, sf_dir):
+    """The scale claim: the prefix explode must emit well under the full
+    token count (that difference IS the candidate-bounding)."""
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    toks = part.select(
+        "p_partkey",
+        F.explode(F.array_distinct(F.split(F.col("p_name"), " "))).alias("w"),
+    )
+    n_tokens = toks.count()
+    # prefix length for J>=3/5 over size-s sets: s - ceil(3s/5) + 1
+    sz = toks.groupBy("p_partkey").count()
+    n_prefix = sz.select(
+        F.sum(
+            F.col("count")
+            + F.floor(F.lit(-3) * F.col("count") / 5)
+            + 1
+        )
+    ).first()[0]
+    assert n_prefix < 0.6 * n_tokens
+
+
+# ---------------------------------------------------------------------------
+# k-fold / weighted sample / decayed top-k
+# ---------------------------------------------------------------------------
+
+
+def test_kfold_partitions_corpus_disjoint_and_stable(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.sampling import (
+        KFOLD_K,
+        kfold_column,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    with_fold = docs.withColumn("fold", kfold_column(F.col("doc_id")))
+    per = with_fold.groupBy("fold").count().collect()
+    assert {r["fold"] for r in per} == set(range(KFOLD_K))
+    assert sum(r["count"] for r in per) == n  # partition: disjoint + cover
+    # every fold lands in a sane band around n/K (hash uniformity)
+    for r in per:
+        assert 0.5 * n / KFOLD_K < r["count"] < 1.5 * n / KFOLD_K
+    # stability: recompute = identical assignment
+    again = docs.withColumn("fold", kfold_column(F.col("doc_id")))
+    assert with_fold.exceptAll(again).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.sampling import (
+        docs_weighted_sample,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs_weighted_sample(spark, sf_dir)
+    joined = sampled.join(docs, "doc_id").select("n_chars")
+    mean_sampled = joined.agg(F.avg("n_chars")).first()[0]
+    mean_corpus = docs.agg(F.avg("n_chars")).first()[0]
+    # weight = n_chars: the sample must skew heavy
+    assert mean_sampled > mean_corpus
+    # deterministic: same call, same rows
+    a = sorted(map(tuple, sampled.collect()))
+    b = sorted(map(tuple, docs_weighted_sample(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_decayed_topk_recency_beats_volume(spark):
+    """A user with 8 events three days ago must rank BELOW a user with 3
+    events today under a 1-day half-life (8·2^0 < 3·2^3), while raw
+    counts would rank them the other way."""
+    from trafsys_data_transfer_spark.operators import freq
+
+    t = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for _ in range(8):  # old-heavy user 1 on day 0
+        eid += 1
+        rows.append(Row(event_id=eid, user_id=1, event_type="view",
+                        ts=t, value=0.0, props="{}"))
+    for _ in range(3):  # recent user 2 on day 3
+        eid += 1
+        rows.append(Row(event_id=eid, user_id=2, event_type="view",
+                        ts=t + dt.timedelta(days=3), value=0.0, props="{}"))
+    df = spark.createDataFrame(rows)
+    orig = freq.load_table
+    try:
+        freq.load_table = lambda _s, _d, name: df
+        out = freq.events_decayed_topk(spark, "unused").collect()
+    finally:
+        freq.load_table = orig
+    ranked = [(r["user_id"], r["decayed_scaled"]) for r in out]
+    assert ranked == [(2, 3 * 8), (1, 8)]

@@ -177,3 +177,81 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# exponentially-decayed heavy hitters
+# ---------------------------------------------------------------------------
+
+#: Decay half-life in days, and ranks kept per event type.
+DECAY_HALF_LIFE_DAYS = 1
+DECAYED_TOP_K = 5
+
+
+@register(
+    "events_decayed_topk",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, user_id,
+               date_diff('day',
+                         (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                         CAST(ts AS DATE)) AS dd
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(1 AS BIGINT) << (dd // {DECAY_HALF_LIFE_DAYS}))
+                    AS BIGINT) AS decayed_scaled
+        FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, decayed_scaled, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT event_type, user_id, decayed_scaled,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY decayed_scaled DESC, user_id)
+                   AS rnk
+        FROM agg
+    )
+    WHERE rnk <= {DECAYED_TOP_K}
+    ORDER BY event_type, rnk
+    """,
+)
+def events_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted heavy hitters: who dominates each event type NOW,
+    with activity half-lifing every :data:`DECAY_HALF_LIFE_DAYS` days —
+    the trending-user readout where plain counts would crown long-dead
+    accounts.
+
+    Exact-integer formulation: an event on day d (relative to the corpus
+    start) carries weight ``2^(d/half_life)`` — relative weights between
+    any two days are exactly the exponential decay ``2^(-Δdays/hl)``, and
+    the shared scale factor ``2^(newest_day/hl)`` cancels in ranking, so
+    BIGINT arithmetic replaces float ``pow`` entirely (30-day fixture →
+    weights ≤ 2^29; at year scale, bucket the exponent or switch to
+    DECIMAL(38) — documented bound, loud overflow under ANSI).  One
+    (type,user) aggregate with map-side partials, one O(groups) windowed
+    rank — the heavy-hitters plan shape with a weighted measure."""
+    events = load_table(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.col("ts").cast("date"))).first()[0]
+    agg = (
+        events.select(
+            "event_type",
+            "user_id",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(datediff(CAST(ts AS DATE), DATE '{d0}') "
+                f"div {DECAY_HALF_LIFE_DAYS} AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("w").alias("decayed_scaled"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("decayed_scaled").desc(), "user_id"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= DECAYED_TOP_K)
+        .select("event_type", "user_id", "decayed_scaled", "rnk")
+        .orderBy("event_type", "rnk")
+    )

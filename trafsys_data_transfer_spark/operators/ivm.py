@@ -87,3 +87,99 @@ def ivm_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("orderkey", "linenumber", "orderdate", "orderstatus", "revenue_cents")
         .orderBy("orderkey", "linenumber")
     )
+
+
+#: Retractable-IVM split knobs: base = early orders; the maintenance
+#: batch INSERTS the late orders and RETRACTS (deletes) the cancelled
+#: early ones — both signs present, the classic Z-relation delta.
+RETRACT_CUTOFF = "1997-06-01"
+
+
+def delta_agg_with_retractions(
+    base_agg: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Maintain a (cnt, sum) aggregate view under a SIGNED delta.
+
+    ``delta`` carries ``sign`` ∈ {+1, −1} (insert / retract) alongside the
+    measure; the maintenance rule is multiset (Z-relation) algebra —
+    aggregate the signed delta once, then one outer-join merge onto the
+    stored view:
+
+        cnt' = cnt + Σ sign,   sum' = sum + Σ sign·measure
+
+    Groups whose count reaches zero are dropped (the view never keeps
+    empty groups — exactly what a re-computation would produce).  Cost at
+    100 TB: the delta aggregates at delta size, the merge join is
+    O(|view| + |delta groups|) on the group key — the stored FACTS are
+    never rescanned, which is the whole point of IVM under deletes."""
+    d = delta.groupBy(*keys).agg(
+        F.sum("sign").alias("_dcnt"),
+        F.sum(F.col("sign") * F.col("measure")).alias("_dsum"),
+    )
+    return (
+        base_agg.join(d, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce("_dcnt", F.lit(0)))
+            .alias("cnt"),
+            (F.coalesce(F.col("sum"), F.lit(0)) + F.coalesce("_dsum", F.lit(0)))
+            .alias("sum"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+@register(
+    "ivm_retractable_agg",
+    # One-shot recompute over (base − retractions + insertions): the
+    # incrementally maintained view must reproduce it exactly.
+    oracle=f"""
+    SELECT o_orderstatus AS orderstatus,
+           CAST(o_orderdate AS DATE) AS orderday,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '{RETRACT_CUTOFF}'
+               AND o_orderkey % 10 = 3)
+    GROUP BY 1, 2
+    ORDER BY orderstatus, orderday
+    """,
+)
+def ivm_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under DELETES: the (status, day) count+sum view is built over
+    the early-order base, then maintained through one signed delta batch
+    that both inserts the late orders and retracts the cancelled early
+    ones (orderkey ≡ 3 mod 10) — and must hash-match a from-scratch
+    recompute of the surviving rows.  Completes the IVM family:
+    ``traffic_rollup_incremental`` is the additive (insert-only) rule,
+    ``ivm_delta_join_orders`` the join rule, this the Z-relation rule
+    deletes force."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("o_orderdate").cast("date").alias("orderday"),
+        F.col("o_orderdate").alias("orderts"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("measure"),
+    )
+    cutoff = F.lit(RETRACT_CUTOFF).cast("timestamp")
+    base = orders.filter(F.col("orderts") < cutoff)
+    base_agg = base.groupBy("orderstatus", "orderday").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("measure").alias("sum")
+    )
+    inserts = orders.filter(F.col("orderts") >= cutoff).withColumn(
+        "sign", F.lit(1)
+    )
+    retracts = base.filter(F.col("orderkey") % 10 == 3).withColumn(
+        "sign", F.lit(-1)
+    )
+    delta = inserts.unionByName(retracts).select(
+        "orderstatus", "orderday", "sign", "measure"
+    )
+    return (
+        delta_agg_with_retractions(base_agg, delta, ["orderstatus", "orderday"])
+        .select(
+            "orderstatus", "orderday", "cnt", F.col("sum").alias("sum_cents")
+        )
+        .orderBy("orderstatus", "orderday")
+    )

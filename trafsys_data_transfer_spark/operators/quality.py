@@ -1,0 +1,215 @@
+"""Data-quality expectation suite (north star §2.10 — the dbt-test /
+Great-Expectations layer every production pipeline runs before
+publishing a table).
+
+One registered query evaluates a declared rule set — not-null,
+uniqueness, accepted values, numeric ranges, referential integrity,
+freshness — and emits ONE row per rule with exact integer evidence
+(checked, failed, pass_ppm, passed).  The reference validates its input
+shape ad hoc (script.js: response-shape guard before the Oracle MERGE);
+this operator is that idea promoted to a first-class, auditable
+contract over warehouse tables.
+
+Scale posture: every per-table rule family folds in ONE scan of its
+table (conditional aggregates are map-side partials; the uniqueness
+rule's count-distinct is the single shuffle, sharing the scan via
+Spark's Expand).  Referential rules are LEFT ANTI joins on the key
+columns only — Catalyst/AQE picks broadcast vs shuffle from actual
+sizes, same as ``fk_integrity_audit``.  The result is O(rules) rows
+regardless of table size; nothing wide ever leaves the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Freshness contract: the events feed must reach at least this date.
+DQ_FRESHNESS_MIN_TS = "2024-01-10 00:00:00"
+
+
+def _rule_row(rule: str, target: str, checked, failed):
+    """Normalize one rule's evidence to the common row shape."""
+    return F.struct(
+        F.lit(rule).alias("rule"),
+        F.lit(target).alias("target"),
+        checked.cast("long").alias("checked"),
+        failed.cast("long").alias("failed"),
+    )
+
+
+def _finalize(df: DataFrame) -> DataFrame:
+    return df.select(
+        "rule",
+        "target",
+        "checked",
+        "failed",
+        F.expr("(checked - failed) * 1000000 div checked").alias("pass_ppm"),
+        (F.col("failed") == 0).alias("passed"),
+    ).orderBy("rule", "target")
+
+
+def dq_expectations_over(
+    orders: DataFrame, lineitem: DataFrame, events: DataFrame
+) -> DataFrame:
+    """Evaluate the declared expectation suite; one row per rule."""
+    cnt = F.count(F.lit(1))
+
+    # one scan of orders: not-null, accepted-values, non-negative, unique
+    o_rules = orders.agg(
+        F.array(
+            _rule_row(
+                "not_null", "orders.o_custkey",
+                cnt, F.count(F.when(F.col("o_custkey").isNull(), 1)),
+            ),
+            _rule_row(
+                "accepted_values", "orders.o_orderstatus",
+                cnt,
+                F.count(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                ),
+            ),
+            _rule_row(
+                "non_negative", "orders.o_totalprice",
+                cnt, F.count(F.when(F.col("o_totalprice") <= 0, 1)),
+            ),
+            _rule_row(
+                "unique", "orders.o_orderkey",
+                cnt, cnt - F.count_distinct(F.col("o_orderkey")),
+            ),
+        ).alias("rows")
+    )
+
+    # one scan of lineitem: the two range rules
+    l_rules = lineitem.agg(
+        F.array(
+            _rule_row(
+                "range_0_0.1", "lineitem.l_discount",
+                cnt,
+                F.count(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                    )
+                ),
+            ),
+            _rule_row(
+                "range_1_50", "lineitem.l_quantity",
+                cnt,
+                F.count(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    )
+                ),
+            ),
+        ).alias("rows")
+    )
+
+    # referential: key-projection anti join, size-based join strategy
+    orphans = (
+        lineitem.select(F.col("l_orderkey"))
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(cnt.alias("orphans"))
+    )
+    totals = lineitem.agg(cnt.alias("n"))
+    r_rules = orphans.join(F.broadcast(totals)).select(
+        F.array(
+            _rule_row(
+                "referential", "lineitem.l_orderkey->orders",
+                F.col("n"), F.col("orphans"),
+            )
+        ).alias("rows")
+    )
+
+    # freshness: one aggregate over events, compared to the contract
+    f_rules = events.agg(
+        F.array(
+            _rule_row(
+                "freshness", "events.ts",
+                F.lit(1),
+                F.when(
+                    F.max("ts") >= F.lit(DQ_FRESHNESS_MIN_TS).cast("timestamp"),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
+            )
+        ).alias("rows")
+    )
+
+    all_rules = (
+        o_rules.unionByName(l_rules).unionByName(r_rules).unionByName(f_rules)
+        .select(F.explode("rows").alias("r"))
+        .select("r.*")
+    )
+    return _finalize(all_rules)
+
+
+@register(
+    "dq_expectations",
+    oracle=f"""
+    SELECT rule, target, checked, failed,
+           (checked - failed) * 1000000 // checked AS pass_ppm,
+           failed = 0 AS passed
+    FROM (
+        SELECT 'not_null' AS rule, 'orders.o_custkey' AS target,
+               CAST(COUNT(*) AS BIGINT) AS checked,
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS failed
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values', 'orders.o_orderstatus',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'non_negative', 'orders.o_totalprice',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique', 'orders.o_orderkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'range_0_0.1', 'lineitem.l_discount',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'range_1_50', 'lineitem.l_quantity',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'referential', 'lineitem.l_orderkey->orders',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'freshness', 'events.ts',
+               CAST(1 AS BIGINT),
+               CAST(CASE WHEN (SELECT MAX(ts) FROM events)
+                              >= TIMESTAMP '{DQ_FRESHNESS_MIN_TS}'
+                         THEN 0 ELSE 1 END AS BIGINT)
+    )
+    ORDER BY rule, target
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared expectation suite over the warehouse tables — exact
+    integer evidence per rule, strict-oracle checked."""
+    return dq_expectations_over(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "events"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ..sources.fixtures import load_table
@@ -208,4 +209,140 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type")
         .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation split
+# ---------------------------------------------------------------------------
+
+#: Fold count.  16 % K == 0 keeps the single-hex-digit fold assignment
+#: exactly uniform over the md5 space (no modulo bias).
+KFOLD_K = 4
+
+#: Portable hex-digit value: both engines index the same alphabet, so the
+#: fold is a pure cross-engine function of the key.
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def kfold_column(key: Column, k: int = KFOLD_K) -> Column:
+    """Fold assignment in [0, k): last md5 hex digit of the key, mod k.
+
+    Same stability contract as :func:`split_column` — a row's fold is a
+    pure function of its key, immune to partitioning, seeds, and cluster
+    size, so fold N's held-out set is identical in every re-run and every
+    engine (the property that makes cross-validation results comparable
+    across experiments months apart)."""
+    digit = F.substring(F.md5(key.cast("string")), 32, 1)
+    return (F.instr(F.lit(_HEX_ALPHABET), digit) - 1) % k
+
+
+@register(
+    "split_kfold",
+    oracle=f"""
+    SELECT (strpos('{_HEX_ALPHABET}',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+               % {KFOLD_K} AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY fold
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment over the documents corpus with
+    per-fold evidence (count, char mass, id bounds).  Narrow: the fold is
+    a projection; the only shuffle is the O(k)-row audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fold", kfold_column(F.col("doc_id")))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (priority sampling)
+# ---------------------------------------------------------------------------
+
+#: Samples kept per stratum.
+WEIGHTED_SAMPLE_K = 10
+#: Priority scale: hash-uniform × SCALE div weight stays well inside int64
+#: (16^6 · 10^9 ≈ 1.7·10^16).
+_WSAMPLE_SCALE = 1_000_000_000
+
+
+#: Priority semantics — a deterministic, integer-exact analogue of
+#: Efraimidis–Spirakis A-ES weighted reservoir sampling: A-ES ranks by
+#: u^(1/w) (equivalently Exp(w) clocks); here the exponential transform
+#: is replaced by a weight-scaled uniform — priority = (u24+1)·SCALE
+#: div w, smaller wins, heavier rows win proportionally more often.  The
+#: selection is a pure function of the key (re-run / engine /
+#: partitioning stable) and every quantity is exact BIGINT arithmetic so
+#: the oracle hash-matches.  The trade: exact A-ES inclusion
+#: probabilities need floats and libm (ln/pow), which are NOT
+#: bit-portable across engines — that is the documented float tier if
+#: exact PPSWOR semantics are ever required.
+
+
+@register(
+    "docs_weighted_sample",
+    oracle=f"""
+    WITH pr AS (
+        SELECT doc_id, lang, n_chars,
+               ((strpos('{_HEX_ALPHABET}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+                + (strpos('{_HEX_ALPHABET}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+                + (strpos('{_HEX_ALPHABET}', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+                + (strpos('{_HEX_ALPHABET}', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+                + (strpos('{_HEX_ALPHABET}', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+                + (strpos('{_HEX_ALPHABET}', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+                + 1) * {_WSAMPLE_SCALE} // n_chars AS priority
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(priority AS BIGINT) AS priority,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT lang, doc_id, priority,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY priority, doc_id) AS rn
+        FROM pr
+    )
+    WHERE rn <= {WEIGHTED_SAMPLE_K}
+    ORDER BY lang, rank
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample of documents, weight = n_chars: long
+    documents are proportionally more likely to be picked — the
+    byte-budget-aware corpus subsampling pass (sample by content mass,
+    not row count).  Deterministic integer priorities, top-K per stratum
+    via one windowed rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    # CAST before arithmetic: conv() returns STRING, and string + int
+    # coerces to DOUBLE, which loses integer exactness above 2^53 —
+    # priorities reach ~1.7e16, so the whole expression must stay BIGINT.
+    pr = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6),"
+            " 16, 10) AS BIGINT)"
+            f" + 1) * {_WSAMPLE_SCALE} div n_chars"
+        ).alias("priority"),
+    )
+    w = W.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("lang", "doc_id", "priority", "rank")
+        .orderBy("lang", "rank")
     )

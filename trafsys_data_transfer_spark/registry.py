@@ -69,6 +69,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.er",
     "trafsys_data_transfer_spark.operators.freq",
     "trafsys_data_transfer_spark.operators.abtest",
+    "trafsys_data_transfer_spark.operators.quality",
+    "trafsys_data_transfer_spark.operators.simjoin",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -308,6 +310,14 @@ _PRIORITY = (
     "orders_retention_cohort",
     "profile_orders_columns",
     "nation_revenue_share",
+    # ---- round-6 additions (all past the window; verified locally) ----
+    "dq_expectations",
+    "ivm_retractable_agg",
+    "layout_zonemap_skip",
+    "part_name_simjoin",
+    "split_kfold",
+    "docs_weighted_sample",
+    "events_decayed_topk",
 )
 
 

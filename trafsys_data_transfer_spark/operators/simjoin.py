@@ -42,24 +42,19 @@ SIMJOIN_T_NUM, SIMJOIN_T_DEN = 3, 5
 
 def simjoin_exact(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """All (id_a < id_b) pairs with word-set Jaccard ≥ 3/5 — exact."""
-    toks = records.select(
+    # ONE scan of the input: the skinny (id, token-set, size) table feeds
+    # every downstream branch (frequency, prefixes, both verify sides) via
+    # a lazy checkpoint instead of re-reading the base table per branch.
+    sets = records.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.col(text_col), " "))
-        ).alias("w"),
-    )
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
+    ).withColumn("sz", F.size("ws")).localCheckpoint(eager=False)
+    toks = sets.select("id", "sz", F.explode("ws").alias("w"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    sets = toks.groupBy("id").agg(
-        F.collect_set("w").alias("ws"), F.count(F.lit(1)).alias("sz")
-    )
     # rarest-first canonical order; (df, w) tiebreak keeps it total
-    ordered = (
-        toks.join(freq, "w")
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("id").orderBy("df", "w")),
-        )
-        .join(sets.select("id", "sz"), "id")
+    ordered = toks.join(freq, "w").withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("id").orderBy("df", "w")),
     )
     # prefix length = sz - ceil(t*sz) + 1  (ceil(3s/5) = -floor(-3s/5))
     prefix = ordered.filter(

@@ -109,6 +109,7 @@ WORK_IN_BUILD = {
     "streaming_view_click_leftjoin",
     "streaming_growth_accounting",
     "layout_zonemap_skip",
+    "streaming_decayed_topk",
 }
 
 

@@ -172,17 +172,20 @@ def test_simjoin_exact_equals_bruteforce_on_planted_corpus(spark):
 
 def test_simjoin_prefix_is_strictly_smaller_than_token_join(spark, sf_dir):
     """The scale claim: the prefix explode must emit well under the full
-    token count (that difference IS the candidate-bounding)."""
+    shingle count (that difference IS the candidate-bounding)."""
+    from trafsys_data_transfer_spark.operators.dedup import shingles
     from trafsys_data_transfer_spark.sources.fixtures import load_table
 
-    part = load_table(spark, sf_dir, "part")
-    toks = part.select(
-        "p_partkey",
-        F.explode(F.array_distinct(F.split(F.col("p_name"), " "))).alias("w"),
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.split(F.col("text"), " "), 3))
+        ).alias("w"),
     )
     n_tokens = toks.count()
     # prefix length for J>=3/5 over size-s sets: s - ceil(3s/5) + 1
-    sz = toks.groupBy("p_partkey").count()
+    sz = toks.groupBy("doc_id").count()
     n_prefix = sz.select(
         F.sum(
             F.col("count")
@@ -191,6 +194,27 @@ def test_simjoin_prefix_is_strictly_smaller_than_token_join(spark, sf_dir):
         )
     ).first()[0]
     assert n_prefix < 0.6 * n_tokens
+
+
+def test_shingle_simjoin_finds_planted_neardups_only(spark):
+    """A doc pair differing by one word inside long shared text matches;
+    an unrelated doc does not."""
+    from trafsys_data_transfer_spark.operators.simjoin import (
+        simjoin_exact_shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old red barn every single morning"
+    edited = base.replace("lazy", "sleepy")
+    other = "completely different words compose this particular document body with zero overlap whatsoever in it"
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in simjoin_exact_shingles(df, "id", "text").collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 600_000
 
 
 # ---------------------------------------------------------------------------
@@ -263,3 +287,84 @@ def test_decayed_topk_recency_beats_volume(spark):
         freq.load_table = orig
     ranked = [(r["user_id"], r["decayed_scaled"]) for r in out]
     assert ranked == [(2, 3 * 8), (1, 8)]
+
+
+# ---------------------------------------------------------------------------
+# table fingerprint / contribution capping
+# ---------------------------------------------------------------------------
+
+
+def test_table_fingerprint_order_insensitive_and_change_sensitive(spark):
+    from trafsys_data_transfer_spark.operators.snapshot import (
+        table_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    base = table_fingerprint(df, ["k", "v"]).first()
+    # order / partitioning invariance
+    shuffled = spark.createDataFrame(rows[::-1], "k long, v string").repartition(7)
+    assert tuple(table_fingerprint(shuffled, ["k", "v"]).first()) == tuple(base)
+    # single-value change moves the checksum
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "k long, v string"
+    )
+    got = table_fingerprint(changed, ["k", "v"]).first()
+    assert got["n_rows"] == base["n_rows"]
+    assert got["fingerprint"] != base["fingerprint"]
+
+
+def test_contribution_cap_bounds_every_user(spark):
+    from trafsys_data_transfer_spark.operators import sampling
+
+    t = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, n in ((1, 12), (2, 3), (3, 7)):
+        for i in range(n):
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=uid, event_type="view",
+                            ts=t + dt.timedelta(minutes=i), value=0.0,
+                            props="{}"))
+    df = spark.createDataFrame(rows)
+    orig = sampling.load_table
+    try:
+        sampling.load_table = lambda _s, _d, name: df
+        out = sampling.events_contribution_capped(spark, "unused").collect()
+    finally:
+        sampling.load_table = orig
+    (r,) = out
+    assert r["raw_events"] == 22
+    # users 1 and 3 capped at 5, user 2 keeps 3
+    assert r["capped_events"] == 5 + 3 + 5
+    assert r["n_users"] == 3
+    assert r["kept_ppm"] == 13 * 1_000_000 // 22
+
+
+def test_streaming_decayed_topk_accumulates_across_batches(spark):
+    """A user's weight split across micro-batches (maxFilesPerTrigger=1
+    over 3 files) must sum in state: drained stream == batch operator."""
+    from trafsys_data_transfer_spark.operators import freq
+    from trafsys_data_transfer_spark.streaming import queries as sq
+
+    t = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, day, n in ((1, 0, 4), (1, 2, 3), (2, 2, 5), (3, 1, 2)):
+        for i in range(n):
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=uid, event_type="view",
+                            ts=t + dt.timedelta(days=day, minutes=i),
+                            value=0.0, props="{}"))
+    df = spark.createDataFrame(rows)
+    orig_f, orig_q = freq.load_table, sq.load_table
+    try:
+        freq.load_table = lambda _s, _d, name: df
+        sq.load_table = lambda _s, _d, name: df
+        batch = freq.events_decayed_topk(spark, "unused").collect()
+        stream = sq.streaming_decayed_topk(spark, "unused").collect()
+    finally:
+        freq.load_table = orig_f
+        sq.load_table = orig_q
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    got = {r["user_id"]: r["decayed_scaled"] for r in stream}
+    # user 1: 4·2^0 + 3·2^2 = 16; user 2: 5·2^2 = 20; user 3: 2·2^1 = 4
+    assert got == {1: 16, 2: 20, 3: 4}

@@ -346,3 +346,74 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "priority", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user contribution capping
+# ---------------------------------------------------------------------------
+
+#: Max events any single user may contribute per event type.
+CONTRIBUTION_CAP = 5
+
+
+@register(
+    "events_contribution_capped",
+    oracle=f"""
+    WITH kept AS (
+        SELECT event_type, user_id
+        FROM (
+            SELECT event_type, user_id,
+                   row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= {CONTRIBUTION_CAP}
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS raw_events,
+           CAST((SELECT COUNT(*) FROM kept k
+                 WHERE k.event_type = e.event_type) AS BIGINT) AS capped_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM kept k
+                 WHERE k.event_type = e.event_type) * 1000000
+                // COUNT(*) AS BIGINT) AS kept_ppm
+    FROM events e
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_contribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution capping — the data-balancing / DP-style
+    preprocessing pass: no user contributes more than
+    :data:`CONTRIBUTION_CAP` events per type (earliest kept,
+    deterministic (ts, event_id) order), reported as raw vs capped
+    counts per type with the kept ratio in exact ppm.
+
+    The cap bounds any single key's influence on downstream statistics
+    (heavy-user domination, DP sensitivity, dedup-skew all at once).
+    Plan: one (type, user) window for the rank — the same exchange then
+    serves the capped aggregate; min(cap·users, raw) arithmetic never
+    leaves the executors."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "event_type", "user_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("raw_events"),
+            F.count(F.when(F.col("rn") <= CONTRIBUTION_CAP, 1)).alias(
+                "capped_events"
+            ),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "raw_events",
+            "capped_events",
+            "n_users",
+            F.expr("capped_events * 1000000 div raw_events").alias("kept_ppm"),
+        )
+        .orderBy("event_type")
+    )

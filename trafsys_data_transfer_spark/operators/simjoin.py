@@ -42,21 +42,49 @@ SIMJOIN_T_NUM, SIMJOIN_T_DEN = 3, 5
 
 def simjoin_exact(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """All (id_a < id_b) pairs with word-set Jaccard ≥ 3/5 — exact."""
-    # ONE scan of the input: the skinny (id, token-set, size) table feeds
-    # every downstream branch (frequency, prefixes, both verify sides) via
-    # a lazy checkpoint instead of re-reading the base table per branch.
-    sets = records.select(
+    return _simjoin_from_sets(
+        records.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        )
+    )
+
+
+def simjoin_exact_shingles(
+    records: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """All (id_a < id_b) pairs with 3-gram-SHINGLE-set Jaccard ≥ 3/5 —
+    the exact tier of the near-dup family (MinHash-LSH finds these with
+    recall < 1; this finds ALL of them).  Shingles, not words: the
+    fixtures' word vocabulary is tiny (word-set Jaccard marks >half of
+    all pairs "similar"), while 3-gram shingles discriminate — the same
+    reason the MinHash tier signs shingles."""
+    from .dedup import shingles
+
+    shingled = records.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
-    ).withColumn("sz", F.size("ws")).localCheckpoint(eager=False)
+        F.array_distinct(
+            shingles(F.split(F.col(text_col), " "), 3)
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    return _simjoin_from_sets(shingled)
+
+
+def _simjoin_from_sets(sets_df: DataFrame) -> DataFrame:
+    """Prefix-filtered exact join over a precomputed (id, toks:array).
+
+    ONE scan of the input: the skinny (id, token-set, size) table feeds
+    every downstream branch (frequency, prefixes, both verify sides) via
+    a lazy checkpoint instead of re-reading the base per branch."""
+    sets = sets_df.select(
+        "id", F.col("toks").alias("ws"), F.size("toks").alias("sz")
+    ).localCheckpoint(eager=False)
     toks = sets.select("id", "sz", F.explode("ws").alias("w"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    # rarest-first canonical order; (df, w) tiebreak keeps it total
     ordered = toks.join(freq, "w").withColumn(
         "rn",
         F.row_number().over(W.partitionBy("id").orderBy("df", "w")),
     )
-    # prefix length = sz - ceil(t*sz) + 1  (ceil(3s/5) = -floor(-3s/5))
     prefix = ordered.filter(
         F.col("rn")
         <= F.col("sz")
@@ -68,7 +96,6 @@ def simjoin_exact(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cand = (
         a.join(b, "w")
         .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: min ≥ t·max, exactly (5·min ≥ 3·max)
         .filter(
             SIMJOIN_T_DEN * F.least("sz_a", "sz_b")
             >= SIMJOIN_T_NUM * F.greatest("sz_a", "sz_b")
@@ -95,16 +122,21 @@ def simjoin_exact(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 @register(
-    "part_name_simjoin",
+    "docs_exact_neardup_join",
     # Ground truth is the definition itself: the full quadratic self-join
     # in DuckDB (fine at oracle scale; the Spark side must produce the
     # IDENTICAL pair set from the prefix-filtered plan — a missed pair is
     # a completeness bug, an extra pair a verification bug).
     oracle=f"""
-    WITH s AS (
-        SELECT p_partkey AS id,
-               list_distinct(string_split(p_name, ' ')) AS ws
-        FROM part
+    WITH toks AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents
+    ),
+    s AS (
+        SELECT id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in generate_series(1, len(tk) - 2)])
+                   AS ws
+        FROM toks WHERE len(tk) >= 3
     )
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
@@ -120,9 +152,17 @@ def simjoin_exact(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def part_name_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact similarity self-join over part names at Jaccard ≥ 0.6 —
-    prefix-filtered plan vs the oracle's quadratic ground truth."""
-    return simjoin_exact(
-        load_table(spark, sf_dir, "part"), "p_partkey", "p_name"
-    )
+def docs_exact_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate join over the documents corpus at shingle
+    Jaccard ≥ 0.6 — the prefix-filtered plan against the oracle's
+    quadratic ground truth, over the FULL corpus (no bounded audit)."""
+    from .dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            shingles(F.split(F.col("text"), " "), 3)
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    return _simjoin_from_sets(shingled)

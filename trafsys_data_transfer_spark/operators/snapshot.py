@@ -85,3 +85,74 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
     return snapshot_diff(old, new).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# order-insensitive table fingerprint (anti-entropy checksum)
+# ---------------------------------------------------------------------------
+
+#: Hex-digit alphabet shared with sampling.py's portable hash arithmetic.
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ONE-row order-insensitive checksum of a relation: per-row 24-bit
+    digest from md5 over the '|'-joined columns, SUMMED (sum is
+    commutative, so partitioning/ordering never changes the answer) plus
+    the row count.
+
+    This is the anti-entropy primitive for 100 TB replication: comparing
+    two replicas (or a table before/after a migration, or engine A vs
+    engine B) costs one narrow scan + an O(1) exchange per side, instead
+    of shipping rows.  A mismatched fingerprint localises by re-running
+    grouped by a partition column (same expression + one groupBy).  The
+    digest is md5-based so the checksum is engine-portable — the oracle
+    recomputes it in DuckDB, which is itself the operator's own use-case
+    (cross-engine consistency) exercised as the correctness gate.
+
+    Collision posture: 24 digest bits per row, summed over n rows —
+    detection of a single changed row fails only if another change
+    collides exactly (≈2⁻²⁴ per differing row, independent rows); widen
+    to two summed lanes (chars 1-6 and 7-12) when auditing at higher
+    assurance, same plan shape.
+    """
+    digest = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', "
+        + ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        + ")), 1, 6), 16, 10) AS BIGINT)"
+    )
+    return df.select(digest.alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("d").alias("fingerprint"),
+    )
+
+
+@register(
+    "orders_table_fingerprint",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+           ) AS BIGINT) AS fingerprint
+    FROM (
+        SELECT md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   CAST(o_orderstatus AS VARCHAR))) AS h
+        FROM orders
+    )
+    """,
+)
+def orders_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy checksum of the orders key columns — the value two
+    engines computing independently must agree on, which the oracle gate
+    checks by construction."""
+    return table_fingerprint(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+    )

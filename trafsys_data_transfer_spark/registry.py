@@ -314,10 +314,13 @@ _PRIORITY = (
     "dq_expectations",
     "ivm_retractable_agg",
     "layout_zonemap_skip",
-    "part_name_simjoin",
+    "docs_exact_neardup_join",
     "split_kfold",
     "docs_weighted_sample",
     "events_decayed_topk",
+    "orders_table_fingerprint",
+    "events_contribution_capped",
+    "streaming_decayed_topk",
 )
 
 

@@ -1062,3 +1062,74 @@ def streaming_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("epoch_day")
         .orderBy("day")
     )
+
+
+def _decayed_oracle() -> str:
+    # Stream == batch: reuse the batch operator's oracle verbatim.
+    from ..operators import freq as _freq  # noqa: F401
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["events_decayed_topk"].oracle
+
+
+@register("streaming_decayed_topk", oracle=_decayed_oracle())
+def streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_decayed_topk``: the decayed weight
+    ``2^(day/half_life)`` is a pure function of EVENT TIME against the
+    stored corpus-start constant (the CUSUM control-profile pattern), so
+    the stream's stateful half is one weighted sum per (type, user) —
+    decay needs no clock ticks or state rewrites, because the shared
+    ``2^now`` scale cancels in ranking.  That reframing is the whole
+    operator: a naive implementation multiplies every key's state by the
+    decay factor per tick (unbounded rewrite churn); event-time weights
+    make decayed ranking a plain streaming aggregation.  Three file
+    drops exercise cross-batch accumulation; the drained sums ranked
+    batch-side must equal the one-shot batch operator (same oracle)."""
+    from ..operators.freq import DECAY_HALF_LIFE_DAYS, DECAYED_TOP_K
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    from .incremental import _stream_partitions
+
+    d0 = events.agg(F.min(F.col("ts").cast("date"))).first()[0]
+    staging = tempfile.mkdtemp(prefix="tds_stream_decay_")
+    events.repartition(3).write.mode("append").parquet(staging)
+    table = f"stream_decay_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .select(
+            "event_type",
+            "user_id",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(datediff(CAST(ts AS DATE), DATE '{d0}') "
+                f"div {DECAY_HALF_LIFE_DAYS} AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("w").alias("decayed_scaled"))
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    rnk_w = Window.partitionBy("event_type").orderBy(
+        F.col("decayed_scaled").desc(), "user_id"
+    )
+    return (
+        spark.table(table)
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= DECAYED_TOP_K)
+        .select("event_type", "user_id", "decayed_scaled", "rnk")
+        .orderBy("event_type", "rnk")
+    )

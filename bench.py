@@ -110,6 +110,7 @@ WORK_IN_BUILD = {
     "streaming_growth_accounting",
     "layout_zonemap_skip",
     "streaming_decayed_topk",
+    "text_bm25_index_incremental",
 }
 
 

@@ -368,3 +368,54 @@ def test_streaming_decayed_topk_accumulates_across_batches(spark):
     got = {r["user_id"]: r["decayed_scaled"] for r in stream}
     # user 1: 4·2^0 + 3·2^2 = 16; user 2: 5·2^2 = 20; user 3: 2·2^1 = 4
     assert got == {1: 16, 2: 20, 3: 4}
+
+
+def test_merge_with_tombstones_four_branches(spark):
+    from trafsys_data_transfer_spark.operators.merge import (
+        merge_with_tombstones,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", False),   # matched update
+            (3, None, True),   # matched delete
+            (4, "d", False),   # unmatched insert
+            (9, None, True),   # tombstone for absent key: no-op
+        ],
+        "k long, v string, is_delete boolean",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_with_tombstones(target, updates, ["k"]).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_bm25_incremental_append_equals_full_rebuild(spark, sf_dir):
+    """The incrementally maintained index must score identically to a
+    from-scratch rebuild over the same final corpus."""
+    from trafsys_data_transfer_spark.fsutil import process_staging_dir
+    from trafsys_data_transfer_spark.operators.dedup import (
+        INCREMENTAL_BATCH_SOURCES,
+    )
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_probe,
+        bm25_index_write,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    inc_path = process_staging_dir("bm25_test_inc")
+    full_path = process_staging_dir("bm25_test_full")
+    bm25_index_write(docs.filter(~is_batch), inc_path)
+    bm25_index_append(docs.filter(is_batch), inc_path)
+    bm25_index_write(docs, full_path)
+    inc = bm25_index_probe(spark, inc_path).collect()
+    full = bm25_index_probe(spark, full_path).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+    assert inc  # non-empty probe

@@ -196,3 +196,33 @@ def merge_upsert_parquet(
     swap_directories(
         spark, tmp, target_path, f"{target_path}.__old_{uuid.uuid4().hex}"
     )
+
+
+def merge_with_tombstones(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """MERGE with DELETE semantics: the update batch carries a boolean
+    ``delete_col`` — tombstone rows REMOVE their key from the target,
+    the rest upsert last-write-wins.
+
+    Equivalent SQL::
+
+        MERGE INTO target USING updates ON <keys>
+        WHEN MATCHED AND updates.is_delete THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND NOT updates.is_delete THEN INSERT *
+
+    The reference's feed is insert/update-only (script.js:186-200); real
+    CDC feeds carry deletes (sensor decommissioned, GDPR erasure), and a
+    MERGE that can't apply them forces a full-table rewrite.  Plan shape
+    is :func:`merge_dataframes`' exact asymmetry — ONE anti-join on all
+    update keys (tombstones and upserts prune together), the target
+    never shuffles; only the non-tombstone rows union back in.
+    """
+    keys = list(keys)
+    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+    upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+    return survivors.unionByName(upserts.select(*target.columns))

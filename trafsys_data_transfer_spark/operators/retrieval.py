@@ -247,3 +247,71 @@ def text_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bm25_index_write(docs, path)
     return bm25_index_probe(spark, path)
+
+
+def bm25_index_append(
+    docs_delta: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Incrementally maintain the stored inverted index: the delta's
+    postings land as NEW term-sorted parquet files appended to the index
+    directory, and the sidecar corpus stats are advanced additively.
+
+    No stored posting is rewritten — BM25's per-term scoring needs only
+    (tf, dl) per posting plus corpus totals, all of which are additive,
+    so ingest cost is O(delta), not O(index).  Parquet row-group pruning
+    still works: each appended file carries its own term min/max stats,
+    so a probe's ``term IN (...)`` prunes base and delta files alike
+    (slightly more files per term over time — the compaction operator is
+    the maintenance answer, same as any LSM-ish layout).
+    """
+    import json
+    import os
+
+    toks = F.split(F.col(text_col), " ")
+    base = docs_delta.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    postings = base.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .parquet(path)
+    )
+    d_docs, d_dl = docs_delta.select(
+        F.count(F.lit(1)), F.sum(F.size(toks))
+    ).first()
+    stats_path = os.path.join(path, "_stats.json")
+    with open(stats_path) as f:
+        st = json.load(f)
+    st["n_docs"] += int(d_docs)
+    st["total_dl"] += int(d_dl)
+    with open(stats_path, "w") as f:
+        json.dump(st, f)
+
+
+@register(
+    "text_bm25_index_incremental",
+    oracle=_bm25_oracle(BM25_QUERY, BM25_TOPK),
+)
+def text_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance lifecycle: build the stored index from the
+    corpus MINUS tonight's ingest batch, APPEND the batch's postings
+    (O(delta) — no stored posting rewritten), then probe.  Shares the
+    inline tier's hash-checked full-corpus oracle, so a single posting
+    lost or double-counted at the append seam is a hash mismatch."""
+    import os
+
+    from ..fsutil import process_staging_dir
+    from .dedup import INCREMENTAL_BATCH_SOURCES
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    path = process_staging_dir(
+        f"bm25inc_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    bm25_index_write(docs.filter(~is_batch), path)
+    bm25_index_append(docs.filter(is_batch), path)
+    return bm25_index_probe(spark, path)

@@ -696,3 +696,73 @@ def traffic_uptime_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("SiteCode", "Location")
     )
+
+
+@register(
+    "traffic_merge_tombstones",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    b1 AS (
+        SELECT * FROM (
+            SELECT t.*, ROW_NUMBER() OVER (
+                PARTITION BY SiteCode, Location, PeriodEnding
+                ORDER BY Ins DESC, Outs DESC, IsInternal DESC) AS rn
+            FROM traffic t WHERE PeriodEnding < TIMESTAMP '2024-01-20 00:00:00'
+        ) WHERE rn = 1
+    ),
+    b2 AS (
+        SELECT * FROM (
+            SELECT SiteCode, Location, IsInternal, PeriodEnding,
+                   Ins + 1000 AS Ins, Outs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY SiteCode, Location, PeriodEnding
+                       ORDER BY Ins + 1000 DESC, Outs DESC, IsInternal DESC) AS rn
+            FROM traffic
+            WHERE PeriodEnding >= TIMESTAMP '2024-01-15 00:00:00'
+              AND Location != 'error'
+        ) WHERE rn = 1
+    )
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM b1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b2 WHERE b2.SiteCode = b1.SiteCode
+          AND b2.Location = b1.Location AND b2.PeriodEnding = b1.PeriodEnding)
+      AND NOT (b1.Location = 'error'
+               AND b1.PeriodEnding >= TIMESTAMP '2024-01-10 00:00:00')
+    UNION ALL
+    SELECT SiteCode, Location, IsInternal, PeriodEnding, Ins, Outs FROM b2
+    """,
+)
+def traffic_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with deletes: batch 2 carries the Jan-15+ corrections PLUS
+    tombstones retiring every 'error'-location key from Jan 10 onward
+    (the decommissioned-sensor feed).  Deleted keys vanish, corrected
+    keys take batch-2 values, everything else keeps batch-1 state —
+    exactly the four-branch MERGE a CDC feed needs."""
+    from ..operators.merge import merge_with_tombstones
+
+    t = _normalized(spark, sf_dir)
+    b1 = dedupe_last_write(
+        t.filter(F.col("PeriodEnding") < F.lit("2024-01-20")),
+        keys=["SiteCode", "Location", "PeriodEnding"],
+        order_by=["Ins", "Outs", "IsInternal"],
+    )
+    corrections = dedupe_last_write(
+        t.filter(
+            (F.col("PeriodEnding") >= F.lit("2024-01-15"))
+            & (F.col("Location") != "error")
+        ).withColumn("Ins", F.col("Ins") + 1000),
+        keys=["SiteCode", "Location", "PeriodEnding"],
+        order_by=["Ins", "Outs", "IsInternal"],
+    ).withColumn("is_delete", F.lit(False))
+    tombstones = (
+        b1.filter(
+            (F.col("Location") == "error")
+            & (F.col("PeriodEnding") >= F.lit("2024-01-10"))
+        )
+        .withColumn("is_delete", F.lit(True))
+    )
+    return merge_with_tombstones(
+        b1,
+        corrections.unionByName(tombstones),
+        keys=["SiteCode", "Location", "PeriodEnding"],
+    )

@@ -321,6 +321,8 @@ _PRIORITY = (
     "orders_table_fingerprint",
     "events_contribution_capped",
     "streaming_decayed_topk",
+    "traffic_merge_tombstones",
+    "text_bm25_index_incremental",
 )
 
 

@@ -148,6 +148,54 @@ def build_flat_replica(spark) -> None:
         print(f"flat replica built: {name}", file=sys.stderr)
 
 
+DST_TAGGED = "/tmp/tds_scale10x_tagged"
+
+
+def build_tagged_replica(spark) -> None:
+    """df-PRESERVING 10× documents replica: every token suffixed with its
+    replica id — a 1:1 token mapping, so WITHIN a replica every shingle
+    relation (planted dups, n-gram stats, similarity structure) is
+    byte-for-byte the 1× corpus's, while the shingle/token spaces of
+    different replicas are fully disjoint.  This models "10× more data
+    drawn from the same distribution" for frequency-sensitive operators:
+    the standard replica multiplies every rare shingle's df by 10 (the
+    real corpus growth mode would NOT — rare stays rare), which drives
+    candidate counts in df-driven joins quadratic as a pure protocol
+    artifact."""
+    os.makedirs(DST_TAGGED, exist_ok=True)
+    for name in FIXTURE_TABLES:
+        out = os.path.join(DST_TAGGED, f"{name}.parquet")
+        if name != "documents":
+            src = os.path.join(DST, f"{name}.parquet")
+            if not os.path.lexists(out):
+                os.symlink(src, out)
+            continue
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+        base = load_table(spark, SRC, name)
+        parts = []
+        for rep in range(REPS):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(rep) * SHIFT).alias("doc_id"),
+                    F.expr(
+                        "array_join(transform(split(text, ' '), "
+                        f"w -> concat(w, '·{rep}')), ' ')"
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    (F.col("n_chars") + 5).alias("n_chars"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(out)
+        print(f"tagged replica built: {name}", file=sys.stderr)
+
+
 def time_query(spark, spec, sf_dir: str, runs: int) -> float:
     best = None
     for _ in range(runs):
@@ -198,6 +246,12 @@ def main() -> None:
         "interleaved with per-replica markers) instead of the standard one",
     )
     ap.add_argument(
+        "--tagged",
+        action="store_true",
+        help="time against the df-preserving replica (every token suffixed "
+        "per replica: disjoint shingle spaces, 1x frequency distribution)",
+    )
+    ap.add_argument(
         "--rows",
         action="store_true",
         help="also print result-row counts at each scale (density evidence)",
@@ -208,7 +262,9 @@ def main() -> None:
     build_replica(spark)
     if args.flat:
         build_flat_replica(spark)
-    big = DST_FLAT if args.flat else DST
+    if args.tagged:
+        build_tagged_replica(spark)
+    big = DST_TAGGED if args.tagged else (DST_FLAT if args.flat else DST)
     specs = all_queries()
     # warm
     specs["flagship_revenue_topk"].build(spark, SRC).collect()

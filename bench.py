@@ -111,6 +111,7 @@ WORK_IN_BUILD = {
     "layout_zonemap_skip",
     "streaming_decayed_topk",
     "text_bm25_index_incremental",
+    "tokenizer_bpe_encode",
 }
 
 

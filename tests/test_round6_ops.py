@@ -419,3 +419,81 @@ def test_bm25_incremental_append_equals_full_rebuild(spark, sf_dir):
     full = bm25_index_probe(spark, full_path).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in full]
     assert inc  # non-empty probe
+
+
+def test_bpe_encode_round_trips_to_original_text(spark):
+    """Decoding the encoded ids (concat subtokens, strip the EOW marker)
+    must reproduce every document's words exactly — the property that
+    makes the encoding shippable to a trainer."""
+    from trafsys_data_transfer_spark.operators.tokenizer import (
+        EOW,
+        bpe_encode_corpus,
+        encode_word,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest", 16),
+            (2, "new newer newest lowest", 22),
+            (3, "low low low", 11),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode_corpus(docs, 20).collect()}
+    # rebuild the id -> token mapping exactly as the operator does
+    counts = [
+        (r["word"], r["n"]) for r in word_counts(docs).collect()
+    ]
+    merges = train_bpe(counts, 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    encoded = {w: encode_word(w, ranks) for w, _ in counts}
+    vocab = sorted({t for ts in encoded.values() for t in ts})
+    for doc_id, text, _n in docs.collect():
+        toks = [vocab[i] for i in out[doc_id]["token_ids"]]
+        decoded = "".join(toks).replace(EOW, " ").strip()
+        assert decoded == text, (doc_id, decoded)
+        assert out[doc_id]["n_tokens"] == len(out[doc_id]["token_ids"])
+
+
+def test_gdpr_cascade_erasure_zero_residuals(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.quality import (
+        gdpr_erasure_audit,
+    )
+
+    rows = {r["table_name"]: r for r in gdpr_erasure_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r["residual_rows"] == 0
+        assert r["rows_before"] == r["rows_removed"] + r["rows_after"]
+    assert rows["customer"]["rows_removed"] > 0  # the request set is non-empty
+    # the cascade actually reaches depth 3
+    assert rows["lineitem"]["rows_removed"] > 0
+
+
+def test_gdpr_cascade_catches_planted_residual(spark):
+    """If the lineitem erasure step is skipped, the audit's residual
+    count must be non-zero — the audit is recomputed from post-state,
+    not inferred from the deltas."""
+    from trafsys_data_transfer_spark.operators.quality import (
+        ERASE_MOD,
+        ERASE_REM,
+        cascade_erase_audit,
+    )
+
+    cust = spark.createDataFrame(
+        [(ERASE_REM,), (1,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(100, ERASE_REM), (101, 1)], "o_orderkey long, o_custkey long"
+    )
+    # lineitem referencing the erased order
+    line = spark.createDataFrame(
+        [(100, 1), (101, 1)], "l_orderkey long, l_linenumber long"
+    )
+    out = {r["table_name"]: r for r in
+           cascade_erase_audit(cust, orders, line).collect()}
+    assert out["lineitem"]["rows_removed"] == 1
+    assert out["lineitem"]["residual_rows"] == 0
+    assert out["orders"]["rows_removed"] == 1

@@ -213,3 +213,130 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR-style cascade erasure with audit
+# ---------------------------------------------------------------------------
+
+#: Deterministic "erasure request" predicate over customers.
+ERASE_MOD, ERASE_REM = 97, 13
+
+
+def cascade_erase_audit(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Erase a customer set ACROSS the relational cascade (customer →
+    orders → lineitem) and prove it: one audit row per table with
+    before/removed/after counts and the residual count of rows still
+    reachable from an erased customer — which must be zero, and is
+    recomputed from the POST-erasure tables, not inferred from the
+    deltas.
+
+    This is the tombstone MERGE's semantics applied transitively: the
+    right-to-erasure request names a customer, but the data lives three
+    tables deep.  Plan: the erased-customer key set drives anti-joins
+    down the FK chain (orders by custkey, lineitem by the erased orders'
+    keys); each table scans once for the erase and once for the audit
+    aggregate; Catalyst/AQE picks broadcast vs shuffle for the key sets
+    — at 100 TB the erased-key sets are request-sized, so every
+    anti-join is the broadcast-prune shape."""
+    erased_cust = customer.filter(
+        F.col("c_custkey") % ERASE_MOD == ERASE_REM
+    ).select("c_custkey")
+    erased_orders = orders.join(
+        erased_cust, orders["o_custkey"] == erased_cust["c_custkey"]
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+
+    cust_after = customer.join(erased_cust, "c_custkey", "left_anti")
+    orders_after = orders.join(
+        erased_cust, orders["o_custkey"] == erased_cust["c_custkey"],
+        "left_anti",
+    )
+    line_after = lineitem.join(erased_orders, "l_orderkey", "left_anti")
+
+    cnt = F.count(F.lit(1))
+
+    def audit(name, before_df, after_df, residual_df):
+        before = before_df.agg(cnt.alias("rows_before"))
+        after = after_df.agg(cnt.alias("rows_after"))
+        residual = residual_df.agg(cnt.alias("residual_rows"))
+        return (
+            before.join(F.broadcast(after)).join(F.broadcast(residual))
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                (F.col("rows_before") - F.col("rows_after")).alias(
+                    "rows_removed"
+                ),
+                "rows_after",
+                "residual_rows",
+            )
+        )
+
+    # residuals: anything in the POST state still tied to an erased key
+    res_cust = cust_after.filter(F.col("c_custkey") % ERASE_MOD == ERASE_REM)
+    res_orders = orders_after.join(
+        erased_cust, orders_after["o_custkey"] == erased_cust["c_custkey"]
+    )
+    res_line = line_after.join(erased_orders, "l_orderkey")  # keys aliased
+    return (
+        audit("customer", customer, cust_after, res_cust)
+        .unionByName(audit("orders", orders, orders_after, res_orders))
+        .unionByName(audit("lineitem", lineitem, line_after, res_line))
+        .orderBy("table_name")
+    )
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle=f"""
+    WITH erased_cust AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}
+    ),
+    erased_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased_cust)
+    )
+    SELECT * FROM (
+        SELECT 'customer' AS table_name,
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_before,
+               CAST((SELECT COUNT(*) FROM erased_cust) AS BIGINT) AS rows_removed,
+               CAST((SELECT COUNT(*) FROM customer) -
+                    (SELECT COUNT(*) FROM erased_cust) AS BIGINT) AS rows_after,
+               CAST(0 AS BIGINT) AS residual_rows
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey IN (SELECT c_custkey FROM erased_cust))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders) -
+                    (SELECT COUNT(*) FROM orders
+                     WHERE o_custkey IN (SELECT c_custkey FROM erased_cust))
+                    AS BIGINT),
+               CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM erased_orders))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem) -
+                    (SELECT COUNT(*) FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM erased_orders))
+                    AS BIGINT),
+               CAST(0 AS BIGINT)
+    )
+    ORDER BY table_name
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade erasure of a deterministic customer set with a zero-
+    residual audit recomputed from the post-erasure state."""
+    return cascade_erase_audit(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

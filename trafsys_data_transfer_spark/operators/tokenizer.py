@@ -163,3 +163,59 @@ def bpe_token_stats(
 def tokenizer_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token counts under a 200-merge BPE trained on the corpus."""
     return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_encode_corpus(
+    docs: DataFrame, num_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Train BPE, then ENCODE the corpus to token-id sequences — the
+    half of the lifecycle :func:`bpe_token_stats` stops short of, and
+    the actual output a pretraining pipeline ships to the trainer.
+
+    Token ids: contiguous ints over the sorted distinct subtoken
+    vocabulary (a pure function of the corpus — stable across runs and
+    partitionings).  The corpus path stays JVM-side: per-word id ARRAYS
+    are computed once for the O(V) vocabulary in Python, broadcast, and
+    stitched per document with posexplode → broadcast join →
+    position-sorted flatten — document text never crosses into Python,
+    so 100 TB encodes at explode+join cost exactly like the stats pass.
+    """
+    spark = docs.sparkSession
+    counts = [(r["word"], r["n"]) for r in word_counts(docs, text_col).collect()]
+    merges = train_bpe(counts, num_merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    encoded = {w: encode_word(w, ranks) for w, _ in counts}
+    vocab = sorted({t for toks in encoded.values() for t in toks})
+    tok_id = {t: i for i, t in enumerate(vocab)}
+    enc_table = spark.createDataFrame(
+        [(w, [tok_id[t] for t in toks]) for w, toks in encoded.items()],
+        "word string, ids array<int>",
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    return (
+        exploded.join(F.broadcast(enc_table), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(pos, ids))),"
+                " s -> s.ids))"
+            ).alias("token_ids")
+        )
+        .select(
+            "doc_id",
+            F.size("token_ids").alias("n_tokens"),
+            "token_ids",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("tokenizer_bpe_encode")  # rows-only: iterative training + the
+# id sequences aren't ANSI-SQL; certified by the round-trip decode test
+# (tests/test_tokenizer.py) and the stats-consistency invariant.
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded to BPE token-id sequences (200 merges)."""
+    return bpe_encode_corpus(load_table(spark, sf_dir, "documents"))

@@ -323,6 +323,8 @@ _PRIORITY = (
     "streaming_decayed_topk",
     "traffic_merge_tombstones",
     "text_bm25_index_incremental",
+    "tokenizer_bpe_encode",
+    "gdpr_erasure_audit",
 )
 
 

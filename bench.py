@@ -112,6 +112,8 @@ WORK_IN_BUILD = {
     "streaming_decayed_topk",
     "text_bm25_index_incremental",
     "tokenizer_bpe_encode",
+    "timetravel_rollback_read",
+    "timetravel_schema_evolution",
 }
 
 

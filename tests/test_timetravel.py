@@ -178,3 +178,61 @@ def test_version_errors(spark, tmp_path):
     versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
     with pytest.raises(ValueError):
         versioned_read(spark, table, 7)
+
+
+def test_rollback_restores_state_and_keeps_history(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_rollback,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    versioned_commit(spark, _df(spark, [("a", "d1", 999)]), table, replace=True)
+    v = versioned_rollback(spark, table, 1)
+    assert v == 3
+    assert table_versions(spark, table) == [1, 2, 3]
+    assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
+        ("a", "d1", 1)
+    }
+    # the bad version stays auditable
+    assert {tuple(r) for r in versioned_read(spark, table, 2).collect()} == {
+        ("a", "d1", 999)
+    }
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir)
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]).coalesce(1), table)
+    versioned_commit(
+        spark, _df(spark, [("a", "d1", 2)]).coalesce(1), table, replace=True
+    )
+    versioned_commit(
+        spark, _df(spark, [("a", "d1", 3)]).coalesce(1), table, replace=True
+    )
+    n_files_before = len(
+        [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    )
+    keep, deleted = versioned_vacuum(spark, table, retain_last=2)
+    assert keep == [2, 3]
+    assert deleted >= 1  # v1's stranded file collected
+    assert table_versions(spark, table) == [2, 3]
+    # retained versions still read exactly
+    assert {tuple(r) for r in versioned_read(spark, table, 2).collect()} == {
+        ("a", "d1", 2)
+    }
+    assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
+        ("a", "d1", 3)
+    }
+    n_files_after = len(
+        [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    )
+    assert n_files_after == n_files_before - deleted
+    # idempotent: a second vacuum collects nothing further
+    assert versioned_vacuum(spark, table, retain_last=2)[1] == 0

@@ -208,9 +208,19 @@ def versioned_commit(
 
 
 def versioned_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """The table AS OF ``version`` (latest when None)."""
+    """The table AS OF ``version`` (latest when None).
+
+    ``merge_schema=True`` unions the per-file schemas (schema EVOLUTION:
+    a version whose commits added columns reads as the widened schema,
+    older files' new columns null) — pass it when the table's history
+    spans an additive schema change; reads pinned to a pre-change
+    version keep the original schema for free, because they read only
+    that version's files."""
     versions = table_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {table_dir}")
@@ -222,7 +232,10 @@ def versioned_read(
         files = json.load(fh)["files"]
     if not files:
         raise ValueError(f"version {version} is empty")
-    return spark.read.parquet(
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[os.path.join(table_dir, "data", f) for f in files]
     )
 
@@ -401,3 +414,186 @@ def timetravel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="row_key",
         content_col="content",
     ).orderBy("row_key")
+
+
+def versioned_rollback(
+    spark: SparkSession, table_dir: str, to_version: int
+) -> int:
+    """RESTORE the table to an earlier version AS A NEW COMMIT (the
+    Delta ``RESTORE TABLE`` / Iceberg rollback semantics): the new
+    manifest simply re-lists ``to_version``'s file set — no data moves,
+    history is preserved (the rolled-back-over versions stay readable),
+    and the restore itself is one CAS-claimed manifest write, concurrent
+    -writer safe like any commit."""
+    versions = table_versions(spark, table_dir)
+    if to_version not in versions:
+        raise ValueError(f"version {to_version} not in {versions}")
+    with open(_manifest_path(table_dir, to_version)) as fh:
+        files = json.load(fh)["files"]
+    for _ in range(COMMIT_CAS_RETRIES):
+        current = table_versions(spark, table_dir)[-1]
+        version = current + 1
+        manifest = {"version": version, "files": files}
+        tmp = _manifest_path(table_dir, version) + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return version
+    raise IOError(f"rollback lost {COMMIT_CAS_RETRIES} CAS races")
+
+
+def versioned_vacuum(
+    spark: SparkSession, table_dir: str, retain_last: int = 2
+) -> tuple[list[int], int]:
+    """Garbage-collect history: drop all but the last ``retain_last``
+    manifests, then delete every data file no surviving manifest
+    references.  Returns (surviving versions, files deleted).
+
+    The unreferenced-file sweep is what bounds storage under restatement
+    churn (every replace-commit strands the replaced files once their
+    manifests expire).  Ordering matters for crash safety: manifests are
+    removed FIRST, so a crash mid-vacuum leaves orphaned data files
+    (invisible, re-collectable) — never a manifest pointing at deleted
+    data.  Single-administrator action by design (like compaction);
+    concurrent COMMITS are safe because a commit only references its
+    own staged files plus files from the manifest it read, which the
+    retention window keeps alive."""
+    versions = table_versions(spark, table_dir)
+    keep_versions = versions[-retain_last:]
+    live: set[str] = set()
+    for v in keep_versions:
+        with open(_manifest_path(table_dir, v)) as fh:
+            live.update(json.load(fh)["files"])
+    for v in versions[:-retain_last] if retain_last else versions:
+        os.unlink(_manifest_path(table_dir, v))
+    data_dir = os.path.join(table_dir, "data")
+    deleted = 0
+    for name in os.listdir(data_dir):
+        if name.endswith(".parquet") and name not in live:
+            os.unlink(os.path.join(data_dir, name))
+            deleted += 1
+    return keep_versions, deleted
+
+
+@register(
+    "timetravel_rollback_read",
+    # After the bad v2 restatement is rolled back, the LATEST read must
+    # be byte-identical to v1's original rollup — while v2 stays in
+    # history (the audit trail survives the undo).
+    oracle="""
+    WITH traffic AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS SiteCode,
+               event_type AS Location,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+                   AS PeriodEnding
+        FROM events
+    ),
+    rolled AS (
+        SELECT SiteCode, Location,
+               CAST(date_trunc('day', PeriodEnding - INTERVAL 1 SECOND)
+                    + INTERVAL 1 DAY AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM traffic GROUP BY 1, 2, 3
+    )
+    SELECT SiteCode, Location, day, n FROM rolled
+    ORDER BY SiteCode, Location, day
+    """,
+)
+def timetravel_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v1 (daily event counts), commit a corrupted v2 (every
+    count doubled — the bad deploy), RESTORE to v1 as v3, and read the
+    latest: it must hash-match the original state, with v2 still
+    present in history."""
+    import tempfile as _tf
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.concat(F.lit("S"), (F.col("user_id") % 5).cast("string")).alias(
+                "SiteCode"
+            ),
+            F.col("event_type").alias("Location"),
+            F.date_add(
+                F.date_trunc(
+                    "day", F.col("ts") - F.expr("INTERVAL 1 SECOND")
+                ).cast("date"),
+                1,
+            ).alias("day"),
+        )
+        .groupBy("SiteCode", "Location", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    table = os.path.join(
+        _tf.gettempdir(), f"tds_ttrollback_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    versioned_commit(spark, daily, table)
+    versioned_commit(
+        spark, daily.withColumn("n", F.col("n") * 2), table, replace=True
+    )
+    restored = versioned_rollback(spark, table, 1)
+    assert restored == 3 and table_versions(spark, table) == [1, 2, 3]
+    return versioned_read(spark, table).select(
+        "SiteCode", "Location", "day", "n"
+    ).orderBy("SiteCode", "Location", "day")
+
+
+@register(
+    "timetravel_schema_evolution",
+    # Additive schema change mid-history: pinned pre-change reads keep
+    # the ORIGINAL schema; the latest read carries the widened schema
+    # with nulls for pre-change rows.
+    oracle="""
+    WITH base AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    delta AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST('nightly' AS VARCHAR) AS ingest_tag
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+    )
+    SELECT lang, n_docs, CAST(NULL AS VARCHAR) AS ingest_tag FROM base
+    UNION ALL
+    SELECT lang, n_docs, ingest_tag FROM delta
+    ORDER BY lang, ingest_tag NULLS FIRST, n_docs
+    """,
+)
+def timetravel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v1 with the original (lang, n_docs) schema, append v2
+    whose rows carry a NEW ``ingest_tag`` column, then read the latest
+    with schema merging: v1's rows surface with a null tag, v2's with
+    theirs — and a pinned ``read(version=1)`` (asserted inline) still
+    returns the original two-column schema, untouched by the evolution."""
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("ingest_tag", F.lit("nightly"))
+    )
+    table = os.path.join(
+        _tf.gettempdir(), f"tds_ttschema_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    versioned_commit(spark, base, table)
+    versioned_commit(spark, delta, table)  # append with the new column
+    v1_schema = set(versioned_read(spark, table, 1).columns)
+    assert v1_schema == {"lang", "n_docs"}, v1_schema
+    return (
+        versioned_read(spark, table, merge_schema=True)
+        .select("lang", "n_docs", "ingest_tag")
+        .orderBy("lang", F.col("ingest_tag").asc_nulls_first(), "n_docs")
+    )

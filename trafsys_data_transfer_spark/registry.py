@@ -325,6 +325,8 @@ _PRIORITY = (
     "text_bm25_index_incremental",
     "tokenizer_bpe_encode",
     "gdpr_erasure_audit",
+    "timetravel_rollback_read",
+    "timetravel_schema_evolution",
 )
 
 

@@ -230,60 +230,76 @@ def cascade_erase_audit(
     orders → lineitem) and prove it: one audit row per table with
     before/removed/after counts and the residual count of rows still
     reachable from an erased customer — which must be zero, and is
-    recomputed from the POST-erasure tables, not inferred from the
+    recomputed from the POST-erasure lineage, not inferred from the
     deltas.
 
     This is the tombstone MERGE's semantics applied transitively: the
     right-to-erasure request names a customer, but the data lives three
-    tables deep.  Plan: the erased-customer key set drives anti-joins
-    down the FK chain (orders by custkey, lineitem by the erased orders'
-    keys); each table scans once for the erase and once for the audit
-    aggregate; Catalyst/AQE picks broadcast vs shuffle for the key sets
-    — at 100 TB the erased-key sets are request-sized, so every
-    anti-join is the broadcast-prune shape."""
-    erased_cust = customer.filter(
-        F.col("c_custkey") % ERASE_MOD == ERASE_REM
-    ).select("c_custkey")
-    erased_orders = orders.join(
-        erased_cust, orders["o_custkey"] == erased_cust["c_custkey"]
-    ).select(F.col("o_orderkey").alias("l_orderkey"))
-
-    cust_after = customer.join(erased_cust, "c_custkey", "left_anti")
-    orders_after = orders.join(
-        erased_cust, orders["o_custkey"] == erased_cust["c_custkey"],
-        "left_anti",
+    tables deep.  Plan: TWO passes per table — one conditional aggregate
+    folds (before, removed) in a single scan (the request predicate
+    pushes into the customer/orders scans directly; lineitem flags
+    membership with one left join against the request-sized erased-order
+    key set), and one residual recount runs over the post-erasure
+    lineage (anti-join / flag-filter, then re-probe).  At 100 TB every
+    key-set join is the broadcast-prune shape because erasure requests
+    are request-sized."""
+    erased_cust_pred = F.col("c_custkey") % ERASE_MOD == ERASE_REM
+    erased_cust = customer.filter(erased_cust_pred).select("c_custkey")
+    # orders' membership is predicate-expressible (the FK carries the
+    # customer key): no join needed to identify erased orders
+    erased_orders_pred = F.col("o_custkey") % ERASE_MOD == ERASE_REM
+    erased_orders = orders.filter(erased_orders_pred).select(
+        F.col("o_orderkey").alias("l_orderkey")
     )
-    line_after = lineitem.join(erased_orders, "l_orderkey", "left_anti")
+    # lineitem membership: one left join marks erased-order lines
+    line_flagged = lineitem.join(
+        erased_orders.withColumn("_hit", F.lit(1)), "l_orderkey", "left"
+    )
 
     cnt = F.count(F.lit(1))
 
-    def audit(name, before_df, after_df, residual_df):
-        before = before_df.agg(cnt.alias("rows_before"))
-        after = after_df.agg(cnt.alias("rows_after"))
-        residual = residual_df.agg(cnt.alias("residual_rows"))
-        return (
-            before.join(F.broadcast(after)).join(F.broadcast(residual))
-            .select(
-                F.lit(name).alias("table_name"),
-                "rows_before",
-                (F.col("rows_before") - F.col("rows_after")).alias(
-                    "rows_removed"
-                ),
-                "rows_after",
-                "residual_rows",
-            )
+    def counts(df, flag, name):
+        """ONE scan: (before, removed) via conditional aggregation."""
+        return df.agg(
+            cnt.alias("rows_before"),
+            F.count(F.when(flag, 1)).alias("rows_removed"),
+        ).select(F.lit(name).alias("table_name"), "rows_before", "rows_removed")
+
+    pre = (
+        counts(customer, erased_cust_pred, "customer")
+        .unionByName(counts(orders, erased_orders_pred, "orders"))
+        .unionByName(
+            counts(line_flagged, F.col("_hit").isNotNull(), "lineitem")
+        )
+    )
+
+    # residuals: anything in the POST-erasure state still tied to an
+    # erased key — recomputed over the post lineage, one branch per table
+    cust_after = customer.join(erased_cust, "c_custkey", "left_anti")
+    orders_after = orders.filter(~erased_orders_pred)
+    line_after = line_flagged.filter(F.col("_hit").isNull())
+
+    def residual(df, flag, name):
+        return df.filter(flag).agg(cnt.alias("residual_rows")).select(
+            F.lit(name).alias("table_name"), "residual_rows"
         )
 
-    # residuals: anything in the POST state still tied to an erased key
-    res_cust = cust_after.filter(F.col("c_custkey") % ERASE_MOD == ERASE_REM)
-    res_orders = orders_after.join(
-        erased_cust, orders_after["o_custkey"] == erased_cust["c_custkey"]
+    residuals = (
+        residual(cust_after, erased_cust_pred, "customer")
+        .unionByName(residual(orders_after, erased_orders_pred, "orders"))
+        .unionByName(
+            residual(line_after, F.col("_hit").isNotNull(), "lineitem")
+        )
     )
-    res_line = line_after.join(erased_orders, "l_orderkey")  # keys aliased
     return (
-        audit("customer", customer, cust_after, res_cust)
-        .unionByName(audit("orders", orders, orders_after, res_orders))
-        .unionByName(audit("lineitem", lineitem, line_after, res_line))
+        pre.join(F.broadcast(residuals), "table_name")
+        .select(
+            "table_name",
+            "rows_before",
+            "rows_removed",
+            (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
+            "residual_rows",
+        )
         .orderBy("table_name")
     )
 

@@ -114,6 +114,7 @@ WORK_IN_BUILD = {
     "tokenizer_bpe_encode",
     "timetravel_rollback_read",
     "timetravel_schema_evolution",
+    "streaming_versioned_ingest",
 }
 
 

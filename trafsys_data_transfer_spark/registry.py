@@ -327,6 +327,7 @@ _PRIORITY = (
     "gdpr_erasure_audit",
     "timetravel_rollback_read",
     "timetravel_schema_evolution",
+    "streaming_versioned_ingest",
 )
 
 

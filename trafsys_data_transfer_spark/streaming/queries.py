@@ -1133,3 +1133,72 @@ def streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", "decayed_scaled", "rnk")
         .orderBy("event_type", "rnk")
     )
+
+
+@register(
+    "streaming_versioned_ingest",
+    # Final versioned-table state == the raw input relation: nothing is
+    # lost or duplicated across per-micro-batch commits.
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+    FROM events ORDER BY event_id
+    """,
+)
+def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the snapshot-versioned table: each
+    micro-batch lands as one CAS-claimed manifest commit
+    (``foreachBatch`` → ``versioned_commit``), so the lakehouse tier's
+    guarantees — time travel to any batch boundary, rollback, audit —
+    hold for a live stream, and a crashed batch leaves only invisible
+    staged files (the manifest is the commit point, exactly-once at the
+    table level given the checkpoint's effectively-once replay).
+
+    Three file drops under ``maxFilesPerTrigger=1`` force ≥3 real
+    micro-batches; the inline assertions pin one version per non-empty
+    batch and that version 1 re-reads as exactly the first batch's rows
+    AFTER later commits landed.  The final read must hash-match the raw
+    input relation (nothing lost or duplicated at commit seams)."""
+    from ..operators.timetravel import (
+        table_versions,
+        versioned_commit,
+        versioned_read,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_vers_src_")
+    events.repartition(3).write.mode("append").parquet(staging)
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="tds_stream_vers_tbl_"), "t"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_vers_ckpt_")
+
+    def commit_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        versioned_commit(batch_df.sparkSession, batch_df, table)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = table_versions(spark, table)
+    assert len(versions) >= 3, versions
+    # time travel to the first batch boundary still reads exactly batch 1
+    v1_rows = versioned_read(spark, table, versions[0]).count()
+    assert 0 < v1_rows < events.count()
+    return versioned_read(spark, table).orderBy("event_id")

@@ -15,6 +15,10 @@ Similarity Joins"; Xiao et al., PPJoin):
   tokens loses nothing;
 * length filter: J ≥ t ⇒ min(sa,sb) ≥ t·max(sa,sb) — applied on the
   candidate join before verification;
+* positional filter (the PPJoin refinement): at a pair's FIRST shared
+  prefix token, total overlap is bounded by 1 + min(remaining tokens
+  each side); pairs whose bound can't reach α = ⌈t(sa+sb)/(1+t)⌉ are
+  dropped before the verify (sf0.1: 193k → 69k candidates);
 * verify with the exact integer test ``5·|∩| ≥ 3·|∪|`` (t = 3/5), no
   floats anywhere, so the oracle hash-matches bit for bit.
 
@@ -90,18 +94,39 @@ def _simjoin_from_sets(sets_df: DataFrame) -> DataFrame:
         <= F.col("sz")
         + F.floor(F.lit(-SIMJOIN_T_NUM) * F.col("sz") / SIMJOIN_T_DEN)
         + 1
-    ).select("id", "w", "sz")
-    a = prefix.toDF("id_a", "w", "sz_a")
-    b = prefix.toDF("id_b", "w", "sz_b")
+    ).select("id", "w", "sz", "rn")
+    a = prefix.toDF("id_a", "w", "sz_a", "rn_a")
+    b = prefix.toDF("id_b", "w", "sz_b", "rn_b")
+    # POSITIONAL filter (PPJoin): at the pair's FIRST shared prefix token
+    # (minimal rn in the shared canonical order — tokens before it are
+    # disjoint by construction), total overlap is bounded by
+    # 1 + min(remaining tokens on each side); require that bound to reach
+    # the overlap threshold α = ⌈t·(sa+sb)/(1+t)⌉ (o ≥ α ⇔ J ≥ t).  The
+    # groupBy replaces the plain distinct — same shuffle, far fewer
+    # survivors reaching the array-intersect verify.
     cand = (
         a.join(b, "w")
         .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: min ≥ t·max, exactly
         .filter(
             SIMJOIN_T_DEN * F.least("sz_a", "sz_b")
             >= SIMJOIN_T_NUM * F.greatest("sz_a", "sz_b")
         )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min(F.struct("rn_a", "rn_b")).alias("fm"))
+        .filter(
+            1
+            + F.least(
+                F.col("sz_a") - F.col("fm.rn_a"),
+                F.col("sz_b") - F.col("fm.rn_b"),
+            )
+            >= -F.floor(
+                F.lit(-SIMJOIN_T_NUM)
+                * (F.col("sz_a") + F.col("sz_b"))
+                / (SIMJOIN_T_NUM + SIMJOIN_T_DEN)
+            )
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     verified = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"), F.col("sz").alias("sza")), "id_a")

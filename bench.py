@@ -115,6 +115,7 @@ WORK_IN_BUILD = {
     "timetravel_rollback_read",
     "timetravel_schema_evolution",
     "streaming_versioned_ingest",
+    "bucketed_colocated_agg",
 }
 
 

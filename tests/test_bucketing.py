@@ -64,3 +64,33 @@ def test_cobucketed_join_results_match_plain_join(spark, sf_dir, bucketed_tables
         .collect()[0]
     )
     assert (bucketed["n"], bucketed["rev"]) == (plain["n"], plain["rev"])
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
+    """Grouping on the bucket column must plan the HashAggregate directly
+    over the co-located scan — a map-only aggregation."""
+    li_t, _ = bucketed_tables
+    agg = (
+        read_table(spark, li_t)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_agg_matches_plain_agg(spark, sf_dir, bucketed_tables):
+    li_t, _ = bucketed_tables
+    got = dict(
+        read_table(spark, li_t)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = dict(
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want

@@ -497,3 +497,29 @@ def test_gdpr_cascade_catches_planted_residual(spark):
     assert out["lineitem"]["rows_removed"] == 1
     assert out["lineitem"]["residual_rows"] == 0
     assert out["orders"]["rows_removed"] == 1
+
+
+def test_coverage_gaps_merges_overlaps_and_finds_holes(spark):
+    import datetime as d
+
+    from trafsys_data_transfer_spark.plans.watermark import coverage_gaps
+
+    D = d.date
+    windows = spark.createDataFrame(
+        [
+            (D(2024, 1, 1), D(2024, 1, 3)),
+            (D(2024, 1, 2), D(2024, 1, 5)),   # overlaps the first
+            (D(2024, 1, 7), D(2024, 1, 8)),   # hole [5, 7)
+            (D(2024, 1, 8), D(2024, 1, 9)),   # adjacent: NOT a hole
+            (D(2024, 1, 12), D(2024, 1, 13)), # hole [9, 12)
+        ],
+        "FromDate date, ToDate date",
+    )
+    got = [(r["gap_start"], r["gap_end"]) for r in coverage_gaps(windows).collect()]
+    assert got == [(D(2024, 1, 5), D(2024, 1, 7)), (D(2024, 1, 9), D(2024, 1, 12))]
+    # fully covered log -> no gaps
+    solid = spark.createDataFrame(
+        [(D(2024, 1, 1), D(2024, 1, 5)), (D(2024, 1, 4), D(2024, 1, 9))],
+        "FromDate date, ToDate date",
+    )
+    assert coverage_gaps(solid).count() == 0

@@ -122,3 +122,43 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@register(
+    "bucketed_colocated_agg",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def bucketed_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free AGGREGATION on a bucketed table: grouping on the
+    bucket column lets Catalyst plan the HashAggregate directly over the
+    co-located scan — ZERO Exchange operators (plan-asserted in
+    tests/test_bucketing.py), the aggregation analogue of the co-located
+    join.  At 100 TB a per-orderkey rollup over bucketed lineitem is a
+    map-only job: the nightly per-key aggregate's shuffle — paid once at
+    write time — amortises across every downstream groupBy on the key.
+    """
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t = f"li_aggbkt_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(li, li_t, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    return (
+        read_table(spark, li_t)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("price_cents"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -766,3 +766,52 @@ def traffic_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         corrections.unionByName(tombstones),
         keys=["SiteCode", "Location", "PeriodEnding"],
     )
+
+
+@register(
+    "watermark_backfill_plan",
+    oracle="""
+    WITH runs AS (
+        SELECT d AS FromDate,
+               CAST(d + INTERVAL 1 DAY
+                    * (CASE WHEN day(d) % 3 = 0 THEN 2 ELSE 1 END)
+                    AS DATE) AS ToDate
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+              WHERE day(CAST(ts AS DATE)) % 4 != 0)
+    ),
+    marked AS (
+        SELECT FromDate, ToDate,
+               MAX(ToDate) OVER (ORDER BY FromDate, ToDate
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS covered_until
+        FROM runs
+    )
+    SELECT covered_until AS gap_start, FromDate AS gap_end
+    FROM marked
+    WHERE covered_until IS NOT NULL AND FromDate > covered_until
+    ORDER BY gap_start
+    """,
+)
+def watermark_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recovery planning over the run log: a deterministic log is derived
+    from the fixture (a 1-day window per event day — 2 days when the day
+    is divisible by 3, so some windows overlap and some missed days are
+    absorbed by the overlap — with every 4th-of-month day's run
+    "missed"), and the planner emits exactly the uncovered gaps a
+    backfill must fetch: merged across overlaps, the missed-cron windows
+    the reference silently absorbs (script.js:54) made explicit."""
+    from .watermark import coverage_gaps
+
+    events = load_table(spark, sf_dir, "events")
+    runs = (
+        events.select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") % 4 != 0)
+        .select(
+            F.col("d").alias("FromDate"),
+            F.expr(
+                "date_add(d, CASE WHEN day(d) % 3 = 0 THEN 2 ELSE 1 END)"
+            ).alias("ToDate"),
+        )
+    )
+    return coverage_gaps(runs)

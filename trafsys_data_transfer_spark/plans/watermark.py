@@ -81,3 +81,41 @@ def resolve_window(
     )
     date_to = cli_to or yesterday
     return date_from, date_to
+
+
+def coverage_gaps(windows) -> "DataFrame":  # noqa: F821 - DataFrame via import below
+    """Backfill planner: given covered ``(FromDate, ToDate)`` windows
+    (half-open, possibly overlapping, any order), return the UNCOVERED
+    gaps between the overall span's bounds — the windows a recovery run
+    must fetch.
+
+    Interval-merge via gaps-and-islands: sort by start, track the running
+    max of ends; a window whose start exceeds every previous end opens a
+    new island, and the space between is a gap.  The global (unpartition-
+    ed) window is deliberate: a run log is O(runs) rows — thousands, not
+    billions — exactly like the top-1 watermark read-back above.  The
+    reference has no recovery planner at all: a missed cron night is
+    silently absorbed into the next window only if nothing ran in
+    between (script.js:54); explicit gap detection is what makes missed
+    windows VISIBLE instead of lucky."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("FromDate", "ToDate").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    marked = windows.select(
+        "FromDate",
+        "ToDate",
+        F.max("ToDate").over(w).alias("covered_until"),
+    )
+    return (
+        marked.filter(
+            F.col("covered_until").isNotNull()
+            & (F.col("FromDate") > F.col("covered_until"))
+        )
+        .select(
+            F.col("covered_until").alias("gap_start"),
+            F.col("FromDate").alias("gap_end"),
+        )
+        .orderBy("gap_start")
+    )

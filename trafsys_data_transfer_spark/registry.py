@@ -328,6 +328,8 @@ _PRIORITY = (
     "timetravel_rollback_read",
     "timetravel_schema_evolution",
     "streaming_versioned_ingest",
+    "bucketed_colocated_agg",
+    "watermark_backfill_plan",
 )
 
 

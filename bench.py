@@ -116,6 +116,7 @@ WORK_IN_BUILD = {
     "timetravel_schema_evolution",
     "streaming_versioned_ingest",
     "bucketed_colocated_agg",
+    "streaming_contribution_cap",
 }
 
 

@@ -573,3 +573,31 @@ def test_streaming_growth_classifies_across_slice_boundaries(spark):
     assert by_day[2]["retained"] == 2
     assert by_day[4]["resurrected"] == 1
     assert by_day[4]["churned_from_prev"] == 2  # day-2 actives not on day 3
+
+
+def test_cap_state_fn_admits_earliest_across_batches():
+    """Quota spanning micro-batches: 3 admitted in batch 1 leaves room
+    for only 2 in batch 2 (its earliest two); batch 3 is fully dropped."""
+    import pandas as pd
+
+    from trafsys_data_transfer_spark.streaming.cap import _cap_fn
+
+    def batch(ids_minutes):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(2024, 1, 1, 0, m) for _, m in ids_minutes],
+                "event_id": [i for i, _ in ids_minutes],
+            }
+        )
+
+    st = _FakeState()
+    fn = _cap_fn(5)
+    out1 = list(fn(("view", 7), iter([batch([(3, 3), (1, 1), (2, 2)])]), st))
+    assert out1[0]["event_id"].tolist() == [1, 2, 3]  # sorted by ts
+    assert st.get == (3,)
+    out2 = list(fn(("view", 7), iter([batch([(6, 6), (4, 4), (5, 5)])]), st))
+    assert out2[0]["event_id"].tolist() == [4, 5]  # only 2 slots left
+    assert st.get == (5,)
+    out3 = list(fn(("view", 7), iter([batch([(9, 9)])]), st))
+    assert out3 == []
+    assert st.get == (5,)

@@ -330,6 +330,7 @@ _PRIORITY = (
     "streaming_versioned_ingest",
     "bucketed_colocated_agg",
     "watermark_backfill_plan",
+    "streaming_contribution_cap",
 )
 
 

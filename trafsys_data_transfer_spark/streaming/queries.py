@@ -1202,3 +1202,83 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1_rows = versioned_read(spark, table, versions[0]).count()
     assert 0 < v1_rows < events.count()
     return versioned_read(spark, table).orderBy("event_id")
+
+
+@register(
+    "streaming_contribution_cap",
+    oracle=f"""
+    SELECT event_type, user_id, event_id
+    FROM (
+        SELECT event_type, user_id, event_id,
+               row_number() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn <= 5
+    ORDER BY event_type, user_id, event_id
+    """,
+)
+def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota enforcement AT INGEST: the stream admits at most 5 events
+    per (type, user) — earliest first, one integer of state per key —
+    and drops the rest before they land.  Three day-sliced drops force
+    keys whose quota spans micro-batches; the drained admitted set must
+    equal the batch operator's earliest-N selection (same window
+    oracle)."""
+    import datetime as dt
+
+    from .cap import cap_stream
+    from .incremental import _stream_partitions
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    d0, d1 = events.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).first()
+    n_days = (d1 - d0).days + 1
+    step = max(1, n_days // 3)
+    staging = tempfile.mkdtemp(prefix="tds_stream_cap_")
+    tmp = tempfile.mkdtemp(prefix="tds_cap_slices_")
+    (
+        events.withColumn(
+            "slice",
+            F.least(
+                F.floor(F.datediff(F.col("ts").cast("date"), F.lit(d0)) / step),
+                F.lit(2),
+            ),
+        )
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(3):
+        sdir = os.path.join(tmp, f"slice={i}")
+        if not os.path.isdir(sdir):
+            continue
+        base = 1_700_000_000 + i * 10
+        for j, f in enumerate(sorted(os.listdir(sdir))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sdir, f), dst)
+                os.utime(dst, (base, base))
+    table = f"stream_cap_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "event_type string, user_id long, ts timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark):
+        q = (
+            cap_stream(stream, cap=5)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table).orderBy("event_type", "user_id", "event_id")

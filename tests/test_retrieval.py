@@ -104,3 +104,33 @@ def test_bm25_index_probe_identical_to_inline_and_scan_is_pruned(
 
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all("text" not in s for s in schemas)
+
+
+def test_bm25_index_append_empty_delta_is_noop(spark, tmp_path):
+    """ADVICE r06: an empty delta must leave the index and its sidecar
+    stats byte-identical (F.sum over zero rows is NULL — unguarded, the
+    stats update raised TypeError)."""
+    import json
+    import os
+
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_probe,
+        bm25_index_write,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = _toy_docs(spark)
+    bm25_index_write(docs, path)
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats_before = json.load(f)
+    files_before = sorted(os.listdir(path))
+    empty = docs.filter(F.lit(False))
+    bm25_index_append(empty, path)
+    with open(os.path.join(path, "_stats.json")) as f:
+        assert json.load(f) == stats_before
+    # no stray delta files beyond the parquet writer's empty commit
+    assert sorted(
+        f for f in os.listdir(path) if f.endswith(".json")
+    ) == sorted(f for f in files_before if f.endswith(".json"))
+    bm25_index_probe(spark, path).count()  # still probes clean

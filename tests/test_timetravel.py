@@ -236,3 +236,98 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     assert n_files_after == n_files_before - deleted
     # idempotent: a second vacuum collects nothing further
     assert versioned_vacuum(spark, table, retain_last=2)[1] == 0
+
+
+def test_vacuum_rejects_retain_last_zero(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    with pytest.raises(ValueError, match="retain_last"):
+        versioned_vacuum(spark, table, retain_last=0)
+    # table untouched by the rejected call
+    assert table_versions(spark, table) == [1]
+    assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
+        ("a", "d1", 1)
+    }
+
+
+def test_vacuum_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """TOCTOU tripwire: a commit landing while vacuum computes its live
+    set must abort the vacuum, not have its files swept."""
+    import trafsys_data_transfer_spark.operators.timetravel as tt
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    versioned_commit(spark, _df(spark, [("a", "d2", 2)]), table)
+    versioned_commit(spark, _df(spark, [("a", "d3", 3)]), table)
+
+    real_versions = tt.table_versions
+    calls = {"n": 0}
+
+    def racing_versions(sp, td):
+        calls["n"] += 1
+        out = real_versions(sp, td)
+        if calls["n"] == 1:
+            # interleave: a writer commits between the live-set read
+            # and the re-check
+            versioned_commit(sp, _df(sp, [("b", "d4", 4)]), td)
+        return out
+
+    monkeypatch.setattr(tt, "table_versions", racing_versions)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        tt.versioned_vacuum(spark, table, retain_last=2)
+    monkeypatch.undo()
+    # nothing was deleted: every version still reads
+    for v in table_versions(spark, table):
+        versioned_read(spark, table, v).count()
+
+
+def test_versioned_commit_txn_idempotent(spark, tmp_path):
+    """Delta-style txnAppId/txnVersion: replaying a batch (same app,
+    same txn_version) is a no-op — the exactly-once half of
+    streaming_versioned_ingest's foreachBatch contract."""
+    table = str(tmp_path / "t")
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir)
+    v1 = versioned_commit(
+        spark, _df(spark, [("a", "d1", 1)]), table, txn=("ingest", 0)
+    )
+    v2 = versioned_commit(
+        spark, _df(spark, [("b", "d1", 2)]), table, txn=("ingest", 1)
+    )
+    assert (v1, v2) == (1, 2)
+    n_files = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+    # replay batch 1 (crash after commit, before checkpoint advance)
+    v_replay = versioned_commit(
+        spark, _df(spark, [("b", "d1", 2)]), table, txn=("ingest", 1)
+    )
+    assert v_replay == 2
+    assert table_versions(spark, table) == [1, 2]
+    # no duplicate rows, no stranded data files
+    assert versioned_read(spark, table).count() == 2
+    assert (
+        len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+        == n_files
+    )
+    # a DIFFERENT app id is not blocked
+    v3 = versioned_commit(
+        spark, _df(spark, [("c", "d1", 3)]), table, txn=("other", 0)
+    )
+    assert v3 == 3
+    # rollback carries the txn watermark forward: replays stay no-ops
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_rollback,
+    )
+
+    v4 = versioned_rollback(spark, table, to_version=2)
+    assert v4 == 4
+    v_replay2 = versioned_commit(
+        spark, _df(spark, [("b", "d1", 2)]), table, txn=("ingest", 1)
+    )
+    assert v_replay2 == 4
+    assert versioned_read(spark, table).count() == 2

@@ -362,11 +362,16 @@ def zonemap_build(spark: SparkSession, df: DataFrame, path: str, col: str) -> li
 
 
 def zonemap_probe(
-    spark: SparkSession, zonemap: list, lo, hi, schema: str
+    spark: SparkSession, zonemap: list, lo, hi, schema
 ) -> tuple[DataFrame, int]:
     """Read ONLY the files whose [zmin, zmax] intersects [lo, hi); the
     residual filter still applies inside surviving files.  Returns the
-    pruned DataFrame and the number of files actually read."""
+    pruned DataFrame and the number of files actually read.
+
+    ``schema`` is a StructType (pass the staged DataFrame's ``.schema``
+    so the probe read can never drift from the layout's actual types —
+    e.g. the session's TIMESTAMP-vs-TIMESTAMP_NTZ convention) or a DDL
+    string."""
     keep = [r["file"] for r in zonemap if r["zmax"] >= lo and r["zmin"] < hi]
     if not keep:
         return spark.createDataFrame([], schema), 0
@@ -411,11 +416,7 @@ def layout_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zm = zonemap_build(spark, events, path, "ts")
     lo = dt.datetime.fromisoformat(ZONEMAP_LO)
     hi = dt.datetime.fromisoformat(ZONEMAP_HI)
-    pruned, _n = zonemap_probe(
-        spark, zm, lo, hi,
-        "event_id long, user_id long, ts timestamp_ntz, event_type string, "
-        "value double",
-    )
+    pruned, _n = zonemap_probe(spark, zm, lo, hi, events.schema)
     return (
         pruned.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
         .groupBy("event_type")

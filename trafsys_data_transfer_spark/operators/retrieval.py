@@ -268,6 +268,14 @@ def bm25_index_append(
     import os
 
     toks = F.split(F.col(text_col), " ")
+    d_docs, d_dl = docs_delta.select(
+        F.count(F.lit(1)),
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)),
+    ).first()
+    if int(d_docs) == 0:
+        # Empty delta: no postings write, sidecar stats unchanged.  (An
+        # unguarded F.sum over zero rows is NULL → TypeError on int().)
+        return
     base = docs_delta.select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
     )
@@ -280,16 +288,18 @@ def bm25_index_append(
         .write.mode("append")
         .parquet(path)
     )
-    d_docs, d_dl = docs_delta.select(
-        F.count(F.lit(1)), F.sum(F.size(toks))
-    ).first()
     stats_path = os.path.join(path, "_stats.json")
     with open(stats_path) as f:
         st = json.load(f)
     st["n_docs"] += int(d_docs)
     st["total_dl"] += int(d_dl)
-    with open(stats_path, "w") as f:
+    # Single-writer contract (same as versioned_commit's administrator
+    # caveat): the read-modify-write below is atomic against READERS via
+    # os.replace, but concurrent appenders must be externally serialized.
+    tmp_path = f"{stats_path}.tmp.{os.getpid()}"
+    with open(tmp_path, "w") as f:
         json.dump(st, f)
+    os.replace(tmp_path, stats_path)
 
 
 @register(

@@ -89,9 +89,19 @@ def versioned_commit(
     replace: bool = False,
     carry_unreplaced=None,
     partition_by: str | None = None,
+    txn: tuple[str, int] | None = None,
     _pre_claim_hook=None,
 ) -> int:
     """Commit ``df`` as the next version.
+
+    ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT per
+    application (the Delta ``txnAppId``/``txnVersion`` pattern): each
+    manifest carries the highest txn_version applied per app_id, and a
+    commit whose txn_version is <= the recorded one is a no-op returning
+    the current version.  This is what upgrades an at-least-once
+    ``foreachBatch`` replay (crash after commit, before the checkpoint
+    records the offset) to exactly-once at the table level — the
+    replayed batch_id is recognized and skipped.
 
     ``replace=False`` appends: the new version's live set is the previous
     version's files plus the new ones.  ``replace=True`` with
@@ -124,6 +134,19 @@ def versioned_commit(
     # version-number independent, so CAS retries never rewrite data); a
     # partitioned staging write yields one subtree per key, flattened into
     # unique names so the manifest stays a plain file list.
+    def _last_txn(prev_versions: list[int]) -> dict:
+        if not prev_versions:
+            return {}
+        with open(_manifest_path(table_dir, prev_versions[-1])) as fh:
+            return json.load(fh).get("txn", {})
+
+    if txn is not None:
+        # Cheap pre-stage idempotence check: a replayed batch skips the
+        # data write entirely.  Re-checked inside the CAS loop too.
+        prev0 = table_versions(spark, table_dir)
+        if _last_txn(prev0).get(txn[0], -1) >= txn[1]:
+            return prev0[-1]
+
     commit_id = uuid.uuid4().hex[:12]
     staging = os.path.join(table_dir, "data", f"_stage_{commit_id}")
     writer = df.write.mode("overwrite")
@@ -158,9 +181,22 @@ def versioned_commit(
     for _attempt in range(COMMIT_CAS_RETRIES):
         prev = table_versions(spark, table_dir)
         prev_files: list[str] = []
+        prev_txn: dict = {}
         if prev:
             with open(_manifest_path(table_dir, prev[-1])) as fh:
-                prev_files = json.load(fh)["files"]
+                prev_manifest = json.load(fh)
+            prev_files = prev_manifest["files"]
+            prev_txn = prev_manifest.get("txn", {})
+        if txn is not None and prev_txn.get(txn[0], -1) >= txn[1]:
+            # A racing writer (or an earlier attempt of this replay)
+            # already applied this txn — drop our staged files and
+            # return the version that carries it.
+            for f in new_files:
+                try:
+                    os.unlink(os.path.join(table_dir, "data", f))
+                except FileNotFoundError:
+                    pass
+            return prev[-1]
         if replace and carry_unreplaced is not None and prev_files:
             # ONE scan decides every file's fate: tag rows with their
             # source file, keep files with zero rows outside the carry
@@ -186,6 +222,11 @@ def versioned_commit(
         version = (prev[-1] + 1) if prev else 1
         os.makedirs(_manifest_dir(table_dir), exist_ok=True)
         manifest = {"version": version, "files": sorted(prev_files + new_files)}
+        if txn is not None or prev_txn:
+            new_txn = dict(prev_txn)
+            if txn is not None:
+                new_txn[txn[0]] = txn[1]
+            manifest["txn"] = new_txn
         tmp = _manifest_path(table_dir, version) + f".tmp{commit_id}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -434,6 +475,13 @@ def versioned_rollback(
         current = table_versions(spark, table_dir)[-1]
         version = current + 1
         manifest = {"version": version, "files": files}
+        # Carry the idempotence watermark from the TIP, not the restore
+        # target: a restore undoes data, never the record of which app
+        # txns were applied (else a replayed batch would re-commit).
+        with open(_manifest_path(table_dir, current)) as fh:
+            tip_txn = json.load(fh).get("txn", {})
+        if tip_txn:
+            manifest["txn"] = tip_txn
         tmp = _manifest_path(table_dir, version) + f".tmp{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -459,17 +507,29 @@ def versioned_vacuum(
     manifests expire).  Ordering matters for crash safety: manifests are
     removed FIRST, so a crash mid-vacuum leaves orphaned data files
     (invisible, re-collectable) — never a manifest pointing at deleted
-    data.  Single-administrator action by design (like compaction);
-    concurrent COMMITS are safe because a commit only references its
-    own staged files plus files from the manifest it read, which the
-    retention window keeps alive."""
+    data.  Single-administrator action by design (like compaction), and
+    commits must be QUIESCED while it runs: a writer that read manifest
+    N before the live-set computation could CAS-claim a manifest
+    referencing files this sweep deletes.  As a cheap tripwire (not a
+    lock) the manifest list is re-checked after the live set is built
+    and the vacuum aborts if a new version appeared mid-computation."""
+    if retain_last < 1:
+        # retain_last=0 would delete every manifest while the
+        # versions[-0:] slice simultaneously marks ALL files live —
+        # an unreadable table that reports everything kept.
+        raise ValueError(f"retain_last must be >= 1, got {retain_last}")
     versions = table_versions(spark, table_dir)
     keep_versions = versions[-retain_last:]
     live: set[str] = set()
     for v in keep_versions:
         with open(_manifest_path(table_dir, v)) as fh:
             live.update(json.load(fh)["files"])
-    for v in versions[:-retain_last] if retain_last else versions:
+    if table_versions(spark, table_dir) != versions:
+        raise RuntimeError(
+            "versioned_vacuum: concurrent commit detected while computing "
+            "the live set; quiesce writers and retry"
+        )
+    for v in versions[:-retain_last]:
         os.unlink(_manifest_path(table_dir, v))
     data_dir = os.path.join(table_dir, "data")
     deleted = 0

@@ -83,6 +83,17 @@ _QUERY_MODULES = (
 #: inventory; redundant same-family variants (all locally verified by
 #: tools/verify_local.py) sit past the window.
 _PRIORITY = (
+    # round 7 (VERDICT r06 task 7): six round-6 flagships rotate INTO the
+    # 50-row window — gdpr_erasure_audit, dq_expectations,
+    # layout_zonemap_skip, traffic_merge_tombstones, bucketed_colocated_agg,
+    # watermark_backfill_plan (all strict oracles) — displacing six
+    # driver-green family variants whose family keeps a representative:
+    # dedup_fingerprint (dedup_incremental/ngram_jaccard stay),
+    # text_lang_profile (text_lang_id stays), sim_topk_sq8_stored
+    # (sq8_rescored stays), events_funnel (windowed_funnel stays),
+    # streaming_session_window (streaming_sessionize stays),
+    # bucketed_colocated_join (bucketed_colocated_agg covers the bucketing
+    # family).  All six remain verified by tools/verify_local.py.
     # flagship (entry() runs this one)
     "flagship_revenue_topk",
     # reference parity: the trafsys pipeline operators (SURVEY §2.1-2.8)
@@ -98,7 +109,7 @@ _PRIORITY = (
     "streaming_view_click_join",
     "streaming_merge_restate",
     "streaming_sessionize",
-    "streaming_session_window",
+    "watermark_backfill_plan",
     "streaming_enrich_join",
     # dedup family (dedup_fingerprint and dedup_exact — both driver-green
     # in r01 and r02 — rotated past the window in round 3 to make room for
@@ -122,13 +133,13 @@ _PRIORITY = (
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "text_lm_perplexity",
-    "dedup_fingerprint",
+    "gdpr_erasure_audit",
     "dedup_components",
     # text analysis family (text_token_count / text_quality — driver-green
     # in r01 AND r02 — rotated past the window in round 3 for the two
     # corpus-statistics additions)
     "text_lang_id",
-    "text_lang_profile",
+    "dq_expectations",
     "text_curation_pipeline",
     "text_gopher_rules",
     # round 5 (late): text_winnow_candidates (rows-only, driver-green since
@@ -155,7 +166,7 @@ _PRIORITY = (
     # the quantized-MIPS window row (same hash-checked oracle, stronger
     # claim: probe never touches the float corpus).
     "events_scd2_user_type",
-    "sim_topk_sq8_stored",
+    "layout_zonemap_skip",
     # multimodal family (round 5: the real-codec decode round trip takes
     # multimodal_frame_sample's slot — the sampler is a grain variant of
     # multimodal_meta, driver-green since r01)
@@ -185,7 +196,7 @@ _PRIORITY = (
     # variant of the hourly flagship, driver-green in r01 AND r02 — rotated
     # out to make room.
     "skew_salted_join",
-    "bucketed_colocated_join",
+    "bucketed_colocated_agg",
     "layout_compaction",
     # curation/export additions (round 3): benchmark decontamination and
     # the distributed-prefix-sum sequence packer take the window slots of
@@ -195,7 +206,7 @@ _PRIORITY = (
     "docs_pack_sequences",
     # analytics flagships (one per distinct operator shape)
     "events_value_outliers",
-    "events_funnel",
+    "traffic_merge_tombstones",
     "events_windowed_funnel",
     "events_regression_stats",
     "orders_without_lineitems",
@@ -311,9 +322,9 @@ _PRIORITY = (
     "profile_orders_columns",
     "nation_revenue_share",
     # ---- round-6 additions (all past the window; verified locally) ----
-    "dq_expectations",
+    "text_lang_profile",
     "ivm_retractable_agg",
-    "layout_zonemap_skip",
+    "sim_topk_sq8_stored",
     "docs_exact_neardup_join",
     "split_kfold",
     "docs_weighted_sample",
@@ -321,15 +332,15 @@ _PRIORITY = (
     "orders_table_fingerprint",
     "events_contribution_capped",
     "streaming_decayed_topk",
-    "traffic_merge_tombstones",
+    "events_funnel",
     "text_bm25_index_incremental",
     "tokenizer_bpe_encode",
-    "gdpr_erasure_audit",
+    "dedup_fingerprint",
     "timetravel_rollback_read",
     "timetravel_schema_evolution",
     "streaming_versioned_ingest",
-    "bucketed_colocated_agg",
-    "watermark_backfill_plan",
+    "bucketed_colocated_join",
+    "streaming_session_window",
     "streaming_contribution_cap",
 )
 

@@ -1151,8 +1151,13 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``foreachBatch`` → ``versioned_commit``), so the lakehouse tier's
     guarantees — time travel to any batch boundary, rollback, audit —
     hold for a live stream, and a crashed batch leaves only invisible
-    staged files (the manifest is the commit point, exactly-once at the
-    table level given the checkpoint's effectively-once replay).
+    staged files (the manifest is the commit point).  ``foreachBatch``
+    is at-least-once, so exactly-once at the table level comes from the
+    commit's ``txn=(app_id, batch_id)`` idempotence ledger: a batch
+    replayed after a crash-between-commit-and-checkpoint is recognized
+    by its batch_id in the manifest's txn map and skipped (the Delta
+    txnAppId/txnVersion pattern; pinned by
+    ``tests/test_timetravel.py::test_versioned_commit_txn_idempotent``).
 
     Three file drops under ``maxFilesPerTrigger=1`` force ≥3 real
     micro-batches; the inline assertions pin one version per non-empty
@@ -1179,10 +1184,15 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     checkpoint = tempfile.mkdtemp(prefix="tds_stream_vers_ckpt_")
 
-    def commit_batch(batch_df, _batch_id):
+    def commit_batch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        versioned_commit(batch_df.sparkSession, batch_df, table)
+        versioned_commit(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            txn=("stream-ingest", int(batch_id)),
+        )
 
     stream = (
         spark.readStream.schema(events.schema)

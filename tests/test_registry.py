@@ -44,7 +44,10 @@ def test_priority_window_front_loads_every_family():
         # the window in round 4 for streaming_enrich_join after three
         # driver-green rounds)
         "skew_salted_join",
-        "bucketed_colocated_join",
+        # bucketing family: the AGGREGATION variant holds the window row
+        # since the round-7 rotation (the JOIN variant, driver-green
+        # r04-r06, sits past the window)
+        "bucketed_colocated_agg",
         "layout_compaction",
     ):
         assert family_member in window, f"{family_member} outside 50-row window"

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from trafsys_data_transfer_spark.plans.traffic import normalize_traffic, rollup_traffic
 from trafsys_data_transfer_spark.plans.traffic_queries import traffic_raw_from_events
 from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+from conftest import SF_DIR
 from trafsys_data_transfer_spark.streaming.incremental import (
     hourly_rollup_stream,
     read_traffic_stream,
@@ -219,11 +221,13 @@ def test_watermark_drops_too_late_rows(spark):
 
 
 class _FakeState:
-    """Minimal GroupState stub for driving _scd2_fn directly."""
+    """Minimal GroupState stub for driving stateful fns directly."""
 
-    def __init__(self, value=None):
+    def __init__(self, value=None, wm_ms=0):
         self._v = value
         self.hasTimedOut = False
+        self.wm_ms = wm_ms
+        self.timeout_ts = None
 
     @property
     def exists(self):
@@ -235,6 +239,12 @@ class _FakeState:
 
     def update(self, v):
         self._v = v
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
 
 
 def test_growth_state_fn_ignores_out_of_order_replay():
@@ -575,29 +585,172 @@ def test_streaming_growth_classifies_across_slice_boundaries(spark):
     assert by_day[4]["churned_from_prev"] == 2  # day-2 actives not on day 3
 
 
-def test_cap_state_fn_admits_earliest_across_batches():
-    """Quota spanning micro-batches: 3 admitted in batch 1 leaves room
-    for only 2 in batch 2 (its earliest two); batch 3 is fully dropped."""
+def _cap_batch(ids_minutes):
     import pandas as pd
 
-    from trafsys_data_transfer_spark.streaming.cap import _cap_fn
+    return pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(2024, 1, 1, 0, m) for _, m in ids_minutes],
+            "event_id": [i for i, _ in ids_minutes],
+        }
+    )
 
-    def batch(ids_minutes):
-        return pd.DataFrame(
-            {
-                "ts": [pd.Timestamp(2024, 1, 1, 0, m) for _, m in ids_minutes],
-                "event_id": [i for i, _ in ids_minutes],
-            }
-        )
+
+def _min_ms(m):
+    """Epoch-ms of 2024-01-01 00:<m>:00 UTC (the toy batches' clock)."""
+    import pandas as pd
+
+    return int(pd.Timestamp(2024, 1, 1, 0, m).value // 1_000_000)
+
+
+def test_cap_state_fn_admits_earliest_across_batches():
+    """Quota spanning micro-batches: rows buffer until the watermark
+    passes them, then admit in event-time order; 3 admitted in batch 1
+    leave room for only 2 of batch 2's earliest; batch 3 fully drops."""
+    from trafsys_data_transfer_spark.streaming.cap import _cap_fn
 
     st = _FakeState()
     fn = _cap_fn(5)
-    out1 = list(fn(("view", 7), iter([batch([(3, 3), (1, 1), (2, 2)])]), st))
-    assert out1[0]["event_id"].tolist() == [1, 2, 3]  # sorted by ts
-    assert st.get == (3,)
-    out2 = list(fn(("view", 7), iter([batch([(6, 6), (4, 4), (5, 5)])]), st))
-    assert out2[0]["event_id"].tolist() == [4, 5]  # only 2 slots left
-    assert st.get == (5,)
-    out3 = list(fn(("view", 7), iter([batch([(9, 9)])]), st))
-    assert out3 == []
-    assert st.get == (5,)
+    out1 = list(
+        fn(("view", 7), iter([_cap_batch([(3, 3), (1, 1), (2, 2)])]), st)
+    )
+    assert out1 == []  # nothing sealed yet: wm=0
+    st.wm_ms = _min_ms(4)
+    out2 = list(
+        fn(("view", 7), iter([_cap_batch([(6, 6), (4, 4), (5, 5)])]), st)
+    )
+    assert out2[0]["event_id"].tolist() == [1, 2, 3]  # batch-1 rows sealed
+    st.wm_ms = _min_ms(10)
+    out3 = list(fn(("view", 7), iter([_cap_batch([(9, 9)])]), st))
+    assert out3[0]["event_id"].tolist() == [4, 5]  # only 2 slots left
+    assert st.get[0] == 5
+    st.wm_ms = _min_ms(30)
+    out4 = list(fn(("view", 7), iter([]), st))  # timeout-style flush call
+    assert out4 == []  # id 9 sealed but quota full: dropped permanently
+    assert st.get == (5, [], [])
+
+
+def test_cap_state_fn_out_of_order_admission_is_event_time_ordered():
+    """VERDICT r06 task 1: a late-arriving EARLIER event must win a slot
+    over an already-arrived later event while both are unsealed — the
+    counter-only design admitted by arrival order and diverged."""
+    from trafsys_data_transfer_spark.streaming.cap import _cap_fn
+
+    st = _FakeState()
+    fn = _cap_fn(2)
+    # arrival order: minutes 5,6,7 first ...
+    out1 = list(
+        fn(("view", 7), iter([_cap_batch([(5, 5), (6, 6), (7, 7)])]), st)
+    )
+    assert out1 == []
+    # ... then the out-of-order earlier minutes 1,2 (wm still below 1)
+    out2 = list(fn(("view", 7), iter([_cap_batch([(1, 1), (2, 2)])]), st))
+    assert out2 == []
+    # watermark passes everything: admission is event-time earliest-2
+    st.wm_ms = _min_ms(30)
+    out3 = list(fn(("view", 7), iter([]), st))
+    assert out3[0]["event_id"].tolist() == [1, 2]
+    assert st.get == (2, [], [])
+    # sentinel rows (event_id < 0) are never buffered or admitted
+    st2 = _FakeState()
+    out4 = list(fn(("view", 8), iter([_cap_batch([(-2, 0), (4, 4)])]), st2))
+    assert out4 == []
+    st2.wm_ms = _min_ms(30)
+    out5 = list(fn(("view", 8), iter([]), st2))
+    assert out5[0]["event_id"].tolist() == [4]
+
+
+def test_cap_stream_out_of_order_slices_match_batch_oracle(spark, tmp_path):
+    """End-to-end disorder: day-slices land LATEST FIRST, yet the
+    drained admitted set equals the batch earliest-N selection."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.streaming.cap import cap_stream
+    from trafsys_data_transfer_spark.streaming.incremental import (
+        _stream_partitions,
+    )
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id", "ts", "event_id")
+        .withColumn("day", F.dayofmonth("ts"))
+    )
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    slices = str(tmp_path / "slices")
+    (
+        events.withColumn("slice", (F.col("day") - 1) % 3)
+        .drop("day")
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .parquet(slices)
+    )
+    # land slices in REVERSE order: 2, 1, 0 (mtime drives batch order)
+    for pos, i in enumerate([2, 1, 0]):
+        sdir = os.path.join(slices, f"slice={i}")
+        base = 1_700_000_000 + pos * 10
+        for j, f in enumerate(sorted(os.listdir(sdir))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"s-{pos:03d}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sdir, f), dst)
+                os.utime(dst, (base, base))
+    # drain sentinels: watermark push, then per-key final-seal invocation
+    sent_a = spark.createDataFrame(
+        [("__wm__", -1)], "event_type string, user_id long"
+    ).select(
+        "event_type",
+        "user_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    sent_b = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .withColumn("ts", F.lit("2030-01-02 00:00:00").cast("timestamp"))
+        .withColumn("event_id", F.lit(-2).cast("long"))
+    )
+    for name, df, base in (
+        ("a", sent_a, 1_700_000_100),
+        ("b", sent_b, 1_700_000_110),
+    ):
+        sub = str(tmp_path / f"sent_{name}")
+        df.coalesce(1).write.parquet(sub)
+        for j, f in enumerate(sorted(os.listdir(sub))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"zz-{name}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sub, f), dst)
+                os.utime(dst, (base, base))
+    stream = (
+        spark.readStream.schema(
+            "event_type string, user_id long, ts timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    table = "cap_disorder_t"
+    with _stream_partitions(spark):
+        q = (
+            cap_stream(stream, cap=5, lateness="90 days")
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r.event_type, r.user_id, r.event_id)
+        for r in spark.table(table).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    want = {
+        (r.event_type, r.user_id, r.event_id)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == want

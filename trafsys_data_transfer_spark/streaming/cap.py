@@ -1,20 +1,44 @@
-"""Streaming per-key contribution capping — ``applyInPandasWithState``.
+"""Streaming per-key contribution capping — ``applyInPandasWithState``
+with a WATERMARKED REORDER BUFFER (out-of-order-safe admission).
 
 The streaming twin of :func:`operators.sampling.events_contribution_capped`'s
 selection rule: each (event_type, user_id) may contribute at most CAP
-events, earliest first — enforced AT INGEST, so the quota (rate limit,
-DP-style influence bound, spam damper) holds before data ever lands,
-instead of as a nightly repair job.
+events, EARLIEST IN EVENT TIME first — enforced AT INGEST, so the quota
+(rate limit, DP-style influence bound, spam damper) holds before data
+ever lands, instead of as a nightly repair job.
 
-State is ONE integer (events admitted so far) per key.  Within a
-micro-batch rows are ordered by (ts, event_id) before admission, and the
-counter carries across batches, so the drained admitted set is exactly
-the batch operator's earliest-N selection.  IN-ORDER ARRIVAL across
-micro-batches is required (the growth/SCD2 contract): the day-sliced
-staging used by the registered query satisfies it by construction, and
-rows arriving after their key's cap is exhausted are dropped — a replay
-of already-admitted rows would be re-admitted only if state were lost,
-which the checkpoint prevents.
+Out-of-order arrival (VERDICT r06 task 1).  A counter-only cap admits in
+ARRIVAL order, which silently diverges from the batch oracle's
+earliest-N the moment micro-batches land out of event-time order: a
+late-arriving earlier event is dropped if later events already filled
+the quota.  This version admits in EVENT-TIME order under any disorder
+the watermark tolerates:
+
+* incoming rows are BUFFERED in keyed state, not admitted immediately;
+* a buffered row is SEALED once the event-time watermark passes it
+  strictly (``ts_ms < watermark_ms``): the watermark contract says no
+  row with an earlier-or-equal timestamp can still arrive, so admission
+  order is final.  Sealed rows are admitted in (ts, event_id) order
+  against the remaining quota; sealed rows beyond the quota are dropped
+  permanently — exactly the batch operator's earliest-N;
+* rows later than the watermark allows (ts below the watermark at
+  arrival) are standard streaming late data — outside the contract,
+  same as every watermarked operator in this package.
+
+State per key is ONE integer (admitted so far, kept forever — the quota
+must survive quiet periods) plus the transient buffer of not-yet-sealed
+rows, bounded by O(key arrival rate x watermark delay): rows leave the
+buffer the moment the watermark passes them.  An event-time timeout is
+registered at the earliest buffered row, so a key whose data stops
+still flushes its tail when the watermark advances (no-data batches /
+later batches fire the timer without new rows for the key).
+
+Draining a FINITE stream needs the watermark pushed past the last real
+row and one more invocation per key — the package's sentinel-slice
+pattern (cusum/SCD2 precedent): a far-future single-row slice advances
+the global watermark, then a per-key sentinel slice (``event_id < 0``,
+never buffered) invokes every key for the final seal.  A production
+stream never ends, so the sentinel tier is drain harness, not operator.
 """
 
 from __future__ import annotations
@@ -22,7 +46,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 CAP_OUT_SCHEMA = StructType(
     [
@@ -32,47 +62,86 @@ CAP_OUT_SCHEMA = StructType(
     ]
 )
 
-CAP_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+#: admitted-so-far counter + the reorder buffer (parallel ts/id arrays).
+CAP_STATE_SCHEMA = StructType(
+    [
+        StructField("admitted", LongType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+    ]
+)
 
 
 def _cap_fn(cap: int):
     def fn(key, pdf_iter, state: GroupState):
         etype, user_id = key
-        (admitted,) = state.get if state.exists else (0,)
-        out = []
-        frames = [pdf for pdf in pdf_iter]
-        if frames:
-            batch = pd.concat(frames).sort_values(["ts", "event_id"])
-            room = cap - admitted
-            if room > 0:
-                take = batch.head(room)
-                out = take["event_id"].tolist()
-                admitted += len(take)
-        state.update((int(admitted),))
-        if out:
+        if state.exists:
+            admitted, buf_ts, buf_id = state.get
+            buf = list(zip(buf_ts, buf_id))
+        else:
+            admitted, buf = 0, []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            real = pdf[pdf["event_id"] >= 0]  # sentinel rows never buffer
+            if not len(real):
+                continue
+            ts_ms = (
+                real["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1_000_000
+            )
+            buf.extend(zip(ts_ms.tolist(), real["event_id"].tolist()))
+        wm = state.getCurrentWatermarkMs()
+        buf.sort()
+        seal_n = 0
+        for t, _ in buf:
+            if t < wm:
+                seal_n += 1
+            else:
+                break
+        out_ids = []
+        for t, i in buf[:seal_n]:
+            if admitted < cap:
+                out_ids.append(i)
+                admitted += 1
+            # else: quota full — sealed row dropped permanently
+        buf = buf[seal_n:]
+        state.update(
+            (int(admitted), [t for t, _ in buf], [i for _, i in buf])
+        )
+        if buf:
+            # flush the tail when the watermark passes the earliest
+            # buffered row, even if this key never sees data again
+            state.setTimeoutTimestamp(buf[0][0] + 1)
+        if out_ids:
             yield pd.DataFrame(
                 {
-                    "event_type": [etype] * len(out),
-                    "user_id": [user_id] * len(out),
-                    "event_id": out,
+                    "event_type": [etype] * len(out_ids),
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
                 }
             )
 
     return fn
 
 
-def cap_stream(events_stream: DataFrame, cap: int) -> DataFrame:
-    """Admitted (event_type, user_id, event_id) rows, earliest-``cap``
-    per key across all micro-batches.  Input needs ``event_type``,
-    ``user_id``, ``ts`` and ``event_id``."""
+def cap_stream(
+    events_stream: DataFrame, cap: int, lateness: str = "1 hour"
+) -> DataFrame:
+    """Admitted (event_type, user_id, event_id) rows — the earliest
+    ``cap`` per key IN EVENT TIME across all micro-batches, tolerant to
+    arrival disorder up to ``lateness``.  Input needs ``event_type``,
+    ``user_id``, ``ts`` and ``event_id`` (negative event_ids are drain
+    sentinels: they trigger sealing but are never admitted)."""
     return (
         events_stream.select("event_type", "user_id", "ts", "event_id")
+        .withWatermark("ts", lateness)
         .groupBy("event_type", "user_id")
         .applyInPandasWithState(
             _cap_fn(cap),
             outputStructType=CAP_OUT_SCHEMA,
             stateStructType=CAP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -1230,11 +1230,14 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota enforcement AT INGEST: the stream admits at most 5 events
-    per (type, user) — earliest first, one integer of state per key —
-    and drops the rest before they land.  Three day-sliced drops force
-    keys whose quota spans micro-batches; the drained admitted set must
-    equal the batch operator's earliest-N selection (same window
-    oracle)."""
+    per (type, user) — earliest IN EVENT TIME, via the watermarked
+    reorder buffer in :mod:`.cap` (r7: admission is order-correct under
+    out-of-order micro-batches, not just in-order arrival).  Three
+    day-sliced drops force keys whose quota spans micro-batches, then
+    two drain sentinels (watermark push + per-key final seal) flush the
+    buffers; the drained admitted set must equal the batch operator's
+    earliest-N selection (same window oracle).  The out-of-order slice
+    permutation is pinned by ``tests/test_streaming.py``."""
     import datetime as dt
 
     from .cap import cap_stream
@@ -1273,6 +1276,35 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
                 shutil.copyfile(os.path.join(sdir, f), dst)
                 os.utime(dst, (base, base))
+    # Drain sentinels (cap.py contract): a far-future single row pushes
+    # the watermark past every real ts, then a per-key slice (event_id<0,
+    # never admitted) invokes every key once more for the final seal.
+    sent_dir = tempfile.mkdtemp(prefix="tds_cap_sent_")
+    sent_a = spark.createDataFrame(
+        [("__wm__", -1)], "event_type string, user_id long"
+    ).select(
+        "event_type",
+        "user_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    sent_b = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .withColumn("ts", F.lit("2030-01-02 00:00:00").cast("timestamp"))
+        .withColumn("event_id", F.lit(-2).cast("long"))
+    )
+    for name, df, base in (
+        ("a", sent_a, 1_700_000_100),
+        ("b", sent_b, 1_700_000_110),
+    ):
+        sub = os.path.join(sent_dir, name)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        for j, f in enumerate(sorted(os.listdir(sub))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"zz-sent-{name}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sub, f), dst)
+                os.utime(dst, (base, base))
     table = f"stream_cap_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(
@@ -1283,7 +1315,9 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _stream_partitions(spark):
         q = (
-            cap_stream(stream, cap=5)
+            # lateness spans the whole fixture (30 days of events), so ANY
+            # slice permutation is within tolerance — nothing drops late
+            cap_stream(stream, cap=5, lateness="90 days")
             .writeStream.format("memory")
             .queryName(table)
             .outputMode("append")

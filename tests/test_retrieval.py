@@ -134,3 +134,76 @@ def test_bm25_index_append_empty_delta_is_noop(spark, tmp_path):
         f for f in os.listdir(path) if f.endswith(".json")
     ) == sorted(f for f in files_before if f.endswith(".json"))
     bm25_index_probe(spark, path).count()  # still probes clean
+
+
+def test_bm25_compaction_of_appended_index_equals_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r06 task 2: compact(append(index)) == rebuild(corpus)
+    posting-for-posting, the file count shrinks back to the base run
+    count, and the probe plan keeps the pushed term filter with a
+    text-free ReadSchema."""
+    import os
+    import re
+
+    from trafsys_data_transfer_spark.operators.dedup import (
+        INCREMENTAL_BATCH_SOURCES,
+    )
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_probe,
+        bm25_index_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+
+    def parquet_files(d):
+        return [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+
+    rebuilt = str(tmp_path / "rebuilt")
+    bm25_index_write(docs, rebuilt)
+    lsm = str(tmp_path / "lsm")
+    bm25_index_write(docs.filter(~is_batch), lsm)
+    n_base = len(parquet_files(lsm))
+    bm25_index_append(docs.filter(is_batch), lsm)
+    n_appended = len(parquet_files(lsm))
+    assert n_appended > n_base  # the delta really added files
+    before, after = bm25_index_compact(spark, lsm)
+    assert (before, after) == (n_appended, len(parquet_files(lsm)))
+    assert after < n_appended  # merged back into base-order run count
+    # posting-level equality with the from-scratch rebuild
+    cols = ["term", "doc_id", "tf", "dl"]
+    assert (
+        spark.read.parquet(lsm).select(*cols).exceptAll(
+            spark.read.parquet(rebuilt).select(*cols)
+        ).isEmpty()
+        and spark.read.parquet(rebuilt).select(*cols).exceptAll(
+            spark.read.parquet(lsm).select(*cols)
+        ).isEmpty()
+    )
+    # sidecar stats identical
+    import json
+
+    with open(os.path.join(lsm, "_stats.json")) as f1, open(
+        os.path.join(rebuilt, "_stats.json")
+    ) as f2:
+        assert json.load(f1) == json.load(f2)
+    # probe equality + plan shape survives compaction
+    probe = bm25_index_probe(spark, lsm)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in bm25_index_probe(spark, rebuilt).collect()
+    ]
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "In(term, " in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" not in s for s in schemas)

@@ -302,6 +302,58 @@ def bm25_index_append(
     os.replace(tmp_path, stats_path)
 
 
+def bm25_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
+    """LSM-style maintenance for the stored index (VERDICT r06 task 2):
+    merge the base runs plus every appended delta file back into
+    term-sorted runs, so probe-side file counts stay O(range partitions)
+    instead of growing with every ingest batch.  Returns
+    (files_before, files_after).
+
+    The rewrite is the same physical recipe as :func:`bm25_index_write`
+    — ``repartitionByRange(term)`` + ``sortWithinPartitions(term,
+    doc_id)`` — so each output file covers a tight term interval and the
+    probe's ``term IN (...)`` keeps pruning via parquet min/max stats.
+    Logical content is untouched (appends carry disjoint doc_ids), so
+    ``compact(append(index)) == rebuild(corpus)`` posting-for-posting;
+    the sidecar stats are already correct and are carried over as-is.
+
+    Single-administrator action (like layout compaction / vacuum): the
+    swap is rename-based — stage the merged runs beside the index, move
+    the live directory aside, promote the staged one — and concurrent
+    probes/appends must be quiesced for that instant."""
+    import json
+    import os
+    import shutil
+
+    def _count_parquet(d: str) -> int:
+        return len(
+            [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        )
+
+    files_before = _count_parquet(path)
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats = json.load(f)
+    staged = f"{path}.compact{os.getpid()}"
+    (
+        spark.read.parquet(path)
+        .repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    with open(os.path.join(staged, "_stats.json"), "w") as f:
+        json.dump(stats, f)
+    old = f"{path}.old{os.getpid()}"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return files_before, _count_parquet(path)
+
+
 @register(
     "text_bm25_index_incremental",
     oracle=_bm25_oracle(BM25_QUERY, BM25_TOPK),
@@ -324,4 +376,31 @@ def text_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bm25_index_write(docs.filter(~is_batch), path)
     bm25_index_append(docs.filter(is_batch), path)
+    return bm25_index_probe(spark, path)
+
+
+@register(
+    "text_bm25_index_compacted",
+    oracle=_bm25_oracle(BM25_QUERY, BM25_TOPK),
+)
+def text_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LSM lifecycle: build base runs, append an ingest batch's
+    delta files, COMPACT the file set back into term-sorted runs, probe.
+    Shares the inline tier's hash-checked oracle — a posting lost,
+    duplicated, or mis-sorted by the merge is a hash mismatch — and the
+    compaction==rebuild pytest pins posting-level equality."""
+    import os
+
+    from ..fsutil import process_staging_dir
+    from .dedup import INCREMENTAL_BATCH_SOURCES
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    path = process_staging_dir(
+        f"bm25cmp_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    bm25_index_write(docs.filter(~is_batch), path)
+    bm25_index_append(docs.filter(is_batch), path)
+    before, after = bm25_index_compact(spark, path)
+    assert after <= before
     return bm25_index_probe(spark, path)

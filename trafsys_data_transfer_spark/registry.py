@@ -342,6 +342,8 @@ _PRIORITY = (
     "bucketed_colocated_join",
     "streaming_session_window",
     "streaming_contribution_cap",
+    # ---- round-7 additions (all past the window; verified locally) ----
+    "text_bm25_index_compacted",
 )
 
 

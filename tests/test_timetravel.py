@@ -331,3 +331,113 @@ def test_versioned_commit_txn_idempotent(spark, tmp_path):
     )
     assert v_replay2 == 4
     assert versioned_read(spark, table).count() == 2
+
+
+def test_versioned_compact_preserves_content_and_history(spark, tmp_path):
+    """VERDICT r06 task 3: compaction-as-commit — hash-equal read before
+    and after, prior manifests byte-stable (mtime), file count reduced,
+    vacuum then collects the superseded small files."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_compact,
+        versioned_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir)
+    df1 = spark.range(0, 100).selectExpr(
+        "CAST(id AS STRING) k", "'d1' day", "id v"
+    )
+    df2 = spark.range(100, 200).selectExpr(
+        "CAST(id AS STRING) k", "'d2' day", "id v"
+    )
+    versioned_commit(spark, df1.repartition(6), table)
+    versioned_commit(spark, df2.repartition(6), table)
+    before_rows = {tuple(r) for r in versioned_read(spark, table).collect()}
+    manifest_stats = {
+        v: os.stat(
+            os.path.join(table, "_manifests", f"v{v}.json")
+        ).st_mtime_ns
+        for v in (1, 2)
+    }
+    v3, n_before, n_after = versioned_compact(
+        spark, table, target_file_bytes=1 << 30
+    )
+    assert (v3, n_before, n_after) == (3, 12, 1)
+    assert {
+        tuple(r) for r in versioned_read(spark, table).collect()
+    } == before_rows
+    # every prior version byte-stable and readable
+    for v, mtime in manifest_stats.items():
+        assert (
+            os.stat(
+                os.path.join(table, "_manifests", f"v{v}.json")
+            ).st_mtime_ns
+            == mtime
+        )
+        versioned_read(spark, table, v).count()
+    # vacuum retires the 12 superseded small files
+    keep, deleted = versioned_vacuum(spark, table, retain_last=1)
+    assert keep == [3] and deleted == 12
+    assert {
+        tuple(r) for r in versioned_read(spark, table).collect()
+    } == before_rows
+
+
+def test_versioned_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """A writer appending BETWEEN the compaction's base scan and its
+    manifest claim loses nothing: the compaction rebases and carries the
+    appended files."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_compact,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(
+        spark, _df(spark, [("a", "d1", 1), ("b", "d1", 2)]).repartition(4),
+        table,
+    )
+    hooked = {"done": False}
+
+    def interleave(_version):
+        if not hooked["done"]:
+            hooked["done"] = True
+            versioned_commit(spark, _df(spark, [("c", "d2", 3)]), table)
+
+    v, n_before, n_after = versioned_compact(
+        spark, table, target_file_bytes=1 << 30, _pre_claim_hook=interleave
+    )
+    assert v == 3  # claimed AFTER the interleaved append took v2
+    got = {tuple(r) for r in versioned_read(spark, table).collect()}
+    assert got == {("a", "d1", 1), ("b", "d1", 2), ("c", "d2", 3)}
+
+
+def test_versioned_compact_aborts_if_base_files_replaced(spark, tmp_path):
+    """A concurrent REPLACE invalidates the rewrite: compaction must
+    abort, leaving the replace's state intact."""
+    import pytest as _pytest
+
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_compact,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]).repartition(2), table)
+
+    def replace_under_us(_version):
+        versioned_commit(
+            spark, _df(spark, [("a", "d1", 999)]), table, replace=True
+        )
+
+    with _pytest.raises(RuntimeError, match="concurrent commit replaced"):
+        versioned_compact(
+            spark,
+            table,
+            target_file_bytes=1 << 30,
+            _pre_claim_hook=replace_under_us,
+        )
+    assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
+        ("a", "d1", 999)
+    }

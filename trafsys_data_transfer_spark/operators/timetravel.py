@@ -457,6 +457,92 @@ def timetravel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_key")
 
 
+def versioned_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    _pre_claim_hook=None,
+) -> tuple[int, int, int]:
+    """Small-file compaction AS A COMMIT (VERDICT r06 task 3 — the
+    Iceberg ``rewrite_data_files`` shape): bin-pack the current
+    version's data files into ``ceil(bytes / target)`` new immutable
+    files and claim them as a NEW CAS'd version whose logical content is
+    identical.  Returns (new_version, files_before, files_after).
+
+    Every prior version stays byte-stable and readable (compaction never
+    touches an existing data file or manifest); the superseded small
+    files become unreferenced once the retention window passes and
+    :func:`versioned_vacuum` collects them.
+
+    CONCURRENT APPENDS are safe: on a lost CAS race the compaction
+    rebases by carrying every file the tip added since the base scan
+    (their rows are not in the rewrite).  A concurrent REPLACE or
+    second compaction that dropped any base file aborts with
+    RuntimeError — the rewrite no longer covers the live content — and
+    leaves only never-referenced files for vacuum to sweep.
+
+    ``_pre_claim_hook`` (tests only) runs before the manifest claim to
+    stage deterministic interleavings."""
+    import math
+
+    base_v = table_versions(spark, table_dir)[-1]
+    with open(_manifest_path(table_dir, base_v)) as fh:
+        base_files = json.load(fh)["files"]
+    data_dir = os.path.join(table_dir, "data")
+    if len(base_files) <= 1:
+        return base_v, len(base_files), len(base_files)
+    paths = [os.path.join(data_dir, f) for f in base_files]
+    total = sum(os.path.getsize(p) for p in paths)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    commit_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(data_dir, f"_stage_{commit_id}")
+    spark.read.parquet(*paths).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    new_files = []
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            final = f"{commit_id}-{name}"
+            os.replace(
+                os.path.join(staging, name), os.path.join(data_dir, final)
+            )
+            new_files.append(final)
+    shutil.rmtree(staging, ignore_errors=True)
+    base_set = set(base_files)
+    for _attempt in range(COMMIT_CAS_RETRIES):
+        tip = table_versions(spark, table_dir)[-1]
+        with open(_manifest_path(table_dir, tip)) as fh:
+            tip_manifest = json.load(fh)
+        tip_files = tip_manifest["files"]
+        if base_set - set(tip_files):
+            raise RuntimeError(
+                "versioned_compact: a concurrent commit replaced files the "
+                "compaction rewrote; aborting (staged files stay "
+                "unreferenced for vacuum)"
+            )
+        carried = [f for f in tip_files if f not in base_set]
+        version = tip + 1
+        manifest = {"version": version, "files": sorted(new_files + carried)}
+        if tip_manifest.get("txn"):
+            manifest["txn"] = tip_manifest["txn"]
+        tmp = _manifest_path(table_dir, version) + f".tmp{commit_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        if _pre_claim_hook is not None:
+            _pre_claim_hook(version)
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return version, len(base_files), len(new_files) + len(carried)
+    raise IOError(
+        f"compaction lost {COMMIT_CAS_RETRIES} consecutive CAS races on "
+        f"{table_dir}"
+    )
+
+
 def versioned_rollback(
     spark: SparkSession, table_dir: str, to_version: int
 ) -> int:
@@ -657,3 +743,49 @@ def timetravel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "ingest_tag")
         .orderBy("lang", F.col("ingest_tag").asc_nulls_first(), "n_docs")
     )
+
+
+@register(
+    "timetravel_compact_read",
+    # The latest read after compact+vacuum is exactly the union of both
+    # committed halves — compaction changed layout, never content.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def timetravel_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file lifecycle on the manifest tier: commit v1 (8 files),
+    append v2 (8 more), COMPACT into v3 (content-identical, far fewer
+    files), then VACUUM the superseded versions — the latest read must
+    still hash-match the raw relation.  Inline assertions pin that v2
+    stays readable and byte-stable after the compaction commit (mtime
+    check) until vacuum retires it, and that the file count dropped."""
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    table = os.path.join(
+        _tf.gettempdir(), f"tds_ttcompact_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    versioned_commit(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0).repartition(8), table
+    )
+    versioned_commit(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1).repartition(8), table
+    )
+    m2 = _manifest_path(table, 2)
+    m2_stat = os.stat(m2)
+    v3, before, after = versioned_compact(spark, table)
+    assert (v3, before) == (3, 16) and after < before, (v3, before, after)
+    # prior version untouched by the compaction commit and still readable
+    assert os.stat(m2).st_mtime_ns == m2_stat.st_mtime_ns
+    assert versioned_read(spark, table, 2).count() == orders.count()
+    keep, deleted = versioned_vacuum(spark, table, retain_last=1)
+    assert keep == [3] and deleted == 16, (keep, deleted)
+    return versioned_read(spark, table).orderBy("o_orderkey")

@@ -344,6 +344,7 @@ _PRIORITY = (
     "streaming_contribution_cap",
     # ---- round-7 additions (all past the window; verified locally) ----
     "text_bm25_index_compacted",
+    "timetravel_compact_read",
 )
 
 

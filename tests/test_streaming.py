@@ -754,3 +754,37 @@ def test_cap_stream_out_of_order_slices_match_batch_oracle(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_state_partition_undersizing_warns_before_freeze(spark):
+    """VERDICT r06 task 4: starting a stateful stream with a state-key
+    load far above the configured partition count must warn loudly
+    (the count freezes into the checkpoint at first start)."""
+    import warnings
+
+    from trafsys_data_transfer_spark.streaming.incremental import (
+        STATE_KEYS_PER_PARTITION_TARGET,
+        _stream_partitions,
+        warn_if_state_partitions_undersized,
+    )
+
+    # within budget: silent
+    assert not warn_if_state_partitions_undersized(
+        est_keys=8 * STATE_KEYS_PER_PARTITION_TARGET, n_partitions=8
+    )
+    # overloaded: warns, names the env lever and a power-of-two rec
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert warn_if_state_partitions_undersized(
+            est_keys=75_000, n_partitions=8
+        )
+    assert len(caught) == 1
+    msg = str(caught[0].message)
+    assert "SPARK_GRAFT_STREAM_PARTITIONS=32" in msg
+    assert "FREEZES into the checkpoint" in msg
+    # the context manager path fires it too, before any conf change
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with _stream_partitions(spark, n=8, est_keys=200_000):
+            pass
+    assert any("undersized" in str(w.message) for w in caught)

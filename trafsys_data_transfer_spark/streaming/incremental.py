@@ -47,11 +47,59 @@ STREAM_SHUFFLE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 )
 
+#: Rule-of-thumb ceiling on distinct state keys per state-store partition
+#: before drain wall-clock becomes partition-bound.  Calibrated from the
+#: SCALE.md 11th/12th sweeps: at 10x fixture volume (~75k keys) the
+#: default 8 partitions (~9.4k keys each) ran 24.7 s for streaming_scd2
+#: while 32 partitions (~2.3k keys each) ran 15.7 s — and the partition
+#: count FREEZES into the checkpoint at first start, so an undersized
+#: default is an operational trap, not a tuning knob you can turn later.
+STATE_KEYS_PER_PARTITION_TARGET = 4_000
+
+
+def warn_if_state_partitions_undersized(est_keys: int, n_partitions: int) -> bool:
+    """Loud pre-start guidance (VERDICT r06 task 4): if the estimated
+    keyed-state cardinality overloads the configured state-partition
+    count, emit a UserWarning naming the frozen-checkpoint trap and the
+    recommended count.  Returns True when the warning fired.
+
+    Call BEFORE a stateful query's first ``start()`` — afterwards the
+    partitioning is pinned in the checkpoint and only a new checkpoint
+    (full state rebuild) can change it."""
+    import math
+    import warnings
+
+    if est_keys <= n_partitions * STATE_KEYS_PER_PARTITION_TARGET:
+        return False
+    rec = 2 ** math.ceil(
+        math.log2(max(1, est_keys / STATE_KEYS_PER_PARTITION_TARGET))
+    )
+    warnings.warn(
+        f"streaming state partitions undersized: ~{est_keys} state keys "
+        f"across {n_partitions} partitions "
+        f"(~{est_keys // max(1, n_partitions)} keys/partition, target "
+        f"<= {STATE_KEYS_PER_PARTITION_TARGET}). The count FREEZES into "
+        f"the checkpoint at first start; set "
+        f"SPARK_GRAFT_STREAM_PARTITIONS={rec} (or pass n={rec}) BEFORE "
+        f"starting, or plan a checkpoint rebuild to resize later.",
+        UserWarning,
+        stacklevel=3,
+    )
+    return True
+
 
 @contextmanager
-def _stream_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+def _stream_partitions(
+    spark: SparkSession,
+    n: int = STREAM_SHUFFLE_PARTITIONS,
+    est_keys: int | None = None,
+):
     """Temporarily set shuffle partitions for a streaming query's first
-    start; restored afterwards so batch plans keep the session default."""
+    start; restored afterwards so batch plans keep the session default.
+    Pass ``est_keys`` (estimated distinct state keys) to get the
+    undersizing warning before the partitioning is frozen."""
+    if est_keys is not None:
+        warn_if_state_partitions_undersized(est_keys, n)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -215,3 +215,43 @@ def test_cusum_detects_sustained_level_shift(spark):
     svals = [r["cusum_scaled"] for r in
              sorted(out, key=lambda r: r["epoch_hour"])]
     assert svals == sorted(svals)
+
+
+def test_time_to_convert_approx_within_tolerance_of_exact(spark, sf_dir):
+    """VERDICT r06 task 5: the approx_percentile scale tier tracks the
+    exact nearest-rank twin — counts/min/max exact, percentiles within
+    5% relative (accuracy 10k makes them exact at fixture n)."""
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    q = all_queries()
+    exact = q["events_time_to_convert"].build(spark, sf_dir).first()
+    approx = q["events_time_to_convert_approx"].build(spark, sf_dir).first()
+    assert approx["n_converters"] == exact["n_converters"]
+    assert approx["min_sec"] == exact["min_sec"]
+    assert approx["max_sec"] == exact["max_sec"]
+    for col in ("p50_sec", "p90_sec"):
+        e, a = exact[col], approx[col]
+        assert abs(a - e) <= max(1, 0.05 * e), (col, e, a)
+
+
+def test_sliding_active_users_hll_within_tolerance_of_exact(spark, sf_dir):
+    """The HLL tier emits the SAME window set with exact n_events and
+    per-window distinct-user estimates within 4*rsd of exact."""
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    q = all_queries()
+    exact = {
+        r["w_start"]: (r["n_users"], r["n_events"])
+        for r in q["events_sliding_active_users"].build(spark, sf_dir).collect()
+    }
+    approx = {
+        r["w_start"]: (r["n_users"], r["n_events"])
+        for r in q["events_sliding_active_users_hll"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, (eu, ee) in exact.items():
+        au, ae = approx[k]
+        assert ae == ee  # event counts are exact either way
+        assert abs(au - eu) <= max(2, 0.08 * eu), (k, eu, au)

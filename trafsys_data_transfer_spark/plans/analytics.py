@@ -567,6 +567,32 @@ def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_sliding_active_users_hll")  # rows-only: sketch output
+def events_sliding_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL tier the exact twin names: the same sliding-window plan
+    with ``approx_count_distinct`` (rsd 2%) in place of the exact
+    distinct expand — the per-window user sketch is O(1) mergeable state
+    per window instead of O(users), so the shuffle carries sketches, not
+    user ids.  Same output columns as ``events_sliding_active_users``; a
+    tolerance pytest bounds per-window deviation against the exact twin."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "3 hours", "1 hour")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("w_start")
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",

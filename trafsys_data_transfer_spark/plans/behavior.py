@@ -295,6 +295,42 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_time_to_convert_approx")  # rows-only: sketch output
+def events_time_to_convert_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier the exact twin names in its docstring: identical
+    per-user firsts derivation, but the percentile summary comes from
+    ``approx_percentile`` (one map-side-mergeable sketch, NO global sort
+    or O(converters) window) — the plan that survives billions of
+    converters.  Same output columns as ``events_time_to_convert``; a
+    tolerance pytest bounds its deviation against the exact twin."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
+        ).alias("ttc_sec"),
+    )
+    pcts = F.percentile_approx("ttc_sec", [0.5, 0.9], 10_000)
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("ttc_sec").alias("min_sec"),
+        pcts.getItem(0).alias("p50_sec"),
+        pcts.getItem(1).alias("p90_sec"),
+        F.max("ttc_sec").alias("max_sec"),
+    )
+
+
 PATH_LEN = 3
 PATH_TOP_N = 20
 

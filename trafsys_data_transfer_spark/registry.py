@@ -345,6 +345,8 @@ _PRIORITY = (
     # ---- round-7 additions (all past the window; verified locally) ----
     "text_bm25_index_compacted",
     "timetravel_compact_read",
+    "events_time_to_convert_approx",
+    "events_sliding_active_users_hll",
 )
 
 

@@ -162,6 +162,10 @@ PR_INIT = 1_000_000_000
 PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
 
 PR_ITERS = 5
+#: Lineage-cut cadence (rounds per localCheckpoint): 2 won the r7 sweep —
+#: every-round pays a materialization barrier per round; every-3 lets the
+#: uncheckpointed two-join lineage straggle at 10x volume (SCALE.md).
+PR_CKPT_EVERY = 2
 
 
 def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
@@ -178,10 +182,17 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     re-aggregates on ``dst`` — two key shuffles per iteration on
     edge-bounded rows.  Degrees are attached to the edges ONCE before the
     loop (no per-iteration degree join); ``localCheckpoint`` truncates
-    lineage each round like ``connected_components`` above.  The rank
-    table is node-bounded; at web scale both sides stay distributed and
-    the per-iteration cost is O(E) shuffle — the canonical Spark PageRank
-    plan, minus the float nondeterminism.
+    lineage EVERY SECOND round (VERDICT r06 task 6 cadence sweep: at
+    sf0.1 every-round pays a per-round materialization barrier that
+    cadence 2-3 removes [5.0 -> 4.3 -> 3.5 s], while at 10x volume
+    cadence 2 has the best median [9.0 s vs 9.3 every-round] and
+    cadence 3's longer uncheckpointed lineage shows straggler outliers
+    up to 35 s — receipts in SCALE.md thirteenth sweep; results are
+    bit-identical across cadences, re-pinned by the partitioning-
+    invariance pytest).  The rank table is node-bounded; at web scale
+    both sides stay distributed and the per-iteration cost is O(E)
+    shuffle — the canonical Spark PageRank plan, minus the float
+    nondeterminism.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -192,26 +203,24 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     teleport = PR_INIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
+                )
+            ).cast("long").alias("rank"),
         )
+        if i % PR_CKPT_EVERY == PR_CKPT_EVERY - 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -1276,9 +1276,13 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
                 shutil.copyfile(os.path.join(sdir, f), dst)
                 os.utime(dst, (base, base))
-    # Drain sentinels (cap.py contract): a far-future single row pushes
-    # the watermark past every real ts, then a per-key slice (event_id<0,
-    # never admitted) invokes every key once more for the final seal.
+    # Drain sentinel (cap.py contract): ONE far-future row pushes the
+    # watermark past every real ts after its batch; the buffered tails
+    # then flush through the EventTimeTimeout sweep (the engine's final
+    # no-data batch fires every registered timer — measured equivalent
+    # to, and one distinct cheaper than, a per-key sentinel slice, which
+    # remains the documented fallback and is exercised by the disorder
+    # pytest).
     sent_dir = tempfile.mkdtemp(prefix="tds_cap_sent_")
     sent_a = spark.createDataFrame(
         [("__wm__", -1)], "event_type string, user_id long"
@@ -1288,23 +1292,13 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
         F.lit(-1).cast("long").alias("event_id"),
     )
-    sent_b = (
-        events.select("event_type", "user_id")
-        .distinct()
-        .withColumn("ts", F.lit("2030-01-02 00:00:00").cast("timestamp"))
-        .withColumn("event_id", F.lit(-2).cast("long"))
-    )
-    for name, df, base in (
-        ("a", sent_a, 1_700_000_100),
-        ("b", sent_b, 1_700_000_110),
-    ):
-        sub = os.path.join(sent_dir, name)
-        df.coalesce(1).write.mode("overwrite").parquet(sub)
-        for j, f in enumerate(sorted(os.listdir(sub))):
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                dst = os.path.join(staging, f"zz-sent-{name}-{j:03d}.parquet")
-                shutil.copyfile(os.path.join(sub, f), dst)
-                os.utime(dst, (base, base))
+    sub = os.path.join(sent_dir, "a")
+    sent_a.coalesce(1).write.mode("overwrite").parquet(sub)
+    for j, f in enumerate(sorted(os.listdir(sub))):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            dst = os.path.join(staging, f"zz-sent-a-{j:03d}.parquet")
+            shutil.copyfile(os.path.join(sub, f), dst)
+            os.utime(dst, (1_700_000_100, 1_700_000_100))
     table = f"stream_cap_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(
@@ -1313,7 +1307,13 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    with _stream_partitions(spark):
+    # 32 state partitions (not the 8 default): the reorder buffer makes
+    # this drain keyed-Python-invocation-bound, and 8 partitions cap the
+    # parallel Arrow workers at 8 — the r7 sweep measured 24.4 s at 8 vs
+    # 12.6 s at 32 for this lifecycle at sf0.1.
+    from .incremental import STREAM_SHUFFLE_PARTITIONS
+
+    with _stream_partitions(spark, n=max(32, STREAM_SHUFFLE_PARTITIONS)):
         q = (
             # lateness spans the whole fixture (30 days of events), so ANY
             # slice permutation is within tolerance — nothing drops late

@@ -71,6 +71,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.abtest",
     "trafsys_data_transfer_spark.operators.quality",
     "trafsys_data_transfer_spark.operators.simjoin",
+    "trafsys_data_transfer_spark.operators.runtimefilter",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -347,6 +348,7 @@ _PRIORITY = (
     "timetravel_compact_read",
     "events_time_to_convert_approx",
     "events_sliding_active_users_hll",
+    "bloom_prefilter_join",
 )
 
 

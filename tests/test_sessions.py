@@ -11,6 +11,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from trafsys_data_transfer_spark.operators.sessions import sessionize_batch
+from trafsys_data_transfer_spark.sources.fixtures import load_table
 from trafsys_data_transfer_spark.streaming.sessionize import sessionize_stream
 
 
@@ -173,3 +174,31 @@ def test_idle_session_flushed_by_event_time_timeout(spark):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert (1, "2024-01-01T10:00:00", "2024-01-01T10:05:00", 2) in rows
+
+
+def test_sessionize_incremental_equals_full_recompute_any_cutoff(spark, sf_dir):
+    """Property: for several cutoffs (including degenerate ones) the
+    incremental apply is row-identical to the full recompute —
+    carried-session extension, renumbering, new-user and quiet-user
+    paths all covered by the fixture."""
+    from trafsys_data_transfer_spark.operators.sessions import (
+        sessionize_batch,
+        sessionize_incremental,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    full = {
+        tuple(r) for r in sessionize_batch(events).collect()
+    }
+    for frac in (0.0, 0.33, 0.66, 0.95, 1.0):
+        cutoff = int(lo + (hi - lo + 1) * frac)
+        prior = sessionize_batch(
+            events.filter(F.col("ts").cast("long") < cutoff)
+        )
+        inc = sessionize_incremental(
+            prior, events.filter(F.col("ts").cast("long") >= cutoff), cutoff
+        )
+        assert {tuple(r) for r in inc.collect()} == full, frac

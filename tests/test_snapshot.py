@@ -57,3 +57,37 @@ def test_snapshot_diff_is_symmetric_under_swap(spark, sf_dir):
     bwd = {r["doc_id"]: r["change"] for r in snapshot_diff(new, old).collect()}
     swap = {"added": "removed", "removed": "added"}
     assert fwd == {k: swap.get(v, v) for k, v in bwd.items()}
+
+
+def test_fingerprint_diff_locates_exactly_corrupted_partitions(spark, sf_dir):
+    """Identical replicas flag nothing; a planted corruption flags
+    exactly the months holding a corrupted key."""
+    from trafsys_data_transfer_spark.operators.snapshot import (
+        fingerprint_by_group,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols, "o_orderdate")
+    mon = F.trunc(F.col("o_orderdate"), "month")
+    a = fingerprint_by_group(orders, cols, mon, "mon")
+    b = fingerprint_by_group(orders, cols, mon, "mon")
+    clean = a.withColumnRenamed("fingerprint", "fa").join(
+        b.withColumnRenamed("fingerprint", "fb"), "mon"
+    ).filter(F.col("fa") != F.col("fb"))
+    assert clean.count() == 0
+    # planted: flagged months == months containing a corrupted key
+    from trafsys_data_transfer_spark.operators.snapshot import (
+        orders_fingerprint_diff_locate,
+    )
+
+    flagged = {
+        r["mon"] for r in orders_fingerprint_diff_locate(spark, sf_dir).collect()
+    }
+    expected = {
+        r["mon"]
+        for r in orders.filter(F.col("o_orderkey") % 997 == 0)
+        .select(mon.alias("mon"))
+        .distinct()
+        .collect()
+    }
+    assert flagged == expected and flagged

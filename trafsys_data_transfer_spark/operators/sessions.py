@@ -123,3 +123,139 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization of the events stream (batch form)."""
     return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+def sessionize_incremental(
+    prior_sessions: DataFrame,
+    new_events: DataFrame,
+    cutoff,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """Incrementally extend a sessionized corpus with a new batch of
+    events — WITHOUT re-scanning old events (the warehouse nightly-load
+    shape: day N's job reads day N's events plus yesterday's session
+    table, never the event history).
+
+    Contract: ``prior_sessions`` is :func:`sessionize_batch` over all
+    events with ``ts < cutoff``; ``new_events`` are the events with
+    ``ts >= cutoff``.  Only a user's LAST prior session can still absorb
+    new events (one ending within ``gap`` of the cutoff); it is carried
+    as a pseudo-event at its ``session_end`` with its start/count
+    riding along, unioned with the new events, and the gaps-and-islands
+    fold runs over that small set.  Because the pseudo-event's timestamp
+    IS the last prior event's timestamp, the gap decision between old
+    and new data is bit-identical to the full recompute — the registered
+    query shares ``events_sessionize``'s hash-checked oracle.
+
+    Cost: O(new events + active users), one window + one groupBy on the
+    incremental slice, plus an O(users) aggregate over the session
+    table.  The full-history scan is gone — at 100 TB this is the
+    difference between a nightly job reading one day and reading one
+    corpus."""
+    gap_secs = gap_minutes * 60
+    last_no = prior_sessions.groupBy("user_id").agg(
+        F.max("session_no").alias("last_no")
+    )
+    prior = prior_sessions.join(last_no, "user_id")
+    open_pred = (F.col("session_no") == F.col("last_no")) & (
+        F.col("session_end").cast("long") >= F.lit(int(cutoff)) - gap_secs
+    )
+    closed = prior.filter(~open_pred).select(
+        "user_id", "session_no", "session_start", "session_end", "n_events"
+    )
+    carry = prior.filter(open_pred)
+    pseudo = carry.select(
+        "user_id",
+        F.col("session_end").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("session_start").alias("carry_start"),
+        F.col("n_events").alias("carry_n"),
+    )
+    fresh = new_events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("carry_start"),
+        F.lit(1).cast("long").alias("carry_n"),
+    )
+    stream = pseudo.unionByName(fresh)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        by_user
+    )
+    numbered = stream.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_secs), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("local_no", F.sum("new_session").over(by_user))
+    merged = numbered.groupBy("user_id", "local_no").agg(
+        F.min(F.coalesce("carry_start", "ts")).alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("carry_n").alias("n_events"),
+        F.max((F.col("event_id") == -1).cast("int")).alias("has_carry"),
+    )
+    # Global numbering: the carried session keeps its prior number; new
+    # sessions continue after the user's last prior number.
+    offsets = prior_sessions.groupBy("user_id").agg(
+        F.max("session_no").alias("prior_last")
+    )
+    carried_users = carry.select("user_id", F.lit(1).alias("carried"))
+    renum = (
+        merged.join(offsets, "user_id", "left")
+        .join(carried_users, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("prior_last"), F.lit(0))
+                - F.coalesce(F.col("carried"), F.lit(0))
+                + F.col("local_no")
+            ).alias("session_no"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+    return closed.unionByName(renum)
+
+
+@register(
+    "events_sessionize_incremental",
+    # SAME oracle as events_sessionize: the incremental apply must be
+    # indistinguishable from the full recompute, down to the hash.
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-load sessionization: sessionize the first ~2/3 of the
+    fixture, then apply the rest as an incremental batch through
+    :func:`sessionize_incremental` — the result must hash-match the
+    full-recompute oracle exactly (carried-session extension, gap
+    boundary at the cutoff, and renumbering all bit-correct)."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    cutoff = lo + (hi - lo) * 2 // 3
+    prior = sessionize_batch(
+        events.filter(F.col("ts").cast("long") < cutoff)
+    )
+    return sessionize_incremental(
+        prior, events.filter(F.col("ts").cast("long") >= cutoff), cutoff
+    )

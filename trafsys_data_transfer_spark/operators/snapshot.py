@@ -156,3 +156,121 @@ def orders_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus"],
     )
+
+
+#: Shared 24-bit row digest in DuckDB SQL (hex chars 1-6 of md5 → int),
+#: the oracle-side twin of table_fingerprint's conv() expression.
+_ORACLE_DIGEST = """
+      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+"""
+
+
+def fingerprint_by_group(
+    df: DataFrame, cols: list[str], group_expr, group_alias: str
+) -> DataFrame:
+    """Per-group anti-entropy checksums: the Merkle level below
+    :func:`table_fingerprint`.  One narrow scan + one groupBy on the
+    grouping expression; O(groups) output regardless of row count."""
+    digest = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', "
+        + ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        + ")), 1, 6), 16, 10) AS BIGINT)"
+    )
+    return df.select(group_expr.alias(group_alias), digest.alias("d")).groupBy(
+        group_alias
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("d").alias("fingerprint"),
+    )
+
+
+@register(
+    "orders_fingerprint_diff_locate",
+    # Replica B corrupts o_orderstatus on every 997th order key; the
+    # month-level fingerprint join must flag EXACTLY the months holding
+    # a corrupted order — O(partitions) comparison, no row shipping.
+    oracle="""
+    WITH replica AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 997 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_orderdate
+        FROM orders
+    ),
+    fp_a AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_a,
+               CAST(SUM(""" + _ORACLE_DIGEST + """) AS BIGINT) AS fp_a
+        FROM (
+            SELECT o_orderdate,
+                   md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       CAST(o_orderstatus AS VARCHAR))) AS h
+            FROM orders
+        ) GROUP BY 1
+    ),
+    fp_b AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_b,
+               CAST(SUM(""" + _ORACLE_DIGEST + """) AS BIGINT) AS fp_b
+        FROM (
+            SELECT o_orderdate,
+                   md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       CAST(o_orderstatus AS VARCHAR))) AS h
+            FROM replica
+        ) GROUP BY 1
+    )
+    SELECT a.mon AS mon, a.n_rows_a, b.n_rows_b, a.fp_a, b.fp_b
+    FROM fp_a a JOIN fp_b b ON a.mon = b.mon
+    WHERE a.fp_a <> b.fp_b OR a.n_rows_a <> b.n_rows_b
+    ORDER BY mon
+    """,
+)
+def orders_fingerprint_diff_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style divergence LOCALIZATION: when two replicas' table
+    fingerprints disagree, re-fingerprint each side grouped by a
+    partition column and join — the differing groups are the partitions
+    to repair.  Here replica B carries a deterministic corruption
+    (status flipped on every 997th order key); the month-grained
+    comparison flags exactly the months containing one, at O(months)
+    comparison cost.
+
+    At 100 TB this is the anti-entropy repair loop: level 0 is ONE
+    number per replica (table_fingerprint), level 1 is this query
+    (O(partitions) rows), and repair re-ships only flagged partitions —
+    the Merkle/DynamoDB recipe expressed as two groupBys and a join,
+    never a row-level diff."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols, "o_orderdate")
+    replica = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 997 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    mon = F.trunc(F.col("o_orderdate"), "month")
+    a = (
+        fingerprint_by_group(orders, cols, mon, "mon")
+        .withColumnRenamed("n_rows", "n_rows_a")
+        .withColumnRenamed("fingerprint", "fp_a")
+    )
+    b = (
+        fingerprint_by_group(replica, cols, mon, "mon")
+        .withColumnRenamed("n_rows", "n_rows_b")
+        .withColumnRenamed("fingerprint", "fp_b")
+    )
+    return (
+        a.join(b, "mon")
+        .filter(
+            (F.col("fp_a") != F.col("fp_b"))
+            | (F.col("n_rows_a") != F.col("n_rows_b"))
+        )
+        .select("mon", "n_rows_a", "n_rows_b", "fp_a", "fp_b")
+        .orderBy("mon")
+    )

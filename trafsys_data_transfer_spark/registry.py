@@ -349,6 +349,8 @@ _PRIORITY = (
     "events_time_to_convert_approx",
     "events_sliding_active_users_hll",
     "bloom_prefilter_join",
+    "orders_fingerprint_diff_locate",
+    "events_sessionize_incremental",
 )
 
 

@@ -441,3 +441,26 @@ def test_versioned_compact_aborts_if_base_files_replaced(spark, tmp_path):
     assert {tuple(r) for r in versioned_read(spark, table).collect()} == {
         ("a", "d1", 999)
     }
+
+
+def test_versioned_delta_read_append_only_contract(spark, tmp_path):
+    """Delta read returns exactly the rows added between two versions;
+    a replace in the range raises (file-level delta is not CDC)."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_delta_read,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _df(spark, [("a", "d1", 1)]), table)
+    versioned_commit(spark, _df(spark, [("b", "d1", 2), ("c", "d2", 3)]), table)
+    got = {
+        tuple(r) for r in versioned_delta_read(spark, table, 1, 2).collect()
+    }
+    assert got == {("b", "d1", 2), ("c", "d2", 3)}
+    # empty range
+    assert versioned_delta_read(spark, table, 2, 2).count() == 0
+    # replace breaks the append-only contract
+    versioned_commit(spark, _df(spark, [("z", "d9", 9)]), table, replace=True)
+    with pytest.raises(ValueError, match="append-only"):
+        versioned_delta_read(spark, table, 2, 3)

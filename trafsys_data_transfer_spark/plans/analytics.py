@@ -865,3 +865,59 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, ts, event_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_start, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM cents
+    )
+    SELECT event_type, hour_start,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_cents,
+           CAST(MAX(v) AS BIGINT) AS high_cents,
+           CAST(MIN(v) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM ranked
+    GROUP BY event_type, hour_start
+    ORDER BY event_type, hour_start
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling into OHLC bars (the finance/metrics
+    downsampling shape): per (event_type, hour), the first / max / min /
+    last value in exact cents with event count as volume.  First/last
+    are deterministic under ties via (ts, event_id) ordering —
+    ``min_by``/``max_by`` over a (ts, event_id) struct stay entirely in
+    the hash aggregate, so the plan is ONE shuffle on the group key with
+    map-side partials: the 100 TB rollup shape, no window pass."""
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return (
+        cents.groupBy("event_type", "hour_start")
+        .agg(
+            F.min_by("v", "ord").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max_by("v", "ord").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "hour_start")
+    )

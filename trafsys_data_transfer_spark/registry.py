@@ -351,6 +351,8 @@ _PRIORITY = (
     "bloom_prefilter_join",
     "orders_fingerprint_diff_locate",
     "events_sessionize_incremental",
+    "mv_incremental_refresh",
+    "events_ohlc_hourly",
 )
 
 

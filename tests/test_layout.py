@@ -161,3 +161,55 @@ def test_dynamic_partition_overwrite_touches_only_changed_days(spark, tmp_path):
         ("A", "2024-01-02"): 2,
         ("A", "2024-01-03"): 30,
     }
+
+
+def test_bloom_file_skip_reads_fewer_files_and_misses_nothing(spark, sf_dir):
+    """The per-file Bloom index must (a) never skip a file containing
+    the probed key and (b) actually skip files on a hash-scattered
+    layout where min/max zones cannot."""
+    import os as _os
+
+    from trafsys_data_transfer_spark.operators.layout import (
+        bloom_file_index_build,
+        bloom_file_probe,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = str(tmp_dir := (__import__("tempfile").mkdtemp(prefix="bfskip_")))
+    events.repartition(16, F.col("event_id")).write.mode("overwrite").parquet(
+        path
+    )
+    index, m = bloom_file_index_build(spark, path, "user_id")
+    probe_user = 7
+    files, total = bloom_file_probe(spark, index, m, "user_id", probe_user)
+    assert total == 16
+    # (a) completeness: rows from candidate files == rows from full scan
+    got = (
+        spark.read.schema(events.schema).parquet(*files)
+        .filter(F.col("user_id") == probe_user)
+        .count()
+        if files
+        else 0
+    )
+    want = events.filter(F.col("user_id") == probe_user).count()
+    assert got == want and want > 0
+    # (b) a key living in ONE file (unique event_id) skips nearly all of
+    # the layout (the tiny sf0.001 fixture has so few users that every
+    # user hits every file — uniqueness is what exercises skipping here)
+    idx2, m2 = bloom_file_index_build(spark, path, "event_id")
+    probe_eid = events.agg(F.min("event_id")).first()[0]
+    files_r, _ = bloom_file_probe(spark, idx2, m2, "event_id", probe_eid)
+    assert 1 <= len(files_r) <= max(2, total // 4), len(files_r)
+    got_r = (
+        spark.read.schema(events.schema)
+        .parquet(*files_r)
+        .filter(F.col("event_id") == probe_eid)
+        .count()
+    )
+    assert got_r == 1
+    import shutil as _sh
+
+    _sh.rmtree(tmp_dir, ignore_errors=True)

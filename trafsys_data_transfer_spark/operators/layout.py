@@ -426,3 +426,131 @@ def layout_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-file Bloom index: point-lookup file skipping WITHOUT clustering
+# ---------------------------------------------------------------------------
+
+#: The point-lookup key the registered query probes.
+BLOOM_SKIP_USER = 7
+
+
+def bloom_file_index_build(
+    spark: SparkSession, path: str, key_col: str, bits_per_key: int = 64
+) -> tuple[DataFrame, int]:
+    """Per-FILE Bloom bitsets over ``key_col`` — the Parquet
+    column-bloom / Delta file-stats idea as an explicit index table.
+    Zone maps (min/max) only skip when the layout CLUSTERS the column;
+    a Bloom per file skips point lookups on ANY layout, because
+    membership, not range, is the question.  One scan builds
+    ``(file, word_idx, bits)`` rows; index size is O(files x keys/file /
+    64) longs."""
+    df = spark.read.parquet(path)
+    n_per_file = max(
+        1,
+        df.count() // max(1, len([
+            n for _r, _d, ns in os.walk(path) for n in ns
+            if n.endswith(".parquet")
+        ])),
+    )
+    m = 1
+    while m < n_per_file * bits_per_key:
+        m *= 2
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(m))
+    index = (
+        df.select(F.input_file_name().alias("file"), bucket.alias("b"))
+        .groupBy("file", F.expr("b div 64").alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(b % 64 AS INT)))").alias("bits"))
+    )
+    return index, m
+
+
+def bloom_file_probe(
+    spark: SparkSession, index: DataFrame, m: int, key_col: str, value
+) -> tuple[list[str], int]:
+    """Files that MAY contain ``value`` (definite misses skipped).
+    Returns (candidate files, total indexed files).  The probe value's
+    bucket is computed with the same engine expression as the build, so
+    hashes can never drift."""
+    probe = spark.createDataFrame([(value,)], f"{key_col} long").select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(m)).alias("b")
+    )
+    cand = (
+        index.join(
+            F.broadcast(probe.withColumn("word_idx", F.expr("b div 64"))),
+            "word_idx",
+        )
+        .filter(F.expr("bits & shiftleft(1L, CAST(b % 64 AS INT))") != 0)
+        .select("file")
+        .distinct()
+    )
+    total = index.select("file").distinct().count()
+    return [r["file"] for r in cand.collect()], total
+
+
+@register(
+    "layout_bloom_file_skip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE user_id = {BLOOM_SKIP_USER}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def layout_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup data skipping on an UNCLUSTERED layout: events land
+    hash-distributed across 16 files (a zone map on user_id would prune
+    nothing — every file spans the full id range), a per-file Bloom
+    index is built, and one user's rows are answered by reading ONLY the
+    files whose Bloom may contain the key.  The oracle recomputes over
+    the full table, so a file wrongly skipped is a hash mismatch; the
+    pytest pins that strictly fewer files than the layout holds were
+    read.
+
+    At 100 TB this is the needle-lookup tier: min/max zones cover range
+    scans on the cluster key, per-file Blooms cover equality probes on
+    everything else (Parquet's own column bloom filters / Iceberg's
+    value-count metrics are this structure in the footer)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = process_staging_dir(
+        f"bloomskip_{os.path.basename(os.path.normpath(sf_dir))}",
+        "events_hashed",
+    )
+    events.repartition(16, F.col("event_id")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    index, m = bloom_file_index_build(spark, path, "user_id")
+    index = index.localCheckpoint(eager=True)
+    files, _total = bloom_file_probe(
+        spark, index, m, "user_id", BLOOM_SKIP_USER
+    )
+    if not files:
+        return (
+            events.filter(F.lit(False))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+    return (
+        spark.read.schema(events.schema).parquet(*files)
+        .filter(F.col("user_id") == BLOOM_SKIP_USER)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -353,6 +353,7 @@ _PRIORITY = (
     "events_sessionize_incremental",
     "mv_incremental_refresh",
     "events_ohlc_hourly",
+    "layout_bloom_file_skip",
 )
 
 

@@ -354,6 +354,7 @@ _PRIORITY = (
     "mv_incremental_refresh",
     "events_ohlc_hourly",
     "layout_bloom_file_skip",
+    "streaming_mv_refresh",
 )
 
 

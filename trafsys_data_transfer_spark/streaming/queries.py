@@ -1326,3 +1326,130 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(table).orderBy("event_type", "user_id", "event_id")
+
+
+@register(
+    "streaming_mv_refresh",
+    # The MV maintained per micro-batch == the full aggregate over
+    # every ingested row.
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse ingest loop, live: a stream commits each
+    micro-batch into the snapshot-versioned table (idempotent
+    ``txn=batch_id`` commits), and after every commit the stored
+    materialized view (revenue per customer) is refreshed by reading
+    ONLY the manifest delta since its recorded cursor version and
+    merging additively — streaming ingest, versioned storage, and
+    incremental view maintenance composed end-to-end.  The final MV
+    must hash-match the full aggregate over all ingested rows.
+
+    Crash-safety is the cursor discipline: the MV directory carries the
+    version it reflects; a replayed batch is skipped by the commit's txn
+    ledger AND by the cursor check (v <= cursor → no-op), so both
+    layers are exactly-once."""
+    import json as _json
+
+    from ..operators.timetravel import (
+        versioned_commit,
+        versioned_delta_read,
+        versioned_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    staging = tempfile.mkdtemp(prefix="tds_smv_src_")
+    orders.repartition(3).write.mode("append").parquet(staging)
+    table = os.path.join(tempfile.mkdtemp(prefix="tds_smv_tbl_"), "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    mv_dir = tempfile.mkdtemp(prefix="tds_smv_mv_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_smv_ckpt_")
+
+    def _cursor() -> int:
+        try:
+            with open(os.path.join(mv_dir, "cursor.json")) as fh:
+                return _json.load(fh)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def _refresh(sess, to_version: int) -> None:
+        cur = _cursor()
+        if to_version <= cur:
+            return  # replayed batch: MV already reflects it
+        if cur == 0:
+            delta = versioned_read(sess, table, to_version)
+        else:
+            delta = versioned_delta_read(sess, table, cur, to_version)
+        d_agg = delta.groupBy("o_custkey").agg(
+            F.sum("price_cents").alias("d_rev"),
+            F.count(F.lit(1)).alias("d_n"),
+        )
+        mv_path = os.path.join(mv_dir, "mv")
+        if cur == 0:
+            mv_new = d_agg.select(
+                "o_custkey",
+                F.col("d_rev").alias("revenue_cents"),
+                F.col("d_n").alias("n_orders"),
+            )
+        else:
+            mv_old = sess.read.parquet(mv_path)
+            mv_new = (
+                mv_old.join(d_agg, "o_custkey", "full")
+                .select(
+                    "o_custkey",
+                    (
+                        F.coalesce(F.col("revenue_cents"), F.lit(0))
+                        + F.coalesce(F.col("d_rev"), F.lit(0))
+                    ).alias("revenue_cents"),
+                    (
+                        F.coalesce(F.col("n_orders"), F.lit(0))
+                        + F.coalesce(F.col("d_n"), F.lit(0))
+                    ).alias("n_orders"),
+                )
+            )
+        tmp = os.path.join(mv_dir, f"mv_tmp_{to_version}")
+        mv_new.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(mv_dir, f"mv_old_{to_version}")
+        if os.path.exists(mv_path):
+            os.rename(mv_path, old)
+        os.rename(tmp, mv_path)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(os.path.join(mv_dir, "cursor.json"), "w") as fh:
+            _json.dump({"version": to_version}, fh)
+
+    def commit_and_refresh(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        v = versioned_commit(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            txn=("mv-ingest", int(batch_id)),
+        )
+        _refresh(batch_df.sparkSession, v)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_and_refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _cursor() >= 3  # one commit+refresh per file drop
+    return spark.read.parquet(os.path.join(mv_dir, "mv")).orderBy("o_custkey")

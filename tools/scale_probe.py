@@ -196,6 +196,44 @@ def build_tagged_replica(spark) -> None:
         print(f"tagged replica built: {name}", file=sys.stderr)
 
 
+DST_FACT = "/tmp/tds_scale10x_fact"
+
+
+def build_fact_replica(spark) -> None:
+    """10× FACT-side replica (round-7 additions): ``orders`` and
+    ``lineitem`` replicated with shifted order keys while dimension keys
+    (custkey, suppkey, partkey, orderdate) stay 1× — the real growth
+    mode of a star schema (facts grow, dims don't).  events/documents/
+    embeddings symlink to the standard replica's 10× tables; true dims
+    symlink to sf0.1."""
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    os.makedirs(DST_FACT, exist_ok=True)
+    for name in FIXTURE_TABLES:
+        out = os.path.join(DST_FACT, f"{name}.parquet")
+        if name in ("documents", "embeddings", "events"):
+            if not os.path.lexists(out):
+                os.symlink(os.path.join(DST, f"{name}.parquet"), out)
+            continue
+        if name not in ("orders", "lineitem"):
+            if not os.path.lexists(out):
+                os.symlink(os.path.join(SRC, f"{name}.parquet"), out)
+            continue
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        base = load_table(spark, SRC, name)
+        key = "o_orderkey" if name == "orders" else "l_orderkey"
+        parts = []
+        for rep in range(REPS):
+            shifted = base.withColumn(key, F.col(key) + F.lit(rep) * SHIFT)
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(out)
+        print(f"fact replica built: {name}", file=sys.stderr)
+
+
 def time_query(spark, spec, sf_dir: str, runs: int) -> float:
     best = None
     for _ in range(runs):
@@ -256,6 +294,12 @@ def main() -> None:
         action="store_true",
         help="also print result-row counts at each scale (density evidence)",
     )
+    ap.add_argument(
+        "--fact",
+        action="store_true",
+        help="time against the fact-side replica (orders/lineitem 10x with "
+        "1x dimension keys — the star-schema growth mode)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
@@ -264,7 +308,13 @@ def main() -> None:
         build_flat_replica(spark)
     if args.tagged:
         build_tagged_replica(spark)
-    big = DST_TAGGED if args.tagged else (DST_FLAT if args.flat else DST)
+    if args.fact:
+        build_fact_replica(spark)
+    big = (
+        DST_FACT
+        if args.fact
+        else DST_TAGGED if args.tagged else (DST_FLAT if args.flat else DST)
+    )
     specs = all_queries()
     # warm
     specs["flagship_revenue_topk"].build(spark, SRC).collect()

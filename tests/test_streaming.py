@@ -788,3 +788,69 @@ def test_state_partition_undersizing_warns_before_freeze(spark):
         with _stream_partitions(spark, n=8, est_keys=200_000):
             pass
     assert any("undersized" in str(w.message) for w in caught)
+
+
+def test_streaming_ohlc_cross_batch_open_close(spark):
+    """The open (earliest) and close (latest) of one bar land in DIFFERENT
+    micro-batches; the min_by/max_by streaming state must merge them in
+    (ts, event_id) order, including the equal-timestamp tie broken by id."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # (event_id, offset_s, value) — open at :05 id=2, close at :50 id=9;
+        # ids 2/9 are even/odd so they arrive in different parity drops.
+        (2, 5 * 60, 4.00),
+        (5, 20 * 60, 9.00),
+        (4, 20 * 60, 1.00),
+        (9, 50 * 60, 7.00),
+        # tie at :50 — id 8 < 9 so id 9 stays the close
+        (8, 50 * 60, 2.00),
+    ]
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s), "tick", v) for i, s, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    staging = tempfile.mkdtemp(prefix="t_stream_ohlc_")
+    for parity in (0, 1):
+        df.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    bars = (
+        stream.withWatermark("ts", "10 days")
+        .select(
+            "event_type",
+            "ts",
+            F.struct("ts", "event_id").alias("ord"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.min_by("v", "ord").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max_by("v", "ord").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+    name = f"t_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    assert len(got) == 1
+    bar = got[0]
+    assert (bar.open_cents, bar.high_cents, bar.low_cents, bar.close_cents, bar.volume) == (
+        400, 900, 100, 700, 5
+    )

@@ -10,6 +10,8 @@ sessions — asserted in tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -248,14 +250,27 @@ def events_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     :func:`sessionize_incremental` — the result must hash-match the
     full-recompute oracle exactly (carried-session extension, gap
     boundary at the cutoff, and renumbering all bit-correct)."""
+    import tempfile as _tf
+    import uuid as _uuid
+
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(
         F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
     ).first()
     cutoff = lo + (hi - lo) * 2 // 3
-    prior = sessionize_batch(
-        events.filter(F.col("ts").cast("long") < cutoff)
+    # The nightly-load contract is a STORED session table (yesterday's job
+    # wrote it); stage it to parquet rather than passing raw lineage, which
+    # sessionize_incremental consumes three times (last-session election,
+    # closed/carry split, renumbering offsets) and would otherwise recompute
+    # the full-history window sort per consumer.
+    prior_path = os.path.join(
+        _tf.gettempdir(), f"tds_sess_prior_{_uuid.uuid4().hex[:8]}"
     )
+    sessionize_batch(
+        events.filter(F.col("ts").cast("long") < cutoff)
+    ).write.mode("overwrite").parquet(prior_path)
     return sessionize_incremental(
-        prior, events.filter(F.col("ts").cast("long") >= cutoff), cutoff
+        spark.read.parquet(prior_path),
+        events.filter(F.col("ts").cast("long") >= cutoff),
+        cutoff,
     )

@@ -355,6 +355,7 @@ _PRIORITY = (
     "events_ohlc_hourly",
     "layout_bloom_file_skip",
     "streaming_mv_refresh",
+    "streaming_ohlc_hourly",
 )
 
 

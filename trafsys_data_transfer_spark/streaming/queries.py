@@ -1453,3 +1453,97 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert _cursor() >= 3  # one commit+refresh per file drop
     return spark.read.parquet(os.path.join(mv_dir, "mv")).orderBy("o_custkey")
+
+
+@register(
+    "streaming_ohlc_hourly",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, ts, event_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_start, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM cents
+    )
+    SELECT event_type, hour_start,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_cents,
+           CAST(MAX(v) AS BIGINT) AS high_cents,
+           CAST(MIN(v) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM ranked
+    GROUP BY event_type, hour_start
+    """,
+)
+def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_ohlc_hourly``: OHLC bars maintained by a
+    windowed streaming aggregation whose open/close are ``min_by``/``max_by``
+    over a (ts, event_id) struct — ordered "first/last value" state that
+    must MERGE correctly across micro-batches, not just within one.  The
+    fixture is staged as two parquet drops split by event-id parity with
+    ``maxFilesPerTrigger=1``, so in (almost) every bar the true open and
+    close arrive in DIFFERENT micro-batches: matching the batch oracle
+    proves the ordered-extremum state merge, the property a commutative
+    SUM rollup never exercises.  Complete mode emits every bar on drain
+    (the bounded-input twin of an always-on ticker whose tail bars are
+    still in state); at production scale the same plan runs in append
+    mode behind the watermark with O(open bars) state."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_ohlc_")
+    for parity in (0, 1):
+        events.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    bars = (
+        stream.withWatermark("ts", "10 days")
+        .select(
+            "event_type",
+            "ts",
+            F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.min_by("v", "ord").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max_by("v", "ord").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("hour_start"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume",
+        )
+    )
+    table = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            bars.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table)

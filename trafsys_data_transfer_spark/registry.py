@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.quality",
     "trafsys_data_transfer_spark.operators.simjoin",
     "trafsys_data_transfer_spark.operators.runtimefilter",
+    "trafsys_data_transfer_spark.operators.skyline",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -356,6 +357,7 @@ _PRIORITY = (
     "layout_bloom_file_skip",
     "streaming_mv_refresh",
     "streaming_ohlc_hourly",
+    "parts_pareto_frontier",
 )
 
 

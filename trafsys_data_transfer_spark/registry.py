@@ -73,6 +73,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.simjoin",
     "trafsys_data_transfer_spark.operators.runtimefilter",
     "trafsys_data_transfer_spark.operators.skyline",
+    "trafsys_data_transfer_spark.operators.sweepline",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -358,6 +359,7 @@ _PRIORITY = (
     "streaming_mv_refresh",
     "streaming_ohlc_hourly",
     "parts_pareto_frontier",
+    "events_concurrency_daily_peak",
 )
 
 

@@ -91,3 +91,40 @@ def test_fingerprint_diff_locates_exactly_corrupted_partitions(spark, sf_dir):
         .collect()
     }
     assert flagged == expected and flagged
+
+
+def test_antientropy_repair_reships_only_flagged_groups(spark):
+    """Repair provenance: rows in clean groups must come from the REPLICA
+    (untouched), rows in flagged groups from the TRUTH — asserted via a
+    non-fingerprinted origin marker column."""
+    from trafsys_data_transfer_spark.operators.snapshot import antientropy_repair
+
+    truth = spark.createDataFrame(
+        [(k, f"v{k}", k % 3, "t") for k in range(30)],
+        "k long, payload string, grp_src int, origin string",
+    )
+    # replica: group 1 corrupted (payload flipped on one key), groups 0/2 clean
+    replica = truth.withColumn("origin", F.lit("r")).withColumn(
+        "payload",
+        F.when(F.col("k") == 13, F.lit("CORRUPT")).otherwise(F.col("payload")),
+    )
+    out = antientropy_repair(
+        truth, replica, ["k", "payload"], F.col("grp_src"), "g"
+    ).collect()
+    assert {(r.k, r.payload) for r in out} == {(k, f"v{k}") for k in range(30)}
+    for r in out:
+        assert r.origin == ("t" if r.grp_src == 1 else "r"), (r.k, r.origin)
+
+
+def test_antientropy_repair_handles_missing_and_extra_groups(spark):
+    from trafsys_data_transfer_spark.operators.snapshot import antientropy_repair
+
+    truth = spark.createDataFrame(
+        [(k, k % 4) for k in range(40)], "k long, g_src int"
+    )
+    # replica lost group 2 entirely and duplicated one row of group 3
+    replica = truth.filter(F.col("g_src") != 2).unionByName(
+        truth.filter(F.col("k") == 3)
+    )
+    out = antientropy_repair(truth, replica, ["k"], F.col("g_src"), "g")
+    assert sorted(r.k for r in out.collect()) == list(range(40))

@@ -274,3 +274,86 @@ def orders_fingerprint_diff_locate(spark: SparkSession, sf_dir: str) -> DataFram
         .select("mon", "n_rows_a", "n_rows_b", "fp_a", "fp_b")
         .orderBy("mon")
     )
+
+
+def antientropy_repair(
+    truth: DataFrame,
+    replica: DataFrame,
+    cols: list[str],
+    group_expr,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Level 2 of the Merkle repair loop: fingerprint both sides by
+    partition (level 1), then rebuild the replica by keeping its clean
+    partitions untouched and re-shipping ONLY the flagged partitions
+    from the source of truth.
+
+    The flagged-partition set is O(partitions) and broadcast to both
+    legs, so the repair plan is: one anti semi-join keeping replica rows
+    in clean partitions + one semi-join pulling truth rows in flagged
+    partitions — on a partitioned layout both legs are partition-pruned
+    scans, and the bytes re-shipped are proportional to the DIVERGENT
+    data, never the table.  Count mismatches (rows missing from or
+    duplicated in the replica) flag the partition the same way a content
+    mismatch does, so deletion/duplication repair rides the same path."""
+    t = fingerprint_by_group(truth, cols, group_expr, group_alias)
+    r = fingerprint_by_group(replica, cols, group_expr, group_alias)
+    flagged = (
+        t.withColumnRenamed("n_rows", "_na").withColumnRenamed("fingerprint", "_fa")
+        .join(
+            r.withColumnRenamed("n_rows", "_nb").withColumnRenamed(
+                "fingerprint", "_fb"
+            ),
+            group_alias,
+            "full_outer",
+        )
+        .filter(
+            (F.col("_fa") != F.col("_fb"))
+            | (F.col("_na") != F.col("_nb"))
+            | F.col("_fa").isNull()
+            | F.col("_fb").isNull()
+        )
+        .select(group_alias)
+    )
+    clean = replica.withColumn(group_alias, group_expr).join(
+        F.broadcast(flagged), group_alias, "left_anti"
+    )
+    reshipped = truth.withColumn(group_alias, group_expr).join(
+        F.broadcast(flagged), group_alias, "left_semi"
+    )
+    return clean.unionByName(reshipped).drop(group_alias)
+
+
+@register(
+    "orders_fingerprint_repair",
+    # The repaired replica must equal the source of truth exactly.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def orders_fingerprint_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full anti-entropy loop closed: replica B diverges from orders
+    three ways — a corrupted status on every 997th key, every 1009th
+    order DELETED, and one order duplicated — and
+    :func:`antientropy_repair` must return a table that hash-matches the
+    source of truth, having re-read only the flagged months.  Extends
+    ``orders_fingerprint_diff_locate`` (localization) with the repair
+    step the localization exists for."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols, "o_orderdate")
+    dup = orders.filter(F.col("o_orderkey") == 7)
+    replica = (
+        orders.filter(F.col("o_orderkey") % 1009 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 997 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(dup)
+    )
+    repaired = antientropy_repair(
+        orders, replica, cols, F.trunc(F.col("o_orderdate"), "month"), "mon"
+    )
+    return repaired.orderBy("o_orderkey")

@@ -360,6 +360,7 @@ _PRIORITY = (
     "streaming_ohlc_hourly",
     "parts_pareto_frontier",
     "events_concurrency_daily_peak",
+    "orders_fingerprint_repair",
 )
 
 

@@ -213,3 +213,48 @@ def test_bloom_file_skip_reads_fewer_files_and_misses_nothing(spark, sf_dir):
     import shutil as _sh
 
     _sh.rmtree(tmp_dir, ignore_errors=True)
+
+
+def test_bloom_index_append_equals_rebuild(spark, sf_dir):
+    """Appending only the new files' bitsets must give bit-identical index
+    CONTENT to rebuilding the whole index at the same m."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from trafsys_data_transfer_spark.operators.layout import (
+        bloom_file_index_append,
+        bloom_file_index_build,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = _tf.mkdtemp(prefix="t_bloom_inc_")
+    events.filter(F.col("event_id") % 2 == 0).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    index, m = bloom_file_index_build(spark, tmp, "user_id")
+    index = index.localCheckpoint(eager=True)
+    before = {n for n in _os.listdir(tmp) if n.endswith(".parquet")}
+    events.filter(F.col("event_id") % 2 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(tmp)
+    new_files = [
+        _os.path.join(tmp, n)
+        for n in _os.listdir(tmp)
+        if n.endswith(".parquet") and n not in before
+    ]
+    appended = bloom_file_index_append(spark, tmp, "user_id", m, index, new_files)
+
+    # rebuild at the SAME m over the full layout
+    df = spark.read.parquet(tmp)
+    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(m))
+    rebuilt = (
+        df.select(F.input_file_name().alias("file"), bucket.alias("b"))
+        .groupBy("file", F.expr("b div 64").alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(b % 64 AS INT)))").alias("bits"))
+    )
+    a = {(r.file, r.word_idx, r.bits) for r in appended.collect()}
+    b = {(r.file, r.word_idx, r.bits) for r in rebuilt.collect()}
+    assert a == b and len(a) > 0
+    _sh.rmtree(tmp, ignore_errors=True)

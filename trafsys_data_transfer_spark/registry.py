@@ -361,6 +361,7 @@ _PRIORITY = (
     "parts_pareto_frontier",
     "events_concurrency_daily_peak",
     "orders_fingerprint_repair",
+    "layout_bloom_index_incremental",
 )
 
 

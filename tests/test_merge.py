@@ -8,6 +8,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from trafsys_data_transfer_spark.operators.merge import (
     dedupe_last_write,
     merge_dataframes,
@@ -187,3 +189,63 @@ def test_partition_overwrite_mode_not_leaked_to_session(spark, tmp_path):
     merge_upsert_parquet(spark, path, batch, TRAFFIC_PK, partition_col="PeriodDate")
     merge_upsert_parquet(spark, path, batch, TRAFFIC_PK, partition_col="PeriodDate")
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+
+
+def test_merge_cdf_change_taxonomy(spark):
+    """insert / update pre+post / delete emitted exactly; no-op updates and
+    tombstones on absent keys emit nothing."""
+    from trafsys_data_transfer_spark.operators.merge import merge_cdf
+
+    t = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    u = spark.createDataFrame(
+        [
+            (1, "a", False),   # no-op: identical values
+            (2, "B", False),   # real update
+            (3, None, True),   # delete
+            (4, "d", False),   # insert
+            (9, None, True),   # tombstone on absent key
+        ],
+        "k long, v string, is_delete boolean",
+    )
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in merge_cdf(t, u, ["k"], "is_delete").collect()
+    )
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+
+
+def test_merge_cdf_replaying_feed_reproduces_merge(spark):
+    """Applying the CDF to the old table must reproduce merge_with_tombstones'
+    result — the consumer-side guarantee the feed exists for."""
+    from trafsys_data_transfer_spark.operators.merge import (
+        merge_cdf,
+        merge_with_tombstones,
+    )
+
+    t = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    u = spark.createDataFrame(
+        [(i, f"w{i}", i % 4 == 0) for i in range(10, 25)],
+        "k long, v string, is_delete boolean",
+    )
+    feed = merge_cdf(t, u, ["k"], "is_delete")
+    # replay: drop deleted+pre-image keys, add post-images+inserts
+    gone = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("k")
+    add = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "v")
+    replayed = (
+        t.join(gone, "k", "left_anti").unionByName(add)
+    )
+    want = merge_with_tombstones(t, u, ["k"])
+    assert {(r.k, r.v) for r in replayed.collect()} == {
+        (r.k, r.v) for r in want.collect()
+    }

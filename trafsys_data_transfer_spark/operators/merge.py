@@ -226,3 +226,63 @@ def merge_with_tombstones(
     survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
     upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
     return survivors.unionByName(upserts.select(*target.columns))
+
+
+def merge_cdf(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """The change-data-feed a MERGE emits (Delta CDF semantics), computed
+    AT MERGE TIME from the merge join itself — never by diffing table
+    versions after the fact.
+
+    Per update row: a tombstone on a matched key emits ``delete`` (with
+    the pre-image values); a matched non-tombstone whose values actually
+    differ emits ``update_preimage`` + ``update_postimage``; an unmatched
+    non-tombstone emits ``insert``; no-op updates (values identical) and
+    tombstones on absent keys emit nothing.
+
+    Plan shape: ONE left join from the delta to the target on the keys
+    (the target streams; a nightly delta broadcast-joins), then a
+    per-row change array exploded — no second pass, no version diff.
+    At 100 TB this is why CDC-on-write beats CDC-by-diff: the feed costs
+    O(delta) on top of the merge that was running anyway, while
+    ``versioned_diff`` pays two full-version scans.
+    """
+    keys = list(keys)
+    vcols = [c for c in target.columns if c not in keys]
+    isdel = (
+        F.col(f"__u.{delete_col}").cast("boolean")
+        if delete_col
+        else F.lit(False)
+    )
+    u = updates.alias("__u")
+    t = target.withColumn("__matched", F.lit(1)).alias("__t")
+    joined = u.join(t, on=keys, how="left")
+    matched = F.col("__t.__matched").isNotNull()
+    pre = F.struct(*[F.col(f"__t.{c}").alias(c) for c in vcols])
+    post = F.struct(*[F.col(f"__u.{c}").alias(c) for c in vcols])
+    changed = F.lit(False)
+    for c in vcols:
+        changed = changed | ~F.col(f"__t.{c}").eqNullSafe(F.col(f"__u.{c}"))
+    entry = lambda typ, vals: F.struct(  # noqa: E731
+        F.lit(typ).alias("_change_type"), vals.alias("_vals")
+    )
+    arr = (
+        F.when(matched & isdel, F.array(entry("delete", pre)))
+        .when(
+            matched & ~isdel & changed,
+            F.array(entry("update_preimage", pre), entry("update_postimage", post)),
+        )
+        .when(~matched & ~isdel, F.array(entry("insert", post)))
+        # typed empty array (no-op update / tombstone on absent key)
+        .otherwise(F.slice(F.array(entry("noop", pre)), 1, 0))
+    )
+    exploded = joined.select(*keys, F.explode(arr).alias("_c"))
+    return exploded.select(
+        *keys,
+        *[F.col(f"_c._vals.{c}").alias(c) for c in vcols],
+        F.col("_c._change_type").alias("_change_type"),
+    )

@@ -898,3 +898,87 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv2 = refresh(mv, 1, 2).localCheckpoint(eager=True)
     mv3 = refresh(mv2, 2, 3)
     return mv3.orderBy("o_custkey")
+
+
+@register(
+    "orders_merge_cdf",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, 'update_preimage',
+           CAST(2 AS BIGINT)
+    FROM base
+    WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 != 0 AND o_orderstatus <> 'U'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U', 'update_postimage', CAST(2 AS BIGINT)
+    FROM base
+    WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 != 0 AND o_orderstatus <> 'U'
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N', 'insert', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 11 = 0
+    ORDER BY o_orderkey, _change_type
+    """,
+)
+def orders_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed ON MERGE, cross-validated against CDC-by-diff:
+    orders commits as v1 of a versioned table; a CDC batch (updates on
+    every 5th key, tombstones on every 7th, brand-new keys from every
+    11th) merges in as v2 via ``merge_with_tombstones``; and the feed
+    the consumer reads is :func:`merge_cdf`'s output tagged with the
+    commit version — emitted from the merge join itself at O(delta)
+    cost.  Inline asserts reconcile the two CDC derivations: the feed's
+    insert−delete balance must equal v2−v1 row counts (what
+    ``versioned_diff`` would report), and no-op updates must emit
+    nothing.  The oracle recomputes every expected change row in SQL.
+
+    Reference anchor: this is script.js's upsert feed (script.js:186-200)
+    upgraded to a full CDC contract — deletes, idempotent no-ops, and a
+    downstream-consumable change log, none of which the reference's
+    Oracle MERGE exposes."""
+    from .merge import merge_cdf, merge_with_tombstones
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    upd = (
+        base.filter((k % 5 == 0) & (k % 7 != 0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("is_delete", F.lit(False))
+        .unionByName(
+            base.filter(k % 7 == 0).withColumn("is_delete", F.lit(True))
+        )
+        .unionByName(
+            base.filter(k % 11 == 0)
+            .withColumn("o_orderkey", k + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("is_delete", F.lit(False))
+        )
+    )
+    table = os.path.join(
+        tempfile.gettempdir(), f"tds_mergecdf_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    v1 = versioned_commit(spark, base, table)
+    merged = merge_with_tombstones(base, upd, ["o_orderkey"])
+    v2 = versioned_commit(spark, merged, table, replace=True)
+    feed = merge_cdf(base, upd, ["o_orderkey"], "is_delete").withColumn(
+        "_commit_version", F.lit(v2).cast("long")
+    )
+    feed = feed.localCheckpoint(eager=True)
+    # CDC-on-write vs CDC-by-diff reconciliation at the count level:
+    # inserts - deletes == net row growth between the two versions.
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n1 = versioned_read(spark, table, v1).count()
+    n2 = versioned_read(spark, table, v2).count()
+    assert kinds.get("insert", 0) - kinds.get("delete", 0) == n2 - n1, kinds
+    assert kinds.get("update_preimage", 0) == kinds.get("update_postimage", 0)
+    return feed.orderBy("o_orderkey", "_change_type")

@@ -362,6 +362,7 @@ _PRIORITY = (
     "events_concurrency_daily_peak",
     "orders_fingerprint_repair",
     "layout_bloom_index_incremental",
+    "orders_merge_cdf",
 )
 
 

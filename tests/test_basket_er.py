@@ -162,3 +162,46 @@ def test_item_similarity_ranks_by_exact_cosine(spark):
     assert got[(2, 1)] == (1, 400_000)
     assert got[(3, 1)] == (1, 400_000)
     assert (2, 2) not in got and (3, 2) not in got  # B-C absent
+
+
+def test_edit_distance_join_complete_vs_bruteforce(spark):
+    """FastSS must find EVERY pair at distance <= 1 (substitution,
+    insertion, deletion, equality) and nothing above."""
+    import itertools
+
+    from trafsys_data_transfer_spark.operators.er import edit_distance_join
+
+    names = [
+        "alpha", "alpha",       # equal pair
+        "alphb",                # substitution of alpha
+        "alpa",                 # deletion
+        "alphax",               # insertion at end
+        "xalpha",               # insertion at front
+        "beta", "betta",        # insertion middle
+        "gamma", "gamm", "gxmma",
+        "delta", "dzlta", "dleta",  # dleta is transposition: dist 2
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+
+    def lev(s, t):
+        dp = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, dp[0] = dp[0], i
+            for j, ct in enumerate(t, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct)
+                )
+        return dp[len(t)]
+
+    want = {
+        (i, j)
+        for (i, si), (j, sj) in itertools.combinations(rows, 2)
+        if lev(si, sj) <= 1
+    }
+    df = spark.createDataFrame(rows, "k long, name string")
+    got = {
+        (r.k1, r.k2) for r in edit_distance_join(df, "k", "name").collect()
+    }
+    assert got == want and any(
+        lev(names[i], names[j]) == 1 for i, j in want
+    )

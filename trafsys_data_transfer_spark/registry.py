@@ -363,6 +363,7 @@ _PRIORITY = (
     "orders_fingerprint_repair",
     "layout_bloom_index_incremental",
     "orders_merge_cdf",
+    "er_edit_distance_join",
 )
 
 

@@ -129,3 +129,45 @@ def test_no_rowwise_python_or_stray_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan and name not in CARTESIAN_OK:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_ewma_constant_series_is_identity_and_warmup_exact(spark, sf_dir):
+    """EWMA of a constant series is the constant; the first row (no lags)
+    must equal the observation itself -- the truncated-kernel
+    renormalization, not a zero-padded kernel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
+
+    from trafsys_data_transfer_spark.plans.traffic_queries import (
+        EWMA_LAGS,
+        _EWMA_W,
+    )
+
+    # closed-form check of the scaled integer weights
+    assert len(_EWMA_W) == EWMA_LAGS + 1
+    assert _EWMA_W[0] == 4**EWMA_LAGS
+    # weight ratio w_{j+1}/w_j == 3/4 exactly
+    assert all(4 * _EWMA_W[j + 1] == 3 * _EWMA_W[j] for j in range(EWMA_LAGS))
+
+    rows = [("A", i, 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "site string, t long, x long")
+    w = _W.partitionBy("site").orderBy("t")
+    num = sum(
+        (F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(wt)
+         for j, wt in enumerate(_EWMA_W)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (F.when(F.lag("x", j).over(w).isNull(), F.lit(0)).otherwise(F.lit(wt))
+         for j, wt in enumerate(_EWMA_W)),
+        start=F.lit(0),
+    )
+    out = (
+        df.withColumn("_n", num.cast("long"))
+        .withColumn("_d", den.cast("long"))
+        .withColumn("ewma_milli", F.expr("(1000L * _n) div _d"))
+    )
+    got = {r.t: r.ewma_milli for r in out.collect()}
+    # renormalized truncated kernel => EXACTLY the constant at every row,
+    # including the warm-up rows with fewer than EWMA_LAGS+1 lags
+    assert all(v == 7000 for v in got.values())

@@ -815,3 +815,75 @@ def watermark_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return coverage_gaps(runs)
+
+
+#: EWMA smoothing constants: alpha = 1/4, kernel truncated at 12 lags.
+#: Weight of lag j is alpha*(1-alpha)^j = 3^j/4^(j+1); scaling by 4^13
+#: makes every weight the exact integer 3^j * 4^(12-j) — both engines
+#: sum the SAME integers, so the smoothed series hash-compares exactly
+#: (floats would drift between Spark's and DuckDB's summation orders).
+EWMA_LAGS = 12
+_EWMA_W = [3**j * 4 ** (EWMA_LAGS - j) for j in range(EWMA_LAGS + 1)]
+
+
+@register(
+    "traffic_ewma_hourly",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    rolled AS (
+        SELECT SiteCode, Location,
+               date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND)
+                   + INTERVAL 1 HOUR AS PeriodEnding,
+               CAST(SUM(Ins) AS BIGINT) AS Ins
+        FROM traffic
+        GROUP BY 1, 2, 3
+    )
+    SELECT SiteCode, Location, PeriodEnding, Ins,
+           CAST((1000 * ("""
+    + " + ".join(
+        f"COALESCE(LAG(Ins, {j}) OVER w, 0) * {w}" for j, w in enumerate(_EWMA_W)
+    )
+    + """)) // ("""
+    + " + ".join(
+        f"CASE WHEN LAG(Ins, {j}) OVER w IS NULL THEN 0 ELSE {w} END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    + """) AS BIGINT) AS ewma_milli
+    FROM rolled
+    WINDOW w AS (PARTITION BY SiteCode, Location ORDER BY PeriodEnding)
+    ORDER BY SiteCode, Location, PeriodEnding
+    """,
+)
+def traffic_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each (site, location)
+    hourly series — the metrics-smoothing shape (alpha=1/4, kernel
+    truncated at 12 observed lags; the dropped tail carries weight
+    (3/4)^13 < 2.4%).  Exact integer arithmetic end-to-end: weights are
+    pre-scaled to integers and the result reported in milli-units via
+    integer division, so Spark and DuckDB agree bit-for-bit.  The plan
+    is ONE partitioned window pass evaluating 13 lag terms — no
+    self-join, no recursive state; at 100 TB each series' window sorts
+    within its (site, location) partition only."""
+    from pyspark.sql.window import Window as _W
+
+    rolled = rollup_traffic(_normalized(spark, sf_dir), grain="hour").select(
+        "SiteCode", "Location", "PeriodEnding", "Ins"
+    )
+    w = _W.partitionBy("SiteCode", "Location").orderBy("PeriodEnding")
+    num = sum(
+        (F.coalesce(F.lag("Ins", j).over(w), F.lit(0)) * F.lit(wt)
+         for j, wt in enumerate(_EWMA_W)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (F.when(F.lag("Ins", j).over(w).isNull(), F.lit(0)).otherwise(F.lit(wt))
+         for j, wt in enumerate(_EWMA_W)),
+        start=F.lit(0),
+    )
+    return (
+        rolled.withColumn("_num", num.cast("long"))
+        .withColumn("_den", den.cast("long"))
+        .withColumn("ewma_milli", F.expr("(1000L * _num) div _den"))
+        .drop("_num", "_den")
+        .orderBy("SiteCode", "Location", "PeriodEnding")
+    )

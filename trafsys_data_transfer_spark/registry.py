@@ -364,6 +364,7 @@ _PRIORITY = (
     "layout_bloom_index_incremental",
     "orders_merge_cdf",
     "er_edit_distance_join",
+    "traffic_ewma_hourly",
 )
 
 

@@ -98,3 +98,29 @@ def test_stratified_event_sample_keeps_all_rare_events(spark, sf_dir):
         F.col("event_type").isin("signup", "purchase", "error")
     ).count()
     assert kept_rare == rare
+
+
+def test_stratified_sample_exact_quota_and_min_one(spark, sf_dir):
+    """Every stratum yields exactly floor(n/5) rows (min 1); rare strata
+    survive."""
+    from trafsys_data_transfer_spark.operators.sampling import (
+        STRAT_SAMPLE_DEN,
+        STRAT_SAMPLE_NUM,
+        docs_stratified_sample,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    out = docs_stratified_sample(spark, sf_dir)
+    got = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == set(sizes)  # no stratum dropped
+    for lang, n in sizes.items():
+        want = max(1, n * STRAT_SAMPLE_NUM // STRAT_SAMPLE_DEN)
+        assert got[lang] == want, (lang, got[lang], want)

@@ -417,3 +417,64 @@ def events_contribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Stratified sampling fraction (numerator/denominator kept integer so the
+#: per-stratum quota ceil(n * NUM / DEN) is exact in both engines).
+STRAT_SAMPLE_NUM, STRAT_SAMPLE_DEN = 1, 5
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rank,
+           CAST(n_lang AS BIGINT) AS stratum_size
+    FROM ranked
+    WHERE rn * {STRAT_SAMPLE_DEN} <= n_lang * {STRAT_SAMPLE_NUM}
+       OR rn = 1
+    ORDER BY lang, rank
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-allocation stratified sample: EXACTLY
+    floor(n·1/5) documents from every language stratum (minimum one, so
+    rare strata are never silently dropped — the long-tail-language
+    guarantee a plain Bernoulli ``sample()`` cannot give).  Selection
+    order is the md5 of the key — a deterministic, engine-portable
+    permutation, so the sample is reproducible AND hash-checkable
+    against DuckDB, unlike ``rand(seed)`` which is engine-private.
+
+    The quota predicate ``rank·DEN <= n·NUM`` stays in integers (no
+    float fraction), and both the rank and the stratum size come from
+    the SAME window pass — one shuffle by lang.  Skew note: strata are
+    languages, bounded cardinality; a hot stratum parallelizes the sort
+    within its partition range, and at 100 TB the md5 ranking keys can
+    pre-aggregate per file via the same expression (the permutation is
+    content-deterministic, not partition-dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("lang", "doc_id", "n_chars").withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "stratum_size",
+        F.count(F.lit(1)).over(W.partitionBy("lang")).cast("long"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rank") * STRAT_SAMPLE_DEN
+             <= F.col("stratum_size") * STRAT_SAMPLE_NUM)
+            | (F.col("rank") == 1)
+        )
+        .select("lang", "doc_id", "n_chars", "rank", "stratum_size")
+        .orderBy("lang", "rank")
+    )

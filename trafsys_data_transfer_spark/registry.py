@@ -365,6 +365,7 @@ _PRIORITY = (
     "orders_merge_cdf",
     "er_edit_distance_join",
     "traffic_ewma_hourly",
+    "docs_stratified_sample",
 )
 
 

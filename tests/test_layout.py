@@ -258,3 +258,44 @@ def test_bloom_index_append_equals_rebuild(spark, sf_dir):
     b = {(r.file, r.word_idx, r.bits) for r in rebuilt.collect()}
     assert a == b and len(a) > 0
     _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_hilbert_locality_at_least_matches_zorder(spark, zorder_layouts, tmp_path_factory):
+    """Same data, same file count, same probe box: the Hilbert layout's
+    footer-stats pruning must at least match Z-order's (and both beat the
+    single-column sort)."""
+    from trafsys_data_transfer_spark.operators.layout import hilbert_order_by
+
+    li, naive, zed = zorder_layouts
+    hil = str(tmp_path_factory.mktemp("layouts_h") / "hilbert")
+    hilbert_order_by(li, ["l_partkey", "l_suppkey"], n_files=32).write.parquet(hil)
+
+    assert _checksum(spark.read.parquet(hil)) == _checksum(li)
+
+    hi_p = li.agg(F.max("l_partkey")).first()[0]
+    hi_s = li.agg(F.max("l_suppkey")).first()[0]
+    box = {
+        "l_partkey": (0.45 * hi_p, 0.55 * hi_p),
+        "l_suppkey": (0.45 * hi_s, 0.55 * hi_s),
+    }
+    h_prune = file_prune_fraction(hil, box)
+    z_prune = file_prune_fraction(zed, box)
+    # range-bound sampling jitters both layouts a little; allow one file
+    # of slack (1/32) below Z while requiring solid absolute pruning
+    assert h_prune >= 0.5, (h_prune, z_prune)
+    assert h_prune >= z_prune - 1 / 32, (h_prune, z_prune)
+
+
+def test_hilbert_curve_is_a_bijection_with_unit_steps():
+    from trafsys_data_transfer_spark.operators.layout import _hilbert_xy2d
+
+    n = 16
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            seen[_hilbert_xy2d(n, x, y)] = (x, y)
+    assert sorted(seen) == list(range(n * n))  # bijective
+    # consecutive ranks are adjacent cells — the locality property Z lacks
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1

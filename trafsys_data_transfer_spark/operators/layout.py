@@ -647,3 +647,111 @@ def layout_bloom_index_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering: Z-order's locality upgrade
+# ---------------------------------------------------------------------------
+
+#: Hilbert grid resolution per dimension.  8 bits -> a 256x256 cell grid,
+#: 65 536 LUT rows — far finer than any realistic file count, and small
+#: enough to broadcast (~1 MB).  Finer grids would switch to the iterative
+#: bit-transform expression; the LUT keeps the hot path a single
+#: broadcast-hash-join probe.
+HILBERT_BITS = 8
+
+
+def _hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Distance along the order-n Hilbert curve of cell (x, y) — the
+    standard public-domain iterative conversion (rotate+flip per level)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:  # rotate quadrant
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_order_by(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = HILBERT_BITS,
+) -> DataFrame:
+    """Cluster ``df`` into ``n_files`` write tasks ordered along the
+    HILBERT curve of two ``cols`` — same contract as :func:`zorder_by`,
+    better locality: every one-step move along the Hilbert rank is one
+    grid step in value space (no Z-curve seam jumps), so equal-size rank
+    ranges cover tighter boxes and footer min/max stats prune harder on
+    box predicates (measured against Z-order in tests/test_layout.py).
+
+    Plan: one stats pass scales both columns to a ``2^bits`` grid
+    (identical to the Z path), then the cell's curve rank comes from a
+    BROADCAST joined lookup table computed once on the driver —
+    O(4^bits) rows, value-deterministic, no UDF in the scan — and
+    ``repartitionByRange`` over the rank gives the total file ordering
+    without a global sort.  The LUT is the deliberate trade at 8-bit
+    resolution; past ~12 bits/dim the iterative rotate/flip expression
+    replaces it, same ordering."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_order_by clusters exactly two columns")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).first()
+    max_code = (1 << bits) - 1
+    codes = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_code
+        codes.append(
+            F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(max_code))
+        )
+    cell = F.shiftleft(codes[0], bits).bitwiseOR(codes[1])
+    n = 1 << bits
+    spark = df.sparkSession
+    lut = spark.createDataFrame(
+        [((x << bits) | y, _hilbert_xy2d(n, x, y)) for x in range(n) for y in range(n)],
+        "__cell long, __h long",
+    )
+    ranked = df.withColumn("__cell", cell).join(
+        F.broadcast(lut), "__cell"
+    )
+    return (
+        ranked.repartitionByRange(n_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__cell", "__h")
+    )
+
+
+@register(
+    "layout_hilbert",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, props FROM events
+    """,
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert re-clustering preserves the relation exactly (oracle = the
+    untouched source, same contract as ``layout_zorder``); the locality
+    advantage over the Z-curve is pinned physically in
+    tests/test_layout.py (box-probe file pruning at least matches
+    Z-order on the same data and file count)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value", "props"
+    )
+    staging = process_staging_dir(
+        f"hilbert_{os.path.basename(os.path.normpath(sf_dir))}",
+        "events_hilbert",
+    )
+    hilbert_order_by(events, ["user_id", "value"], n_files=8).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    return spark.read.parquet(staging)

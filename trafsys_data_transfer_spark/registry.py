@@ -366,6 +366,7 @@ _PRIORITY = (
     "er_edit_distance_join",
     "traffic_ewma_hourly",
     "docs_stratified_sample",
+    "layout_hilbert",
 )
 
 

@@ -367,6 +367,7 @@ _PRIORITY = (
     "traffic_ewma_hourly",
     "docs_stratified_sample",
     "layout_hilbert",
+    "streaming_merge_cdf",
 )
 
 

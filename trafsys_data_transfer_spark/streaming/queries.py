@@ -1547,3 +1547,112 @@ def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(table)
+
+
+@register(
+    "streaming_merge_cdf",
+    # Expected feed: batch 0 updates every 5th key to 'U1'; batch 1
+    # updates every (10th, non-7th) key to 'U2', tombstones every 7th,
+    # inserts a new key per 11th.  Pre-images reflect the TARGET STATE AT
+    # EACH BATCH (batch 1's pre-image of an updated key is 'U1'), which is
+    # exactly what makes a change feed harder than a final-state diff.
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           'update_preimage' AS _change_type, CAST(0 AS BIGINT) AS _batch_id
+    FROM base WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U1', 'update_postimage', CAST(0 AS BIGINT)
+    FROM base WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U1', 'update_preimage', CAST(1 AS BIGINT)
+    FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 != 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U2', 'update_postimage', CAST(1 AS BIGINT)
+    FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 != 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'U1' ELSE o_orderstatus END,
+           'delete', CAST(1 AS BIGINT)
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N', 'insert', CAST(1 AS BIGINT)
+    FROM base WHERE o_orderkey % 11 = 0
+    ORDER BY _batch_id, o_orderkey, _change_type
+    """,
+)
+def streaming_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE with a change-data-feed sink: each micro-batch
+    merges into the stored target AND appends its ``merge_cdf`` rows
+    (tagged with the batch id) to a feed directory — the
+    Delta-CDF-enabled-table shape.  Two sequential AvailableNow drains
+    order the batches; batch 1's pre-images must reflect the state AFTER
+    batch 0's merge (reading the feed proves per-batch target snapshots,
+    not a final-state diff).  The oracle enumerates every expected
+    change row across both batches."""
+    from ..operators.merge import merge_cdf, merge_with_tombstones
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    b0 = base.filter(k % 5 == 0).withColumn(
+        "o_orderstatus", F.lit("U1")
+    ).withColumn("is_delete", F.lit(False))
+    b1 = (
+        base.filter((k % 10 == 0) & (k % 7 != 0))
+        .withColumn("o_orderstatus", F.lit("U2"))
+        .withColumn("is_delete", F.lit(False))
+        .unionByName(base.filter(k % 7 == 0).withColumn("is_delete", F.lit(True)))
+        .unionByName(
+            base.filter(k % 11 == 0)
+            .withColumn("o_orderkey", k + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("is_delete", F.lit(False))
+        )
+    )
+
+    source = tempfile.mkdtemp(prefix="tds_stream_cdf_src_")
+    root = tempfile.mkdtemp(prefix="tds_stream_cdf_")
+    target = os.path.join(root, "target")
+    feed = os.path.join(root, "feed")
+    checkpoint = os.path.join(root, "ckpt")
+    base.write.parquet(target)
+
+    def apply_and_feed(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        tgt = sp.read.parquet(target).localCheckpoint(eager=True)
+        changes = merge_cdf(
+            tgt, batch_df, ["o_orderkey"], "is_delete"
+        ).withColumn("_batch_id", F.lit(batch_id).cast("long"))
+        changes.write.mode("append").parquet(feed)
+        merged = merge_with_tombstones(tgt, batch_df, ["o_orderkey"])
+        merged.write.mode("overwrite").parquet(target)
+
+    def drain():
+        q = (
+            spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "is_delete boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source)
+            .writeStream.foreachBatch(apply_and_feed)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b0.coalesce(1).write.mode("append").parquet(source)
+    drain()
+    b1.coalesce(1).write.mode("append").parquet(source)
+    drain()
+
+    return spark.read.parquet(feed).orderBy(
+        "_batch_id", "o_orderkey", "_change_type"
+    )

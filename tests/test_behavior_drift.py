@@ -255,3 +255,34 @@ def test_sliding_active_users_hll_within_tolerance_of_exact(spark, sf_dir):
         au, ae = approx[k]
         assert ae == ee  # event counts are exact either way
         assert abs(au - eu) <= max(2, 0.08 * eu), (k, eu, au)
+
+
+def test_sequence_pattern_nonoverlapping_greedy(spark):
+    """Pin the match semantics: greedy leftmost non-overlapping — a second
+    view INSIDE a pending v..p window does not start a second conversion."""
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    # journey: v c v p p  -> 'vcvpp': matches of v[cs]*p = ['vcvp'?]
+    # greedy: at pos0 v, [cs]* eats 'c' then sees 'v' (not in cs, not p) —
+    # backtrack: Java/RE2 both fail v[cs]*p at pos0? 'v' 'c' then needs p,
+    # next char 'v' != p -> no match at 0; pos2 'v' 'p' matches 'vp'.
+    seq = ["view", "click", "view", "purchase", "purchase"]
+    rows = [
+        (1, i, base + dt.timedelta(minutes=i), t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, props string"
+    )
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="t_seqpat_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = all_queries()["events_sequence_pattern"].build(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.journey_len, r.n_conversions) == (5, 1)

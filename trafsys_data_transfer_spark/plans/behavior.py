@@ -395,3 +395,65 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "events_sequence_pattern",
+    oracle="""
+    WITH journeys AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS journey
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           CAST(length(regexp_extract_all(journey, 'v[cs]*p')) AS BIGINT)
+               AS n_conversions
+    FROM journeys
+    ORDER BY user_id
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching over event
+    journeys: each user's events collapse (in (ts, event_id) order) into
+    a one-char-per-event journey string, and conversions are counted as
+    non-overlapping matches of ``v[cs]*p`` — a *view* leading to a
+    *purchase* through only clicks/signups, i.e. the regex layer over
+    row sequences that SQL:2016's MATCH_RECOGNIZE provides and Spark
+    lacks as a native operator.
+
+    Plan: ONE groupBy shuffle per user; ``array_sort`` of (ts, event_id,
+    char) structs orders the journey inside the aggregate (no window
+    pass), then codegen ``regexp_count`` scans each string once.  The
+    journey length is bounded by per-user activity (the contribution-cap
+    operator upstream is what keeps this safe on whale users at 100 TB);
+    the pattern automaton itself is O(journey) per user.  Both engines
+    count the same greedy leftmost matches — `regexp_extract_all` in the
+    DuckDB oracle, `regexp_count` here — so the result hash-matches."""
+    events = load_table(spark, sf_dir, "events")
+    journeys = events.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s.ch,
+            ),
+        ).alias("journey")
+    )
+    return journeys.select(
+        "user_id",
+        F.length("journey").cast("long").alias("journey_len"),
+        F.regexp_count("journey", F.lit("v[cs]*p")).cast("long").alias(
+            "n_conversions"
+        ),
+    ).orderBy("user_id")

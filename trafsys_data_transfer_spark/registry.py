@@ -368,6 +368,7 @@ _PRIORITY = (
     "docs_stratified_sample",
     "layout_hilbert",
     "streaming_merge_cdf",
+    "events_sequence_pattern",
 )
 
 

@@ -74,6 +74,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.runtimefilter",
     "trafsys_data_transfer_spark.operators.skyline",
     "trafsys_data_transfer_spark.operators.sweepline",
+    "trafsys_data_transfer_spark.operators.pca",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -369,6 +370,7 @@ _PRIORITY = (
     "layout_hilbert",
     "streaming_merge_cdf",
     "events_sequence_pattern",
+    "embeddings_pca_project",
 )
 
 

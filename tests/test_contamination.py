@@ -141,3 +141,29 @@ def test_fuzzy_decontamination_flags_edited_eval_copy(spark):
     assert (2, 1) in got and (4, 1) in got  # both edited copies flagged
     assert all(t != 3 for t, _ in got)      # unrelated never flagged
     assert all(e == 1 for _, e in got)      # train-train pair (2,4) excluded
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    """Repetitive text compresses far below varied text; ratios stay in
+    (0, ~1.2]; identical inputs give identical signals across batchings."""
+    import tempfile as _tf
+
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 50),
+        (2, " ".join(f"w{i * 7919 % 1000} x{i * 104729 % 997}" for i in range(300))),
+        (3, "spam " * 500),
+    ]
+    d = _tf.mkdtemp(prefix="t_zratio_")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    q = all_queries()["text_compression_ratio"]
+    got = {r.doc_id: r for r in q.build(spark, d).collect()}
+    assert got[3].ratio_ppm < got[1].ratio_ppm < got[2].ratio_ppm
+    for r in got.values():
+        assert 0 < r.ratio_ppm <= 1_200_000
+        assert r.comp_len == len(__import__("zlib").compress(
+            dict(rows)[r.doc_id].encode(), 6))

@@ -675,3 +675,41 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("text_compression_ratio")  # zlib is not ANSI-SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: DEFLATE(text) length over raw
+    length, in ppm — the cheap, language-agnostic boilerplate detector
+    every large-scale web-corpus pipeline runs (highly repetitive /
+    templated pages compress far below natural prose, near-random noise
+    compresses above it; both tails get filtered).  zlib level is pinned
+    (6) so the byte count — and therefore the signal — is deterministic.
+
+    Arrow-batched ``mapInPandas`` (the byte-level codec is inherently
+    per-row Python, batched like the multimodal decoders); one narrow
+    (doc_id, text) scan, output is O(rows) ints.  Certified by pytest:
+    repetitive text scores far below shuffled-vocabulary text, ratios
+    bounded, and the operator is batch-size-invariant."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import zlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = pdf["text"].str.encode("utf-8")
+            out = pdf[["doc_id"]].copy()
+            out["raw_len"] = raw.str.len().astype("int64")
+            out["comp_len"] = [
+                len(zlib.compress(b, 6)) for b in raw
+            ]
+            out["ratio_ppm"] = (
+                out["comp_len"] * 1_000_000 // out["raw_len"].clip(lower=1)
+            ).astype("int64")
+            yield out
+
+    return docs.mapInPandas(
+        gen, "doc_id long, raw_len long, comp_len long, ratio_ppm long"
+    ).orderBy("doc_id")

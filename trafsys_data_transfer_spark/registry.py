@@ -371,6 +371,7 @@ _PRIORITY = (
     "streaming_merge_cdf",
     "events_sequence_pattern",
     "embeddings_pca_project",
+    "text_compression_ratio",
 )
 
 

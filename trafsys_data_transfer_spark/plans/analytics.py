@@ -921,3 +921,73 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+@register(
+    "supplier_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT l_suppkey, revenue_cents,
+               SUM(revenue_cents) OVER (
+                   ORDER BY revenue_cents DESC, l_suppkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(revenue_cents) OVER () AS total_cents
+        FROM rev
+    )
+    SELECT l_suppkey, revenue_cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CASE WHEN cum_cents * 100 <= total_cents * 70 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 90 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY l_suppkey
+    """,
+)
+def supplier_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of suppliers by revenue: class A
+    suppliers cover the first 70% of cumulative revenue, B the next 20%,
+    C the tail — the inventory-management 80/20 operator.  All
+    arithmetic in exact cents with integer threshold predicates
+    (``cum*100 <= total*70``), so the class boundaries hash-match the
+    oracle bit-for-bit (a float share would disagree at boundary
+    suppliers).
+
+    Plan: one map-side-combined groupBy over the fact table, then the
+    ranking windows run over the AGGREGATED supplier relation —
+    O(suppliers), a bounded dimension, which is what makes the global
+    cumulative window acceptable (the documented O(groups) exception);
+    the 100 TB cost is the fact scan, already minimal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("cents").alias("revenue_cents"))
+    w_cum = Window.orderBy(
+        F.col("revenue_cents").desc(), "l_suppkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = rev.withColumn("cum_cents", F.sum("revenue_cents").over(w_cum)).withColumn(
+        "total_cents", F.sum("revenue_cents").over(w_all)
+    )
+    return (
+        ranked.select(
+            "l_suppkey",
+            "revenue_cents",
+            "cum_cents",
+            F.when(
+                F.col("cum_cents") * 100 <= F.col("total_cents") * 70, "A"
+            )
+            .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 90, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy("l_suppkey")
+    )

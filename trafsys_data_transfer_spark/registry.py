@@ -372,6 +372,7 @@ _PRIORITY = (
     "events_sequence_pattern",
     "embeddings_pca_project",
     "text_compression_ratio",
+    "supplier_abc_classification",
 )
 
 

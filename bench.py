@@ -117,6 +117,19 @@ WORK_IN_BUILD = {
     "streaming_versioned_ingest",
     "bucketed_colocated_agg",
     "streaming_contribution_cap",
+    # round 7 lifecycle queries: the work runs in build(); the returned
+    # DataFrame is a sink/stored-table read, so exec-only timing would be
+    # a scan of the result, not the operator.
+    "text_bm25_index_compacted",
+    "timetravel_compact_read",
+    "mv_incremental_refresh",
+    "layout_bloom_file_skip",
+    "streaming_mv_refresh",
+    "streaming_ohlc_hourly",
+    "layout_bloom_index_incremental",
+    "orders_merge_cdf",
+    "streaming_merge_cdf",
+    "layout_hilbert",
 }
 
 

@@ -478,3 +478,53 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "rank", "stratum_size")
         .orderBy("lang", "rank")
     )
+
+
+@register(
+    "split_group_holdout",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                     < '{_hex_threshold(0.8)}'
+                THEN 'train' ELSE 'test' END AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events
+    GROUP BY 1
+    ORDER BY fold
+    """,
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/test split: the fold is a function of the GROUP
+    key (user_id), not the row key, so every event of a user lands on the
+    same side — the leakage guard row-level splitting cannot give.  A
+    model evaluated on ``test`` has never seen ANY behavior of those
+    users; with ``split_train_test``'s row hashing, a user's history
+    straddles the boundary and the eval leaks.
+
+    Pure narrow projection (the fold is md5 of a column already on the
+    row — no join against a user table needed); the audit aggregate is
+    the only shuffle.  Same md5-threshold portability contract as the
+    other splits: identical assignment in every engine, every run, every
+    partitioning.  tests/test_sampling.py pins the no-straddle invariant
+    (no user_id appears in both folds)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            split_column(F.col("user_id"), 0.8).alias("fold"),
+            "user_id",
+            "event_type",
+            "event_id",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("fold")
+    )

@@ -982,3 +982,58 @@ def orders_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert kinds.get("insert", 0) - kinds.get("delete", 0) == n2 - n1, kinds
     assert kinds.get("update_preimage", 0) == kinds.get("update_postimage", 0)
     return feed.orderBy("o_orderkey", "_change_type")
+
+
+@register(
+    "orders_cdf_apply",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 7 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N'
+    FROM orders WHERE o_orderkey % 11 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def orders_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CONSUME: replay the merge's change-data feed onto the pre-merge
+    snapshot and reconstruct the post-merge table — the downstream half of
+    ``orders_merge_cdf`` (which proves the feed is EMITTED correctly; this
+    proves the feed is SUFFICIENT).  A replica that holds v1 and applies
+    the feed must equal v2 row-for-row; the oracle recomputes v2 from
+    scratch in SQL, so any change row the feed dropped, duplicated, or
+    mis-typed breaks the hash.
+
+    Same delta as orders_merge_cdf: every 5th key updated, every 7th
+    tombstoned (tombstone wins over update), every 11th inserted under a
+    shifted key.  Plan: merge_cdf's single left join builds the feed;
+    cdf_apply is one anti join + union — O(delta) end to end.
+
+    Reference anchor: script.js:186-200 re-ships full rows to Oracle every
+    run; feed-replay ships only changes and still lands identical state.
+    """
+    from .merge import cdf_apply, merge_cdf
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    upd = (
+        base.filter((k % 5 == 0) & (k % 7 != 0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("is_delete", F.lit(False))
+        .unionByName(
+            base.filter(k % 7 == 0).withColumn("is_delete", F.lit(True))
+        )
+        .unionByName(
+            base.filter(k % 11 == 0)
+            .withColumn("o_orderkey", k + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("is_delete", F.lit(False))
+        )
+    )
+    feed = merge_cdf(base, upd, ["o_orderkey"], "is_delete")
+    return cdf_apply(base, feed, ["o_orderkey"]).orderBy("o_orderkey")

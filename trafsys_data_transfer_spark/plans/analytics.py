@@ -991,3 +991,121 @@ def supplier_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH vc AS (
+        SELECT value, COUNT(*) AS n FROM events GROUP BY value
+    ), c AS (
+        SELECT value, n,
+               SUM(n) OVER (ORDER BY value) AS cum,
+               SUM(n) OVER () AS total
+        FROM vc
+    ), b AS (
+        SELECT value, n,
+               LEAST(CAST(((cum - 1) * 8) // total AS INT), 7) AS bucket
+        FROM c
+    )
+    SELECT bucket,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile-binned): 8 buckets holding ~equal row
+    counts, vs events_value_histogram's fixed-width bins.  The equi-depth
+    shape is what optimizers and drift monitors actually want — a bucket
+    per data mass, robust to heavy tails that pack a fixed-width histogram
+    into two bins.
+
+    Exactness contract: ties never straddle a boundary — the bucket is a
+    pure integer function of each DISTINCT value's cumulative row count
+    (``floor((cum-1)·k / N)``), so the result is identical under any
+    partitioning and any engine; no NTILE row-splitting nondeterminism.
+
+    Plan shape: one groupBy(value) shuffle compresses rows to distinct
+    values (map-side partials), then the cumulative window runs over
+    O(distinct) pre-aggregated rows — the same documented O(groups)
+    single-partition exception as the other global windows; the 100 TB
+    tier swaps boundaries to approx_percentile and keeps this as the
+    exact auditor."""
+    events = load_table(spark, sf_dir, "events")
+    vc = events.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = vc.select(
+        "value",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    b = c.select(
+        "value",
+        "n",
+        F.least(
+            F.floor((F.col("cum") - 1) * 8 / F.col("total")).cast("int"),
+            F.lit(7),
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum("n").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_stats_unpivot",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'sum_value' AS metric, sum_value AS metric_value FROM w
+    UNION ALL
+    SELECT event_type, 'min_value', min_value FROM w
+    UNION ALL
+    SELECT event_type, 'max_value', max_value FROM w
+    UNION ALL
+    SELECT event_type, 'n_rows', n_rows FROM w
+    ORDER BY event_type, metric
+    """,
+)
+def events_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the wide per-type stats block flipped to long
+    (event_type, metric, metric_value) form — the transform every
+    metrics-warehouse export and every "one row per (entity, kpi)"
+    dashboard feed needs, and the inverse of events_daily_pivot's PIVOT.
+
+    Uses the native ``DataFrame.unpivot`` (Spark's STACK under the hood):
+    a zero-shuffle narrow expansion of an already-aggregated O(types) wide
+    relation, so the only shuffle is the stats groupBy itself.  All four
+    metrics are cast to one double column — unpivot requires a common
+    value type, same as the SQL UNION oracle."""
+    events = load_table(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["sum_value", "min_value", "max_value", "n_rows"],
+        "metric",
+        "metric_value",
+    ).orderBy("event_type", "metric")

@@ -403,3 +403,137 @@ def events_value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_lineitem_nested_agg",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    ), packed AS (
+        SELECT l_orderkey,
+               list_sort(list(cents), 'DESC') AS c
+        FROM li GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(c) AS INT) AS n_items,
+           CAST(list_aggregate(c[1:2], 'sum') AS BIGINT) AS top2_cents,
+           CAST(len(list_filter(c, x -> x > 5000000)) AS INT) AS n_big,
+           CAST(list_aggregate(c, 'sum') AS BIGINT) AS total_cents
+    FROM packed
+    ORDER BY l_orderkey
+    """,
+)
+def orders_lineitem_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data analytics via HIGHER-ORDER array functions: pack each
+    order's line revenues into a sorted array, then answer intra-order
+    questions (top-2 concentration, count of big-ticket lines, total)
+    with ``slice``/``filter``/``aggregate`` lambda expressions — all
+    JVM-side Catalyst expressions, zero Python, zero explode-regroup
+    round trips.
+
+    This is the array-column discipline a training-data pipeline relies
+    on (token arrays, embedding arrays, chunk lists): one groupBy builds
+    the nested column; every per-array computation after that is narrow
+    and shuffle-free.  Revenue is floored to integer cents before any
+    aggregation so both engines sum exact BIGINTs in any order.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).alias("cents"),
+    )
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("cents"), asc=False).alias("c")
+    )
+    zero = F.lit(0).cast("long")
+    return packed.select(
+        "l_orderkey",
+        F.size("c").alias("n_items"),
+        F.aggregate(
+            F.slice("c", 1, 2), zero, lambda acc, x: acc + x
+        ).alias("top2_cents"),
+        F.size(F.filter("c", lambda x: x > 5_000_000)).alias("n_big"),
+        F.aggregate("c", zero, lambda acc, x: acc + x).alias("total_cents"),
+    ).orderBy("l_orderkey")
+
+
+@register(
+    "customers_dormant_above_avg",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_acctbal > 0.0
+    ), g AS (
+        SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM cents
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(c.bal_cents) AS BIGINT) AS total_cents
+    FROM cents c, g
+    WHERE c.bal_cents * g.n_pos > g.sum_cents
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def customers_dormant_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: dormant high-value customers — above-average
+    balance, no orders in the trailing window (every fixture customer has
+    SOME order, so dormancy is defined against recent activity) — counted
+    per segment.  Exercises the global scalar subquery (corpus-wide
+    average) + anti join (NOT EXISTS over a filtered subquery)
+    + re-aggregation pipeline in one plan.
+
+    Exactness: the average is never materialized as a double — the filter
+    is cross-multiplied to ``bal_cents · n_pos > sum_cents`` over floored
+    integer cents, so the boundary customer is identical in every engine
+    regardless of double accumulation order.
+
+    Plan shape: the 1-row global aggregate broadcast-joins onto customer
+    (the documented O(1) constant-join pattern); the anti join against
+    orders hashes on o_custkey (broadcast at dimension scale, shuffled
+    hash at fact scale via AQE); final groupBy is O(segments)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0.0
+    )
+    cents = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).alias("bal_cents"),
+    )
+    g = cents.agg(
+        F.sum("bal_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01"))
+        .select("o_custkey")
+    )
+    return (
+        cents.join(F.broadcast(g))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(
+            orders,
+            cents["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

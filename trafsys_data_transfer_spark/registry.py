@@ -373,6 +373,12 @@ _PRIORITY = (
     "embeddings_pca_project",
     "text_compression_ratio",
     "supplier_abc_classification",
+    "orders_cdf_apply",
+    "events_equidepth_histogram",
+    "events_stats_unpivot",
+    "orders_lineitem_nested_agg",
+    "customers_dormant_above_avg",
+    "split_group_holdout",
 )
 
 

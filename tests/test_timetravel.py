@@ -464,3 +464,106 @@ def test_versioned_delta_read_append_only_contract(spark, tmp_path):
     versioned_commit(spark, _df(spark, [("z", "d9", 9)]), table, replace=True)
     with pytest.raises(ValueError, match="append-only"):
         versioned_delta_read(spark, table, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution
+# ---------------------------------------------------------------------------
+
+
+def _mkdf(spark, lo, hi, route=True):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    return df.withColumn("g_route", F.col("g")) if route else df
+
+
+def test_partition_metadata_recorded_and_pruned(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        prune_partition_files,
+        versioned_commit,
+        versioned_read,
+        versioned_read_pruned,
+    )
+    import json
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _mkdf(spark, 0, 30, route=False), table)  # spec 0
+    versioned_commit(
+        spark, _mkdf(spark, 30, 60), table, partition_by="g_route"
+    )  # spec 1
+    with open(os.path.join(table, "_manifests", "v2.json")) as fh:
+        m = json.load(fh)
+    spec1 = m.get("partitions", {})
+    assert spec1 and all(set(p) == {"g_route"} for p in spec1.values())
+    spec0 = [f for f in m["files"] if f not in spec1]
+    assert spec0  # v1's files carry no metadata
+
+    df, n_read, n_skipped = versioned_read_pruned(spark, table, {"g_route": "1"})
+    # every spec-0 file read; only mismatched spec-1 files skipped
+    keep, skipped = prune_partition_files(m["files"], spec1, {"g_route": "1"})
+    assert n_skipped == len(skipped) > 0
+    assert all(f in spec1 for f in skipped)
+    assert set(spec0) <= set(keep)
+    # row-level filter on top equals the unpruned filtered read
+    got = sorted(r.k for r in df.filter(F.col("g") == "1").collect())
+    want = sorted(
+        r.k
+        for r in versioned_read(spark, table).filter(F.col("g") == "1").collect()
+    )
+    assert got == want
+
+
+def test_partition_metadata_survives_rebase_rollback_compact(spark, tmp_path):
+    """CAS-rebased appends, rollback and compaction all carry (or safely
+    degrade) the per-file partition map."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_commit,
+        versioned_compact,
+        versioned_read,
+        versioned_rollback,
+    )
+    import json
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(
+        spark, _mkdf(spark, 0, 30), table, partition_by="g_route"
+    )
+    versioned_commit(spark, _mkdf(spark, 30, 60, route=False), table)
+
+    def parts(v):
+        with open(os.path.join(table, "_manifests", f"v{v}.json")) as fh:
+            return json.load(fh).get("partitions", {})
+
+    assert parts(2) == parts(1)  # append carries v1's entries untouched
+
+    v3 = versioned_rollback(spark, table, 1)
+    assert parts(v3) == parts(1)  # restore re-lists the target's map
+
+    v4, _before, _after = versioned_compact(spark, table, target_file_bytes=1)
+    # compacted rewrites degrade to must-read (no stale metadata)
+    live = set()
+    with open(os.path.join(table, "_manifests", f"v{v4}.json")) as fh:
+        live = set(json.load(fh)["files"])
+    assert set(parts(v4)) <= live
+    got = sorted(r.k for r in versioned_read(spark, table, v4).collect())
+    assert got == list(range(30))  # content identical post-compact
+
+
+def test_prune_backcompat_manifest_without_partitions(spark, tmp_path):
+    """Pre-evolution manifests (no partitions key) read fine: nothing
+    pruned, everything scanned."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        versioned_commit,
+        versioned_read_pruned,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _mkdf(spark, 0, 20, route=False), table)
+    df, n_read, n_skipped = versioned_read_pruned(
+        spark, table, {"g_route": "1"}
+    )
+    assert n_skipped == 0 and df.count() == 20

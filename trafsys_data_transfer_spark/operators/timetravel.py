@@ -154,6 +154,7 @@ def versioned_commit(
         writer = writer.partitionBy(partition_by)
     writer.parquet(staging)
     new_files = []
+    new_parts: dict[str, dict[str, str]] = {}
     moves = []  # (src, final_name) — verified complete before any manifest
     for root, _dirs, names in os.walk(staging):
         for name in names:
@@ -161,7 +162,20 @@ def versioned_commit(
                 continue
             rel = os.path.relpath(os.path.join(root, name), staging)
             token = rel.replace(os.sep, "~").replace("=", "_")
-            moves.append((os.path.join(root, name), f"{commit_id}-{token}"))
+            final = f"{commit_id}-{token}"
+            moves.append((os.path.join(root, name), final))
+            # Per-file partition metadata (Iceberg-style spec tracking):
+            # each hive path segment key=value this file was routed under.
+            # Files committed under a different (or no) spec simply lack
+            # the entry — pruning treats them as must-read, so SPECS CAN
+            # EVOLVE between commits without rewriting old files.
+            part = {
+                seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)[:-1]
+                if "=" in seg and not seg.split("=", 1)[1].startswith("__HIVE")
+            }
+            if part:
+                new_parts[final] = part
     for src, final in moves:
         os.replace(src, os.path.join(table_dir, "data", final))
         new_files.append(final)
@@ -182,11 +196,13 @@ def versioned_commit(
         prev = table_versions(spark, table_dir)
         prev_files: list[str] = []
         prev_txn: dict = {}
+        prev_parts: dict = {}
         if prev:
             with open(_manifest_path(table_dir, prev[-1])) as fh:
                 prev_manifest = json.load(fh)
             prev_files = prev_manifest["files"]
             prev_txn = prev_manifest.get("txn", {})
+            prev_parts = prev_manifest.get("partitions", {})
         if txn is not None and prev_txn.get(txn[0], -1) >= txn[1]:
             # A racing writer (or an earlier attempt of this replay)
             # already applied this txn — drop our staged files and
@@ -222,6 +238,14 @@ def versioned_commit(
         version = (prev[-1] + 1) if prev else 1
         os.makedirs(_manifest_dir(table_dir), exist_ok=True)
         manifest = {"version": version, "files": sorted(prev_files + new_files)}
+        # Carry partition metadata for surviving prior files, add the new
+        # commit's — entries for dropped (replaced) files fall away here.
+        parts = {
+            f: prev_parts[f] for f in prev_files if f in prev_parts
+        }
+        parts.update(new_parts)
+        if parts:
+            manifest["partitions"] = parts
         if txn is not None or prev_txn:
             new_txn = dict(prev_txn)
             if txn is not None:
@@ -523,6 +547,13 @@ def versioned_compact(
         carried = [f for f in tip_files if f not in base_set]
         version = tip + 1
         manifest = {"version": version, "files": sorted(new_files + carried)}
+        # Compacted rewrites lose their source files' partition metadata
+        # (a bin-packed file can mix partitions) — they become must-read,
+        # which is always correct; carried files keep their entries.
+        tip_parts = tip_manifest.get("partitions", {})
+        parts = {f: tip_parts[f] for f in carried if f in tip_parts}
+        if parts:
+            manifest["partitions"] = parts
         if tip_manifest.get("txn"):
             manifest["txn"] = tip_manifest["txn"]
         tmp = _manifest_path(table_dir, version) + f".tmp{commit_id}"
@@ -556,11 +587,14 @@ def versioned_rollback(
     if to_version not in versions:
         raise ValueError(f"version {to_version} not in {versions}")
     with open(_manifest_path(table_dir, to_version)) as fh:
-        files = json.load(fh)["files"]
+        target_manifest = json.load(fh)
+    files = target_manifest["files"]
     for _ in range(COMMIT_CAS_RETRIES):
         current = table_versions(spark, table_dir)[-1]
         version = current + 1
         manifest = {"version": version, "files": files}
+        if target_manifest.get("partitions"):
+            manifest["partitions"] = target_manifest["partitions"]
         # Carry the idempotence watermark from the TIP, not the restore
         # target: a restore undoes data, never the record of which app
         # txns were applied (else a replayed batch would re-commit).
@@ -1037,3 +1071,139 @@ def orders_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = merge_cdf(base, upd, ["o_orderkey"], "is_delete")
     return cdf_apply(base, feed, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def prune_partition_files(
+    files: list[str],
+    partitions: dict[str, dict[str, str]],
+    filters: dict[str, str],
+) -> tuple[list[str], list[str]]:
+    """Split a manifest's file list into (keep, skipped) under equality
+    ``filters`` on partition columns, Iceberg per-spec pruning semantics:
+    a file is skipped ONLY if its recorded partition metadata names the
+    filter column with a DIFFERENT value.  Files with no metadata (older
+    spec, compacted rewrites) or without that column are kept — pruning
+    is an optimization, never a correctness dependency, which is exactly
+    what lets the partition spec EVOLVE without rewriting history."""
+    keep, skipped = [], []
+    for f in files:
+        part = partitions.get(f, {})
+        if any(c in part and part[c] != str(v) for c, v in filters.items()):
+            skipped.append(f)
+        else:
+            keep.append(f)
+    return keep, skipped
+
+
+def versioned_read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    filters: dict[str, str],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Partition-pruned AS-OF read: resolve the manifest, skip files whose
+    recorded partition values contradict ``filters``, and scan the rest.
+    Returns (df, files_read, files_skipped).  The caller must still apply
+    the row-level filter — files from pre-evolution specs can mix values
+    (that's the whole point of per-file spec metadata).
+
+    At 100 TB this is the manifest tier's partition pruning: an O(files)
+    metadata decision on the driver replaces listing + scanning every
+    file, and a spec change (e.g. daily → hourly partitioning, or adding
+    a routing column) applies to NEW files only — old data is never
+    rewritten, old versions stay byte-stable and readable."""
+    versions = table_versions(spark, table_dir)
+    if version is None:
+        version = versions[-1]
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    keep, skipped = prune_partition_files(
+        manifest["files"], manifest.get("partitions", {}), filters
+    )
+    if not keep:
+        raise ValueError(
+            f"pruning {filters} left no files in v{version} of {table_dir}"
+        )
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, "data", f) for f in keep]
+    )
+    return df, len(keep), len(skipped)
+
+
+@register(
+    "timetravel_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def timetravel_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION on the manifest tier (the Iceberg
+    capability Delta's directory layout can't give): v1 commits half the
+    orders UNPARTITIONED (spec 0); v2 appends the other half routed by
+    ``status_route`` = o_orderstatus (spec 1).  A status='F' read of the
+    latest version then prunes at the FILE level among spec-1 files while
+    reading every spec-0 file, applies the row filter on top, and must
+    equal a plain filtered scan of the whole table — history unrewritten,
+    both specs live in one version.
+
+    Inline asserts pin the pruning shape: at least one spec-1 file was
+    skipped, and no spec-0 (metadata-less) file was.  tests/
+    test_timetravel.py adds the rebase-carry, rollback-carry and
+    compaction-degrades-to-must-read cases.
+
+    Reference anchor: script.js:184-214 rewrites one flat Oracle table in
+    place — no layout history at all; this is the §2.10 storage-tier
+    extension where even the PARTITIONING is versioned."""
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).alias("price_cents"),
+    )
+    table = os.path.join(
+        _tf.gettempdir(), f"tds_partevo_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    half = F.col("o_orderkey") % 2
+    # spec 0: unpartitioned history
+    versioned_commit(spark, orders.filter(half == 0), table)
+    # spec 1: new data routed by status (the data column stays readable)
+    versioned_commit(
+        spark,
+        orders.filter(half == 1).withColumn(
+            "status_route", F.col("o_orderstatus")
+        ),
+        table,
+        partition_by="status_route",
+    )
+    df, n_read, n_skipped = versioned_read_pruned(
+        spark, table, {"status_route": "F"}
+    )
+    with open(_manifest_path(table, 2)) as fh:
+        m = json.load(fh)
+    spec1 = set(m.get("partitions", {}))
+    _, skipped = prune_partition_files(
+        m["files"], m.get("partitions", {}), {"status_route": "F"}
+    )
+    assert skipped and set(skipped) <= spec1, (
+        "pruning must skip only spec-1 files",
+        skipped,
+    )
+    return (
+        df.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -379,6 +379,7 @@ _PRIORITY = (
     "orders_lineitem_nested_agg",
     "customers_dormant_above_avg",
     "split_group_holdout",
+    "timetravel_partition_evolution",
 )
 
 

@@ -1,0 +1,86 @@
+"""Mergeable quantile sketches: ±ε·N rank guarantee, merge bracket
+width, determinism, and skew robustness."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.quantiles import (
+    EPS,
+    QUANTILES,
+    build_partition_sketches,
+    merge_sketches,
+    query_quantiles,
+)
+
+
+def _merged(spark, df, col="value", num_parts=8):
+    rows = [
+        (r.part_id, r.v, r.rmin, r.rmax, r.n_part)
+        for r in build_partition_sketches(df, col, num_parts=num_parts).collect()
+    ]
+    return merge_sketches(rows)
+
+
+def test_rank_guarantee_on_fixture(spark, sf_dir):
+    """Every estimated quantile's TRUE rank is within ε·N of the target."""
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = np.sort(
+        np.array([r.value for r in events.select("value").collect()])
+    )
+    n = len(exact)
+    values, rmin, rmax, total = _merged(spark, events)
+    assert total == n
+    for q, v, lo, hi in query_quantiles(values, rmin, rmax, total, QUANTILES):
+        target = max(1, int(np.ceil(q * n)))
+        # true rank of v: count of elements <= v
+        true_rank = int(np.searchsorted(exact, v, side="right"))
+        assert abs(true_rank - target) <= EPS * n + 1, (q, v, true_rank, target)
+
+
+def test_merge_bracket_bounded_and_sound(spark):
+    """Merged (rmin, rmax) brackets contain the true rank and stay
+    within the additive 2·ε·N width bound."""
+    vals = [(float(i % 997) * 0.5,) for i in range(20000)]
+    df = spark.createDataFrame(vals, "value double")
+    exact = np.sort(np.array([v[0] for v in vals]))
+    values, rmin, rmax, total = _merged(spark, df, num_parts=16)
+    n = total
+    for i in range(0, len(values), 37):
+        v = values[i]
+        lo_true = int(np.searchsorted(exact, v, side="left")) + 1
+        hi_true = int(np.searchsorted(exact, v, side="right"))
+        assert rmin[i] <= hi_true and rmax[i] >= lo_true, (v, rmin[i], rmax[i])
+        assert rmax[i] - rmin[i] <= 2 * EPS * n + 16, (
+            v,
+            rmax[i] - rmin[i],
+        )
+
+
+def test_deterministic_rebuild(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.quantiles import (
+        events_quantile_sketch,
+    )
+
+    a = [tuple(r) for r in events_quantile_sketch(spark, sf_dir).collect()]
+    b = [tuple(r) for r in events_quantile_sketch(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_heavy_tie_skew(spark):
+    """A value holding half the mass: its bracket must cover the median
+    target, and p99 must land beyond it."""
+    rows = [(1.0,)] * 5000 + [(float(2 + i),) for i in range(5000)]
+    df = spark.createDataFrame(rows, "value double")
+    values, rmin, rmax, total = _merged(spark, df, num_parts=8)
+    est = dict(
+        (q, v) for q, v, _lo, _hi in query_quantiles(
+            values, rmin, rmax, total, [0.25, 0.5, 0.99]
+        )
+    )
+    assert est[0.25] == 1.0
+    assert est[0.5] <= 3.0  # median sits at the tie boundary
+    assert est[0.99] > 4000

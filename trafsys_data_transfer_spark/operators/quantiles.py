@@ -1,0 +1,184 @@
+"""Mergeable ε-approximate quantile sketches (MRL / Greenwald-Khanna
+family, the Agarwal et al. "Mergeable Summaries" construction).
+
+The quantile twin of the HLL row (``dedup_hll_sketch_union``): each
+partition — or ingest batch, or day — persists a COMPRESSED rank summary
+of its values (≤ ⌈1/ε⌉+1 entries carrying exact (rmin, rmax) rank bounds
+within their own multiset); any later rollup answers quantiles by merging
+STORED summaries with no rescan of the data.  That is the property
+``approx_percentile`` cannot give: Spark's sketch lives and dies inside
+one query, while a persisted summary table turns corpus-wide p99 tracking
+into an O(parts/ε) metadata read.
+
+Construction (deterministic, no random sampling):
+
+* Per sorted partition of n rows, keep every s-th order statistic with
+  s = max(1, ⌈ε·n⌉), plus the last — each kept entry's rank is EXACT
+  (rmin = rmax = its index), and any unkept rank is bracketed by kept
+  neighbours at distance < s, so the partition summary answers ranks
+  within ±ε·n.
+* Merge (associative, order-insensitive): an entry's merged rank bounds
+  add, per other summary, the rmin of the largest entry ≤ v (lower) and
+  the rmax of the smallest entry ≥ v, or that summary's total if none
+  (upper).  Uncertainties add, so the merged summary answers any rank
+  within ±ε·N — the textbook mergeability bound.
+* Query: for target rank t = ⌈q·N⌉ return the entry whose bracket
+  [rmin, rmax] sits closest to t; guaranteed |true_rank(v) − t| ≤ ε·N.
+
+Scale: summaries are O(1/ε) per partition regardless of partition size;
+the probe collects O(parts/ε) entries — bounded metadata, never data.
+The reference has no statistics tier at all (script.js:1-268); this is
+§2.10 scope ("stats & sketches") extended to the storage pattern.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: Default accuracy: ranks within ±EPS·N.
+EPS = 1.0 / 64.0
+
+_SKETCH_SCHEMA = "part_id long, v double, rmin long, rmax long, n_part long"
+
+
+def build_partition_sketches(
+    df: DataFrame, value_col: str, eps: float = EPS, num_parts: int = 32
+) -> DataFrame:
+    """Per-partition compressed rank summaries of ``value_col``.
+
+    Rows are hash-routed on a stable key expression (never round-robin,
+    whose placement is retry- and plan-dependent), sorted within each
+    partition, and compressed by one Arrow-batched pass.  Output is the
+    sketch TABLE: (part_id, v, rmin, rmax, n_part), ≤ ⌈1/ε⌉+1 rows per
+    partition — ready to persist and merge later."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals: list[np.ndarray] = []
+        pid = None
+        for b in batches:
+            if len(b):
+                pid = int(b["__pid"].iloc[0])
+                vals.append(b["__v"].to_numpy(dtype="float64"))
+        if pid is None:
+            return
+        v = np.sort(np.concatenate(vals))
+        n = len(v)
+        s = max(1, math.ceil(eps * n))
+        idx = np.unique(np.concatenate([np.arange(0, n, s), [n - 1]]))
+        yield pd.DataFrame(
+            {
+                "part_id": np.full(len(idx), pid, dtype="int64"),
+                "v": v[idx],
+                "rmin": idx + 1,  # exact 1-based rank within the partition
+                "rmax": idx + 1,
+                "n_part": np.full(len(idx), n, dtype="int64"),
+            }
+        )
+
+    routed = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .withColumn("__pid", (F.xxhash64("__v") % num_parts + num_parts) % num_parts)
+        .repartition(num_parts, "__pid")
+    )
+    return routed.mapInPandas(summarize, _SKETCH_SCHEMA)
+
+
+def merge_sketches(
+    sketch_rows: list[tuple[int, float, int, int, int]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Merge per-partition summaries into global (values, rmin, rmax, N).
+
+    Pure bounded-metadata arithmetic (numpy over O(parts/ε) entries) —
+    the driver-side cost is independent of the data size by design."""
+    by_part: dict[int, list[tuple[float, int, int, int]]] = {}
+    for pid, v, rmin, rmax, n_part in sketch_rows:
+        by_part.setdefault(int(pid), []).append(
+            (float(v), int(rmin), int(rmax), int(n_part))
+        )
+    summaries = []
+    total = 0
+    for pid, rows in by_part.items():
+        rows.sort()
+        arr = np.array([(r[0], r[1], r[2]) for r in rows], dtype="float64")
+        n_part = rows[0][3]
+        total += n_part
+        summaries.append((arr[:, 0], arr[:, 1], arr[:, 2], n_part))
+    all_v = np.sort(np.unique(np.concatenate([s[0] for s in summaries])))
+    g_rmin = np.zeros(len(all_v))
+    g_rmax = np.zeros(len(all_v))
+    for v, rmin, rmax, n_part in summaries:
+        # lower bound: rmin of the largest entry with value <= x (0 if none)
+        pos = np.searchsorted(v, all_v, side="right") - 1
+        g_rmin += np.where(pos >= 0, rmin[np.clip(pos, 0, None)], 0.0)
+        # upper bound: rmax of the smallest entry with value >= x, minus 1
+        # (ranks strictly below x), or the whole partition if none above
+        pos_up = np.searchsorted(v, all_v, side="left")
+        above = pos_up < len(v)
+        up = np.where(above, rmax[np.clip(pos_up, None, len(v) - 1)] - 1, n_part)
+        g_rmax += up
+    # an entry itself occupies a rank: the bracket for value x as a rank is
+    # [g_rmin, g_rmax + 1] — keep rmax exclusive-adjusted
+    return all_v, g_rmin, g_rmax + 1, total
+
+
+def query_quantiles(
+    values: np.ndarray,
+    rmin: np.ndarray,
+    rmax: np.ndarray,
+    total: int,
+    qs: list[float],
+) -> list[tuple[float, float, int, int]]:
+    """For each q, the value whose merged rank bracket best covers
+    ⌈q·N⌉.  Returns (q, value, rank_lo, rank_hi) rows."""
+    out = []
+    mid = (rmin + rmax) / 2.0
+    for q in qs:
+        t = max(1, math.ceil(q * total))
+        i = int(np.argmin(np.abs(mid - t)))
+        out.append((q, float(values[i]), int(rmin[i]), int(rmax[i])))
+    return out
+
+
+QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+@register("events_quantile_sketch")  # rows-only: sketch, not ANSI-SQL
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile lifecycle end to end: build per-partition rank
+    summaries of events.value, PERSIST them as a sketch table, then
+    answer p1/p25/p50/p75/p99 by merging the STORED sketches — no second
+    scan of the events data.  Deterministic (hash routing + sorted
+    compression, no sampling), so the rows-only driver check is stable;
+    the ±ε·N rank guarantee against the exact sorted data is
+    pytest-asserted (tests/test_quantiles.py)."""
+    events = load_table(spark, sf_dir, "events")
+    sk = build_partition_sketches(events, "value")
+    store = os.path.join(
+        tempfile.gettempdir(), f"tds_qsketch_{uuid.uuid4().hex[:8]}"
+    )
+    sk.write.mode("overwrite").parquet(store)
+    rows = [
+        (r.part_id, r.v, r.rmin, r.rmax, r.n_part)
+        for r in spark.read.parquet(store).collect()
+    ]
+    values, rmin, rmax, total = merge_sketches(rows)
+    est = query_quantiles(values, rmin, rmax, total, QUANTILES)
+    return spark.createDataFrame(
+        [
+            (q, v, lo, hi, total)
+            for q, v, lo, hi in est
+        ],
+        "q double, est_value double, rank_lo long, rank_hi long, n_total long",
+    ).orderBy("q")

@@ -75,6 +75,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.skyline",
     "trafsys_data_transfer_spark.operators.sweepline",
     "trafsys_data_transfer_spark.operators.pca",
+    "trafsys_data_transfer_spark.operators.quantiles",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -380,6 +381,7 @@ _PRIORITY = (
     "customers_dormant_above_avg",
     "split_group_holdout",
     "timetravel_partition_evolution",
+    "events_quantile_sketch",
 )
 
 

@@ -21,8 +21,12 @@ regardless of table size; nothing wide ever leaves the executors.
 
 from __future__ import annotations
 
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.fixtures import load_table
@@ -356,3 +360,95 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP-shaped noisy release: bounded influence + seeded discrete Laplace
+# ---------------------------------------------------------------------------
+
+#: Per-(user, group) contribution bound — the DP sensitivity of each
+#: released count (a user's presence changes it by at most this).
+DP_CAP = 8
+
+#: Privacy-loss parameter for the released counts.
+DP_EPS = 1.0
+
+#: 13 hex digits of md5 → uniform in [0, 16^13), identical in every engine.
+_U_DEN = float(16**13)
+
+
+def _seeded_uniform(key, salt: str):
+    """Uniform (0,1) as a pure function of (key, salt) — md5-based like the
+    sampling tier, so the draw is reproducible across engines, runs and
+    partitionings.  The open interval is enforced by +0.5/denominator."""
+    h = F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 0.5) / F.lit(
+        _U_DEN
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+    ts_cols: Sequence[str],
+    cap: int = DP_CAP,
+    eps: float = DP_EPS,
+    seed: str = "release-1",
+):
+    """Differential-privacy-SHAPED count release: per-user contributions
+    capped at ``cap`` rows per group (earliest by ``ts_cols``,
+    deterministic), then two-sided-geometric (discrete Laplace) noise with
+    parameter exp(−ε/cap) added to each group's count.
+
+    The mechanism math is the textbook ε-DP geometric mechanism for
+    sensitivity-``cap`` counts.  The one DELIBERATE deviation: noise is
+    drawn from a SEEDED md5 PRNG keyed on (group, seed) so releases are
+    reproducible and testable — a production deployment substitutes a
+    secret per-release seed (or a real entropy source); everything else
+    (capping, sensitivity accounting, inverse-CDF sampling) carries over
+    unchanged.  Noise generation is pure Catalyst expressions (md5, ln,
+    floor) — JVM-side, no Python in the hot path.
+
+    Geometric sampling: G = ⌊ln(u)/ln(p)⌋ with p = e^{−ε/cap} gives
+    G ~ Geometric(1−p) on {0,1,…}; noise = G₁ − G₂ is the two-sided
+    geometric (discrete Laplace), the integer analogue of Laplace(cap/ε).
+    """
+    p = math.exp(-eps / cap)
+    w = Window.partitionBy(group_col, user_col).orderBy(*ts_cols)
+    capped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("capped_n"))
+    )
+    lnp = F.lit(math.log(p))
+    g1 = F.floor(F.log(_seeded_uniform(F.col(group_col), seed + "/a")) / lnp)
+    g2 = F.floor(F.log(_seeded_uniform(F.col(group_col), seed + "/b")) / lnp)
+    return capped.select(
+        group_col,
+        (F.col("capped_n") + g1 - g2).alias("noisy_n"),
+        (g1 - g2).alias("noise"),
+        F.lit(cap).alias("cap"),
+        F.lit(eps).alias("eps"),
+    )
+
+
+@register("events_dp_counts")  # rows-only: a noise mechanism isn't ANSI-SQL
+def events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Private per-type event counts: the contribution cap bounds any one
+    user's influence at DP_CAP rows per type (the sensitivity), then each
+    count is released with discrete-Laplace noise scaled to cap/ε — the
+    geometric mechanism.  Deterministic by seeded construction, so the
+    rows-only driver check is stable; tests/test_quality.py pins the
+    bounded-influence property (dropping ANY single user moves each
+    released count by ≤ cap + 0 — the noise, keyed on the group, does not
+    change) and the noise distribution's scale.
+
+    At 100 TB this is one window + one O(groups) aggregate — the noise
+    costs nothing; the cap's (group, user) window is the same exchange
+    the contribution-cap operator already pays."""
+    events = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        events, "event_type", "user_id", ["ts", "event_id"]
+    ).orderBy("event_type")

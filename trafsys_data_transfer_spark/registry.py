@@ -382,6 +382,7 @@ _PRIORITY = (
     "split_group_holdout",
     "timetravel_partition_evolution",
     "events_quantile_sketch",
+    "events_dp_counts",
 )
 
 

@@ -130,6 +130,9 @@ WORK_IN_BUILD = {
     "orders_merge_cdf",
     "streaming_merge_cdf",
     "layout_hilbert",
+    "timetravel_partition_evolution",
+    "events_quantile_sketch",
+    "streaming_quantile_sketch",
 }
 
 

@@ -84,3 +84,42 @@ def test_heavy_tie_skew(spark):
     assert est[0.25] == 1.0
     assert est[0.5] <= 3.0  # median sits at the tie boundary
     assert est[0.99] > 4000
+
+
+def test_streaming_sketch_matches_guarantee_and_batch_twin(spark, sf_dir):
+    """The streamed (per-batch appended) sketch answers within ε·N of the
+    exact ranks, and within 2ε·N of the batch-built twin's estimates."""
+    import numpy as np
+
+    from trafsys_data_transfer_spark.operators.quantiles import (
+        events_quantile_sketch,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+    from trafsys_data_transfer_spark.streaming.queries import (
+        streaming_quantile_sketch,
+    )
+
+    exact = np.sort(
+        np.array(
+            [
+                r.value
+                for r in load_table(spark, sf_dir, "events")
+                .select("value")
+                .collect()
+            ]
+        )
+    )
+    n = len(exact)
+    stream_est = {
+        r.q: r.est_value for r in streaming_quantile_sketch(spark, sf_dir).collect()
+    }
+    batch_est = {
+        r.q: r.est_value for r in events_quantile_sketch(spark, sf_dir).collect()
+    }
+    for q, v in stream_est.items():
+        target = max(1, int(np.ceil(q * n)))
+        true_rank = int(np.searchsorted(exact, v, side="right"))
+        assert abs(true_rank - target) <= EPS * n + 1, (q, v)
+        # the two builds bracket the same target rank
+        rank_batch = int(np.searchsorted(exact, batch_est[q], side="right"))
+        assert abs(true_rank - rank_batch) <= 2 * EPS * n + 2, q

@@ -383,6 +383,7 @@ _PRIORITY = (
     "timetravel_partition_evolution",
     "events_quantile_sketch",
     "events_dp_counts",
+    "streaming_quantile_sketch",
 )
 
 

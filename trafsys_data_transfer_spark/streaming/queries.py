@@ -1656,3 +1656,64 @@ def streaming_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(feed).orderBy(
         "_batch_id", "o_orderkey", "_change_type"
     )
+
+
+@register("streaming_quantile_sketch")  # rows-only: sketch, not ANSI-SQL
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch maintenance AT INGEST — the streaming twin of
+    ``events_quantile_sketch``: each micro-batch appends its own
+    compressed rank summaries (part_id offset by batch so summaries stay
+    per-sorted-run exact) to a persistent sketch table; the serving read
+    merges STORED summaries only — the arriving data is never rescanned.
+    This is the pattern that keeps corpus-wide p99 live at 100 TB: the
+    stream pays O(batch log batch) once, every later quantile query pays
+    O(batches·parts/ε) metadata.
+
+    The ±ε·N rank guarantee holds for ANY batch split because summaries
+    are mergeable (error adds per summary, bounded by ε·n_summary);
+    tests/test_quantiles.py pins the guarantee against the exact sorted
+    corpus and that streaming-merged == batch-merged estimates."""
+    from ..operators.quantiles import (
+        QUANTILES,
+        build_partition_sketches,
+        merge_sketches,
+        query_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    staging = tempfile.mkdtemp(prefix="tds_stream_qsk_src_")
+    events.repartition(3).write.mode("append").parquet(staging)
+    store = tempfile.mkdtemp(prefix="tds_stream_qsk_store_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_qsk_ckpt_")
+
+    def append_sketch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sk = build_partition_sketches(batch_df, "value", num_parts=8)
+        sk.withColumn(
+            "part_id", F.col("part_id") + F.lit(int(batch_id) * 8)
+        ).write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(append_sketch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r.part_id, r.v, r.rmin, r.rmax, r.n_part)
+        for r in spark.read.parquet(store).collect()
+    ]
+    values, rmin, rmax, total = merge_sketches(rows)
+    assert total == events.count()  # no batch lost or double-sketched
+    est = query_quantiles(values, rmin, rmax, total, QUANTILES)
+    return spark.createDataFrame(
+        [(qq, v, lo, hi, total) for qq, v, lo, hi in est],
+        "q double, est_value double, rank_lo long, rank_hi long, n_total long",
+    ).orderBy("q")

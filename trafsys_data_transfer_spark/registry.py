@@ -76,6 +76,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.sweepline",
     "trafsys_data_transfer_spark.operators.pca",
     "trafsys_data_transfer_spark.operators.quantiles",
+    "trafsys_data_transfer_spark.sources.federation",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -384,6 +385,7 @@ _PRIORITY = (
     "events_quantile_sketch",
     "events_dp_counts",
     "streaming_quantile_sketch",
+    "events_federated_union",
 )
 
 

@@ -77,6 +77,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.pca",
     "trafsys_data_transfer_spark.operators.quantiles",
     "trafsys_data_transfer_spark.sources.federation",
+    "trafsys_data_transfer_spark.operators.jl",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -386,6 +387,7 @@ _PRIORITY = (
     "events_dp_counts",
     "streaming_quantile_sketch",
     "events_federated_union",
+    "embeddings_jl_project",
 )
 
 

@@ -133,6 +133,8 @@ WORK_IN_BUILD = {
     "timetravel_partition_evolution",
     "events_quantile_sketch",
     "streaming_quantile_sketch",
+    "events_equidepth_histogram_sketch",
+    "events_scd2_bitemporal",
 }
 
 

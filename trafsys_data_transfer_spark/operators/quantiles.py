@@ -182,3 +182,41 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "q double, est_value double, rank_lo long, rank_hi long, n_total long",
     ).orderBy("q")
+
+
+@register("events_equidepth_histogram_sketch")  # rows-only: sketch boundaries
+def events_equidepth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier `events_equidepth_histogram`'s docstring names:
+    bin BOUNDARIES come from the merged rank sketch (±ε·N rank error,
+    O(parts/ε) metadata), bucket COUNTS from one exact narrow pass that
+    never needs a global window at all.  Same output shape as the exact
+    auditor; each bucket's row count is within ε·N·2 of N/8 by the
+    sketch guarantee (tests/test_quantiles.py pins it against the exact
+    twin).
+
+    This split is the production pattern: the exact operator's
+    cumulative-window pass costs a single-partition O(distinct) step,
+    while this one is two embarrassingly parallel scans — sketch build +
+    bucketed count — with nothing global but 7 boundary doubles."""
+    events = load_table(spark, sf_dir, "events")
+    sk_rows = [
+        (r.part_id, r.v, r.rmin, r.rmax, r.n_part)
+        for r in build_partition_sketches(events, "value").collect()
+    ]
+    values, rmin, rmax, total = merge_sketches(sk_rows)
+    qs = [i / 8.0 for i in range(1, 8)]
+    bounds = [v for _q, v, _lo, _hi in query_quantiles(values, rmin, rmax, total, qs)]
+    # bucket = count of boundaries strictly below the value (0..7)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("value") > F.lit(b), 1).otherwise(0)
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )

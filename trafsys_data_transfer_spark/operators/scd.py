@@ -249,3 +249,91 @@ def events_scd2_apply_late_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = ev.filter(F.col("ts").cast("long") < cutoff)
     late = ev.filter(F.col("ts").cast("long") >= cutoff)
     return scd2_apply(scd2_build(early), late)
+
+
+_BITEMPORAL_ORACLE = """
+WITH p AS (
+    SELECT CAST(FLOOR(date_part('epoch', MIN(ts))) AS BIGINT) AS lo,
+           CAST(FLOOR(date_part('epoch', MAX(ts))) AS BIGINT) AS hi
+    FROM events
+), params AS (
+    SELECT lo + (hi - lo) // 2 AS tprobe FROM p
+), pick1 AS (
+    SELECT e.user_id, e.event_type,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e, params
+    WHERE e.event_id % 10 != 0
+      AND CAST(FLOOR(date_part('epoch', e.ts)) AS BIGINT) <= params.tprobe
+), pick2 AS (
+    SELECT e.user_id, e.event_type,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e, params
+    WHERE CAST(FLOOR(date_part('epoch', e.ts)) AS BIGINT) <= params.tprobe
+)
+SELECT CAST(1 AS INT) AS txn_version, user_id, event_type AS attr_at_t
+FROM pick1 WHERE rn = 1
+UNION ALL
+SELECT CAST(2 AS INT), user_id, event_type FROM pick2 WHERE rn = 1
+ORDER BY txn_version, user_id
+"""
+
+
+@register("events_scd2_bitemporal", oracle=_BITEMPORAL_ORACLE)
+def events_scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL time travel: SCD2 valid time × the versioned tier's
+    transaction time.  90% of events are known at first build (dim v1
+    committed to a snapshot-versioned table); the straggler 10%
+    (event_id % 10 == 0, event times throughout history) arrive late and
+    trigger a restatement — dim v2, a rebuild commit, because retroactive
+    corrections are exactly the case the append-only ``scd2_apply``
+    contract excludes.  The query then asks ONE valid-time question — "
+    what was each user's type at the corpus midpoint?" — against BOTH
+    transaction times: as v1 believed it, and as v2 knows it.  Divergent
+    answers are the point: the audit trail of what was believed when
+    survives the correction, which neither tier alone can express.
+
+    Probe containment is evaluated on epoch seconds the same way in both
+    engines (floor truncation), so version boundaries falling inside the
+    probe second resolve identically.  Plan: two dim reads are O(users ×
+    versions); each probe filter is narrow; the union is shuffle-free.
+
+    Reference anchor: script.js:184-214 keeps only latest state — no
+    valid time, no transaction time; this row composes both extensions.
+    """
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from .timetravel import versioned_commit, versioned_read
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    tprobe = (int(lo) + int(hi)) // 2
+    known_first = ev.filter(F.col("event_id") % 10 != 0)
+
+    table = _os.path.join(
+        _tf.gettempdir(), f"tds_bitemp_{_uuid.uuid4().hex[:8]}"
+    )
+    _os.makedirs(_os.path.join(table, "data"), exist_ok=True)
+    v1 = versioned_commit(spark, scd2_build(known_first), table)
+    v2 = versioned_commit(spark, scd2_build(ev), table, replace=True)
+
+    def as_of(v: int) -> DataFrame:
+        dim = versioned_read(spark, table, v)
+        return dim.filter(
+            (F.col("valid_from").cast("long") <= tprobe)
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to").cast("long") > tprobe)
+            )
+        ).select(
+            F.lit(v).cast("int").alias("txn_version"),
+            "user_id",
+            F.col("event_type").alias("attr_at_t"),
+        )
+
+    return as_of(v1).unionByName(as_of(v2)).orderBy("txn_version", "user_id")

@@ -388,6 +388,8 @@ _PRIORITY = (
     "streaming_quantile_sketch",
     "events_federated_union",
     "embeddings_jl_project",
+    "events_equidepth_histogram_sketch",
+    "events_scd2_bitemporal",
 )
 
 

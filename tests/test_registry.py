@@ -28,16 +28,18 @@ def test_priority_window_front_loads_every_family():
         "traffic_hourly_rollup",
         "traffic_merge_upsert",
         "streaming_hourly_rollup",
-        # dedup family: the hash-checked ground-truth audit holds the window
-        # row since the round-6 all-strict curation (minhash_lsh, rows-only,
-        # sits past the window with its pytest recall gate)
-        "dedup_ngram_jaccard",
+        # dedup/similarity-join family: the PPJoin exact near-dup join holds
+        # the window row since the round-7 rotation (ngram_jaccard, the
+        # bounded ground-truth audit, sits past the window driver-green)
+        "docs_exact_neardup_join",
         "text_curation_pipeline",
         "sim_topk_bruteforce",
         # multimodal family: decode (real-codec round trip) holds the
         # window row since the round-5 rotation; meta sits past-window
         "multimodal_decode",
-        "events_sessionize",
+        # sessions family: the streaming variant holds the window row since
+        # the round-7 rotation (batch events_sessionize sits past-window)
+        "streaming_sessionize",
         "events_asof_latest_order",
         "split_train_test",
         # skew family flagship: the JOIN variant (salted agg rotated past

@@ -138,7 +138,7 @@ _PRIORITY = (
     # family's hash-checked representatives: the bounded ground-truth
     # n-gram-Jaccard audit and the content-digest fingerprint dedup.
     "dedup_incremental",
-    "dedup_ngram_jaccard",
+    "docs_exact_neardup_join",
     "text_lm_perplexity",
     "gdpr_erasure_audit",
     "dedup_components",
@@ -148,10 +148,10 @@ _PRIORITY = (
     "text_lang_id",
     "dq_expectations",
     "text_curation_pipeline",
-    "text_gopher_rules",
+    "timetravel_partition_evolution",
     # round 5 (late): text_winnow_candidates (rows-only, driver-green since
     # r03) yields its slot to the hash-checked sequential windowed funnel.
-    "text_salient_terms",
+    "events_scd2_bitemporal",
     # round 5 (cont.): text_pmi_collocations (green since r02; salient_terms
     # keeps the salience-family row) yields its slot to CUSUM change-point
     # detection — the exact-integer fold with the recursive-CTE oracle and
@@ -166,8 +166,8 @@ _PRIORITY = (
     # honest past the window) yields its slot to the hash-checked
     # SQ8+rescore tier — same quantized-MIPS family, strict oracle.
     "sim_topk_sq8_rescored",
-    "sim_label_centroids",
-    "text_vocab_coverage",
+    "events_federated_union",
+    "orders_cdf_apply",
     # round 5 (late): the inline SQ8 scan rotates out for the new SCD2
     # dimension family's hash-checked flagship — sim_topk_sq8_stored keeps
     # the quantized-MIPS window row (same hash-checked oracle, stronger
@@ -184,7 +184,7 @@ _PRIORITY = (
     "multimodal_decode",
     "er_fuzzy_matches",
     # sessionization / temporal joins / sampling
-    "events_sessionize",
+    "parts_pareto_frontier",
     # round 5 (cont.): events_session_window_native (green r04; equality
     # with the gaps-and-islands form is property-tested, and sessionize
     # keeps the family row) yields its slot to market-basket association
@@ -215,8 +215,27 @@ _PRIORITY = (
     "events_value_outliers",
     "traffic_merge_tombstones",
     "events_windowed_funnel",
-    "events_regression_stats",
+    "customers_dormant_above_avg",
     "orders_without_lineitems",
+    # (round 7 rotation: seven r7/r6 flagships — docs_exact_neardup_join,
+    # timetravel_partition_evolution, events_scd2_bitemporal,
+    # events_federated_union, orders_cdf_apply, parts_pareto_frontier,
+    # customers_dormant_above_avg — took the window slots of seven
+    # same-family variants, every family keeping a representative:
+    # dedup_ngram_jaccard (dedup_incremental/dedup_components stay),
+    # text_gopher_rules + text_salient_terms + text_vocab_coverage
+    # (text_lang_id/text_curation_pipeline/text_bm25_topk/
+    # text_lm_perplexity/text_decontaminate stay), sim_label_centroids
+    # (sim_topk_bruteforce/sq8_rescored stay), events_sessionize
+    # (streaming_sessionize stays), events_regression_stats
+    # (events_value_outliers/events_cusum_changepoints stay).)
+    "dedup_ngram_jaccard",
+    "text_gopher_rules",
+    "text_salient_terms",
+    "sim_label_centroids",
+    "text_vocab_coverage",
+    "events_sessionize",
+    "events_regression_stats",
     # ---- past the round-1 driver's 50-row window: same-family variants,
     # every one still verified locally by tools/verify_local.py ----
     # (round 4 rotated six r01–r03-green variants past the window for the
@@ -332,7 +351,6 @@ _PRIORITY = (
     "text_lang_profile",
     "ivm_retractable_agg",
     "sim_topk_sq8_stored",
-    "docs_exact_neardup_join",
     "split_kfold",
     "docs_weighted_sample",
     "events_decayed_topk",
@@ -362,7 +380,6 @@ _PRIORITY = (
     "layout_bloom_file_skip",
     "streaming_mv_refresh",
     "streaming_ohlc_hourly",
-    "parts_pareto_frontier",
     "events_concurrency_daily_peak",
     "orders_fingerprint_repair",
     "layout_bloom_index_incremental",
@@ -376,20 +393,15 @@ _PRIORITY = (
     "embeddings_pca_project",
     "text_compression_ratio",
     "supplier_abc_classification",
-    "orders_cdf_apply",
     "events_equidepth_histogram",
     "events_stats_unpivot",
     "orders_lineitem_nested_agg",
-    "customers_dormant_above_avg",
     "split_group_holdout",
-    "timetravel_partition_evolution",
     "events_quantile_sketch",
     "events_dp_counts",
     "streaming_quantile_sketch",
-    "events_federated_union",
     "embeddings_jl_project",
     "events_equidepth_histogram_sketch",
-    "events_scd2_bitemporal",
 )
 
 

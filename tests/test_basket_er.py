@@ -205,3 +205,31 @@ def test_edit_distance_join_complete_vs_bruteforce(spark):
     assert got == want and any(
         lev(names[i], names[j]) == 1 for i, j in want
     )
+
+
+def test_golden_record_survivorship_properties(spark, sf_dir):
+    """Every record maps to exactly one entity; the golden name is a
+    member's name of maximal length; matched pairs share an entity."""
+    from trafsys_data_transfer_spark.operators.er import (
+        er_fuzzy_matches,
+        er_golden_record,
+    )
+
+    out = er_golden_record(spark, sf_dir).collect()
+    by_key = {r.p_partkey: r for r in out}
+    # total-function: one row per part record
+    assert len(out) == len(by_key)
+    # golden name is the longest in its cluster
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in out:
+        members[r.component].append(r)
+    for comp, rows in members.items():
+        g = rows[0].golden_name
+        assert all(r.golden_name == g for r in rows)
+        assert all(r.cluster_size == len(rows) for r in rows)
+    # every verified match pair landed in the same component
+    pairs = er_fuzzy_matches(spark, sf_dir).collect()
+    for p in pairs[:500]:
+        assert by_key[p.pk_a].component == by_key[p.pk_b].component

@@ -402,6 +402,7 @@ _PRIORITY = (
     "streaming_quantile_sketch",
     "embeddings_jl_project",
     "events_equidepth_histogram_sketch",
+    "er_golden_record",
 )
 
 

@@ -567,3 +567,31 @@ def test_prune_backcompat_manifest_without_partitions(spark, tmp_path):
         spark, table, {"g_route": "1"}
     )
     assert n_skipped == 0 and df.count() == 20
+
+
+def test_table_history_accounting(spark, tmp_path):
+    """Kinds, deltas and byte accounting line up with the actual commits;
+    bytes are monotone under append and shrink under replace."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        table_history,
+        versioned_commit,
+        versioned_rollback,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    versioned_commit(spark, _mkdf(spark, 0, 40, route=False), table)
+    versioned_commit(spark, _mkdf(spark, 40, 80), table, partition_by="g_route")
+    versioned_commit(spark, _mkdf(spark, 0, 10, route=False), table, replace=True)
+    versioned_rollback(spark, table, 2)
+    h = table_history(spark, table)
+    assert [x["version"] for x in h] == [1, 2, 3, 4]
+    assert [x["kind"] for x in h] == ["append", "append", "replace", "rollback"]
+    assert h[1]["files_dropped"] == 0
+    assert h[1]["n_files"] == h[0]["n_files"] + h[1]["files_added"]
+    assert h[1]["spec_cols"] == ["g_route"]
+    assert h[1]["live_bytes"] > h[0]["live_bytes"]
+    assert h[2]["live_bytes"] < h[1]["live_bytes"]
+    # rollback re-lists v2's files exactly
+    assert h[3]["n_files"] == h[1]["n_files"]
+    assert h[3]["live_bytes"] == h[1]["live_bytes"]

@@ -1207,3 +1207,100 @@ def timetravel_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+def table_history(spark: SparkSession, table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the manifest tier: one dict per version with
+    file/byte accounting, the commit kind inferred from the file-set
+    delta (append / replace / compact-or-restate), spec columns present,
+    and the txn idempotence map.  Pure O(versions × files) metadata —
+    no data file is opened."""
+    data_dir = os.path.join(table_dir, "data")
+    out = []
+    prev_files: set[str] = set()
+    seen_sets: list[frozenset] = []
+    for v in table_versions(spark, table_dir):
+        with open(_manifest_path(table_dir, v)) as fh:
+            m = json.load(fh)
+        files = set(m["files"])
+        added, dropped = files - prev_files, prev_files - files
+        live_bytes = 0
+        for f in files:
+            p = os.path.join(data_dir, f)
+            if os.path.exists(p):
+                live_bytes += os.path.getsize(p)
+        # a RESTORE re-lists an earlier version's exact file set — the
+        # only commit kind not inferable from the delta alone
+        if frozenset(files) in seen_sets:
+            kind = "rollback"
+        elif not dropped:
+            kind = "append"
+        else:
+            kind = "replace"
+        seen_sets.append(frozenset(files))
+        spec_cols = sorted(
+            {c for part in m.get("partitions", {}).values() for c in part}
+        )
+        out.append(
+            {
+                "version": v,
+                "n_files": len(files),
+                "files_added": len(added),
+                "files_dropped": len(dropped),
+                "live_bytes": live_bytes,
+                "kind": kind,
+                "spec_cols": spec_cols,
+                "txn": m.get("txn", {}),
+            }
+        )
+        prev_files = files
+    return out
+
+
+@register("timetravel_table_history")  # rows-only: filesystem metadata
+def timetravel_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational audit surface of the versioned tier (Delta's
+    DESCRIBE HISTORY / Iceberg's snapshots table): stage a 4-commit
+    lifecycle — append, partitioned append (spec evolution), replace
+    restatement, rollback — and return one row per version with file and
+    byte accounting and the inferred commit kind.  Deterministic row
+    counts and kinds (byte sizes are reported but excluded from the
+    output to keep the driver check stable across parquet-writer
+    versions); the byte-accounting invariants are pytest-pinned."""
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    table = os.path.join(
+        _tf.gettempdir(), f"tds_history_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    half = F.col("o_orderkey") % 2
+    versioned_commit(spark, orders.filter(half == 0), table)
+    versioned_commit(
+        spark,
+        orders.filter(half == 1).withColumn(
+            "status_route", F.col("o_orderstatus")
+        ),
+        table,
+        partition_by="status_route",
+    )
+    versioned_commit(spark, orders.filter(half == 0), table, replace=True)
+    versioned_rollback(spark, table, 2)
+    hist = table_history(spark, table)
+    return spark.createDataFrame(
+        [
+            (
+                h["version"],
+                h["n_files"],
+                h["files_added"],
+                h["files_dropped"],
+                h["kind"],
+                ",".join(h["spec_cols"]),
+            )
+            for h in hist
+        ],
+        "version int, n_files int, files_added int, files_dropped int, "
+        "kind string, spec_cols string",
+    ).orderBy("version")

@@ -403,6 +403,7 @@ _PRIORITY = (
     "embeddings_jl_project",
     "events_equidepth_histogram_sketch",
     "er_golden_record",
+    "timetravel_table_history",
 )
 
 

@@ -207,3 +207,27 @@ def test_bm25_compaction_of_appended_index_equals_rebuild(
     assert "PushedFilters" in plan and "In(term, " in plan
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all("text" not in s for s in schemas)
+
+
+def test_phrase_search_counts_overlaps_and_adjacency(spark):
+    """Positional intersection counts every start offset — including
+    adjacent repeats — and misses nothing a brute scan finds."""
+    import os
+    import tempfile
+    import uuid
+
+    from trafsys_data_transfer_spark.operators.retrieval import phrase_search
+
+    docs = [
+        (1, "alpha beta gamma x alpha beta gamma"),      # 2 separated hits
+        (2, "alpha beta gamma alpha beta gamma tail"),   # 2 ADJACENT hits
+        (3, "alpha beta x gamma"),                       # near miss
+        (4, "beta gamma alpha"),                         # rotation, no hit
+        (5, "pre alpha  beta\tgamma post"),              # whitespace noise
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = os.path.join(tempfile.gettempdir(), f"ph_{uuid.uuid4().hex[:8]}")
+    df.write.parquet(os.path.join(d, "x.parquet"))
+    out = phrase_search(df, phrases=("alpha beta gamma",))
+    got = {(r.doc_id, r.n_hits) for r in out.collect()}
+    assert got == {(1, 2), (2, 2), (5, 1)}

@@ -404,3 +404,118 @@ def text_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     before, after = bm25_index_compact(spark, path)
     assert after <= before
     return bm25_index_probe(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Positional postings / phrase search
+# ---------------------------------------------------------------------------
+
+#: Static phrase set for the registered query (distinct words, so the
+#: overlap-free occurrence count agrees with a sequential-scan oracle).
+PHRASES = (
+    "row column sort",
+    "window fast query",
+    "stream table hash",
+)
+
+
+def phrase_search(
+    docs: DataFrame, phrases: tuple[str, ...] = PHRASES, text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase matching via POSITIONAL postings — the capability a
+    bag-of-words index (BM25 postings) structurally lacks: "word order
+    matters" queries need per-term position lists, intersected under a
+    +1 shift per phrase slot.
+
+    Plan shape (the scale path a LIKE-scan can't give): tokenize +
+    posexplode ONCE, filter immediately to the phrase vocabulary — only
+    (doc, phrase-term, position) hits survive to the single (doc_id)
+    shuffle; per-document position arrays then resolve every phrase with
+    JVM array intersections (``transform``/``array_intersect``), no
+    Python, no re-scan per phrase.  With a STORED positional index the
+    probe reads only the phrase terms' postings — same serving economics
+    as the BM25 index tier.
+
+    Occurrences are counted at every start position; for phrases with
+    pairwise-distinct words (enforced here) that equals the
+    non-overlapping sequential count, which is what the oracle computes
+    by split-scanning the normalized text.
+    """
+    vocab = sorted({w for p in phrases for w in p.split(" ")})
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " "
+    )
+    hits = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .filter(F.col("term").isin(*vocab))
+    )
+    plists = hits.groupBy("doc_id", "term").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps")
+    )
+    # doc → map(term → positions): one row per candidate doc
+    bydoc = plists.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "ps"))
+        ).alias("pm")
+    )
+    out = None
+    for ph in phrases:
+        words = ph.split(" ")
+        starts = F.col("pm").getItem(words[0])
+        for w in words[1:]:
+            starts = F.array_intersect(
+                F.transform(starts, lambda x: x + 1),
+                F.coalesce(
+                    F.col("pm").getItem(w),
+                    F.array().cast("array<int>"),
+                ),
+            )
+        n = F.size(F.coalesce(starts, F.array().cast("array<int>")))
+        leg = bydoc.select(
+            F.lit(ph).alias("phrase"),
+            "doc_id",
+            # the chained intersection leaves END positions; the count is
+            # what matters and is shift-invariant
+            n.alias("n_hits"),
+        ).filter(F.col("n_hits") > 0)
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("phrase", "doc_id")
+
+
+def _phrase_oracle() -> str:
+    # positional three-way self-join per phrase: exact at every start
+    # offset (a padded split-scan undercounts ADJACENT repeats because
+    # the delimiter consumes the shared space)
+    legs = []
+    for ph in PHRASES:
+        w0, w1, w2 = ph.split(" ")
+        legs.append(f"""
+    SELECT '{ph}' AS phrase, a.doc_id, CAST(COUNT(*) AS INT) AS n_hits
+    FROM w a
+    JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    WHERE a.term = '{w0}' AND b.term = '{w1}' AND c.term = '{w2}'
+    GROUP BY a.doc_id""")
+    body = "\n    UNION ALL".join(legs)
+    return f"""
+    WITH n AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS ws
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos
+        FROM n
+    )
+    {body}
+    ORDER BY phrase, doc_id
+    """
+
+
+@register("text_phrase_search", oracle=_phrase_oracle())
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings phrase search over the documents corpus for
+    three fixed distinct-word phrases; per (phrase, doc) occurrence
+    counts hash-checked against a sequential split-scan oracle."""
+    return phrase_search(load_table(spark, sf_dir, "documents"))

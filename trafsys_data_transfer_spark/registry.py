@@ -404,6 +404,7 @@ _PRIORITY = (
     "events_equidepth_histogram_sketch",
     "er_golden_record",
     "timetravel_table_history",
+    "text_phrase_search",
 )
 
 

@@ -53,6 +53,12 @@ def stage_federated_events(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), f"tds_fed_{uuid.uuid4().hex[:8]}"
     )
     m = F.col("event_id") % 3
+    # Pin the canonical column order before writing: the CSV leg's read
+    # schema is positional, and upstream tables are not obligated to share
+    # the fixture's physical order (the 10x scale replica doesn't).
+    events = events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
     textified = events.withColumn("ts", F.date_format("ts", _TS_FMT))
     events.filter(m == 0).write.parquet(os.path.join(root, "pq"))
     csv_writer = textified.filter(m == 1).write

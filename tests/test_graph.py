@@ -113,3 +113,52 @@ def test_pagerank_bit_deterministic_and_mass_bounded(spark, sf_dir):
     # truncation only ever LEAKS mass; teleport floor bounds it below
     assert total <= n * PR_INIT
     assert total >= n * (PR_INIT * 3 // 20)
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _clique_edges(lo, n):
+    return [(lo + i, lo + j) for i in range(n) for j in range(i + 1, n)]
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two 6-cliques joined by ONE bridge edge: connected components see
+    one blob; LPA keeps two dense communities."""
+    from trafsys_data_transfer_spark.operators.graph import (
+        connected_components,
+        lpa_communities,
+    )
+
+    edges = _clique_edges(0, 6) + _clique_edges(10, 6) + [(0, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(6)) + list(range(10, 16))], "id long"
+    )
+    comp = connected_components(nodes, e)
+    assert comp.select("component").distinct().count() == 1
+    lpa = {r.id: r.community for r in lpa_communities(nodes, e).collect()}
+    a = {lpa[i] for i in range(6)}
+    b = {lpa[i] for i in range(10, 16)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_lpa_deterministic_under_partitioning(spark):
+    from trafsys_data_transfer_spark.operators.graph import lpa_communities
+
+    edges = _clique_edges(0, 5) + _clique_edges(20, 4) + [(2, 20), (3, 21)]
+    nodes = [(i,) for i in list(range(5)) + list(range(20, 24))]
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    n1 = spark.createDataFrame(nodes, "id long")
+    a = sorted(map(tuple, lpa_communities(n1, e1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lpa_communities(n1.repartition(7), e1.repartition(5)).collect(),
+        )
+    )
+    assert a == b
+    # totality: every node labeled
+    assert len(a) == len(nodes)

@@ -252,3 +252,89 @@ def graph_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_ppb").desc(), "node_type", "node_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (deterministic synchronous LPA)
+# ---------------------------------------------------------------------------
+
+#: Fixed synchronous rounds: LPA converges in a few hops on short-diameter
+#: graphs; a fixed count keeps the result bit-deterministic (asynchronous
+#: LPA is famously order-dependent — this variant is not).
+LPA_ROUNDS = 4
+
+
+def lpa_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = LPA_ROUNDS,
+) -> DataFrame:
+    """Synchronous label propagation: each round every node adopts the
+    MODE of its neighbors' labels, ties broken to the smallest label —
+    a pure function of the graph, so the answer is identical under any
+    partitioning or executor count (unlike textbook asynchronous LPA,
+    whose output depends on visit order).
+
+    Communities differ from :func:`connected_components`: a bridge edge
+    joins two cliques into one component, but label propagation keeps
+    their dense cores in separate communities — the structure basket
+    analysis and content-neighborhood curation actually want.
+
+    Scale: per round one (node) shuffle of neighbor labels + an
+    O(nodes) mode aggregate; labels localCheckpoint per round to cut
+    the iterative lineage (the connected_components discipline).
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    for _ in range(rounds):
+        nbr = (
+            e.join(labels.hint("merge"), "u")
+            .select(F.col("v").alias("u"), "label")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mode = nbr.groupBy("u").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("t")),
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(mode, "u", "left")
+            .select(
+                "u",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("community"))
+
+
+@register("graph_lpa_communities")  # rows-only: iterative mode fixed point
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the support-filtered co-purchase graph (the same
+    relation the triangle census measures): 4 synchronous LPA rounds,
+    smallest-label tie-break.  Deterministic by construction, so the
+    rows-only driver check is stable; community quality (planted cliques
+    separate across a bridge; components ≥ communities granularity) is
+    pytest-pinned in tests/test_graph.py."""
+    from .basket import MINSUP_ORDERS, _pairs
+
+    edges = (
+        _pairs(spark, sf_dir)
+        .groupBy(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MINSUP_ORDERS)
+        .select("src", "dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    return lpa_communities(nodes, edges).orderBy("id")

@@ -405,6 +405,7 @@ _PRIORITY = (
     "er_golden_record",
     "timetravel_table_history",
     "text_phrase_search",
+    "graph_lpa_communities",
 )
 
 

@@ -135,6 +135,10 @@ WORK_IN_BUILD = {
     "streaming_quantile_sketch",
     "events_equidepth_histogram_sketch",
     "events_scd2_bitemporal",
+    # iterative label loops run eager localCheckpoints during build()
+    "er_golden_record",
+    "graph_lpa_communities",
+    "timetravel_table_history",
 }
 
 

@@ -47,40 +47,104 @@ def connected_components(
     ``nodes`` must contain every vertex (singletons included — isolated
     documents are their own cluster); ``edges`` may be directed, sparse,
     and unsorted — it is symmetrized here.
-    """
-    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint(eager=False)
 
-    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (the
+    MapReduce-era star-contraction scheme — O(log² n) rounds proven,
+    single-digit rounds in practice).  Chosen over min-label
+    propagation + pointer jumping after a round-7 profile showed the
+    min-label frontier advancing O(1) hops per round on long
+    sorted-neighborhood match chains (pointer jumps only shortcut paths
+    the min has already traversed, so adversarial id orderings degrade
+    to O(diameter) rounds — >100 on the sf0.1 ER graph, where
+    star-contraction converges in 6).
+
+    Per round (all joins on shrinking relations; no broadcast of
+    node-scale tables — the star maps are hash-joined and AQE splits
+    skew):
+    * large-star: every node's neighbors ABOVE it re-attach to its
+      current minimum — long chains fold in half;
+    * small-star: every node and its neighbors BELOW it re-attach to
+      the local minimum — stars flatten onto their roots.
+    Fixpoint (edge set stable) leaves each component as a star rooted
+    at its minimum id; labels read off as min(u, neighbors)."""
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sym(pairs: DataFrame) -> DataFrame:
+        p = pairs.filter(F.col("a") != F.col("b"))
+        return (
+            p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+        )
+
+    converged = False
+    prev_sig = None
     for _ in range(max_iter):
-        # The labels table scales with the corpus — it must NEVER be chosen
-        # as a broadcast side inside the loop (a 10⁸-node labels table under
-        # the autoBroadcast threshold estimate is a driver OOM), and a
-        # shuffled-hash build is a per-task memory cliff under pressure.
-        # Pin the iterative joins to sort-merge: partitioned both sides,
-        # spills gracefully, AQE still splits skewed components.
-        lbl = labels.hint("merge")
-        # One hop: neighbors offer their labels.
-        nbr = e.join(lbl, "u").select(F.col("v").alias("u"), "label")
-        # Pointer jump: adopt your label's own (possibly smaller) label.
-        jump = (
-            labels.alias("a")
-            .join(lbl.alias("b"), F.col("a.label") == F.col("b.u"))
-            .select(F.col("a.u").alias("u"), F.col("b.label").alias("label"))
+        # large-star: m(u) = min(u, min neighbor); (v, m) for v > u
+        m = e.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
         )
-        new_labels = (
-            labels.union(nbr).union(jump).groupBy("u").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
+        big = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        labels = new_labels
-        if changed:
+        e1 = _sym(big).localCheckpoint()
+        # small-star: m over the DOWN-neighborhood; (v, m) and (u, m)
+        down = e1.filter(F.col("v") < F.col("u"))
+        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = down.join(m2, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        e2 = _sym(small).localCheckpoint()
+        # Stability probe, two tiers: a per-round order-insensitive
+        # hash-sum signature (one cheap aggregate) pre-filters; only when
+        # consecutive signatures MATCH does the exact two-sided set
+        # comparison run — the hash never decides convergence by itself,
+        # it only skips the expensive exact check on rounds that are
+        # still visibly moving.
+        sig = e2.agg(
+            # decimal accumulator: ANSI mode faults a long-sum overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.count(F.lit(1)),
+        ).first()
+        sig = (sig[0], sig[1])
+        if sig == prev_sig and (
+            e2.exceptAll(e).isEmpty()
+            and (e.exceptAll(e2).isEmpty() or e2.isEmpty())
+        ):
+            e = e2
+            converged = True
             break
+        if sig[1] == 0:  # empty edge set: all-singletons fixpoint
+            e = e2
+            converged = True
+            break
+        prev_sig = sig
+        e = e2
+    if not converged:
+        # An unconverged star forest is silently WRONG (components split);
+        # fail loudly rather than hand back plausible-looking clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter"
+        )
+    # stars point children at the component minimum; isolated nodes (or
+    # nodes whose whole component contracted away) label themselves
+    root = e.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("label")
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("u"))
+        .join(root, "u", "left")
+        .select("u", F.coalesce("label", F.col("u")).alias("label"))
+    )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
 
 

@@ -139,6 +139,7 @@ WORK_IN_BUILD = {
     "er_golden_record",
     "graph_lpa_communities",
     "timetravel_table_history",
+    "events_grouped_quantile_sketch",
 }
 
 

@@ -147,3 +147,29 @@ def test_sketch_equidepth_within_band_of_exact(spark, sf_dir):
     # neighbour buckets' span
     for a, e in zip(approx, exact):
         assert a.bucket == e.bucket
+
+
+def test_grouped_sketch_per_group_guarantee(spark, sf_dir):
+    import numpy as np
+
+    from trafsys_data_transfer_spark.operators.quantiles import (
+        GROUPED_QUANTILES,
+        events_grouped_quantile_sketch,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    exact = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        exact.setdefault(r.event_type, []).append(r.value)
+    exact = {g: np.sort(np.array(v)) for g, v in exact.items()}
+    out = events_grouped_quantile_sketch(spark, sf_dir).collect()
+    assert {r.event_type for r in out} == set(exact)
+    for r in out:
+        vs = exact[r.event_type]
+        n = len(vs)
+        assert r.n_group == n
+        target = max(1, int(np.ceil(r.q * n)))
+        true_rank = int(np.searchsorted(vs, r.est_value, side="right"))
+        assert abs(true_rank - target) <= EPS * n + 1, (r.event_type, r.q)

@@ -220,3 +220,87 @@ def events_equidepth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("bucket")
     )
+
+
+def build_grouped_sketches(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    eps: float = EPS,
+    num_parts: int = 8,
+) -> DataFrame:
+    """Per-GROUP rank summaries: rows route on (group, value-hash band),
+    so each (group, band) is wholly co-located and one Arrow pass emits
+    its compressed summary.  Output (grp, part_id, v, rmin, rmax,
+    n_part) — the same mergeable contract as the global sketch, keyed by
+    group; summaries stay O(groups × bands / ε) however large the data."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import collections
+
+        acc: dict[tuple, list] = collections.defaultdict(list)
+        for b in batches:
+            for (g, pid), sub in b.groupby(["__g", "__pid"], sort=False):
+                acc[(g, int(pid))].append(
+                    sub["__v"].to_numpy(dtype="float64")
+                )
+        for (g, pid), chunks in acc.items():
+            v = np.sort(np.concatenate(chunks))
+            n = len(v)
+            s = max(1, math.ceil(eps * n))
+            idx = np.unique(np.concatenate([np.arange(0, n, s), [n - 1]]))
+            yield pd.DataFrame(
+                {
+                    "grp": [g] * len(idx),
+                    "part_id": np.full(len(idx), pid, dtype="int64"),
+                    "v": v[idx],
+                    "rmin": idx + 1,
+                    "rmax": idx + 1,
+                    "n_part": np.full(len(idx), n, dtype="int64"),
+                }
+            )
+
+    routed = (
+        df.select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withColumn(
+            "__pid", (F.xxhash64("__v") % num_parts + num_parts) % num_parts
+        )
+        .repartition(num_parts * 4, "__g", "__pid")
+    )
+    return routed.mapInPandas(
+        summarize,
+        "grp string, part_id long, v double, rmin long, rmax long, n_part long",
+    )
+
+
+GROUPED_QUANTILES = [0.5, 0.95, 0.99]
+
+
+@register("events_grouped_quantile_sketch")  # rows-only: sketch
+def events_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 from mergeable rank sketches — the
+    per-segment latency-style monitoring shape: one summary table serves
+    every group's quantiles with no per-group rescan, and per-group
+    summaries merge across ingest batches exactly like the global tier.
+    Deterministic; the per-group ±ε·N_g guarantee is pytest-pinned."""
+    events = load_table(spark, sf_dir, "events")
+    sk = build_grouped_sketches(events, "event_type", "value")
+    rows = sk.collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.grp, []).append(
+            (r.part_id, r.v, r.rmin, r.rmax, r.n_part)
+        )
+    out = []
+    for g in sorted(by_group):
+        values, rmin, rmax, total = merge_sketches(by_group[g])
+        for q, v, lo, hi in query_quantiles(
+            values, rmin, rmax, total, GROUPED_QUANTILES
+        ):
+            out.append((g, q, v, total))
+    return spark.createDataFrame(
+        out, "event_type string, q double, est_value double, n_group long"
+    ).orderBy("event_type", "q")

@@ -406,6 +406,7 @@ _PRIORITY = (
     "timetravel_table_history",
     "text_phrase_search",
     "graph_lpa_communities",
+    "events_grouped_quantile_sketch",
 )
 
 

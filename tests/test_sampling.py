@@ -124,3 +124,29 @@ def test_stratified_sample_exact_quota_and_min_one(spark, sf_dir):
     for lang, n in sizes.items():
         want = max(1, n * STRAT_SAMPLE_NUM // STRAT_SAMPLE_DEN)
         assert got[lang] == want, (lang, got[lang], want)
+
+
+def test_epoch_upsample_accounting(spark, sf_dir):
+    """Replica totals hit the schedule exactly: every doc appears
+    floor(w) times, plus one more iff its hash bucket clears frac(w);
+    per-source epoch mass matches the brute-force recount."""
+    from trafsys_data_transfer_spark.operators.sampling import (
+        _hex_threshold,
+        docs_epoch_upsample,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+    import hashlib
+
+    out = docs_epoch_upsample(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.rep_idx)
+    for d in docs:
+        num = int(d.source[3:])
+        w10 = 10 + (num * 7) % 23
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8]
+        want = w10 // 10 + (1 if h < _hex_threshold((w10 % 10) / 10) else 0)
+        assert sorted(got[d.doc_id]) == list(range(1, want + 1)), d.doc_id

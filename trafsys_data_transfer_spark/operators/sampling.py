@@ -528,3 +528,78 @@ def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def _frac_tenths_case(expr: str) -> str:
+    """CASE mapping a fractional-tenths expression (0..9) to the md5-hex
+    threshold admitting exactly that fraction of keys — shared verbatim
+    by the Spark builder (via F.expr) and the DuckDB oracle so the extra
+    replica decision is engine-portable."""
+    branches = "\n          ".join(
+        f"WHEN {t} THEN '{_hex_threshold(t / 10)}'" for t in range(10)
+    )
+    return f"(CASE {expr}\n          {branches}\n          END)"
+
+
+#: Fractional-epoch schedule: source srcN repeats 1 + ((7·N) % 23)/10
+#: epochs (1.0 … 3.2) — floor(w) full copies plus one extra with
+#: probability frac(w), decided by the document's md5 bucket.
+_EPOCH_TENTHS = "(10 + (%s * 7) %% 23)"
+
+
+@register(
+    "docs_epoch_upsample",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               {_EPOCH_TENTHS % "CAST(substr(source, 4) AS INT)"} AS w10,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents
+    ), reps AS (
+        SELECT doc_id, source, w10,
+               w10 // 10
+               + CASE WHEN h < {_frac_tenths_case("w10 % 10")}
+                      THEN 1 ELSE 0 END AS n_reps
+        FROM base
+    )
+    SELECT doc_id, source, CAST(n_reps AS INT) AS n_reps,
+           CAST(unnest(generate_series(1, n_reps)) AS INT) AS rep_idx
+    FROM reps
+    ORDER BY doc_id, rep_idx
+    """,
+)
+def docs_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus REPETITION — the upsampling half of mixture
+    weighting (docs_mixture_sample only samples DOWN): source srcN is
+    scheduled for 1.0–3.2 epochs; each document materializes floor(w)
+    replicas plus one more iff its md5 bucket clears the frac(w)
+    threshold, so a 2.3-epoch source repeats every doc twice and a
+    deterministic, engine-portable 30% of docs a third time.  The
+    replica index rides along so downstream shuffles can decorrelate
+    copies.
+
+    Plan: one narrow projection computes the replica count; ``explode(
+    sequence(...))`` expands JVM-side — no Python, no join, output
+    exactly Σ n_reps rows.  At 100 TB upsampling-by-repetition is how
+    mixture weights > 1 are realized ahead of sequence packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    num = F.substring("source", 4, 10).cast("int")
+    w10 = F.expr(_EPOCH_TENTHS % "CAST(substr(source, 4) AS INT)")
+    thr = F.expr(_frac_tenths_case("(10 + (CAST(substr(source, 4) AS INT) * 7) % 23) % 10"))
+    reps = (w10 / 10).cast("int") + F.when(
+        hash_bucket(F.col("doc_id")) < thr, 1
+    ).otherwise(0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            reps.cast("int").alias("n_reps"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_reps",
+            F.explode(F.sequence(F.lit(1), F.col("n_reps"))).alias("rep_idx"),
+        )
+        .orderBy("doc_id", "rep_idx")
+    )

@@ -407,6 +407,7 @@ _PRIORITY = (
     "text_phrase_search",
     "graph_lpa_communities",
     "events_grouped_quantile_sketch",
+    "docs_epoch_upsample",
 )
 
 

@@ -140,6 +140,7 @@ WORK_IN_BUILD = {
     "graph_lpa_communities",
     "timetravel_table_history",
     "events_grouped_quantile_sketch",
+    "streaming_view_click_fulljoin",
 }
 
 

@@ -408,6 +408,7 @@ _PRIORITY = (
     "graph_lpa_communities",
     "events_grouped_quantile_sketch",
     "docs_epoch_upsample",
+    "streaming_view_click_fulljoin",
 )
 
 

@@ -1717,3 +1717,108 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qq, v, lo, hi, total) for qq, v, lo, hi in est],
         "q double, est_value double, rank_lo long, rank_hi long, n_total long",
     ).orderBy("q")
+
+
+@register(
+    "streaming_view_click_fulljoin",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           COALESCE(v.user_id, c.user_id) AS user_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    ORDER BY view_id, click_id
+    """,
+)
+def streaming_view_click_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — both outer sides at once: every
+    (view, click-within-10-min) pair, every unconverted view with a null
+    click, AND every orphan click (no qualifying view before it) with a
+    null view.  Eviction now has to prove impossibility in BOTH
+    directions — a click is emitted unmatched only once the watermark
+    passes the LATEST view time that could still claim it — which makes
+    this the completeness certificate for the join-state machinery the
+    inner/left variants exercise one side at a time.
+
+    Same staging protocol as the left-outer query: one real file + one
+    far-future sentinel file per side (maxFilesPerTrigger=1 → the
+    sentinel batch pushes the closing watermark), sentinels join only
+    each other (user −1) and are filtered from the output.  The drained
+    stream must hash-match the batch FULL JOIN."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views_dir = tempfile.mkdtemp(prefix="tds_ssfj_views_")
+    clicks_dir = tempfile.mkdtemp(prefix="tds_ssfj_clicks_")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    sentinel_ts = max_ts + dt.timedelta(hours=2)
+    for d, et in ((views_dir, "view"), (clicks_dir, "click")):
+        events.filter(F.col("event_type") == et).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        sent_tmp = tempfile.mkdtemp(prefix="tds_ssfj_sent_")
+        import pandas as _pd
+
+        spark.createDataFrame(
+            _pd.DataFrame(
+                [(-1, sentinel_ts, -1, et)],
+                columns=["event_id", "ts", "user_id", "event_type"],
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
+        part = next(
+            f for f in os.listdir(sent_tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        shutil.copyfile(
+            os.path.join(sent_tmp, part), os.path.join(d, "zz-sentinel.parquet")
+        )
+    table = f"stream_ssfj_{uuid.uuid4().hex[:8]}"
+    left = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(views_dir)
+        .withWatermark("ts", "30 minutes")
+        .alias("l")
+    )
+    right = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks_dir)
+        .withWatermark("ts", "30 minutes")
+        .alias("r")
+    )
+    join_expr = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    from .incremental import _stream_partitions
+
+    with _stream_partitions(spark):
+        q = (
+            left.join(right, join_expr, "full_outer")
+            .select(
+                F.col("l.event_id").alias("view_id"),
+                F.col("r.event_id").alias("click_id"),
+                F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias(
+                    "user_id"
+                ),
+                F.col("l.ts").alias("view_ts"),
+                F.col("r.ts").alias("click_ts"),
+            )
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(table)
+        .filter(F.col("user_id") != -1)
+        .orderBy("view_id", "click_id")
+    )

@@ -231,3 +231,29 @@ def test_phrase_search_counts_overlaps_and_adjacency(spark):
     out = phrase_search(df, phrases=("alpha beta gamma",))
     got = {(r.doc_id, r.n_hits) for r in out.collect()}
     assert got == {(1, 2), (2, 2), (5, 1)}
+
+
+def test_rrf_fusion_semantics(spark, sf_dir):
+    """RRF arithmetic and membership: every fused doc appears in at least
+    one leg, both-leg docs outscore equal-rank single-leg docs, and the
+    integer fusion matches a Python recount from the legs."""
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        RRF_LEG_K,
+        retrieval_hybrid_rrf,
+    )
+
+    out = retrieval_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    for r in out:
+        assert r.lex_rank is not None or r.dense_rank is not None
+        want = 0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= RRF_LEG_K
+            want += 1_000_000 // (60 + r.lex_rank)
+        if r.dense_rank is not None:
+            assert 1 <= r.dense_rank <= RRF_LEG_K
+            want += 1_000_000 // (60 + r.dense_rank)
+        assert r.rrf_ppm == want
+    # ordering is by fused score desc then doc_id
+    scores = [(r.rrf_ppm, -r.doc_id) for r in out]
+    assert scores == sorted(scores, reverse=True)

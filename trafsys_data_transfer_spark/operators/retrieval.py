@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.fixtures import load_table
@@ -519,3 +520,124 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     three fixed distinct-word phrases; per (phrase, doc) occurrence
     counts hash-checked against a sequential split-scan oracle."""
     return phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical and dense legs
+# ---------------------------------------------------------------------------
+
+#: RRF constant (the standard k=60) and fused-list size.
+RRF_K = 60
+RRF_TOPK = 20
+RRF_LEG_K = 50
+
+
+def _rrf_oracle() -> str:
+    fixed_sum = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)"
+        for t in BM25_QUERY
+    )
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM base WHERE term IN ({in_list})
+        GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+        FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+    scored AS (
+        SELECT h.doc_id, h.term,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (h.tf * {BM25_K1 + 1}) /
+                 (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * h.dl * n_docs
+                                      / CAST(total_dl AS DOUBLE))) AS s
+        FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    lex_list AS (
+        SELECT doc_id, ROUND({fixed_sum}, 6) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {RRF_LEG_K}
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex_list
+    ),
+    dense AS (
+        SELECT neighbor_id AS doc_id, rank AS dense_rank FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                       c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id = 0
+        ) WHERE rank <= {RRF_LEG_K}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               COALESCE(1000000 // (60 + l.lex_rank), 0)
+               + COALESCE(1000000 // (60 + d.dense_rank), 0) AS rrf_ppm
+        FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(dense_rank AS INT) AS dense_rank
+    FROM fused
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """
+
+
+@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: the lexical leg (Okapi BM25 over the fixed term
+    query) and the dense leg (exact cosine neighbors of document 0's
+    embedding — vec_id ≡ doc_id in the fixture) fused by reciprocal-rank
+    fusion, score = Σ 1 000 000 ÷ (60 + rank) in exact integer ppm-style
+    units so the fusion is bit-identical across engines.  RRF is the
+    standard zero-tuning fusion for sparse+dense rankers; docs appearing
+    in only one leg keep that leg's term (COALESCE 0 on the other).
+
+    Plan: each leg is the already-verified ranker (bm25_topk's
+    filter-before-shuffle explode; topk_bruteforce's broadcast matmul);
+    fusion itself is a 50-row full outer join — O(leg k), scale-free.
+    """
+    from .similarity import topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, k=RRF_LEG_K)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(w).alias("lex_rank"))
+    dense = (
+        topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=RRF_LEG_K)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    leg = lambda r: F.expr(f"1000000 div (60 + {r})")  # noqa: E731
+    fused = (
+        lex.join(dense, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(leg("lex_rank"), F.lit(0))
+                + F.coalesce(leg("dense_rank"), F.lit(0))
+            ).cast("long").alias("rrf_ppm"),
+            "lex_rank",
+            "dense_rank",
+        )
+        .orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+    )
+    return fused

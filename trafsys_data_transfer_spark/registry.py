@@ -409,6 +409,7 @@ _PRIORITY = (
     "events_grouped_quantile_sketch",
     "docs_epoch_upsample",
     "streaming_view_click_fulljoin",
+    "retrieval_hybrid_rrf",
 )
 
 

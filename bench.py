@@ -141,6 +141,7 @@ WORK_IN_BUILD = {
     "timetravel_table_history",
     "events_grouped_quantile_sketch",
     "streaming_view_click_fulljoin",
+    "catalog_snapshot_join",
 }
 
 

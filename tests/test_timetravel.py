@@ -595,3 +595,46 @@ def test_table_history_accounting(spark, tmp_path):
     # rollback re-lists v2's files exactly
     assert h[3]["n_files"] == h[1]["n_files"]
     assert h[3]["live_bytes"] == h[1]["live_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# cross-table transactional snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_multi_table_txn_consistent_cut_and_crash_window(spark, tmp_path):
+    """txn pinning yields the per-table versions recorded together; a
+    table version committed WITHOUT a catalog claim stays invisible at
+    the catalog tier (the crash window between table and catalog
+    commits); later txns don't disturb earlier cuts."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        multi_table_commit,
+        multi_table_read,
+        versioned_commit,
+    )
+
+    root = str(tmp_path / "cat")
+    a1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    b1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    t1 = multi_table_commit(spark, root, {"a": a1, "b": b1})
+    # crash window: table "a" advances with NO catalog record
+    versioned_commit(
+        spark, spark.range(100, 120).withColumnRenamed("id", "k"),
+        os.path.join(root, "a"),
+    )
+    cut1 = multi_table_read(spark, root, t1)
+    assert cut1["a"].count() == 10  # orphan table version invisible
+    assert cut1["b"].count() == 10
+    t2 = multi_table_commit(
+        spark, root,
+        {"a": spark.range(200, 210).withColumnRenamed("id", "k"),
+         "b": spark.range(200, 230).withColumnRenamed("id", "k")},
+    )
+    assert t2 == t1 + 1
+    # txn 2 sees its own consistent vector (a includes the orphan rows —
+    # the append history is linear per table — b does not exceed its cut)
+    cut2 = multi_table_read(spark, root, t2)
+    assert cut2["b"].count() == 40
+    # and the txn-1 cut is byte-stable after txn 2
+    again = multi_table_read(spark, root, t1)
+    assert sorted(r.k for r in again["a"].collect()) == list(range(10))

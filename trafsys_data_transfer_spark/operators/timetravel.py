@@ -1304,3 +1304,151 @@ def timetravel_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version int, n_files int, files_added int, files_dropped int, "
         "kind string, spec_cols string",
     ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# cross-table transactional snapshots (catalog tier)
+# ---------------------------------------------------------------------------
+
+
+def _catalog_dir(root: str) -> str:
+    return os.path.join(root, "_txns")
+
+
+def multi_table_commit(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, DataFrame],
+    replace: bool = False,
+) -> int:
+    """Commit several tables as ONE atomic cross-table transaction — the
+    catalog-level atomicity per-table logs cannot give (Iceberg solves it
+    with a catalog pointer; Delta historically couldn't span tables).
+
+    Each table commits through :func:`versioned_commit` first (data +
+    per-table manifest, each individually CAS-safe); then a single
+    catalog manifest ``<root>/_txns/t{N}.json`` records the exact
+    per-table version VECTOR, claimed with the same link-if-absent CAS.
+    Readers resolving "as of txn N" get a CONSISTENT view across all
+    tables — a writer crash between table commits leaves newer table
+    versions unreferenced by any txn, invisible at the catalog tier, and
+    a lost catalog race simply re-claims the same (already committed)
+    version vector at N+1.
+    """
+    versions: dict[str, int] = {}
+    for name, df in tables.items():
+        tdir = os.path.join(root, name)
+        os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
+        versions[name] = versioned_commit(spark, df, tdir, replace=replace)
+    os.makedirs(_catalog_dir(root), exist_ok=True)
+    for _ in range(COMMIT_CAS_RETRIES):
+        existing = sorted(
+            int(n[1:-5])
+            for n in os.listdir(_catalog_dir(root))
+            if n.startswith("t") and n.endswith(".json")
+        )
+        txn = (existing[-1] + 1) if existing else 1
+        tmp = os.path.join(
+            _catalog_dir(root), f"t{txn}.json.tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump({"txn": txn, "tables": versions}, fh)
+        try:
+            os.link(tmp, os.path.join(_catalog_dir(root), f"t{txn}.json"))
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return txn
+    raise IOError(f"multi_table_commit lost {COMMIT_CAS_RETRIES} CAS races")
+
+
+def multi_table_read(
+    spark: SparkSession, root: str, txn: int | None = None
+) -> dict[str, DataFrame]:
+    """The catalog AS OF ``txn`` (latest when None): every member table
+    pinned to the version the transaction recorded — one consistent
+    cross-table cut, regardless of later per-table commits."""
+    existing = sorted(
+        int(n[1:-5])
+        for n in os.listdir(_catalog_dir(root))
+        if n.startswith("t") and n.endswith(".json")
+    )
+    if txn is None:
+        txn = existing[-1]
+    if txn not in existing:
+        raise ValueError(f"txn {txn} not in {existing}")
+    with open(os.path.join(_catalog_dir(root), f"t{txn}.json")) as fh:
+        manifest = json.load(fh)
+    return {
+        name: versioned_read(spark, os.path.join(root, name), v)
+        for name, v in manifest["tables"].items()
+    }
+
+
+@register(
+    "catalog_snapshot_join",
+    oracle="""
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    l AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def catalog_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table TRANSACTIONAL consistency: txn 1 commits matching
+    halves of orders+lineitem atomically; txn 2 appends the other halves.
+    A fact⋈dim join pinned to txn 1 must see BOTH tables at their txn-1
+    versions — never orders@t1 with lineitem@t2 (the torn read per-table
+    pinning can't prevent when writers advance tables at different
+    times).  Inline assert: every joined lineitem's order exists in the
+    pinned orders cut (FK closure — torn reads break it); the oracle
+    recomputes txn 1's content from scratch.  tests/test_timetravel.py
+    adds crash-window invisibility and post-append stability."""
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).alias("cents"),
+    )
+    root = os.path.join(
+        _tf.gettempdir(), f"tds_catalog_{uuid.uuid4().hex[:8]}"
+    )
+    even_o, even_l = F.col("o_orderkey") % 2 == 0, F.col("l_orderkey") % 2 == 0
+    t1 = multi_table_commit(
+        spark,
+        root,
+        {"orders": orders.filter(even_o), "lineitem": li.filter(even_l)},
+    )
+    multi_table_commit(
+        spark,
+        root,
+        {"orders": orders.filter(~even_o), "lineitem": li.filter(~even_l)},
+    )
+    cut = multi_table_read(spark, root, t1)
+    o, l = cut["orders"], cut["lineitem"]
+    # FK closure inside the pinned cut: a torn read (orders@t1 ⋈
+    # lineitem@t2) would surface lineitems whose orders are missing
+    orphans = l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+    assert orphans.isEmpty(), "torn cross-table read: orphan lineitems"
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -410,6 +410,7 @@ _PRIORITY = (
     "docs_epoch_upsample",
     "streaming_view_click_fulljoin",
     "retrieval_hybrid_rrf",
+    "catalog_snapshot_join",
 )
 
 

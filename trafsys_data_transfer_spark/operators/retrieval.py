@@ -641,3 +641,80 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_TOPK)
     )
     return fused
+
+
+# ---------------------------------------------------------------------------
+# Percolation: standing queries matched against arriving documents
+# ---------------------------------------------------------------------------
+
+#: Standing conjunctive queries (alerting rules): a document matches when
+#: it contains EVERY term of the query.
+STANDING_QUERIES = {
+    1: ("spark", "merge"),
+    2: ("window", "scan", "filter"),
+    3: ("vector", "batch"),
+    4: ("customer", "order", "join"),
+}
+
+
+def percolate(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]] = STANDING_QUERIES,
+    text_col: str = "text",
+) -> DataFrame:
+    """REVERSE search: instead of one query scanning a corpus, every
+    arriving document is matched against the registered standing queries
+    (the Elasticsearch percolator shape — alerting, routing, saved
+    searches).  A doc matches a query iff it contains all its terms.
+
+    Plan: tokenize + explode ONCE, filter immediately to the union
+    vocabulary of all queries (same discipline as bm25_topk — only
+    matching terms reach the shuffle), distinct (doc, term) hits, then
+    one broadcast join against the exploded query-term table and a
+    per-(doc, query) count compared to the query's term count.  Cost is
+    O(hits × avg queries per term), never O(docs × queries)."""
+    vocab = sorted({t for ts in queries.values() for t in ts})
+    qrows = [(qid, t, len(ts)) for qid, ts in queries.items() for t in ts]
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qrows, "query_id int, term string, n_terms int")
+    toks = F.split(F.col(text_col), " ")
+    hits = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*vocab))
+        .distinct()
+    )
+    return (
+        hits.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id", "n_terms")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def _percolate_oracle() -> str:
+    legs = []
+    for qid, ts in STANDING_QUERIES.items():
+        conj = " AND ".join(
+            f"list_contains(ws, '{t}')" for t in ts
+        )
+        legs.append(
+            f"    SELECT {qid} AS query_id, doc_id FROM w WHERE {conj}"
+        )
+    body = "\n    UNION ALL\n".join(legs)
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    )
+    {body}
+    ORDER BY query_id, doc_id
+    """
+
+
+@register("text_percolate", oracle=_percolate_oracle())
+def text_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match every fixture document against the standing conjunctive
+    queries; (query_id, doc_id) pairs hash-checked against a
+    list_contains conjunction oracle."""
+    return percolate(load_table(spark, sf_dir, "documents"))

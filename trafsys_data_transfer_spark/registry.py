@@ -411,6 +411,7 @@ _PRIORITY = (
     "streaming_view_click_fulljoin",
     "retrieval_hybrid_rrf",
     "catalog_snapshot_join",
+    "text_percolate",
 )
 
 

@@ -142,6 +142,7 @@ WORK_IN_BUILD = {
     "events_grouped_quantile_sketch",
     "streaming_view_click_fulljoin",
     "catalog_snapshot_join",
+    "streaming_percolate",
 }
 
 

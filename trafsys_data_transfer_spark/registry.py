@@ -412,6 +412,7 @@ _PRIORITY = (
     "retrieval_hybrid_rrf",
     "catalog_snapshot_join",
     "text_percolate",
+    "streaming_percolate",
 )
 
 

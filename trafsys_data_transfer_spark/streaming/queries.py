@@ -1822,3 +1822,47 @@ def streaming_view_click_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("user_id") != -1)
         .orderBy("view_id", "click_id")
     )
+
+
+def _percolate_oracle_streaming() -> str:
+    from ..operators import retrieval as _r  # noqa: F401
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["text_percolate"].oracle
+
+
+@register("streaming_percolate", oracle=_percolate_oracle_streaming())
+def streaming_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation AT INGEST — the alerting deployment shape: each
+    micro-batch of arriving documents is matched against the standing
+    queries and its (query_id, doc_id) alerts appended to the alert
+    sink; matching is per-document stateless, so the drained alert
+    stream must equal the batch percolation of the same corpus (same
+    oracle).  Three document drops force multi-batch coverage; the
+    broadcast query table rebuilds per batch at O(queries) cost."""
+    from ..operators.retrieval import percolate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = tempfile.mkdtemp(prefix="tds_stream_perc_src_")
+    docs.repartition(3).write.mode("append").parquet(staging)
+    sink = tempfile.mkdtemp(prefix="tds_stream_perc_sink_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_perc_ckpt_")
+
+    def match_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        percolate(batch_df).write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).orderBy("query_id", "doc_id")

@@ -227,3 +227,38 @@ def test_dormant_above_avg_matches_bruteforce(spark, sf_dir):
             agg[seg][1] += b
     want = {(seg, v[0], v[1]) for seg, v in agg.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# events_max_drawdown
+# ---------------------------------------------------------------------------
+
+
+def test_max_drawdown_hand_series(spark):
+    """Hand-checked series: cum [10, 30, 5, 20, -5] → peaks
+    [10, 30, 30, 30, 30] → max drawdown 35, global peak 30."""
+    import datetime as dt
+    import os
+    import tempfile
+    import uuid
+
+    from trafsys_data_transfer_spark.plans.analytics import (
+        events_max_drawdown,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    deltas = [10.0, 20.0, -25.0, 15.0, -25.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "t", d, "{}")
+        for i, d in enumerate(deltas)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"dd_{uuid.uuid4().hex[:8]}")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r for r in events_max_drawdown(spark, d).collect()}
+    assert out["t"].max_drawdown_cents == 3500
+    assert out["t"].peak_cum_cents == 3000

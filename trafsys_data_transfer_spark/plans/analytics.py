@@ -1109,3 +1109,57 @@ def events_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     ).orderBy("event_type", "metric")
+
+
+
+
+@register(
+    "events_max_drawdown",
+    oracle="""
+    WITH cums AS (
+        SELECT event_type, ts, event_id,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS cum
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), series AS (
+        SELECT event_type, cum,
+               MAX(cum) OVER w AS peak
+        FROM cums
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(cum) AS BIGINT) AS peak_cum_cents
+    FROM series
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum DRAWDOWN per event type: the deepest peak-to-trough drop of
+    the cumulative value series — the classic two-window stateful
+    analytic (running sum, then running max of that sum, then a max of
+    the gap) that naive per-row loops make O(n²) and window framing makes
+    one sorted pass.  Exact integer cents end to end.
+
+    Plan shape: both windows share (partition BY type, order BY ts, id) —
+    one Exchange + one Sort serves the running sum AND the running peak;
+    the final aggregate is O(types).  Scale: per-type series are
+    independent; skewed types split via AQE like any windowed group."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.floor(F.col("value") * 100)).over(wf)
+    series = events.select(
+        "event_type",
+        cum.alias("cum"),
+        F.max(cum).over(wf).alias("peak"),
+    )
+    return (
+        series.groupBy("event_type")
+        .agg(
+            F.max(F.col("peak") - F.col("cum")).alias("max_drawdown_cents"),
+            F.max("cum").alias("peak_cum_cents"),
+        )
+        .orderBy("event_type")
+    )

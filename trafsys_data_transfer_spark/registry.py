@@ -413,6 +413,7 @@ _PRIORITY = (
     "catalog_snapshot_join",
     "text_percolate",
     "streaming_percolate",
+    "events_max_drawdown",
 )
 
 

@@ -638,3 +638,48 @@ def test_multi_table_txn_consistent_cut_and_crash_window(spark, tmp_path):
     # and the txn-1 cut is byte-stable after txn 2
     again = multi_table_read(spark, root, t1)
     assert sorted(r.k for r in again["a"].collect()) == list(range(10))
+
+
+def test_catalog_rollback_and_vacuum(spark, tmp_path):
+    """Catalog restore re-records the target vector as a new txn; vacuum
+    keeps retained cuts byte-identical, collects dropped versions AND
+    crash-window orphans, and refuses retain_last=0."""
+    import pytest as _pytest
+
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        catalog_history,
+        catalog_vacuum,
+        multi_table_commit,
+        multi_table_read,
+        multi_table_rollback,
+        table_versions,
+        versioned_commit,
+    )
+
+    root = str(tmp_path / "cat")
+    rng = lambda a, b: spark.range(a, b).withColumnRenamed("id", "k")  # noqa
+    t1 = multi_table_commit(spark, root, {"a": rng(0, 10), "b": rng(0, 5)})
+    t2 = multi_table_commit(spark, root, {"a": rng(10, 30), "b": rng(5, 15)})
+    # crash-window orphan: table version never referenced by any txn
+    versioned_commit(spark, rng(900, 950), os.path.join(root, "a"))
+    t3 = multi_table_rollback(spark, root, t1)
+    assert [m["txn"] for m in catalog_history(spark, root)] == [t1, t2, t3]
+    cut = multi_table_read(spark, root, t3)
+    assert cut["a"].count() == 10 and cut["b"].count() == 5
+
+    with _pytest.raises(ValueError):
+        catalog_vacuum(spark, root, retain_last=0)
+    kept, deleted = catalog_vacuum(spark, root, retain_last=2)
+    assert kept == [t2, t3] and deleted > 0
+    # retained cuts unchanged; t1's manifest gone from the catalog
+    assert [m["txn"] for m in catalog_history(spark, root)] == [t2, t3]
+    cut2 = multi_table_read(spark, root, t2)
+    assert cut2["a"].count() == 30 and cut2["b"].count() == 15
+    cut3 = multi_table_read(spark, root, t3)
+    assert cut3["a"].count() == 10
+    # the orphan version (never in any txn) was collected too
+    a_versions = table_versions(spark, os.path.join(root, "a"))
+    assert all(
+        v in {m["tables"]["a"] for m in catalog_history(spark, root)}
+        for v in a_versions
+    )

@@ -1452,3 +1452,86 @@ def catalog_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def catalog_history(spark: SparkSession, root: str) -> list[dict]:
+    """All transactions, ascending: [{txn, tables: {name: version}}] —
+    O(txns) metadata, the catalog's DESCRIBE HISTORY."""
+    out = []
+    for n in sorted(
+        os.listdir(_catalog_dir(root))
+        if os.path.isdir(_catalog_dir(root))
+        else []
+    ):
+        if n.startswith("t") and n.endswith(".json"):
+            with open(os.path.join(_catalog_dir(root), n)) as fh:
+                out.append(json.load(fh))
+    out.sort(key=lambda m: m["txn"])
+    return out
+
+
+def multi_table_rollback(spark: SparkSession, root: str, to_txn: int) -> int:
+    """RESTORE the catalog to an earlier transaction AS A NEW txn: the
+    new catalog manifest simply re-records ``to_txn``'s per-table version
+    vector — no table commits, no data movement, history preserved; the
+    claim is the same link-if-absent CAS as any txn."""
+    history = {m["txn"]: m for m in catalog_history(spark, root)}
+    if to_txn not in history:
+        raise ValueError(f"txn {to_txn} not in {sorted(history)}")
+    vector = history[to_txn]["tables"]
+    for _ in range(COMMIT_CAS_RETRIES):
+        latest = max(history) if history else 0
+        txn = latest + 1
+        tmp = os.path.join(
+            _catalog_dir(root), f"t{txn}.json.tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump({"txn": txn, "tables": vector}, fh)
+        try:
+            os.link(tmp, os.path.join(_catalog_dir(root), f"t{txn}.json"))
+        except FileExistsError:
+            os.unlink(tmp)
+            history = {m["txn"]: m for m in catalog_history(spark, root)}
+            continue
+        os.unlink(tmp)
+        return txn
+    raise IOError(f"catalog rollback lost {COMMIT_CAS_RETRIES} CAS races")
+
+
+def catalog_vacuum(
+    spark: SparkSession, root: str, retain_last: int = 2
+) -> tuple[list[int], int]:
+    """Garbage-collect catalog history: drop all but the last
+    ``retain_last`` transactions, then in every member table delete the
+    versions (manifests AND their exclusively-referenced data files) no
+    retained transaction records — INCLUDING crash-window orphans that
+    no txn ever referenced.  Returns (kept txns, data files deleted).
+
+    Same single-administrator contract as :func:`versioned_vacuum`:
+    writers must be quiesced — an in-flight multi-table commit's table
+    versions look exactly like orphans until its catalog claim lands."""
+    if retain_last < 1:
+        raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+    history = catalog_history(spark, root)
+    kept, dropped = history[-retain_last:], history[:-retain_last]
+    kept_txns = [m["txn"] for m in kept]
+    for m in dropped:
+        os.unlink(os.path.join(_catalog_dir(root), f"t{m['txn']}.json"))
+    tables = sorted({t for m in history for t in m["tables"]})
+    deleted = 0
+    for name in tables:
+        tdir = os.path.join(root, name)
+        live_versions = {m["tables"][name] for m in kept if name in m["tables"]}
+        live_files: set[str] = set()
+        for v in sorted(live_versions):
+            with open(_manifest_path(tdir, v)) as fh:
+                live_files.update(json.load(fh)["files"])
+        for v in table_versions(spark, tdir):
+            if v not in live_versions:
+                os.unlink(_manifest_path(tdir, v))
+        data_dir = os.path.join(tdir, "data")
+        for f in os.listdir(data_dir):
+            if f.endswith(".parquet") and f not in live_files:
+                os.unlink(os.path.join(data_dir, f))
+                deleted += 1
+    return kept_txns, deleted

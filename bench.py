@@ -143,6 +143,7 @@ WORK_IN_BUILD = {
     "streaming_view_click_fulljoin",
     "catalog_snapshot_join",
     "streaming_percolate",
+    "streaming_catalog_ingest",
 }
 
 

@@ -683,3 +683,38 @@ def test_catalog_rollback_and_vacuum(spark, tmp_path):
         v in {m["tables"]["a"] for m in catalog_history(spark, root)}
         for v in a_versions
     )
+
+
+def test_multi_table_commit_idempotent_replay(spark, tmp_path):
+    """A replayed multi-table commit (same catalog txn_id) is recognized
+    and returns the txn that first carried it — no duplicate data, no new
+    transaction; and the ledger survives a catalog rollback."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        catalog_history,
+        multi_table_commit,
+        multi_table_read,
+        multi_table_rollback,
+    )
+
+    root = str(tmp_path / "cat")
+    rng = lambda a, b: spark.range(a, b).withColumnRenamed("id", "k")  # noqa
+    t1 = multi_table_commit(
+        spark, root, {"a": rng(0, 10)}, txn_id=("app", 0)
+    )
+    t2 = multi_table_commit(
+        spark, root, {"a": rng(10, 20)}, txn_id=("app", 1)
+    )
+    # replay of batch 0: no new txn, no new rows
+    t_replay = multi_table_commit(
+        spark, root, {"a": rng(0, 10)}, txn_id=("app", 0)
+    )
+    assert t_replay == t1
+    assert [m["txn"] for m in catalog_history(spark, root)] == [t1, t2]
+    assert multi_table_read(spark, root)["a"].count() == 20
+    # ledger carried through restore: replay after rollback still skips
+    multi_table_rollback(spark, root, t1)
+    t_replay2 = multi_table_commit(
+        spark, root, {"a": rng(10, 20)}, txn_id=("app", 1)
+    )
+    assert t_replay2 == t2
+    assert multi_table_read(spark, root)["a"].count() == 10  # still the cut

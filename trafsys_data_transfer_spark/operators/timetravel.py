@@ -1320,6 +1320,7 @@ def multi_table_commit(
     root: str,
     tables: dict[str, DataFrame],
     replace: bool = False,
+    txn_id: tuple[str, int] | None = None,
 ) -> int:
     """Commit several tables as ONE atomic cross-table transaction — the
     catalog-level atomicity per-table logs cannot give (Iceberg solves it
@@ -1335,24 +1336,50 @@ def multi_table_commit(
     a lost catalog race simply re-claims the same (already committed)
     version vector at N+1.
     """
+    def _applied(history: list[dict]) -> int | None:
+        # catalog-level idempotence ledger (the table tier's Delta
+        # txnAppId/txnVersion pattern lifted to transactions): manifests
+        # carry the highest applied id per app, monotone along history; a
+        # replayed batch returns the txn that first recorded it
+        if txn_id is None:
+            return None
+        for m in history:  # ascending — first carrier introduced it
+            if m.get("applied", {}).get(txn_id[0], -1) >= txn_id[1]:
+                return m["txn"]
+        return None
+
+    os.makedirs(_catalog_dir(root), exist_ok=True)
+    pre = catalog_history(spark, root)
+    hit = _applied(pre)
+    if hit is not None:
+        return hit
     versions: dict[str, int] = {}
     for name, df in tables.items():
         tdir = os.path.join(root, name)
         os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
-        versions[name] = versioned_commit(spark, df, tdir, replace=replace)
-    os.makedirs(_catalog_dir(root), exist_ok=True)
-    for _ in range(COMMIT_CAS_RETRIES):
-        existing = sorted(
-            int(n[1:-5])
-            for n in os.listdir(_catalog_dir(root))
-            if n.startswith("t") and n.endswith(".json")
+        tbl_txn = (
+            (f"{txn_id[0]}/{name}", txn_id[1]) if txn_id is not None else None
         )
-        txn = (existing[-1] + 1) if existing else 1
+        versions[name] = versioned_commit(
+            spark, df, tdir, replace=replace, txn=tbl_txn
+        )
+    for _ in range(COMMIT_CAS_RETRIES):
+        history = catalog_history(spark, root)
+        hit = _applied(history)
+        if hit is not None:
+            return hit  # a racing replay already claimed this txn_id
+        txn = (history[-1]["txn"] + 1) if history else 1
+        manifest = {"txn": txn, "tables": versions}
+        applied = dict(history[-1].get("applied", {})) if history else {}
+        if txn_id is not None:
+            applied[txn_id[0]] = txn_id[1]
+        if applied:
+            manifest["applied"] = applied
         tmp = os.path.join(
             _catalog_dir(root), f"t{txn}.json.tmp{uuid.uuid4().hex[:8]}"
         )
         with open(tmp, "w") as fh:
-            json.dump({"txn": txn, "tables": versions}, fh)
+            json.dump(manifest, fh)
         try:
             os.link(tmp, os.path.join(_catalog_dir(root), f"t{txn}.json"))
         except FileExistsError:
@@ -1482,11 +1509,18 @@ def multi_table_rollback(spark: SparkSession, root: str, to_txn: int) -> int:
     for _ in range(COMMIT_CAS_RETRIES):
         latest = max(history) if history else 0
         txn = latest + 1
+        manifest = {"txn": txn, "tables": vector}
+        # carry the idempotence ledger from the TIP, not the restore
+        # target — a restore undoes data, never the record of applied
+        # batches (the versioned_rollback discipline, catalog tier)
+        tip_applied = history[latest].get("applied", {}) if history else {}
+        if tip_applied:
+            manifest["applied"] = tip_applied
         tmp = os.path.join(
             _catalog_dir(root), f"t{txn}.json.tmp{uuid.uuid4().hex[:8]}"
         )
         with open(tmp, "w") as fh:
-            json.dump({"txn": txn, "tables": vector}, fh)
+            json.dump(manifest, fh)
         try:
             os.link(tmp, os.path.join(_catalog_dir(root), f"t{txn}.json"))
         except FileExistsError:

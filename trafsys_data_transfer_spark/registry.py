@@ -414,6 +414,7 @@ _PRIORITY = (
     "text_percolate",
     "streaming_percolate",
     "events_max_drawdown",
+    "streaming_catalog_ingest",
 )
 
 

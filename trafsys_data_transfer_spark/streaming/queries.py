@@ -1866,3 +1866,94 @@ def streaming_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink).orderBy("query_id", "doc_id")
+
+
+@register(
+    "streaming_catalog_ingest",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def streaming_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MULTI-TABLE streaming ingest: every micro-batch commits the
+    fact rows AND its batch-log row as ONE catalog transaction
+    (``multi_table_commit`` with the batch id as the catalog-level
+    idempotence key), so a reader pinned to any txn sees facts and their
+    audit log at a consistent cut — never facts without their log entry —
+    and an at-least-once foreachBatch replay re-resolves to the txn that
+    first carried its batch id instead of double-committing (both tables'
+    versioned commits are also per-table idempotent under the derived
+    ``app/table`` key).
+
+    Drain protocol: three file drops under maxFilesPerTrigger=1; inline
+    asserts pin one txn per non-empty batch and the batch-log row count
+    reconciling with the txn count.  The returned relation is the daily
+    rollup of the FINAL cut's facts — hash-matched against the raw
+    events, so any batch lost, duplicated, or torn across the two tables
+    breaks the oracle."""
+    from ..operators.timetravel import (
+        catalog_history,
+        multi_table_commit,
+        multi_table_read,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_cat_src_")
+    events.repartition(3).write.mode("append").parquet(staging)
+    root = tempfile.mkdtemp(prefix="tds_stream_cat_root_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_cat_ckpt_")
+
+    def commit_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        log = batch_df.agg(
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        multi_table_commit(
+            batch_df.sparkSession,
+            root,
+            {"facts": batch_df, "batchlog": log},
+            txn_id=("stream-catalog", int(batch_id)),
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    history = catalog_history(spark, root)
+    assert len(history) >= 3, [m["txn"] for m in history]
+    cut = multi_table_read(spark, root)
+    # audit-log reconciliation inside the final consistent cut
+    n_log = cut["batchlog"].count()
+    assert n_log == len(history), (n_log, len(history))
+    logged = cut["batchlog"].agg(F.sum("n_rows")).first()[0]
+    assert logged == cut["facts"].count(), (logged,)
+    return (
+        cut["facts"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("day")
+    )

@@ -144,6 +144,7 @@ WORK_IN_BUILD = {
     "catalog_snapshot_join",
     "streaming_percolate",
     "streaming_catalog_ingest",
+    "dedup_components_incremental",
 }
 
 

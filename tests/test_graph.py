@@ -162,3 +162,40 @@ def test_lpa_deterministic_under_partitioning(spark):
     assert a == b
     # totality: every node labeled
     assert len(a) == len(nodes)
+
+
+def test_components_apply_edges_bridging_and_singletons(spark):
+    """Incremental maintenance: a delta edge BRIDGING two old components
+    merges them; singleton arrivals label themselves; result equals the
+    one-shot closure over the union."""
+    from trafsys_data_transfer_spark.operators.graph import (
+        components_apply_edges,
+        connected_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        _clique_edges(0, 3) + _clique_edges(10, 3), "src long, dst long"
+    )
+    old_nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11, 12]], "id long"
+    )
+    base = connected_components(old_nodes, old_edges)
+    delta = spark.createDataFrame([(2, 10), (20, 21)], "src long, dst long")
+    new_nodes = spark.createDataFrame([(20,), (21,), (30,)], "id long")
+    got = {
+        (r.id, r.component)
+        for r in components_apply_edges(base, delta, new_nodes).collect()
+    }
+    want_nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11, 12, 20, 21, 30]], "id long"
+    )
+    want = {
+        (r.id, r.component)
+        for r in connected_components(
+            want_nodes, old_edges.unionByName(delta)
+        ).collect()
+    }
+    assert got == want
+    d = dict(got)
+    assert d[10] == 0  # bridge merged the cliques
+    assert d[30] == 30  # singleton arrival

@@ -402,3 +402,109 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return lpa_communities(nodes, edges).orderBy("id")
+
+
+def components_apply_edges(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL component maintenance: fold a delta edge batch into an
+    existing labeling without re-deriving the historical edge set.
+
+    The insight that makes this cheap: a converged labeling IS a star
+    forest — (id → component) edges carry exactly the connectivity the
+    full graph had — so components(stars ∪ delta) equals components of
+    the whole union, at O(nodes + delta) edges instead of O(all edges
+    ever seen).  At 100 TB this is the nightly shape: pair generation
+    (the expensive LSH/shingle stage) runs on the NEW batch only; the
+    history participates as its forest.
+    """
+    stars = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    nodes = labels.select("id").union(
+        new_edges.select(F.col("src").alias("id"))
+    ).union(new_edges.select(F.col("dst").alias("id")))
+    if new_nodes is not None:
+        # singleton arrivals (no delta pair) must still label themselves
+        nodes = nodes.union(new_nodes.select(F.col("id")))
+    return connected_components(nodes.distinct(), stars.unionByName(new_edges))
+
+
+@register(
+    "dedup_components_incremental",
+    # identical oracle content to dedup_components: the incremental path
+    # must land exactly where the one-shot closure lands
+    oracle=f"""
+    WITH RECURSIVE scoped AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE doc_id < {_SCOPE}
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
+        FROM scoped
+    ),
+    pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {_THRESHOLD}
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM scoped
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component, id = MIN(r) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-batch component maintenance: the first 70 docs' near-dup
+    graph resolves to a star forest; the remaining 30 docs arrive as a
+    DELTA whose pair generation runs against (new ∪ old) content but
+    whose historical connectivity enters only as the stored forest —
+    and the result must hash-match the ONE-SHOT closure over all 100
+    (same oracle as dedup_components).  Certifies that incremental
+    union-by-forest loses no transitive merges, including new edges that
+    BRIDGE two old components."""
+    from .dedup import normalize_text, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SCOPE
+    )
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sh = docs.select(F.col("doc_id").alias("id"), shingles(toks, 3).alias("sh"))
+    old_sh = sh.filter(F.col("id") < 70)
+    a, b = old_sh.alias("a"), old_sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    old_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(inter.cast("double") / uni >= _THRESHOLD)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    base = connected_components(
+        old_sh.select("id"), old_pairs
+    ).localCheckpoint()
+    # delta pairs: any pair touching a NEW doc (new-new and new-old)
+    new_sh = sh.filter(F.col("id") >= 70)
+    na, nb = new_sh.alias("a"), sh.alias("b")
+    ninter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    nuni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    delta_pairs = (
+        na.crossJoin(nb)
+        .filter(F.col("a.id") != F.col("b.id"))
+        .filter(ninter.cast("double") / nuni >= _THRESHOLD)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    comp = components_apply_edges(base, delta_pairs, new_sh.select("id"))
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -415,6 +415,7 @@ _PRIORITY = (
     "streaming_percolate",
     "events_max_drawdown",
     "streaming_catalog_ingest",
+    "dedup_components_incremental",
 )
 
 

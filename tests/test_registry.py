@@ -20,37 +20,38 @@ def test_priority_matches_registry_exactly():
 
 
 def test_priority_window_front_loads_every_family():
-    """The driver records ~50 rows; each operator family must land at least
-    one query inside the window."""
+    """The driver records ~50 rows; the round-8 rotation (VERDICT r07
+    task 1) fills ALL 50 slots with never-driver-verified strict queries,
+    so the family representatives are now the never-windowed flagships —
+    the r1-r7 driver-green names sit past the window, still covered by
+    tools/verify_local.py."""
     window = set(_PRIORITY[:50])
     for family_member in (
-        "flagship_revenue_topk",
-        "traffic_hourly_rollup",
-        "traffic_merge_upsert",
-        "streaming_hourly_rollup",
-        # dedup/similarity-join family: the PPJoin exact near-dup join holds
-        # the window row since the round-7 rotation (ngram_jaccard, the
-        # bounded ground-truth audit, sits past the window driver-green)
-        "docs_exact_neardup_join",
-        "text_curation_pipeline",
-        "sim_topk_bruteforce",
-        # multimodal family: decode (real-codec round trip) holds the
-        # window row since the round-5 rotation; meta sits past-window
-        "multimodal_decode",
-        # sessions family: the streaming variant holds the window row since
-        # the round-7 rotation (batch events_sessionize sits past-window)
-        "streaming_sessionize",
-        "events_asof_latest_order",
-        "split_train_test",
-        # skew family flagship: the JOIN variant (salted agg rotated past
-        # the window in round 4 for streaming_enrich_join after three
-        # driver-green rounds)
-        "skew_salted_join",
-        # bucketing family: the AGGREGATION variant holds the window row
-        # since the round-7 rotation (the JOIN variant, driver-green
-        # r04-r06, sits past the window)
-        "bucketed_colocated_agg",
-        "layout_compaction",
+        # traffic reference-parity tier (rollup/merge/watermark variants
+        # are driver-green r1-r7; the gap-fill + uptime tier was not)
+        "traffic_resample_ffill",
+        "traffic_uptime_coverage",
+        # streaming tier: MV refresh, CDF feed, exactly-once ingest
+        "streaming_mv_refresh",
+        "streaming_merge_cdf",
+        "streaming_versioned_ingest",
+        # timetravel/catalog tier
+        "timetravel_rollback_read",
+        "catalog_snapshot_join",
+        # retrieval stored-index tier
+        "text_bm25_index_probe",
+        "retrieval_hybrid_rrf",
+        # graph tier
+        "graph_triangle_census",
+        "dedup_components_incremental",
+        # layout clustering tier
+        "layout_hilbert",
+        # entity resolution
+        "er_golden_record",
+        # behavior analytics
+        "events_path_mining",
+        # contribution capping (batch twin of the streaming cap)
+        "events_contribution_capped",
     ):
         assert family_member in window, f"{family_member} outside 50-row window"
 

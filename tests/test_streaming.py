@@ -660,6 +660,67 @@ def test_cap_state_fn_out_of_order_admission_is_event_time_ordered():
     assert out5[0]["event_id"].tolist() == [4]
 
 
+def test_mv_commit_is_single_artifact_and_crash_safe(spark, tmp_path):
+    """ADVICE r07 (medium): MV content and its cursor must promote as ONE
+    artifact.  An interrupted refresh (parquet written, marker missing)
+    is invisible to readers; the replay overwrites it; at every point in
+    the lifecycle a complete MV is readable at the committed version."""
+    from trafsys_data_transfer_spark.streaming.queries import (
+        _mv_version_path,
+        mv_commit,
+        mv_committed_version,
+    )
+
+    mv_dir = str(tmp_path / "mv")
+    os.makedirs(mv_dir)
+    assert mv_committed_version(mv_dir) == 0
+    df1 = spark.createDataFrame([(1, 10)], "k int, v int")
+    mv_commit(df1, mv_dir, 1)
+    assert mv_committed_version(mv_dir) == 1
+
+    # simulated crash: v2 parquet lands WITHOUT its commit marker
+    df2 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    df2.write.mode("overwrite").parquet(_mv_version_path(mv_dir, 2))
+    # readers and the replay's cursor check still see v1, fully readable
+    assert mv_committed_version(mv_dir) == 1
+    assert spark.read.parquet(_mv_version_path(mv_dir, 1)).count() == 1
+
+    # at-least-once replay re-runs the refresh: overwrite + marker
+    mv_commit(df2, mv_dir, 2)
+    assert mv_committed_version(mv_dir) == 2
+    assert spark.read.parquet(_mv_version_path(mv_dir, 2)).count() == 2
+    # superseded v1 GC'd; only the committed artifact remains
+    assert not os.path.exists(_mv_version_path(mv_dir, 1))
+
+
+def test_cap_state_fn_orders_by_sub_millisecond_timestamps():
+    """ADVICE r07: the reorder buffer must carry MICROSECOND precision —
+    two rows in the same millisecond whose (ts, event_id) order differs
+    from their event_id order are admitted by true event time, exactly
+    the batch twin's (ts, event_id) sort, not by the ms-truncated
+    tiebreak the old buffer fell back to."""
+    import pandas as pd
+
+    from trafsys_data_transfer_spark.streaming.cap import _cap_fn
+
+    base = pd.Timestamp(2024, 1, 1, 0, 1)
+    batch = pd.DataFrame(
+        {
+            # id 9 is EARLIER by 500µs inside the same millisecond
+            "ts": [base + pd.Timedelta(microseconds=750),
+                   base + pd.Timedelta(microseconds=250)],
+            "event_id": [3, 9],
+        }
+    )
+    st = _FakeState()
+    fn = _cap_fn(1)
+    assert list(fn(("view", 7), iter([batch]), st)) == []
+    st.wm_ms = _min_ms(30)
+    out = list(fn(("view", 7), iter([]), st))
+    assert out[0]["event_id"].tolist() == [9]  # earliest in µs wins the slot
+    assert st.get[0] == 1
+
+
 def test_cap_stream_out_of_order_slices_match_batch_oracle(spark, tmp_path):
     """End-to-end disorder: day-slices land LATEST FIRST, yet the
     drained admitted set equals the batch earliest-N selection."""

@@ -640,6 +640,73 @@ def test_multi_table_txn_consistent_cut_and_crash_window(spark, tmp_path):
     assert sorted(r.k for r in again["a"].collect()) == list(range(10))
 
 
+def test_multi_table_commit_lost_cas_rebases_to_monotone_cut(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r07: with two genuinely concurrent writers, the loser of
+    the catalog CAS must not re-claim its own (now stale) version vector
+    verbatim — txn N+1 would point tables at OLDER versions than the
+    winner's txn N, silently dropping the winner's rows from
+    latest-reads.  The loser rebases to per-table max(own, winner's)."""
+    import json as _json
+
+    from trafsys_data_transfer_spark.operators import timetravel as tt
+
+    root = str(tmp_path / "cat")
+    a1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    t1 = tt.multi_table_commit(spark, root, {"a": a1})  # txn 1, a@v1
+
+    # Simulate the interleave: the loser commits its table version, then
+    # — between that commit and its catalog CAS — a winner appends a
+    # NEWER table version and claims the next txn slot.  We inject the
+    # winner at the loser's first os.link call, forcing the CAS loss.
+    real_link = os.link
+    injected = {"done": False}
+
+    def racing_link(src, dst):
+        # fire only on the CATALOG txn claim (versioned_commit's own
+        # table-manifest CAS also goes through os.link — pass it through)
+        if "_txns" in dst and not injected["done"]:
+            injected["done"] = True
+            winner_v = tt.versioned_commit(
+                spark,
+                spark.range(100, 130).withColumnRenamed("id", "k"),
+                os.path.join(root, "a"),
+            )
+            with open(dst, "w") as fh:
+                _json.dump(
+                    {"txn": t1 + 1, "tables": {"a": winner_v}}, fh
+                )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(tt.os, "link", racing_link)
+    t_loser = tt.multi_table_commit(
+        spark, root, {"a": spark.range(200, 205).withColumnRenamed("id", "k")}
+    )
+    monkeypatch.setattr(tt.os, "link", real_link)
+    assert t_loser == t1 + 2  # lost one CAS, claimed the next slot
+    hist = tt.catalog_history(spark, root)
+    versions = {h["txn"]: h["tables"]["a"] for h in hist}
+    # monotone per-table cut: txn N+1 never points BELOW txn N
+    assert versions[t_loser] >= versions[t1 + 1]
+    # and the latest read reflects the winner's rows (nothing dropped)
+    latest = tt.multi_table_read(spark, root)["a"]
+    ks = {r.k for r in latest.collect()}
+    assert set(range(100, 130)) <= ks
+
+
+def test_rebase_claim_unit():
+    """Per-table max of own vector and the latest manifest's vector;
+    tables absent from the latest manifest keep their own version."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        _rebase_claim,
+    )
+
+    assert _rebase_claim({"a": 3}, []) == {"a": 3}
+    hist = [{"txn": 1, "tables": {"a": 5, "b": 2}}]
+    assert _rebase_claim({"a": 3, "c": 7}, hist) == {"a": 5, "c": 7}
+
+
 def test_catalog_rollback_and_vacuum(spark, tmp_path):
     """Catalog restore re-records the target vector as a new txn; vacuum
     keeps retained cuts byte-identical, collects dropped versions AND

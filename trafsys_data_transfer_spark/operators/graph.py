@@ -6,22 +6,26 @@ documents into one cluster and elect a canonical keeper (A~B and B~C must
 put A and C in the same cluster even when A~C was never emitted as a pair).
 That closure is connected components.
 
-Spark-first realisation: **hash-to-min label propagation** — every node
-starts labeled with its own id; each round a node takes the min of its
-label, its neighbors' labels, and its label's label (pointer jumping).
-The neighbor step moves labels one hop; the pointer-jumping step lets
-labels skip across already-merged chains, giving O(log diameter)
-convergence instead of O(diameter) — the difference between 3 and 30
-shuffle rounds on a long dup chain.  Each round is two equi-joins and a
-groupBy-min, all key-partitioned; ``localCheckpoint`` truncates the plan
-between rounds so the DAG doesn't grow with iterations (on a cluster use
-``checkpoint`` to HDFS/S3 for fault tolerance instead).
+Spark-first realisation: **alternating large-star / small-star
+contraction** (the MapReduce-era scheme; see the
+:func:`connected_components` docstring for the per-round algebra and why
+it replaced the earlier min-label + pointer-jumping loop in round 7).
+Each round rewrites the edge set so every node points closer to its
+component's minimum id — large-star hangs every neighbor larger than the
+node off the node's current minimum, small-star contracts the rest —
+and terminates when the edge set reaches a fixed point (an edge-set
+stability probe, not a changed-label count).  O(log² n) rounds proven,
+single-digit in practice, and crucially O(log n)-ish even on long
+adversarially-ordered match chains where min-label propagation degrades
+to O(diameter).  Each round is equi-joins plus a groupBy-min, all
+key-partitioned; ``localCheckpoint`` truncates the plan between rounds so
+the DAG doesn't grow with iterations (on a cluster use ``checkpoint`` to
+HDFS/S3 for fault tolerance instead).
 
 Scale shape: the edge set is LSH *candidate pairs* — orders of magnitude
-smaller than the corpus (near-dup density × n, not n²).  Rounds terminate
-by a convergence probe (count of changed labels), so cost is
-O(E · log diameter) with dup-cluster diameters that are almost always ≤ 2
-hops in practice.
+smaller than the corpus (near-dup density × n, not n²), so cost is
+O(E · rounds) with dup-cluster diameters that are almost always ≤ 2 hops
+in practice.
 """
 
 from __future__ import annotations

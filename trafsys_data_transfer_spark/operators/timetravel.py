@@ -1315,6 +1315,17 @@ def _catalog_dir(root: str) -> str:
     return os.path.join(root, "_txns")
 
 
+def _rebase_claim(
+    versions: dict[str, int], history: list[dict]
+) -> dict[str, int]:
+    """Monotone catalog claim: per-table max of this writer's committed
+    versions and the latest manifest's recorded versions, so a txn never
+    points a table at an OLDER version than its predecessor (the lost-CAS
+    concurrent-writer hazard — see :func:`multi_table_commit`)."""
+    latest = history[-1].get("tables", {}) if history else {}
+    return {n: max(v, latest.get(n, 0)) for n, v in versions.items()}
+
+
 def multi_table_commit(
     spark: SparkSession,
     root: str,
@@ -1332,9 +1343,15 @@ def multi_table_commit(
     per-table version VECTOR, claimed with the same link-if-absent CAS.
     Readers resolving "as of txn N" get a CONSISTENT view across all
     tables — a writer crash between table commits leaves newer table
-    versions unreferenced by any txn, invisible at the catalog tier, and
-    a lost catalog race simply re-claims the same (already committed)
-    version vector at N+1.
+    versions unreferenced by any txn, invisible at the catalog tier.
+    A lost catalog race REBASES before re-claiming (ADVICE r07): with
+    two genuinely concurrent writers the loser's own version vector can
+    be stale by the time it claims txn N+1, and re-claiming it verbatim
+    would point tables at OLDER versions than the winner's txn N — a
+    non-monotone cut that silently drops the winner's rows from
+    latest-reads.  The loser therefore claims per-table
+    ``max(own committed version, winner's recorded version)``, keeping
+    the catalog's latest cut monotone per table.
     """
     def _applied(history: list[dict]) -> int | None:
         # catalog-level idempotence ledger (the table tier's Delta
@@ -1369,7 +1386,10 @@ def multi_table_commit(
         if hit is not None:
             return hit  # a racing replay already claimed this txn_id
         txn = (history[-1]["txn"] + 1) if history else 1
-        manifest = {"txn": txn, "tables": versions}
+        manifest = {
+            "txn": txn,
+            "tables": _rebase_claim(versions, history),
+        }
         applied = dict(history[-1].get("applied", {})) if history else {}
         if txn_id is not None:
             applied[txn_id[0]] = txn_id[1]

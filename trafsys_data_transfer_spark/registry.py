@@ -90,27 +90,81 @@ _QUERY_MODULES = (
 #: inventory; redundant same-family variants (all locally verified by
 #: tools/verify_local.py) sit past the window.
 _PRIORITY = (
-    # round 7 (VERDICT r06 task 7): six round-6 flagships rotate INTO the
-    # 50-row window — gdpr_erasure_audit, dq_expectations,
-    # layout_zonemap_skip, traffic_merge_tombstones, bucketed_colocated_agg,
-    # watermark_backfill_plan (all strict oracles) — displacing six
-    # driver-green family variants whose family keeps a representative:
-    # dedup_fingerprint (dedup_incremental/ngram_jaccard stay),
-    # text_lang_profile (text_lang_id stays), sim_topk_sq8_stored
-    # (sq8_rescored stays), events_funnel (windowed_funnel stays),
-    # streaming_session_window (streaming_sessionize stays),
-    # bucketed_colocated_join (bucketed_colocated_agg covers the bucketing
-    # family).  All six remain verified by tools/verify_local.py.
-    # flagship (entry() runs this one)
+    # ---- round-8 driver window (VERDICT r07 task 1): ALL 50 slots rotate
+    # to queries that have NEVER produced a driver CORRECTNESS row (the
+    # driver records only the first 50 queries() entries; rounds 1-7
+    # hard-verified 106 distinct names, leaving 122 registry queries with
+    # local-verifier/judge evidence only).  Every name below carries a
+    # strict DuckDB oracle and passed tools/verify_local.py at sf0.01
+    # before this rotation landed; the 106 previously driver-green
+    # queries sit past the window, unchanged, still covered by
+    # tools/verify_local.py.  Family spread: traffic parity (4),
+    # streaming (8), timetravel/catalog (7), retrieval indexes (4),
+    # graph (3), layout (3), fingerprints (2), entity resolution (2),
+    # SCD2 (2), behavior/analytics (6), sampling (2), frequency (2),
+    # IVM (1), text quality (2), multimodal (1), contribution cap (1).
+    "traffic_resample_ffill",
+    "traffic_uptime_coverage",
+    "traffic_ewma_hourly",
+    "traffic_backfill_partitioned",
+    "streaming_mv_refresh",
+    "streaming_merge_cdf",
+    "streaming_versioned_ingest",
+    "streaming_catalog_ingest",
+    "streaming_scd2",
+    "streaming_view_click_fulljoin",
+    "streaming_contribution_cap",
+    "streaming_growth_accounting",
+    "timetravel_restate_read",
+    "timetravel_rollback_read",
+    "timetravel_schema_evolution",
+    "timetravel_compact_read",
+    "catalog_snapshot_join",
+    "mv_incremental_refresh",
+    "orders_merge_cdf",
+    "text_bm25_index_probe",
+    "text_bm25_index_compacted",
+    "text_phrase_search",
+    "retrieval_hybrid_rrf",
+    "graph_triangle_census",
+    "graph_kcore_members",
+    "dedup_components_incremental",
+    "layout_zorder",
+    "layout_hilbert",
+    "layout_bloom_index_incremental",
+    "orders_table_fingerprint",
+    "orders_fingerprint_repair",
+    "er_edit_distance_join",
+    "er_golden_record",
+    "events_scd2_pit_join",
+    "events_scd2_apply_late_batch",
+    "events_markov_transitions",
+    "events_attribution",
+    "orders_rfm_segments",
+    "events_path_mining",
+    "events_sequence_pattern",
+    "orders_lineitem_nested_agg",
+    "split_kfold",
+    "docs_stratified_sample",
+    "events_heavy_hitters",
+    "events_decayed_topk",
+    "ivm_retractable_agg",
+    "text_pii_scrub",
+    "text_dup_segments",
+    "multimodal_resize",
+    "events_contribution_capped",
+    # ---- past the driver window: every name below is either driver-green
+    # from a prior round (96 distinct across r1-r7) or re-verified by the
+    # round-7 judge's independent strict oracle run; all remain covered by
+    # tools/verify_local.py each round.  Relative order preserved from the
+    # round-7 list (rotation history in git: rounds 3-7 annotations).
     "flagship_revenue_topk",
-    # reference parity: the trafsys pipeline operators (SURVEY §2.1-2.8)
     "traffic_normalize",
     "traffic_window_filter",
     "traffic_hourly_rollup",
     "traffic_merge_upsert",
     "traffic_watermark_top1",
     "events_json_extract",
-    # streaming twins (§2.8 made explicit) + the stateful custom operator
     "streaming_hourly_rollup",
     "streaming_dedup_events",
     "streaming_view_click_join",
@@ -118,117 +172,42 @@ _PRIORITY = (
     "streaming_sessionize",
     "watermark_backfill_plan",
     "streaming_enrich_join",
-    # dedup family (dedup_fingerprint and dedup_exact — both driver-green
-    # in r01 and r02 — rotated past the window in round 3 to make room for
-    # streaming_sessionize's and text_salient_terms' oracle rows)
-    # round 5: dedup_neardup_pipeline (the composed LSH→components→keeper
-    # flagship of the family) takes dedup_ngram_jaccard's window slot — the
-    # latter is a bounded ground-truth audit, driver-green since r01.
-    # round 5: dedup_approx_distinct (rows-only, driver-green since r01)
-    # yields its slot to the hash-checked stored-SQ8-index probe below.
-    # round 5 (late): dedup_simhash (rows-only; minhash_lsh remains the
-    # family's rows-only near-dup representative and neardup_pipeline its
-    # composed flagship) yields its window slot to text_lm_perplexity —
-    # hash-checked corpus-LM scoring with material work behind it.
-    # round 6 (VERDICT r05 task 2): the driver's 50-row scorecard records
-    # rows-only queries as `err`, so the window now holds STRICT-oracle
-    # queries only.  dedup_minhash_lsh and dedup_neardup_pipeline (rows-only
-    # by design, pytest recall/planted-pair gated, verified by
-    # tools/verify_local.py past the window) yield their slots to the
-    # family's hash-checked representatives: the bounded ground-truth
-    # n-gram-Jaccard audit and the content-digest fingerprint dedup.
     "dedup_incremental",
     "docs_exact_neardup_join",
     "text_lm_perplexity",
     "gdpr_erasure_audit",
     "dedup_components",
-    # text analysis family (text_token_count / text_quality — driver-green
-    # in r01 AND r02 — rotated past the window in round 3 for the two
-    # corpus-statistics additions)
     "text_lang_id",
     "dq_expectations",
     "text_curation_pipeline",
     "timetravel_partition_evolution",
-    # round 5 (late): text_winnow_candidates (rows-only, driver-green since
-    # r03) yields its slot to the hash-checked sequential windowed funnel.
     "events_scd2_bitemporal",
-    # round 5 (cont.): text_pmi_collocations (green since r02; salient_terms
-    # keeps the salience-family row) yields its slot to CUSUM change-point
-    # detection — the exact-integer fold with the recursive-CTE oracle and
-    # a 50x perf edge over the oracle engine.
     "events_cusum_changepoints",
     "text_bm25_topk",
-    # similarity family (round 5: text_vocab_coverage — hash-checked, judge-
-    # verified on 500 rows in r04 — takes sim_embedding_neardup's slot; the
-    # latter is a bounded ground-truth audit, driver-green since r01)
     "sim_topk_bruteforce",
-    # round 6: sim_topk_pq (rows-only; recall-vs-bruteforce pytest keeps it
-    # honest past the window) yields its slot to the hash-checked
-    # SQ8+rescore tier — same quantized-MIPS family, strict oracle.
     "sim_topk_sq8_rescored",
     "events_federated_union",
     "orders_cdf_apply",
-    # round 5 (late): the inline SQ8 scan rotates out for the new SCD2
-    # dimension family's hash-checked flagship — sim_topk_sq8_stored keeps
-    # the quantized-MIPS window row (same hash-checked oracle, stronger
-    # claim: probe never touches the float corpus).
     "events_scd2_user_type",
     "layout_zonemap_skip",
-    # multimodal family (round 5: the real-codec decode round trip takes
-    # multimodal_frame_sample's slot — the sampler is a grain variant of
-    # multimodal_meta, driver-green since r01)
-    # round 5 (cont.): multimodal_meta (green since r01; the real-codec
-    # decode round trip keeps the family window row) yields its slot to the
-    # entity-resolution family flagship (sorted-neighborhood + levenshtein,
-    # hash-checked at both scales).
     "multimodal_decode",
     "er_fuzzy_matches",
-    # sessionization / temporal joins / sampling
     "parts_pareto_frontier",
-    # round 5 (cont.): events_session_window_native (green r04; equality
-    # with the gaps-and-islands form is property-tested, and sessionize
-    # keeps the family row) yields its slot to market-basket association
-    # rules (hash-checked, 6 890 rows at sf0.01).
     "basket_association_rules",
     "events_asof_latest_order",
     "events_range_join_purchase_window",
     "split_train_test",
-    # round 5 (cont.): stratified_event_sample (driver-green r01-r04;
-    # split_train_test keeps the sampling-family window row) yields its
-    # slot to the growth-accounting flagship (hash-checked, new family).
     "events_growth_accounting",
-    # scale machinery (skew / co-located joins / layout).  skew_salted_join
-    # moved inside the 50-row window in round 3 (it was the one oracle-
-    # checked query with no driver row); traffic_daily_rollup — a grain
-    # variant of the hourly flagship, driver-green in r01 AND r02 — rotated
-    # out to make room.
     "skew_salted_join",
     "bucketed_colocated_agg",
     "layout_compaction",
-    # curation/export additions (round 3): benchmark decontamination and
-    # the distributed-prefix-sum sequence packer take the window slots of
-    # events_daily_pivot / events_daily_activity_full_join (both driver-
-    # green in r01 AND r02, rotated past the window).
     "text_decontaminate",
     "docs_pack_sequences",
-    # analytics flagships (one per distinct operator shape)
     "events_value_outliers",
     "traffic_merge_tombstones",
     "events_windowed_funnel",
     "customers_dormant_above_avg",
     "orders_without_lineitems",
-    # (round 7 rotation: seven r7/r6 flagships — docs_exact_neardup_join,
-    # timetravel_partition_evolution, events_scd2_bitemporal,
-    # events_federated_union, orders_cdf_apply, parts_pareto_frontier,
-    # customers_dormant_above_avg — took the window slots of seven
-    # same-family variants, every family keeping a representative:
-    # dedup_ngram_jaccard (dedup_incremental/dedup_components stay),
-    # text_gopher_rules + text_salient_terms + text_vocab_coverage
-    # (text_lang_id/text_curation_pipeline/text_bm25_topk/
-    # text_lm_perplexity/text_decontaminate stay), sim_label_centroids
-    # (sim_topk_bruteforce/sq8_rescored stay), events_sessionize
-    # (streaming_sessionize stays), events_regression_stats
-    # (events_value_outliers/events_cusum_changepoints stay).)
     "dedup_ngram_jaccard",
     "text_gopher_rules",
     "text_salient_terms",
@@ -236,13 +215,6 @@ _PRIORITY = (
     "text_vocab_coverage",
     "events_sessionize",
     "events_regression_stats",
-    # ---- past the round-1 driver's 50-row window: same-family variants,
-    # every one still verified locally by tools/verify_local.py ----
-    # (round 4 rotated six r01–r03-green variants past the window for the
-    # new flagships: native session_window [batch + streaming], BM25
-    # retrieval, incremental batch-vs-corpus dedup, and z-score outliers.
-    # events_value_approx_quantiles is rows-only either way, so its window
-    # slot went to a hash-checked query.)
     "stratified_event_sample",
     "text_pmi_collocations",
     "multimodal_meta",
@@ -254,28 +226,18 @@ _PRIORITY = (
     "traffic_rollup_incremental",
     "ivm_delta_join_orders",
     "events_asof_next_order",
-    "events_markov_transitions",
-    "events_attribution",
-    "orders_rfm_segments",
     "orders_drift_chi2",
-    "graph_triangle_census",
-    "events_heavy_hitters",
     "events_heavy_hitters_cms",
     "events_key_skew_profile",
     "events_ab_test",
-    "text_bm25_index_probe",
     "streaming_trending_topk",
     "text_keyphrases_rake",
     "fk_integrity_audit",
     "streaming_cusum_changepoints",
-    "graph_kcore_members",
     "multimodal_image_neardup",
     "streaming_view_click_leftjoin",
-    "traffic_uptime_coverage",
     "events_time_to_convert",
     "basket_item_similarity",
-    "events_path_mining",
-    "streaming_growth_accounting",
     "text_decontaminate_fuzzy",
     "text_winnow_candidates",
     "dedup_keyed_latest",
@@ -298,11 +260,9 @@ _PRIORITY = (
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",
-    "text_pii_scrub",
     "text_token_count",
     "text_quality",
     "text_repetition",
-    "text_dup_segments",
     "tokenizer_bpe_stats",
     "embeddings_kmeans",
     "graph_pagerank_partsupp",
@@ -312,18 +272,13 @@ _PRIORITY = (
     "docs_mixture_sample",
     "export_shard_assign",
     "traffic_daily_rollup",
-    "traffic_resample_ffill",
     "traffic_seasonal_anomalies",
-    "traffic_backfill_partitioned",
-    "layout_zorder",
     "layout_partition_overwrite_restate",
-    "timetravel_restate_read",
     "timetravel_version_diff",
     "orders_mor_read",
     "sim_topk_ivf",
     "multimodal_features",
     "multimodal_frame_sample",
-    "multimodal_resize",
     "multimodal_audio_stats",
     "text_top_terms",
     "pricing_summary",
@@ -339,83 +294,48 @@ _PRIORITY = (
     "events_user_gaps",
     "events_sliding_active_users",
     "events_variant_extract",
-    "events_scd2_apply_late_batch",
-    "events_scd2_pit_join",
-    "streaming_scd2",
     "streaming_seasonal_anomalies",
     "orders_above_customer_avg",
     "orders_retention_cohort",
     "profile_orders_columns",
     "nation_revenue_share",
-    # ---- round-6 additions (all past the window; verified locally) ----
     "text_lang_profile",
-    "ivm_retractable_agg",
     "sim_topk_sq8_stored",
-    "split_kfold",
     "docs_weighted_sample",
-    "events_decayed_topk",
-    "orders_table_fingerprint",
-    "events_contribution_capped",
     "streaming_decayed_topk",
     "events_funnel",
     "text_bm25_index_incremental",
     "tokenizer_bpe_encode",
     "dedup_fingerprint",
-    "timetravel_rollback_read",
-    "timetravel_schema_evolution",
-    "streaming_versioned_ingest",
     "bucketed_colocated_join",
     "streaming_session_window",
-    "streaming_contribution_cap",
-    # ---- round-7 additions (all past the window; verified locally) ----
-    "text_bm25_index_compacted",
-    "timetravel_compact_read",
     "events_time_to_convert_approx",
     "events_sliding_active_users_hll",
     "bloom_prefilter_join",
     "orders_fingerprint_diff_locate",
     "events_sessionize_incremental",
-    "mv_incremental_refresh",
     "events_ohlc_hourly",
     "layout_bloom_file_skip",
-    "streaming_mv_refresh",
     "streaming_ohlc_hourly",
     "events_concurrency_daily_peak",
-    "orders_fingerprint_repair",
-    "layout_bloom_index_incremental",
-    "orders_merge_cdf",
-    "er_edit_distance_join",
-    "traffic_ewma_hourly",
-    "docs_stratified_sample",
-    "layout_hilbert",
-    "streaming_merge_cdf",
-    "events_sequence_pattern",
     "embeddings_pca_project",
     "text_compression_ratio",
     "supplier_abc_classification",
     "events_equidepth_histogram",
     "events_stats_unpivot",
-    "orders_lineitem_nested_agg",
     "split_group_holdout",
     "events_quantile_sketch",
     "events_dp_counts",
     "streaming_quantile_sketch",
     "embeddings_jl_project",
     "events_equidepth_histogram_sketch",
-    "er_golden_record",
     "timetravel_table_history",
-    "text_phrase_search",
     "graph_lpa_communities",
     "events_grouped_quantile_sketch",
     "docs_epoch_upsample",
-    "streaming_view_click_fulljoin",
-    "retrieval_hybrid_rrf",
-    "catalog_snapshot_join",
     "text_percolate",
     "streaming_percolate",
     "events_max_drawdown",
-    "streaming_catalog_ingest",
-    "dedup_components_incremental",
 )
 
 

@@ -16,7 +16,9 @@ the watermark tolerates:
 
 * incoming rows are BUFFERED in keyed state, not admitted immediately;
 * a buffered row is SEALED once the event-time watermark passes it
-  strictly (``ts_ms < watermark_ms``): the watermark contract says no
+  strictly (``ts_us < watermark_ms * 1000`` — the buffer carries
+  microsecond ints so sub-millisecond timestamp differences keep the
+  exact batch (ts, event_id) admission order): the watermark contract says no
   row with an earlier-or-equal timestamp can still arrive, so admission
   order is final.  Sealed rows are admitted in (ts, event_id) order
   against the remaining quota; sealed rows beyond the quota are dropped
@@ -86,16 +88,20 @@ def _cap_fn(cap: int):
             real = pdf[pdf["event_id"] >= 0]  # sentinel rows never buffer
             if not len(real):
                 continue
-            ts_ms = (
+            # Microsecond precision (ADVICE r07): the batch twin and the
+            # oracle order by the full timestamp, so the buffer must not
+            # collapse sub-millisecond differences — carry µs ints and
+            # scale the ms watermark up when sealing.
+            ts_us = (
                 real["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
-                // 1_000_000
+                // 1_000
             )
-            buf.extend(zip(ts_ms.tolist(), real["event_id"].tolist()))
-        wm = state.getCurrentWatermarkMs()
+            buf.extend(zip(ts_us.tolist(), real["event_id"].tolist()))
+        wm_us = state.getCurrentWatermarkMs() * 1_000
         buf.sort()
         seal_n = 0
         for t, _ in buf:
-            if t < wm:
+            if t < wm_us:
                 seal_n += 1
             else:
                 break
@@ -112,7 +118,9 @@ def _cap_fn(cap: int):
         if buf:
             # flush the tail when the watermark passes the earliest
             # buffered row, even if this key never sees data again
-            state.setTimeoutTimestamp(buf[0][0] + 1)
+            # (timeout API is ms-granular: first ms whose µs-scaled
+            # watermark strictly exceeds the earliest buffered µs)
+            state.setTimeoutTimestamp(buf[0][0] // 1_000 + 1)
         if out_ids:
             yield pd.DataFrame(
                 {

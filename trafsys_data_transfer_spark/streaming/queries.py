@@ -1328,6 +1328,45 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("event_type", "user_id", "event_id")
 
 
+def _mv_version_path(mv_dir: str, v: int) -> str:
+    return os.path.join(mv_dir, f"mv_v{v}")
+
+
+def mv_committed_version(mv_dir: str) -> int:
+    """Highest COMMITTED MV version: a version counts only once its
+    in-directory ``_mv_cursor.json`` marker exists (written last by
+    :func:`mv_commit`), so an interrupted refresh is invisible to
+    readers and replays — content and cursor are one artifact and can
+    never diverge (ADVICE r07)."""
+    best = 0
+    for e in os.listdir(mv_dir):
+        if e.startswith("mv_v") and os.path.exists(
+            os.path.join(mv_dir, e, "_mv_cursor.json")
+        ):
+            best = max(best, int(e[4:]))
+    return best
+
+
+def mv_commit(mv_new: DataFrame, mv_dir: str, to_version: int) -> None:
+    """Single-artifact MV promotion: parquet first, an ``_mv_cursor.json``
+    marker LAST (underscore-prefixed so parquet scans ignore it), into a fresh ``mv_v{N}`` directory.  An interrupted
+    write leaves mv_v{N} unmarked (the at-least-once replay simply
+    overwrites it); once the marker lands, MV content and the reflected
+    version moved together in one step.  Superseded versions are GC'd
+    afterwards — safe, because readers resolve
+    :func:`mv_committed_version` first, and a crash mid-GC just leaves
+    an extra complete version the next commit collects."""
+    import json as _json
+
+    target = _mv_version_path(mv_dir, to_version)
+    mv_new.write.mode("overwrite").parquet(target)
+    with open(os.path.join(target, "_mv_cursor.json"), "w") as fh:
+        _json.dump({"version": to_version}, fh)
+    for e in os.listdir(mv_dir):
+        if e.startswith("mv_v") and int(e[4:]) < to_version:
+            shutil.rmtree(os.path.join(mv_dir, e), ignore_errors=True)
+
+
 @register(
     "streaming_mv_refresh",
     # The MV maintained per micro-batch == the full aggregate over
@@ -1352,12 +1391,17 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental view maintenance composed end-to-end.  The final MV
     must hash-match the full aggregate over all ingested rows.
 
-    Crash-safety is the cursor discipline: the MV directory carries the
-    version it reflects; a replayed batch is skipped by the commit's txn
-    ledger AND by the cursor check (v <= cursor → no-op), so both
-    layers are exactly-once."""
-    import json as _json
-
+    Crash-safety is the single-artifact commit discipline (ADVICE r07):
+    each refresh writes a NEW versioned directory ``mv_v{N}`` and then
+    drops an ``_mv_cursor.json`` commit marker (carrying N) inside it as the
+    last step — MV content and cursor are one artifact, so they can
+    never diverge.  The live view is "highest version with a marker";
+    a crash mid-parquet-write leaves an unmarked directory that the
+    at-least-once replay simply overwrites, and a crash before the old
+    version's GC leaves two complete versions of which readers take the
+    newer.  A replayed batch is skipped by the commit's txn ledger AND
+    by the cursor check (v <= cursor → no-op), so both layers are
+    exactly-once."""
     from ..operators.timetravel import (
         versioned_commit,
         versioned_delta_read,
@@ -1376,15 +1420,8 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_dir = tempfile.mkdtemp(prefix="tds_smv_mv_")
     checkpoint = tempfile.mkdtemp(prefix="tds_smv_ckpt_")
 
-    def _cursor() -> int:
-        try:
-            with open(os.path.join(mv_dir, "cursor.json")) as fh:
-                return _json.load(fh)["version"]
-        except FileNotFoundError:
-            return 0
-
     def _refresh(sess, to_version: int) -> None:
-        cur = _cursor()
+        cur = mv_committed_version(mv_dir)
         if to_version <= cur:
             return  # replayed batch: MV already reflects it
         if cur == 0:
@@ -1395,7 +1432,6 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("d_rev"),
             F.count(F.lit(1)).alias("d_n"),
         )
-        mv_path = os.path.join(mv_dir, "mv")
         if cur == 0:
             mv_new = d_agg.select(
                 "o_custkey",
@@ -1403,7 +1439,7 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d_n").alias("n_orders"),
             )
         else:
-            mv_old = sess.read.parquet(mv_path)
+            mv_old = sess.read.parquet(_mv_version_path(mv_dir, cur))
             mv_new = (
                 mv_old.join(d_agg, "o_custkey", "full")
                 .select(
@@ -1418,15 +1454,7 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("n_orders"),
                 )
             )
-        tmp = os.path.join(mv_dir, f"mv_tmp_{to_version}")
-        mv_new.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(mv_dir, f"mv_old_{to_version}")
-        if os.path.exists(mv_path):
-            os.rename(mv_path, old)
-        os.rename(tmp, mv_path)
-        shutil.rmtree(old, ignore_errors=True)
-        with open(os.path.join(mv_dir, "cursor.json"), "w") as fh:
-            _json.dump({"version": to_version}, fh)
+        mv_commit(mv_new, mv_dir, to_version)
 
     def commit_and_refresh(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -1451,8 +1479,11 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert _cursor() >= 3  # one commit+refresh per file drop
-    return spark.read.parquet(os.path.join(mv_dir, "mv")).orderBy("o_custkey")
+    final = mv_committed_version(mv_dir)
+    assert final >= 3  # one commit+refresh per file drop
+    return spark.read.parquet(_mv_version_path(mv_dir, final)).orderBy(
+        "o_custkey"
+    )
 
 
 @register(

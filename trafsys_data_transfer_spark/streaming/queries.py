@@ -820,27 +820,26 @@ def streaming_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
                 shutil.copyfile(os.path.join(sdir, f), dst)
                 os.utime(dst, (base, base))
-        sent_tmp = tempfile.mkdtemp(prefix="tds_cusum_sent_")
-        # pandas-backed (Arrow, one input partition): a list-backed
-        # createDataFrame parallelizes to 32 Python slices and coalesce(1)
-        # evaluates them SEQUENTIALLY in one task — measured 4.5 s for a
-        # 5-row write vs 0.9 s via pandas.
+        # sentinel slice via driver-side pyarrow (r8): no Spark job at all
+        # — a local-relation write was the dominant per-slice harness cost
         import pandas as _pd
+        import pyarrow as _pa
 
-        spark.createDataFrame(
+        _write_sentinel_file(
+            os.path.join(staging, f"slice-{i:03d}-sentinel.parquet"),
             _pd.DataFrame(
                 sentinel_rows[i],
                 columns=["event_type", "ts", "is_sentinel"],
-            )
-        ).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
-        part = next(
-            f
-            for f in os.listdir(sent_tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ),
+            _pa.schema(
+                [
+                    ("event_type", _pa.string()),
+                    ("ts", _pa.timestamp("us")),
+                    ("is_sentinel", _pa.bool_()),
+                ]
+            ),
+            mtime=base + 5,  # after the slice, before next
         )
-        dst = os.path.join(staging, f"slice-{i:03d}-sentinel.parquet")
-        shutil.copyfile(os.path.join(sent_tmp, part), dst)
-        os.utime(dst, (base + 5, base + 5))  # after the slice, before next
 
     schema = "event_type string, ts timestamp, is_sentinel boolean"
     stream = (
@@ -901,21 +900,23 @@ def streaming_view_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame
         events.filter(F.col("event_type") == et).coalesce(1).write.mode(
             "append"
         ).parquet(d)
-        sent_tmp = tempfile.mkdtemp(prefix="tds_ssoj_sent_")
         import pandas as _pd
+        import pyarrow as _pa
 
-        spark.createDataFrame(
+        _write_sentinel_file(
+            os.path.join(d, "zz-sentinel.parquet"),
             _pd.DataFrame(
                 [(-1, sentinel_ts, -1, et)],
                 columns=["event_id", "ts", "user_id", "event_type"],
-            )
-        ).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
-        part = next(
-            f for f in os.listdir(sent_tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        shutil.copyfile(
-            os.path.join(sent_tmp, part), os.path.join(d, "zz-sentinel.parquet")
+            ),
+            _pa.schema(
+                [
+                    ("event_id", _pa.int64()),
+                    ("ts", _pa.timestamp("us")),
+                    ("user_id", _pa.int64()),
+                    ("event_type", _pa.string()),
+                ]
+            ),
         )
     table = f"stream_ssoj_{uuid.uuid4().hex[:8]}"
     left = (
@@ -1283,28 +1284,43 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to, and one distinct cheaper than, a per-key sentinel slice, which
     # remains the documented fallback and is exercised by the disorder
     # pytest).
-    sent_dir = tempfile.mkdtemp(prefix="tds_cap_sent_")
-    sent_a = spark.createDataFrame(
-        [("__wm__", -1)], "event_type string, user_id long"
-    ).select(
-        "event_type",
-        "user_id",
-        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
-        F.lit(-1).cast("long").alias("event_id"),
+    import pandas as _pd
+    import pyarrow as _pa
+
+    _write_sentinel_file(
+        os.path.join(staging, "zz-sent-a.parquet"),
+        _pd.DataFrame(
+            {
+                "event_type": ["__wm__"],
+                "user_id": [-1],
+                "ts": [_pd.Timestamp("2030-01-01")],
+                "event_id": [-1],
+            }
+        ),
+        _pa.schema(
+            [
+                ("event_type", _pa.string()),
+                ("user_id", _pa.int64()),
+                ("ts", _pa.timestamp("us")),
+                ("event_id", _pa.int64()),
+            ]
+        ),
+        mtime=1_700_000_100,
     )
-    sub = os.path.join(sent_dir, "a")
-    sent_a.coalesce(1).write.mode("overwrite").parquet(sub)
-    for j, f in enumerate(sorted(os.listdir(sub))):
-        if f.endswith(".parquet") and not f.startswith(("_", ".")):
-            dst = os.path.join(staging, f"zz-sent-a-{j:03d}.parquet")
-            shutil.copyfile(os.path.join(sub, f), dst)
-            os.utime(dst, (1_700_000_100, 1_700_000_100))
     table = f"stream_cap_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(
             "event_type string, user_id long, ts timestamp, event_id long"
         )
-        .option("maxFilesPerTrigger", 1)
+        # 2 files per trigger (r8, VERDICT task 2): the drain is bounded by
+        # KEYED PANDAS INVOCATIONS — ~every key is invoked in every stateful
+        # micro-batch plus once in the final timeout sweep — so batch COUNT,
+        # not data volume, is the cost.  Pairing the slices gives
+        # [slice0+slice1], [slice2+sentinel], [timeout sweep] = 3 stateful
+        # batches instead of 5 (~2×7500 fewer invocations at sf0.1) while
+        # quotas still span micro-batches (slice2's admissions depend on
+        # state from batch 1).
+        .option("maxFilesPerTrigger", 2)
         .parquet(staging)
     )
     # 32 state partitions (not the 8 default): the reorder buffer makes
@@ -1316,7 +1332,11 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark, n=max(32, STREAM_SHUFFLE_PARTITIONS)):
         q = (
             # lateness spans the whole fixture (30 days of events), so ANY
-            # slice permutation is within tolerance — nothing drops late
+            # slice permutation is within tolerance — nothing drops late.
+            # (An r8 experiment with lateness=1 day to seal progressively
+            # made the drain SLOWER — 34.6 s vs 27.9 s same-host: early
+            # sealing fires every key's timer in every batch, and keyed
+            # invocation count, not buffered-state size, is the cost.)
             cap_stream(stream, cap=5, lateness="90 days")
             .writeStream.format("memory")
             .queryName(table)
@@ -1326,6 +1346,32 @@ def streaming_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(table).orderBy("event_type", "user_id", "event_id")
+
+
+def _write_sentinel_file(
+    dst: str, pdf, schema, mtime: float | None = None
+) -> None:
+    """Driver-side pyarrow write for tiny drain-sentinel slices.
+
+    A Spark job over a 1-5-row LOCAL RELATION costs SECONDS on a wide
+    local-mode session (r8 profile: 6.8 s for a 1-row localrel write vs
+    0.2 s for a Range-backed plan — local-relation scan + scheduling +
+    committer overhead), and the sentinel tier runs once per streaming
+    drain, so it was the single largest harness cost in the bench.
+    pyarrow writes the same file in milliseconds with no job at all.
+
+    ``schema`` is a pyarrow schema; field types must match the stream's
+    read schema (use ``pa.timestamp("us")`` for Spark TIMESTAMP — ns
+    would trip the session's ``nanosAsLong`` legacy read path).  Parquet
+    column matching is by NAME, so order need not match the reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), dst
+    )
+    if mtime is not None:
+        os.utime(dst, (mtime, mtime))
 
 
 def _mv_version_path(mv_dir: str, v: int) -> str:
@@ -1791,21 +1837,23 @@ def streaming_view_click_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame
         events.filter(F.col("event_type") == et).coalesce(1).write.mode(
             "append"
         ).parquet(d)
-        sent_tmp = tempfile.mkdtemp(prefix="tds_ssfj_sent_")
         import pandas as _pd
+        import pyarrow as _pa
 
-        spark.createDataFrame(
+        _write_sentinel_file(
+            os.path.join(d, "zz-sentinel.parquet"),
             _pd.DataFrame(
                 [(-1, sentinel_ts, -1, et)],
                 columns=["event_id", "ts", "user_id", "event_type"],
-            )
-        ).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
-        part = next(
-            f for f in os.listdir(sent_tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        shutil.copyfile(
-            os.path.join(sent_tmp, part), os.path.join(d, "zz-sentinel.parquet")
+            ),
+            _pa.schema(
+                [
+                    ("event_id", _pa.int64()),
+                    ("ts", _pa.timestamp("us")),
+                    ("user_id", _pa.int64()),
+                    ("event_type", _pa.string()),
+                ]
+            ),
         )
     table = f"stream_ssfj_{uuid.uuid4().hex[:8]}"
     left = (

@@ -447,6 +447,235 @@ def synthesize_mp4(
     return ftyp + moov + mdat
 
 
+def synthesize_mp4_rawvideo(
+    width: int,
+    height: int,
+    n_frames: int,
+    timescale: int = 1000,
+    frame_duration: int = 100,
+    seed: int = 0,
+) -> bytes:
+    """Real ISO-BMFF bytes with a PLAYABLE uncompressed-RGB video track —
+    the full sample-table tier :func:`synthesize_mp4` stops short of:
+    ``moov/trak/mdia`` carries ``mdhd``/``hdlr('vide')`` and a complete
+    ``stbl`` (``stsd`` with a ``raw `` 24-bit VideoSampleEntry, ``stts``
+    constant frame duration, ``stsc`` one chunk, ``stsz`` constant sample
+    size, ``stco`` absolute mdat offset), and ``mdat`` holds the actual
+    RGB24 frames.  Pixel bytes follow the planted formula
+    ``byte(f, i) = (seed*31 + f*101 + i*7) % 256`` so any frame decoded
+    anywhere in the corpus is hash-checkable against closed-form SQL
+    (same discipline as :func:`synthesize_png`'s planted filters).
+    ISO/IEC 14496-12 box layout; 'raw ' sample entry per QuickTime RGB."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    frame_size = width * height * 3
+    duration = n_frames * frame_duration
+    unity = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">ihxx", 0x00010000, 0x0100)
+        + bytes(8)
+        + unity
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BBBBIIIxxxxI", 0, 0, 0, 7, 0, 0, 1, duration)
+        + bytes(8)
+        + struct.pack(">hhhxx", 0, 0, 0)
+        + unity
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">BxxxIIIIHH", 0, 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = box(
+        b"hdlr", struct.pack(">Bxxx4x4s12x", 0, b"vide") + b"rawvideo\x00"
+    )
+    # 'raw ' VideoSampleEntry: SampleEntry header (6 reserved + dref idx),
+    # then the 70-byte visual fields (ISO 14496-12 §12.1.3), depth 24.
+    sample_entry = box(
+        b"raw ",
+        bytes(6)
+        + struct.pack(">H", 1)
+        + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + bytes(4)
+        + struct.pack(">H", 1)
+        + bytes(32)
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = box(b"stsd", struct.pack(">BxxxI", 0, 1) + sample_entry)
+    stts = box(
+        b"stts", struct.pack(">BxxxIII", 0, 1, n_frames, frame_duration)
+    )
+    stsc = box(b"stsc", struct.pack(">BxxxIIII", 0, 1, 1, n_frames, 1))
+    stsz = box(b"stsz", struct.pack(">BxxxII", 0, frame_size, n_frames))
+    # stco needs the absolute file offset of frame 0 — every box size is
+    # fixed now, so compute the layout with a placeholder then rebuild
+    # (the 4-byte offset doesn't change any size).
+    def build(first_frame_offset: int) -> bytes:
+        stco = box(b"stco", struct.pack(">BxxxII", 0, 1, first_frame_offset))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = box(b"vmhd", struct.pack(">BBBBHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+        dref = box(
+            b"dref",
+            struct.pack(">BxxxI", 0, 1) + box(b"url ", struct.pack(">I", 1)),
+        )
+        dinf = box(b"dinf", dref)
+        minf = box(b"minf", vmhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+        return moov
+
+    moov = build(0)
+    first_frame_offset = len(ftyp) + len(moov) + 8  # + mdat header
+    moov = build(first_frame_offset)
+    frames = bytearray()
+    for f in range(n_frames):
+        base = seed * 31 + f * 101
+        frames += bytes((base + i * 7) % 256 for i in range(frame_size))
+    return ftyp + moov + box(b"mdat", bytes(frames))
+
+
+def _stbl_walk(b: bytes, body: int, bend: int) -> dict:
+    """Parse the sample-table boxes under an ``stbl`` body range."""
+    import struct
+
+    out: dict = {}
+    for btype, cbody, cend in _mp4_boxes(b, body, bend):
+        if btype == b"stsd":
+            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            if count < 1:
+                raise ValueError("mp4 stsd has no sample entries")
+            for etype, ebody, eend in _mp4_boxes(b, cbody + 8, cend):
+                fmt = etype.decode("ascii", "replace")
+                if etype != b"raw ":
+                    raise NotImplementedError(
+                        f"no frame decoder for codec {fmt!r}; only "
+                        "uncompressed 'raw ' RGB tracks decode without "
+                        "native codecs — install one and inject"
+                    )
+                w, h = struct.unpack_from(">HH", b, ebody + 24)
+                (depth,) = struct.unpack_from(">H", b, ebody + 74)
+                out["entry"] = {"format": fmt, "width": w, "height": h,
+                                "depth": depth}
+                break
+        elif btype == b"stts":
+            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            out["stts"] = [
+                struct.unpack_from(">II", b, cbody + 8 + 8 * i)
+                for i in range(count)
+            ]
+        elif btype == b"stsz":
+            size, count = struct.unpack_from(">II", b, cbody + 4)
+            if size:
+                out["sizes"] = [size] * count
+            else:
+                out["sizes"] = list(
+                    struct.unpack_from(f">{count}I", b, cbody + 12)
+                )
+        elif btype == b"stsc":
+            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            out["stsc"] = [
+                struct.unpack_from(">III", b, cbody + 8 + 12 * i)
+                for i in range(count)
+            ]
+        elif btype == b"stco":
+            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            out["stco"] = list(
+                struct.unpack_from(f">{count}I", b, cbody + 8)
+            )
+    return out
+
+
+def decode_mp4_frames(b: bytes) -> dict:
+    """FRAME-LEVEL video decode for uncompressed ISO-BMFF tracks — the
+    sample-table hop ffmpeg does before the codec: walk
+    ``moov→trak→mdia→minf→stbl``, locate every sample through
+    ``stsc``/``stco``/``stsz``, timestamp it through ``stts``, and slice
+    the raw RGB24 frame bytes out of the file.  Compressed codecs
+    (h264/vp9/…) still need a native decoder injected — that path raises
+    ``NotImplementedError`` from the ``stsd`` check, the package's
+    documented codec-injection contract.
+
+    Returns ``{width, height, depth, frames: [(pts_units, bytes)]}``."""
+    b = bytes(b)
+    stbl = None
+    for btype, body, bend in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(b, body, bend):
+            if ctype != b"trak":
+                continue
+            for mtype, mbody, mend in _mp4_boxes(b, cbody, cend):
+                if mtype != b"mdia":
+                    continue
+                for ntype, nbody, nend in _mp4_boxes(b, mbody, mend):
+                    if ntype != b"minf":
+                        continue
+                    for stype, sbody, send in _mp4_boxes(b, nbody, nend):
+                        if stype == b"stbl":
+                            stbl = _stbl_walk(b, sbody, send)
+                            break
+    if stbl is None:
+        raise ValueError("mp4 missing moov/trak/mdia/minf/stbl")
+    for key in ("entry", "stts", "sizes", "stsc", "stco"):
+        if key not in stbl:
+            raise ValueError(f"mp4 stbl missing {key} table")
+    sizes = stbl["sizes"]
+    # expand stts (sample_count, delta) runs into per-sample pts
+    pts, t = [], 0
+    for count, delta in stbl["stts"]:
+        for _ in range(count):
+            pts.append(t)
+            t += delta
+    if len(pts) != len(sizes):
+        raise ValueError("mp4 stts/stsz sample counts disagree")
+    # map samples to absolute offsets: stsc runs give samples per chunk,
+    # stco gives each chunk's file offset; samples are contiguous inside
+    # a chunk (ISO 14496-12 §8.7.4/8.7.5)
+    stsc, stco = stbl["stsc"], stbl["stco"]
+    offsets: list[int] = []
+    sample = 0
+    for run_idx, (first_chunk, per_chunk, _desc) in enumerate(stsc):
+        last_chunk = (
+            stsc[run_idx + 1][0] - 1 if run_idx + 1 < len(stsc) else len(stco)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            pos = stco[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= len(sizes):
+                    break
+                offsets.append(pos)
+                pos += sizes[sample]
+                sample += 1
+    if len(offsets) != len(sizes):
+        raise ValueError("mp4 stsc/stco cover wrong sample count")
+    frames = []
+    for i, (off, size) in enumerate(zip(offsets, sizes)):
+        if off + size > len(b):
+            raise ValueError(f"mp4 sample {i} overruns file")
+        frames.append((pts[i], b[off : off + size]))
+    e = stbl["entry"]
+    return {
+        "width": e["width"],
+        "height": e["height"],
+        "depth": e["depth"],
+        "frames": frames,
+    }
+
+
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-payload metadata, vectorised per batch."""
     for pdf in batches:
@@ -752,6 +981,87 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         schema="doc_id long, width int, height int, out_w int, out_h int, checksum long",
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS w,
+               (doc_id * 3) % 12 + 4 AS h,
+               doc_id % 5 + 2 AS nf
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+        SELECT v.doc_id, v.w, v.h, fx.f AS frame_idx
+        FROM v, unnest(generate_series(0, v.nf - 1)) AS fx(f)
+    )
+    SELECT f.doc_id,
+           CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST(f.frame_idx * 100 AS BIGINT) AS pts_units,
+           CAST(f.w AS INT) AS width,
+           CAST(f.h AS INT) AS height,
+           CAST(f.w * f.h * 3 AS BIGINT) AS n_bytes,
+           CAST(SUM(
+               ((f.doc_id * 31 + f.frame_idx * 101 + bx.i * 7) % 256)
+               * (bx.i + 1)
+           ) AS BIGINT) AS checksum
+    FROM f, unnest(generate_series(0, f.w * f.h * 3 - 1)) AS bx(i)
+    GROUP BY f.doc_id, f.frame_idx, f.w, f.h
+    ORDER BY f.doc_id, f.frame_idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-LEVEL video decode end-to-end (VERDICT r07 task 3 — the one
+    declared native-codec gap): synthesize real ISO-BMFF files carrying a
+    complete uncompressed-RGB sample table (:func:`synthesize_mp4_rawvideo`),
+    decode every frame back through the stdlib sample-table walk
+    (:func:`decode_mp4_frames` — stsd/stts/stsc/stco/stsz, the same hop
+    ffmpeg makes before the codec), and emit one row per frame with a
+    position-weighted pixel checksum.  The oracle recomputes the planted
+    per-frame pixel formula in closed-form SQL — a hash mismatch catches
+    a one-byte error in any frame's offset, size, timestamp, or content
+    anywhere in the corpus.  Compressed codecs remain the documented
+    injection point (``stsd`` raises ``NotImplementedError``)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 2
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "pts_units": [],
+                "width": [], "height": [], "n_bytes": [], "checksum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = synthesize_mp4_rawvideo(
+                    d % 16 + 4, d * 3 % 12 + 4, d % 5 + 2, seed=d
+                )
+                dec = decode_mp4_frames(payload)
+                for idx, (pts, fb) in enumerate(dec["frames"]):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(idx)
+                    out["pts_units"].append(pts)
+                    out["width"].append(dec["width"])
+                    out["height"].append(dec["height"])
+                    out["n_bytes"].append(len(fb))
+                    out["checksum"].append(
+                        sum(p * (i + 1) for i, p in enumerate(fb))
+                    )
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            yield pdf_out
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, frame_idx long, pts_units long, width int, "
+            "height int, n_bytes long, checksum long"
+        ),
+    ).orderBy("doc_id", "frame_idx")
 
 
 @register(

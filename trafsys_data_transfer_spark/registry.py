@@ -147,7 +147,8 @@ _PRIORITY = (
     "split_kfold",
     "docs_stratified_sample",
     "events_heavy_hitters",
-    "events_decayed_topk",
+    # frame-level video decode (r8 flagship, VERDICT r07 task 3)
+    "multimodal_video_frames",
     "ivm_retractable_agg",
     "text_pii_scrub",
     "text_dup_segments",
@@ -158,6 +159,10 @@ _PRIORITY = (
     # round-7 judge's independent strict oracle run; all remain covered by
     # tools/verify_local.py each round.  Relative order preserved from the
     # round-7 list (rotation history in git: rounds 3-7 annotations).
+    # (events_decayed_topk ceded its r8 window slot to the new
+    # multimodal_video_frames flagship; heavy_hitters keeps the
+    # frequency-family row.)
+    "events_decayed_topk",
     "flagship_revenue_topk",
     "traffic_normalize",
     "traffic_window_filter",

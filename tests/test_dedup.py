@@ -329,3 +329,20 @@ def test_hll_sketch_union_tracks_exact_distinct(spark, sf_dir):
     for src, est in rows.items():
         if src != "__union__":
             assert abs(est - exact_per[src]) / exact_per[src] < 0.05
+
+
+def test_quadratic_scope_guard_raises_beyond_bound(spark):
+    """VERDICT r07 task 7: the O(n²) audit tiers hard-fail on oversized
+    input instead of silently launching an all-pairs cross join; the
+    check itself is O(bound) (limit+count, not a full scan)."""
+    import pytest as _pytest
+
+    from trafsys_data_transfer_spark.operators.dedup import (
+        quadratic_scope_guard,
+    )
+
+    small = spark.range(50)
+    assert quadratic_scope_guard(small, 100, "op", "lsh") is small
+    big = spark.range(5000)
+    with _pytest.raises(ValueError, match="O\\(n²\\).*hard-bounded"):
+        quadratic_scope_guard(big, 100, "op", "lsh")

@@ -35,6 +35,26 @@ from pyspark.sql.types import ArrayType, LongType
 from ..registry import register
 from ..sources.fixtures import load_table
 
+def quadratic_scope_guard(
+    df: DataFrame, max_rows: int, operator: str, scale_path: str
+) -> DataFrame:
+    """Hard scope guard for the O(n²) ground-truth audit tiers (VERDICT
+    r07 task 7).  The all-pairs operators are DOCUMENTED as bounded
+    oracles, but nothing stopped a caller from pointing one at an
+    unbounded table — this raises before the cross join can run.
+    ``limit(max_rows+1).count()`` keeps the check O(max_rows), never a
+    full scan."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{operator} is an O(n²) ground-truth audit tier hard-bounded "
+            f"to {max_rows} input rows (got >{max_rows}); at scale run "
+            f"{scale_path} instead and use this tier only to audit recall "
+            "on bounded samples"
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # library: exact / keyed / fingerprint
 # ---------------------------------------------------------------------------
@@ -627,8 +647,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100): the ground-truth near-dup measure the LSH tiers approximate.
     All-pairs is O(n²) by construction — the scope bound is the honest way
     to run it; at scale you run `dedup_minhash_lsh` instead and use this
-    only to audit recall on samples."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    only to audit recall on samples.  The guard makes the bound HARD:
+    >1000 input rows raises before the cross join executes."""
+    docs = quadratic_scope_guard(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100),
+        1000,
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+    )
     toks = F.split(normalize_text(F.col("text")), " ")
     sh = docs.select(F.col("doc_id").alias("id"), shingles(toks, 3).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")

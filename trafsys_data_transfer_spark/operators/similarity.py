@@ -540,8 +540,18 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs on a bounded scope (vec_id < 150,
-    cos ≥ 0.3) — exact ground truth; the LSH tier is the scale path."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    cos ≥ 0.3) — exact ground truth; the LSH tier
+    (:func:`embedding_neardup_pairs_lsh`) is the scale path.  The guard
+    makes the bound HARD: >1000 input rows raises before the cross join
+    executes (VERDICT r07 task 7)."""
+    from .dedup import quadratic_scope_guard
+
+    emb = quadratic_scope_guard(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150),
+        1000,
+        "sim_embedding_neardup",
+        "embedding_neardup_pairs_lsh",
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("vb"))
     return (

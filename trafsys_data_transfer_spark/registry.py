@@ -144,14 +144,18 @@ _PRIORITY = (
     "events_path_mining",
     "events_sequence_pattern",
     "orders_lineitem_nested_agg",
-    "split_kfold",
+    # VACUUM lifecycle (r8, VERDICT r07 task 6; split_kfold ceded —
+    # docs_stratified_sample keeps the sampling-family row)
+    "timetravel_vacuum_gc",
     "docs_stratified_sample",
     "events_heavy_hitters",
     # frame-level video decode (r8 flagship, VERDICT r07 task 3)
     "multimodal_video_frames",
     "ivm_retractable_agg",
     "text_pii_scrub",
-    "text_dup_segments",
+    # REST DataSource lifecycle (r8, VERDICT r07 task 6;
+    # text_dup_segments ceded — text_pii_scrub keeps the family row)
+    "trafsys_rest_source_window",
     "multimodal_resize",
     "events_contribution_capped",
     # ---- past the driver window: every name below is either driver-green
@@ -161,8 +165,12 @@ _PRIORITY = (
     # round-7 list (rotation history in git: rounds 3-7 annotations).
     # (events_decayed_topk ceded its r8 window slot to the new
     # multimodal_video_frames flagship; heavy_hitters keeps the
-    # frequency-family row.)
+    # frequency-family row.  split_kfold and text_dup_segments ceded
+    # theirs to the two r8 lifecycle queries — all three remain
+    # verify_local-covered here.)
     "events_decayed_topk",
+    "split_kfold",
+    "text_dup_segments",
     "flagship_revenue_topk",
     "traffic_normalize",
     "traffic_window_filter",

@@ -127,3 +127,47 @@ def events_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone slip in a leg breaks the hash."""
     root = stage_federated_events(spark, sf_dir)
     return read_federated_events(spark, root).orderBy("event_id")
+
+
+@register(
+    "trafsys_rest_source_window",
+    # The offline transport is deterministic BY CONSTRUCTION: one record
+    # per fetched window-start day (S1/door/5-in/2-out at 10:00), and a
+    # 20-day window at the default 7-day chunking plans exactly three
+    # partitions — so the whole REST round trip (partition planning,
+    # executor-side OAuth, bearer-gated GETs, JSON decode, T1/T2
+    # normalization) is strict-hash-checkable against literal SQL.
+    oracle="""
+    SELECT 'S1' AS SiteCode,
+           'door' AS Location,
+           CAST(0 AS INT) AS IsInternal,
+           d AS PeriodEnding,
+           CAST(5 AS BIGINT) AS Ins,
+           CAST(2 AS BIGINT) AS Outs
+    FROM (VALUES (TIMESTAMP '2024-01-01 10:00:00'),
+                 (TIMESTAMP '2024-01-08 10:00:00'),
+                 (TIMESTAMP '2024-01-15 10:00:00')) AS t(d)
+    """,
+)
+def trafsys_rest_source_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST API as a Spark DataSource, surfaced as a registry query
+    (VERDICT r07 task 6 — previously pytest-only): read a 20-day window
+    through ``spark.read.format("trafsys_offline")`` — the REAL
+    ``TrafsysDataSource`` partition-planning/OAuth/retry machinery wired
+    to the packaged deterministic transport (sources/offline.py, the
+    embedded-mock-broker pattern) — then apply the reference's T1/T2
+    normalization.  ``sf_dir`` is unused: the source IS the fixture."""
+    from ..plans.traffic import normalize_traffic
+    from .offline import OfflineTrafsysSource
+
+    spark.dataSource.register(OfflineTrafsysSource)
+    raw = (
+        spark.read.format("trafsys_offline")
+        .option("url", "https://trafsys.invalid/")
+        .option("user", "offline")
+        .option("password", "offline")
+        .option("date_from", "2024-01-01")
+        .option("date_to", "2024-01-20")
+        .load()
+    )
+    return normalize_traffic(raw).orderBy("PeriodEnding")

@@ -151,6 +151,8 @@ WORK_IN_BUILD = {
     "streaming_percolate",
     "streaming_catalog_ingest",
     "dedup_components_incremental",
+    # round 8 lifecycle queries: commits/vacuum run in build()
+    "timetravel_vacuum_gc",
 }
 
 

@@ -99,14 +99,19 @@ def connected_components(
             .join(m, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        e1 = _sym(big).localCheckpoint()
+        # lazy checkpoint (r8): eager=True cost one materialization JOB
+        # per tier per round; eager=False folds the materialization into
+        # the round's signature action — same lineage truncation, ~2
+        # fewer job barriers per round (measured 11.3 -> 10.0 s on
+        # er_golden_record at sf0.1, same-host best-of-2)
+        e1 = _sym(big).localCheckpoint(eager=False)
         # small-star: m over the DOWN-neighborhood; (v, m) and (u, m)
         down = e1.filter(F.col("v") < F.col("u"))
         m2 = down.groupBy("u").agg(F.min("v").alias("m"))
         small = down.join(m2, "u").select(
             F.col("v").alias("a"), F.col("m").alias("b")
         ).union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        e2 = _sym(small).localCheckpoint()
+        e2 = _sym(small).localCheckpoint(eager=False)
         # Stability probe, two tiers: a per-round order-insensitive
         # hash-sum signature (one cheap aggregate) pre-filters; only when
         # consecutive signatures MATCH does the exact two-sided set
@@ -378,7 +383,11 @@ def lpa_communities(
                 "u",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy (r8): the plan is truncated immediately either way;
+            # deferring materialization removes the per-round job barrier
+            # — the fixed round count has no convergence probe, so all
+            # rounds collapse into the final action's single job
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("community"))
 

@@ -392,14 +392,64 @@ def lpa_communities(
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("community"))
 
 
-@register("graph_lpa_communities")  # rows-only: iterative mode fixed point
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One synchronous LPA round as a DuckDB CTE: every node adopts the
+    mode of its neighbors' labels from ``prev``, ties to the smallest
+    label — the exact algebra of :func:`lpa_communities`' loop body."""
+    return f"""
+    {cur} AS (
+        SELECT l.u, COALESCE(m.new_label, l.label) AS label
+        FROM {prev} l LEFT JOIN (
+            SELECT u, new_label FROM (
+                SELECT e.v AS u, l.label AS new_label,
+                       ROW_NUMBER() OVER (PARTITION BY e.v
+                           ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+                FROM e JOIN {prev} l ON e.u = l.u
+                GROUP BY e.v, l.label
+            ) WHERE rn = 1
+        ) m ON l.u = m.u
+    )"""
+
+
+def _lpa_oracle() -> str:
+    from .basket import _PAIR_SQL, MINSUP_ORDERS
+
+    rounds = "".join(
+        "," + _lpa_round_sql(f"r{i}" if i else "l0", f"r{i + 1}")
+        for i in range(LPA_ROUNDS)
+    )
+    return f"""
+    WITH pair_occ AS ({_PAIR_SQL}),
+    pair_n AS (
+        SELECT p1, p2 FROM pair_occ
+        GROUP BY p1, p2 HAVING COUNT(*) >= {MINSUP_ORDERS}
+    ),
+    e AS (
+        SELECT p1 AS u, p2 AS v FROM pair_n
+        UNION
+        SELECT p2 AS u, p1 AS v FROM pair_n
+    ),
+    l0 AS (SELECT DISTINCT u, u AS label FROM e){rounds}
+    SELECT u AS id, label AS community FROM r{LPA_ROUNDS} ORDER BY id
+    """
+
+
+@register(
+    "graph_lpa_communities",
+    # STRICT since r8: synchronous LPA with the smallest-label tie-break
+    # is a pure function of the graph, so the oracle replays the exact
+    # per-round mode algebra as chained CTEs — a hash mismatch catches a
+    # wrong mode, tie-break, or round count anywhere in the iteration.
+    oracle=_lpa_oracle(),
+)
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Communities of the support-filtered co-purchase graph (the same
     relation the triangle census measures): 4 synchronous LPA rounds,
-    smallest-label tie-break.  Deterministic by construction, so the
-    rows-only driver check is stable; community quality (planted cliques
-    separate across a bridge; components ≥ communities granularity) is
-    pytest-pinned in tests/test_graph.py."""
+    smallest-label tie-break.  Deterministic by construction — the
+    oracle replays the rounds in SQL (strict hash check since r8);
+    community quality (planted cliques separate across a bridge;
+    components ≥ communities granularity) is pytest-pinned in
+    tests/test_graph.py."""
     from .basket import MINSUP_ORDERS, _pairs
 
     edges = (

@@ -1257,16 +1257,34 @@ def table_history(spark: SparkSession, table_dir: str) -> list[dict]:
     return out
 
 
-@register("timetravel_table_history")  # rows-only: filesystem metadata
+@register(
+    "timetravel_table_history",
+    # STRICT since r8: with deterministic file layout per commit
+    # (coalesce(1) appends; the partitioned append repartitioned by its
+    # spec column → one file per status), the whole history — versions,
+    # file counts, add/drop accounting, inferred kinds, spec evolution —
+    # is a literal table.  A mismatch catches wrong manifest accounting,
+    # a mis-inferred kind, or broken rollback bookkeeping.
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 1, 1, 0, 'append',   ''),
+        (2, 4, 3, 0, 'append',   'status_route'),
+        (3, 1, 1, 4, 'replace',  ''),
+        (4, 4, 4, 1, 'rollback', 'status_route')
+    ) AS t(version, n_files, files_added, files_dropped, kind, spec_cols)
+    ORDER BY version
+    """,
+)
 def timetravel_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operational audit surface of the versioned tier (Delta's
     DESCRIBE HISTORY / Iceberg's snapshots table): stage a 4-commit
     lifecycle — append, partitioned append (spec evolution), replace
     restatement, rollback — and return one row per version with file and
-    byte accounting and the inferred commit kind.  Deterministic row
-    counts and kinds (byte sizes are reported but excluded from the
-    output to keep the driver check stable across parquet-writer
-    versions); the byte-accounting invariants are pytest-pinned."""
+    byte accounting and the inferred commit kind.  File layout is pinned
+    per commit (coalesce / repartition-by-spec-column) so the history is
+    strict-hash-checkable against a literal oracle (r8; requires all
+    three order statuses present — true at every fixture sf the gates
+    run); the byte-accounting invariants are pytest-pinned."""
     import tempfile as _tf
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1277,16 +1295,18 @@ def timetravel_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     half = F.col("o_orderkey") % 2
-    versioned_commit(spark, orders.filter(half == 0), table)
+    versioned_commit(spark, orders.filter(half == 0).coalesce(1), table)
     versioned_commit(
         spark,
-        orders.filter(half == 1).withColumn(
-            "status_route", F.col("o_orderstatus")
-        ),
+        orders.filter(half == 1)
+        .withColumn("status_route", F.col("o_orderstatus"))
+        .repartition("status_route"),
         table,
         partition_by="status_route",
     )
-    versioned_commit(spark, orders.filter(half == 0), table, replace=True)
+    versioned_commit(
+        spark, orders.filter(half == 0).coalesce(1), table, replace=True
+    )
     versioned_rollback(spark, table, 2)
     hist = table_history(spark, table)
     return spark.createDataFrame(

@@ -918,3 +918,48 @@ def test_streaming_ohlc_cross_batch_open_close(spark):
     assert (bar.open_cents, bar.high_cents, bar.low_cents, bar.close_cents, bar.volume) == (
         400, 900, 100, 700, 5
     )
+
+
+def test_write_sentinel_file_types_match_stream_schema(spark, tmp_path):
+    """The pyarrow sentinel writer (r8 drain-harness fast path) must
+    produce files Spark reads back under the streams' explicit schemas:
+    timestamp[us] <-> TIMESTAMP, int64 <-> LONG, by-name column matching
+    regardless of written order, and missing columns as nulls."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from trafsys_data_transfer_spark.streaming.queries import (
+        _write_sentinel_file,
+    )
+
+    dst = str(tmp_path / "sent.parquet")
+    _write_sentinel_file(
+        dst,
+        pd.DataFrame(
+            {
+                "event_id": [-1],
+                "ts": [pd.Timestamp("2030-01-01 00:00:00.000123")],
+                "user_id": [-1],
+                "event_type": ["view"],
+            }
+        ),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+        mtime=1_700_000_000,
+    )
+    assert os.path.getmtime(dst) == 1_700_000_000
+    # reader schema in a DIFFERENT column order + an extra column
+    df = spark.read.schema(
+        "event_type string, user_id long, ts timestamp, event_id long, "
+        "value double"
+    ).parquet(dst)
+    row = df.collect()[0]
+    assert row.event_id == -1 and row.user_id == -1
+    assert row.event_type == "view" and row.value is None
+    assert row.ts.microsecond == 123  # µs precision survives the round trip

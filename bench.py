@@ -153,6 +153,8 @@ WORK_IN_BUILD = {
     "dedup_components_incremental",
     # round 8 lifecycle queries: commits/vacuum run in build()
     "timetravel_vacuum_gc",
+    # the closure loop's per-round termination probe executes in build()
+    "customer_hierarchy_rollup",
 }
 
 

@@ -78,6 +78,8 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.quantiles",
     "trafsys_data_transfer_spark.sources.federation",
     "trafsys_data_transfer_spark.operators.jl",
+    "trafsys_data_transfer_spark.operators.hierarchy",
+    "trafsys_data_transfer_spark.operators.intervals",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -171,6 +173,10 @@ _PRIORITY = (
     "events_decayed_topk",
     "split_kfold",
     "text_dup_segments",
+    # r8 additions (strict; past the settled window — verify_local covers
+    # them this round, eligible for a future window rotation)
+    "customer_hierarchy_rollup",
+    "events_interval_islands",
     "flagship_revenue_topk",
     "traffic_normalize",
     "traffic_window_filter",

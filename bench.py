@@ -155,6 +155,7 @@ WORK_IN_BUILD = {
     "timetravel_vacuum_gc",
     # the closure loop's per-round termination probe executes in build()
     "customer_hierarchy_rollup",
+    "streaming_interval_islands",
 }
 
 

@@ -129,3 +129,111 @@ def test_coalesce_intervals_plan_is_one_exchange(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming interval coalescing (r8) — state-fn unit semantics
+# ---------------------------------------------------------------------------
+
+
+def _iv_batch(rows):
+    """rows: (event_id, start_minute, end_minute) on the 2024-01-01 clock."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "start": [pd.Timestamp(2024, 1, 1, 0, s) for _, s, _ in rows],
+            "end": [pd.Timestamp(2024, 1, 1, 0, e) for _, _, e in rows],
+            "event_id": [i for i, _, _ in rows],
+        }
+    )
+
+
+def _min_ms(m):
+    import pandas as pd
+
+    ts = pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=m)
+    return int(ts.value // 1_000_000)
+
+
+class _FakeState:
+    """Minimal GroupState stub (mirrors tests/test_streaming.py's)."""
+
+    def __init__(self, value=None, wm_ms=0):
+        self._v = value
+        self.hasTimedOut = False
+        self.wm_ms = wm_ms
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
+
+
+def test_islands_fn_merges_across_batches_and_emits_on_watermark():
+    """An island stays OPEN while the watermark could still extend it;
+    intervals arriving in later micro-batches merge into it; emission is
+    exactly-once when the watermark passes the island end."""
+    from trafsys_data_transfer_spark.streaming.islands import _islands_fn
+
+    st = _FakeState()
+    # batch 1: [1,5] and [20,25] — wm=0, nothing final
+    out1 = list(_islands_fn((7,), iter([_iv_batch([(1, 1, 5), (2, 20, 25)])]), st))
+    assert out1 == []
+    # batch 2: [4,9] bridges into [1,9]; wm passes minute 15 → [1,9] final
+    st.wm_ms = _min_ms(15)
+    out2 = list(_islands_fn((7,), iter([_iv_batch([(3, 4, 9)])]), st))
+    assert len(out2) == 1
+    [(s, e, n)] = list(
+        zip(out2[0]["start_us"], out2[0]["end_us"], out2[0]["n_merged"])
+    )
+    assert (s, e, n) == (_min_ms(1) * 1000, _min_ms(9) * 1000, 2)
+    # [20,25] still open, held in state
+    assert st.get[0] == [_min_ms(20) * 1000]
+    # timeout sweep: wm far ahead flushes the tail exactly once
+    st.wm_ms = _min_ms(60)
+    out3 = list(_islands_fn((7,), iter([]), st))
+    assert out3[0]["n_merged"].tolist() == [1]
+    assert st.get == ([], [], [])
+
+
+def test_islands_fn_touching_merges_and_sentinels_never_buffer():
+    from trafsys_data_transfer_spark.streaming.islands import _islands_fn
+
+    st = _FakeState()
+    # touching: [1,5] + [5,8] merge; sentinel (event_id<0) ignored
+    list(
+        _islands_fn(
+            (9,),
+            iter([_iv_batch([(1, 1, 5), (-1, 50, 50), (2, 5, 8)])]),
+            st,
+        )
+    )
+    assert st.get[0] == [_min_ms(1) * 1000]
+    assert st.get[1] == [_min_ms(8) * 1000]
+    assert st.get[2] == [2]
+
+
+def test_islands_merge_helper_is_order_free_and_associative():
+    from trafsys_data_transfer_spark.streaming.islands import _merge
+
+    a = [(0, 10, 1), (5, 12, 1), (12, 20, 1), (25, 30, 1)]
+    want = [(0, 20, 3), (25, 30, 1)]
+    assert _merge(list(a)) == want
+    assert _merge(list(a[::-1])) == want
+    # associativity: islands(islands(X) ∪ Y) == islands(X ∪ Y)
+    x, y = a[:2], a[2:]
+    assert _merge(_merge(list(x)) + list(y)) == want

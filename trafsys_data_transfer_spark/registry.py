@@ -177,6 +177,7 @@ _PRIORITY = (
     # them this round, eligible for a future window rotation)
     "customer_hierarchy_rollup",
     "events_interval_islands",
+    "streaming_interval_islands",
     "flagship_revenue_topk",
     "traffic_normalize",
     "traffic_window_filter",

@@ -1216,6 +1216,148 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_islands",
+    # same oracle algebra as the batch twin events_interval_islands: the
+    # drained streaming islands must hash-match the batch window pass
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               ts AS s,
+               ts + INTERVAL 1 MINUTE * (event_id % 7 + 1) AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(s) AS island_start,
+           MAX(e) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands
+    GROUP BY user_id, island
+    ORDER BY user_id, island_start
+    """,
+)
+def streaming_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing AT INGEST (the r8 batch operator's streaming
+    twin, :mod:`.islands`): per-user activity spans merge into maximal
+    islands in keyed state, each emitted the moment the watermark proves
+    no future interval can extend it.  Day-sliced drops force islands
+    whose merging spans micro-batches; the drained output must hash-match
+    the batch window algebra (same oracle as ``events_interval_islands``).
+    Drain: pyarrow far-future sentinel + paired slices + the final
+    timeout sweep — the streaming_contribution_cap harness shape."""
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+    from .islands import islands_stream
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=(F.col("event_id") % 7 + 1).cast("int"))
+        ).alias("end"),
+        "event_id",
+    )
+    d0, d1 = iv.agg(
+        F.min(F.col("start").cast("date")), F.max(F.col("start").cast("date"))
+    ).first()
+    step = max(1, ((d1 - d0).days + 1) // 3)
+    staging = tempfile.mkdtemp(prefix="tds_stream_isl_")
+    tmp = tempfile.mkdtemp(prefix="tds_isl_slices_")
+    (
+        iv.withColumn(
+            "slice",
+            F.least(
+                F.floor(
+                    F.datediff(F.col("start").cast("date"), F.lit(d0)) / step
+                ),
+                F.lit(2),
+            ),
+        )
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(3):
+        sdir = os.path.join(tmp, f"slice={i}")
+        if not os.path.isdir(sdir):
+            continue
+        base = 1_700_000_000 + i * 10
+        for j, f in enumerate(sorted(os.listdir(sdir))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sdir, f), dst)
+                os.utime(dst, (base, base))
+    import pandas as _pd
+    import pyarrow as _pa
+
+    _write_sentinel_file(
+        os.path.join(staging, "zz-sent.parquet"),
+        _pd.DataFrame(
+            {
+                "user_id": [-1],
+                "start": [_pd.Timestamp("2030-01-01")],
+                "end": [_pd.Timestamp("2030-01-01")],
+                "event_id": [-1],
+            }
+        ),
+        _pa.schema(
+            [
+                ("user_id", _pa.int64()),
+                ("start", _pa.timestamp("us")),
+                ("end", _pa.timestamp("us")),
+                ("event_id", _pa.int64()),
+            ]
+        ),
+        mtime=1_700_000_100,
+    )
+    table = f"stream_isl_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "user_id long, start timestamp, end timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=max(32, STREAM_SHUFFLE_PARTITIONS)):
+        q = (
+            islands_stream(stream, lateness="90 days")
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("island_start"),
+            F.timestamp_micros("end_us").alias("island_end"),
+            "n_merged",
+        )
+        .orderBy("user_id", "island_start")
+    )
+
+
+@register(
     "streaming_contribution_cap",
     oracle=f"""
     SELECT event_type, user_id, event_id

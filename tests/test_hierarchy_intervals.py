@@ -176,6 +176,9 @@ class _FakeState:
     def update(self, v):
         self._v = v
 
+    def remove(self):
+        self._v = None
+
     def getCurrentWatermarkMs(self):
         return self.wm_ms
 
@@ -207,7 +210,64 @@ def test_islands_fn_merges_across_batches_and_emits_on_watermark():
     st.wm_ms = _min_ms(60)
     out3 = list(_islands_fn((7,), iter([]), st))
     assert out3[0]["n_merged"].tolist() == [1]
-    assert st.get == ([], [], [])
+    # VERDICT r08 #1: a fully sealed key must LEAVE the state store —
+    # empty open-island set == no state, so the timeout sweep removes
+    # the entry instead of pinning three empty arrays forever.
+    assert not st.exists
+
+
+def test_islands_fn_quiet_key_state_removed_after_timeout_sweep():
+    """State-retention contract (VERDICT r08 task 2): once every island
+    for a key is final, the key's state entry is REMOVED — a later
+    interval simply opens a fresh island — and a never-stateful key
+    (sentinels only) never creates an entry at all."""
+    from trafsys_data_transfer_spark.streaming.islands import _islands_fn
+
+    # key that buffers then fully seals in one sweep
+    st = _FakeState()
+    list(_islands_fn((1,), iter([_iv_batch([(1, 1, 5)])]), st))
+    assert st.exists  # open island held
+    st.wm_ms = _min_ms(30)
+    out = list(_islands_fn((1,), iter([]), st))
+    assert len(out) == 1
+    assert not st.exists  # removed, not ([], [], [])
+    # sentinel-only key: no state entry is ever created
+    st2 = _FakeState()
+    list(_islands_fn((2,), iter([_iv_batch([(-1, 50, 50)])]), st2))
+    assert not st2.exists
+    # re-arrival after removal opens a fresh island cleanly
+    out2 = list(_islands_fn((1,), iter([_iv_batch([(9, 40, 45)])]), st))
+    assert out2 == [] and st.exists and st.get[2] == [1]
+
+
+def test_islands_stream_and_cap_stream_est_keys_warning(spark):
+    """VERDICT r08 task 6: the stateful ingest operators surface the
+    frozen-checkpoint state-partition undersizing warning BEFORE the plan
+    is built, via the est_keys parameter."""
+    import warnings
+
+    from trafsys_data_transfer_spark.streaming.cap import cap_stream
+    from trafsys_data_transfer_spark.streaming.islands import islands_stream
+
+    import tempfile
+
+    stream = spark.readStream.schema(
+        "user_id long, start timestamp, end timestamp, "
+        "event_type string, ts timestamp, event_id long"
+    ).parquet(tempfile.mkdtemp(prefix="tds_isl_warn_"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        islands_stream(stream, est_keys=n_parts * 4_000 + 1)
+        cap_stream(stream, cap=5, est_keys=n_parts * 4_000 + 1)
+    fired = [x for x in w if "state partitions undersized" in str(x.message)]
+    assert len(fired) == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        islands_stream(stream, est_keys=10)  # comfortably sized: silent
+    assert not [
+        x for x in w if "state partitions undersized" in str(x.message)
+    ]
 
 
 def test_islands_fn_touching_merges_and_sentinels_never_buffer():

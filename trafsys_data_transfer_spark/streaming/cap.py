@@ -41,6 +41,25 @@ pattern (cusum/SCD2 precedent): a far-future single-row slice advances
 the global watermark, then a per-key sentinel slice (``event_id < 0``,
 never buffered) invokes every key for the final seal.  A production
 stream never ends, so the sentinel tier is drain harness, not operator.
+
+State-retention audit (VERDICT r08 #1).  This operator calls
+``state.update`` even when the reorder buffer is empty — DELIBERATELY:
+the ``admitted`` quota counter is the operator's contract ("at most CAP
+per key, EVER") and must survive arbitrarily long quiet periods, so a
+key's state entry is permanent by semantics, not by accident.  Contrast
+islands.py, where an empty open-island set carries zero information and
+is ``state.remove()``d.  Bounding key cardinality (e.g. expiring quotas
+after N days) would be a DIFFERENT operator contract — a rolling-window
+cap — not this one.
+
+CHECKPOINT COMPATIBILITY: round 8 changed the reorder buffer's time unit
+from milliseconds to MICROSECONDS without renaming the ``buf_ts`` state
+field.  A stream resumed from a checkpoint written by the pre-r8 code
+would silently reinterpret stored ms values as µs (1000× too small) and
+instantly seal/mis-order every buffered row.  Resuming across that
+boundary is NOT supported: start from a fresh checkpoint.  (The field
+name is kept because renaming it breaks those same old checkpoints just
+as hard, but loudly — and every in-repo harness uses fresh checkpoints.)
 """
 
 from __future__ import annotations
@@ -134,13 +153,29 @@ def _cap_fn(cap: int):
 
 
 def cap_stream(
-    events_stream: DataFrame, cap: int, lateness: str = "1 hour"
+    events_stream: DataFrame,
+    cap: int,
+    lateness: str = "1 hour",
+    est_keys: int | None = None,
 ) -> DataFrame:
     """Admitted (event_type, user_id, event_id) rows — the earliest
     ``cap`` per key IN EVENT TIME across all micro-batches, tolerant to
     arrival disorder up to ``lateness``.  Input needs ``event_type``,
     ``user_id``, ``ts`` and ``event_id`` (negative event_ids are drain
-    sentinels: they trigger sealing but are never admitted)."""
+    sentinels: they trigger sealing but are never admitted).
+
+    Pass ``est_keys`` (estimated distinct (event_type, user_id)
+    cardinality) to get the frozen-checkpoint state-partition undersizing
+    warning BEFORE the query's first start pins the partitioning."""
+    if est_keys is not None:
+        from .incremental import warn_if_state_partitions_undersized
+
+        n_parts = int(
+            events_stream.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+        )
+        warn_if_state_partitions_undersized(est_keys, n_parts)
     return (
         events_stream.select("event_type", "user_id", "ts", "event_id")
         .withWatermark("ts", lateness)

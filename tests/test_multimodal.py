@@ -442,6 +442,56 @@ def test_compressed_codec_raises_the_injection_contract():
         decode_mp4_frames(bytes(b))
 
 
+def test_frame_decoder_hostile_sample_tables_raise_valueerror():
+    """ADVICE r08: the three table shapes the truncation fuzz can't
+    reach — a zero first_chunk (would silently read stco[-1]), an
+    inflated table count (would struct.error past the box end), and a
+    non-final stsc run whose successor overruns stco (would IndexError)
+    — all stay inside the ValueError contract."""
+    import struct
+
+    from trafsys_data_transfer_spark.operators import multimodal as mm
+
+    good = mm.synthesize_mp4_rawvideo(6, 4, 3, seed=9)
+
+    # first_chunk = 0: stsc body = version/flags(4) count(4) entry(12);
+    # the entry's first_chunk is 8 bytes past the body start
+    b = bytearray(good)
+    pos = b.find(b"stsc") + 4
+    struct.pack_into(">I", b, pos + 8, 0)
+    with pytest.raises(ValueError, match="stco bounds"):
+        mm.decode_mp4_frames(bytes(b))
+
+    # inflated counts: each table's declared count must be validated
+    # against its box length, not trusted into unpack_from
+    for four_cc in (b"stts", b"stsc", b"stco"):
+        b = bytearray(good)
+        pos = b.find(four_cc) + 4
+        struct.pack_into(">I", b, pos + 4, 1_000_000)
+        with pytest.raises(ValueError, match="overruns its box"):
+            mm.decode_mp4_frames(bytes(b))
+    b = bytearray(good)
+    pos = b.find(b"stsz") + 4
+    struct.pack_into(">II", b, pos + 4, 72, 2**31)  # constant-size tier
+    with pytest.raises(ValueError, match="exceeds file size"):
+        mm.decode_mp4_frames(bytes(b))
+
+    # non-final run whose successor's first_chunk exceeds len(stco)
+    real_walk = mm._stbl_walk
+
+    def hostile_walk(bb, body, bend):
+        out = real_walk(bb, body, bend)
+        out["stsc"] = [(1, 1, 1), (99, 1, 1)]  # successor → chunk 98
+        return out
+
+    mm._stbl_walk, walk = hostile_walk, mm._stbl_walk
+    try:
+        with pytest.raises(ValueError, match="stco bounds"):
+            mm.decode_mp4_frames(good)
+    finally:
+        mm._stbl_walk = walk
+
+
 def test_frame_decoder_never_crashes_on_arbitrary_bytes():
     """Fuzz the sample-table walk: truncations of a valid raw-video file
     (hostile stbl offsets/sizes), junk tails, random bytes — ValueError /

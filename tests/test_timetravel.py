@@ -697,14 +697,39 @@ def test_multi_table_commit_lost_cas_rebases_to_monotone_cut(
 
 def test_rebase_claim_unit():
     """Per-table max of own vector and the latest manifest's vector;
-    tables absent from the latest manifest keep their own version."""
+    tables absent from the latest manifest keep their own version, and
+    tables absent from THIS txn carry forward at the latest manifest's
+    version (ADVICE r08: a subset commit must not drop the rest of the
+    catalog from the latest cut)."""
     from trafsys_data_transfer_spark.operators.timetravel import (
         _rebase_claim,
     )
 
     assert _rebase_claim({"a": 3}, []) == {"a": 3}
     hist = [{"txn": 1, "tables": {"a": 5, "b": 2}}]
-    assert _rebase_claim({"a": 3, "c": 7}, hist) == {"a": 5, "c": 7}
+    assert _rebase_claim({"a": 3, "c": 7}, hist) == {"a": 5, "b": 2, "c": 7}
+
+
+def test_multi_table_subset_commit_carries_untouched_tables(spark, tmp_path):
+    """ADVICE r08: a txn committing a subset of catalog tables still
+    yields a latest manifest covering the FULL table set — the untouched
+    table stays readable (at its predecessor version) in
+    multi_table_read(latest)."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        multi_table_commit,
+        multi_table_read,
+    )
+
+    root = str(tmp_path / "cat")
+    rng = lambda a, b: spark.range(a, b).withColumnRenamed("id", "k")  # noqa
+    multi_table_commit(spark, root, {"a": rng(0, 10), "b": rng(0, 5)})
+    t2 = multi_table_commit(spark, root, {"a": rng(10, 40)})  # b untouched
+    cut = multi_table_read(spark, root, t2)
+    assert set(cut) == {"a", "b"}
+    assert cut["a"].count() == 40  # append history is linear per table
+    assert cut["b"].count() == 5  # carried forward, not dropped
+    latest = multi_table_read(spark, root)
+    assert set(latest) == {"a", "b"} and latest["b"].count() == 5
 
 
 def test_catalog_rollback_and_vacuum(spark, tmp_path):

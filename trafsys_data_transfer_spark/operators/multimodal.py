@@ -549,13 +549,28 @@ def synthesize_mp4_rawvideo(
 
 
 def _stbl_walk(b: bytes, body: int, bend: int) -> dict:
-    """Parse the sample-table boxes under an ``stbl`` body range."""
+    """Parse the sample-table boxes under an ``stbl`` body range.
+
+    Hostile-input contract (ADVICE r08): every declared table count is
+    validated against the enclosing box's byte length BEFORE any
+    ``struct.unpack_from`` that trusts it, so truncated or
+    inflated-count boxes raise ``ValueError`` — never ``struct.error``
+    or an out-of-bounds read — and a count can never allocate more than
+    O(len(b)) entries."""
     import struct
+
+    def table(cbody: int, cend: int, name: str, header: int, entry: int):
+        if cbody + header > cend:
+            raise ValueError(f"mp4 {name} box too short for its header")
+        (count,) = struct.unpack_from(">I", b, cbody + header - 4)
+        if cbody + header + entry * count > cend:
+            raise ValueError(f"mp4 {name} count overruns its box")
+        return count
 
     out: dict = {}
     for btype, cbody, cend in _mp4_boxes(b, body, bend):
         if btype == b"stsd":
-            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            count = table(cbody, cend, "stsd", 8, 0)
             if count < 1:
                 raise ValueError("mp4 stsd has no sample entries")
             for etype, ebody, eend in _mp4_boxes(b, cbody + 8, cend):
@@ -566,33 +581,45 @@ def _stbl_walk(b: bytes, body: int, bend: int) -> dict:
                         "uncompressed 'raw ' RGB tracks decode without "
                         "native codecs — install one and inject"
                     )
+                if eend - ebody < 76:  # VideoSampleEntry body minimum
+                    raise ValueError("mp4 stsd sample entry truncated")
                 w, h = struct.unpack_from(">HH", b, ebody + 24)
                 (depth,) = struct.unpack_from(">H", b, ebody + 74)
                 out["entry"] = {"format": fmt, "width": w, "height": h,
                                 "depth": depth}
                 break
         elif btype == b"stts":
-            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            count = table(cbody, cend, "stts", 8, 8)
             out["stts"] = [
                 struct.unpack_from(">II", b, cbody + 8 + 8 * i)
                 for i in range(count)
             ]
         elif btype == b"stsz":
+            if cbody + 12 > cend:
+                raise ValueError("mp4 stsz box too short for its header")
             size, count = struct.unpack_from(">II", b, cbody + 4)
             if size:
+                # constant-size table carries no entries, so the box
+                # length can't bound count — cap at the file size (every
+                # decoded frame needs >= 1 mdat byte) to keep hostile
+                # counts from allocating unbounded lists
+                if count > len(b):
+                    raise ValueError("mp4 stsz count exceeds file size")
                 out["sizes"] = [size] * count
             else:
+                if cbody + 12 + 4 * count > cend:
+                    raise ValueError("mp4 stsz count overruns its box")
                 out["sizes"] = list(
                     struct.unpack_from(f">{count}I", b, cbody + 12)
                 )
         elif btype == b"stsc":
-            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            count = table(cbody, cend, "stsc", 8, 12)
             out["stsc"] = [
                 struct.unpack_from(">III", b, cbody + 8 + 12 * i)
                 for i in range(count)
             ]
         elif btype == b"stco":
-            (count,) = struct.unpack_from(">I", b, cbody + 4)
+            count = table(cbody, cend, "stco", 8, 4)
             out["stco"] = list(
                 struct.unpack_from(f">{count}I", b, cbody + 8)
             )
@@ -652,6 +679,12 @@ def decode_mp4_frames(b: bytes) -> dict:
         last_chunk = (
             stsc[run_idx + 1][0] - 1 if run_idx + 1 < len(stsc) else len(stco)
         )
+        # Chunk indices are 1-based into stco (ISO 14496-12 §8.7.4);
+        # hostile tables must fail the ValueError contract, not index
+        # stco out of range (successor first_chunk > len(stco)+1) or
+        # silently read stco[-1] (first_chunk == 0) — ADVICE r08.
+        if first_chunk < 1 or last_chunk > len(stco):
+            raise ValueError("mp4 stsc chunk run outside stco bounds")
         for chunk in range(first_chunk, last_chunk + 1):
             pos = stco[chunk - 1]
             for _ in range(per_chunk):

@@ -1387,9 +1387,18 @@ def _rebase_claim(
     """Monotone catalog claim: per-table max of this writer's committed
     versions and the latest manifest's recorded versions, so a txn never
     points a table at an OLDER version than its predecessor (the lost-CAS
-    concurrent-writer hazard — see :func:`multi_table_commit`)."""
+    concurrent-writer hazard — see :func:`multi_table_commit`).
+
+    The claim CARRIES FORWARD every table in the latest manifest, not
+    just the tables this txn touched (ADVICE r08): a transaction
+    committing a subset of the catalog must not produce a manifest whose
+    ``multi_table_read(latest)`` silently drops the untouched tables —
+    the latest cut stays monotone AND complete per table."""
     latest = history[-1].get("tables", {}) if history else {}
-    return {n: max(v, latest.get(n, 0)) for n, v in versions.items()}
+    return {
+        **latest,
+        **{n: max(v, latest.get(n, 0)) for n, v in versions.items()},
+    }
 
 
 def multi_table_commit(

@@ -312,23 +312,27 @@ def test_hll_sketch_union_tracks_exact_distinct(spark, sf_dir):
     from trafsys_data_transfer_spark.sources.fixtures import load_table
 
     rows = {
-        r.source: r.est_distinct
+        r.source: (r.exact_distinct, r.within_tol)
         for r in all_queries()["dedup_hll_sketch_union"].build(spark, sf_dir).collect()
     }
     docs = load_table(spark, sf_dir, "documents")
     exact_global = (
         docs.select(fingerprint(F.col("text")).alias("fp")).distinct().count()
     )
-    assert abs(rows["__union__"] - exact_global) / exact_global < 0.05
+    # the strict certificate: exact column reproduces the direct count,
+    # and the in-query tolerance boolean (5% / min 2) holds for every
+    # source AND for the union-of-stored-sketches row
+    assert rows["__union__"][0] == exact_global
     exact_per = {
         r.source: r.n
         for r in docs.groupBy("source")
         .agg(F.countDistinct(fingerprint(F.col("text"))).alias("n"))
         .collect()
     }
-    for src, est in rows.items():
+    for src, (exact, ok) in rows.items():
+        assert ok, src
         if src != "__union__":
-            assert abs(est - exact_per[src]) / exact_per[src] < 0.05
+            assert exact == exact_per[src]
 
 
 def test_quadratic_scope_guard_raises_beyond_bound(spark):

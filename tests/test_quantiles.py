@@ -62,12 +62,38 @@ def test_merge_bracket_bounded_and_sound(spark):
 
 def test_deterministic_rebuild(spark, sf_dir):
     from trafsys_data_transfer_spark.operators.quantiles import (
-        events_quantile_sketch,
+        quantile_sketch_estimates,
     )
 
-    a = [tuple(r) for r in events_quantile_sketch(spark, sf_dir).collect()]
-    b = [tuple(r) for r in events_quantile_sketch(spark, sf_dir).collect()]
+    a = [tuple(r) for r in quantile_sketch_estimates(spark, sf_dir).collect()]
+    b = [tuple(r) for r in quantile_sketch_estimates(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_sketch_certificates_all_within_eps(spark, sf_dir):
+    """The registered strict queries (VERDICT r08 task 3) emit TRUE for
+    every rank-bracket check — and a deliberately wrong estimate fails
+    the same certificate, so the boolean is load-bearing."""
+    from trafsys_data_transfer_spark.operators.quantiles import (
+        _rank_bracket_certificate,
+        events_grouped_quantile_sketch,
+        events_quantile_sketch,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    g = events_quantile_sketch(spark, sf_dir).collect()
+    assert len(g) == 5 and all(r.within_eps for r in g)
+    gg = events_grouped_quantile_sketch(spark, sf_dir).collect()
+    assert len(gg) >= 3 and all(r.within_eps for r in gg)
+    # negative control: the global max passed off as the median
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    vmax = events.agg({"value": "max"}).first()[0]
+    bogus = spark.createDataFrame(
+        [(0.5, float(vmax), n)], "q double, est_value double, n_total long"
+    )
+    [row] = _rank_bracket_certificate(events, bogus, ["q"], "n_total").collect()
+    assert not row.within_eps
 
 
 def test_heavy_tie_skew(spark):
@@ -92,7 +118,7 @@ def test_streaming_sketch_matches_guarantee_and_batch_twin(spark, sf_dir):
     import numpy as np
 
     from trafsys_data_transfer_spark.operators.quantiles import (
-        events_quantile_sketch,
+        quantile_sketch_estimates,
     )
     from trafsys_data_transfer_spark.sources.fixtures import load_table
     from trafsys_data_transfer_spark.streaming.queries import (
@@ -114,7 +140,7 @@ def test_streaming_sketch_matches_guarantee_and_batch_twin(spark, sf_dir):
         r.q: r.est_value for r in streaming_quantile_sketch(spark, sf_dir).collect()
     }
     batch_est = {
-        r.q: r.est_value for r in events_quantile_sketch(spark, sf_dir).collect()
+        r.q: r.est_value for r in quantile_sketch_estimates(spark, sf_dir).collect()
     }
     for q, v in stream_est.items():
         target = max(1, int(np.ceil(q * n)))
@@ -154,7 +180,7 @@ def test_grouped_sketch_per_group_guarantee(spark, sf_dir):
 
     from trafsys_data_transfer_spark.operators.quantiles import (
         GROUPED_QUANTILES,
-        events_grouped_quantile_sketch,
+        grouped_quantile_sketch_estimates,
     )
     from trafsys_data_transfer_spark.sources.fixtures import load_table
 
@@ -164,7 +190,7 @@ def test_grouped_sketch_per_group_guarantee(spark, sf_dir):
     ).collect():
         exact.setdefault(r.event_type, []).append(r.value)
     exact = {g: np.sort(np.array(v)) for g, v in exact.items()}
-    out = events_grouped_quantile_sketch(spark, sf_dir).collect()
+    out = grouped_quantile_sketch_estimates(spark, sf_dir).collect()
     assert {r.event_type for r in out} == set(exact)
     for r in out:
         vs = exact[r.event_type]

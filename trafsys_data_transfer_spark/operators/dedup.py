@@ -667,22 +667,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_approx_distinct")  # rows-only: HLL sketches differ per engine
+@register(
+    "dedup_approx_distinct",
+    # HLL estimates are engine-specific, so the strict row is the
+    # CERTIFICATE (VERDICT r08 task 3): exact per-day counts plus
+    # booleans asserting the HLL estimate landed inside the tolerance
+    # band (4×rsd relative, min 2 absolute) — the oracle recomputes the
+    # exact counts and expects every band check TRUE.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_types,
+           TRUE AS users_within_tol,
+           TRUE AS types_within_tol
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
 def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (users, event types per
-    day) — the constant-memory cardinality sketch for 100 TB streams.
-    Rows-only check: HLL estimates are engine-specific by nature; the
-    pytest suite asserts the estimate lands within rsd of the exact
-    count."""
+    day) — the constant-memory cardinality sketch for 100 TB streams —
+    upgraded from rows-only to a strict certificate: one pass computes
+    BOTH the HLL estimate and the exact distinct count per day, and the
+    registered row carries the exact counts plus within-tolerance
+    booleans.  A broken sketch emits FALSE and hash-mismatches; at scale
+    the exact column is dropped and the estimate stands alone."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.approx_count_distinct("event_type", 0.02).alias("approx_types"),
-        )
-        .orderBy("day")
+    agg = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_type", 0.02).alias("approx_types"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_type").alias("exact_types"),
     )
+
+    def band(approx: str, exact: str):
+        tol = F.greatest(F.lit(2.0), F.lit(0.08) * F.col(exact))
+        return F.abs(F.col(approx) - F.col(exact)) <= tol
+
+    return agg.select(
+        "day",
+        "exact_users",
+        "exact_types",
+        band("approx_users", "exact_users").alias("users_within_tol"),
+        band("approx_types", "exact_types").alias("types_within_tol"),
+    ).orderBy("day")
 
 
 @register("dedup_neardup_pipeline")  # rows-only: MinHash banding isn't ANSI-SQL
@@ -723,27 +752,73 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_hll_sketch_union")  # rows-only: DataSketches HLL isn't ANSI-SQL
+@register(
+    "dedup_hll_sketch_union",
+    # DataSketches HLL isn't ANSI-SQL, so the strict row is the
+    # certificate (VERDICT r08 task 3): exact distinct-fingerprint
+    # counts per source and globally (md5 of normalised text — the same
+    # portable digest dedup_fingerprint's oracle uses), plus a boolean
+    # asserting each estimate (including the union-of-stored-sketches
+    # row) landed within 5% / min-2 of exact.
+    oracle="""
+    WITH fps AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tol
+    FROM fps GROUP BY source
+    UNION ALL
+    SELECT '__union__', CAST(COUNT(DISTINCT fp) AS BIGINT), TRUE FROM fps
+    ORDER BY source
+    """,
+)
 def dedup_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-fingerprint sketches — the incremental pattern
     behind corpus-wide distinct counting at 100 TB: each ingest batch (or
     partition, or day) persists an ``hll_sketch_agg`` sketch of its
     content fingerprints; any rollup — global, per-source, per-month — is
     an ``hll_union_agg`` over stored sketches with NO rescan of the data.
-    Output: per-source estimates plus the union-of-sketches global row
-    (``source='__union__'``).  DataSketches HLL is deterministic for a
-    given input set, so the rows-only driver check is stable; the
-    union-vs-direct tolerance is pytest-asserted."""
+    Output: per-source rows plus the union-of-sketches global row
+    (``source='__union__'``), each carrying the exact distinct count and
+    a within-tolerance boolean for the sketch estimate — upgraded from
+    rows-only to strict: the union row's boolean certifies the MERGE
+    path (estimate from unioned stored sketches vs exact global), which
+    a broken union would fail."""
     docs = load_table(spark, sf_dir, "documents")
     fps = docs.select("source", fingerprint(F.col("text")).alias("fp"))
     per_source = fps.groupBy("source").agg(
-        F.expr("hll_sketch_agg(fp)").alias("sk")
+        F.expr("hll_sketch_agg(fp)").alias("sk"),
+        F.countDistinct("fp").alias("exact_distinct"),
     )
     per_rows = per_source.select(
-        "source", F.expr("hll_sketch_estimate(sk)").alias("est_distinct")
+        "source",
+        "exact_distinct",
+        F.expr("hll_sketch_estimate(sk)").alias("est_distinct"),
     )
     union_row = per_source.agg(
         F.lit("__union__").alias("source"),
+        F.lit(None).cast("long").alias("exact_distinct"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"),
     )
-    return per_rows.unionByName(union_row).orderBy("source")
+    exact_global = fps.agg(
+        F.lit("__union__").alias("source"),
+        F.countDistinct("fp").alias("exact_global"),
+    )
+    union_fixed = union_row.join(exact_global, "source").select(
+        "source",
+        F.col("exact_global").alias("exact_distinct"),
+        "est_distinct",
+    )
+    tol = F.greatest(F.lit(2.0), F.lit(0.05) * F.col("exact_distinct"))
+    return (
+        per_rows.unionByName(union_fixed)
+        .select(
+            "source",
+            "exact_distinct",
+            (F.abs(F.col("est_distinct") - F.col("exact_distinct")) <= tol)
+            .alias("within_tol"),
+        )
+        .orderBy("source")
+    )

@@ -154,15 +154,14 @@ def query_quantiles(
 QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.99]
 
 
-@register("events_quantile_sketch")  # rows-only: sketch, not ANSI-SQL
-def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantile_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-quantile lifecycle end to end: build per-partition rank
     summaries of events.value, PERSIST them as a sketch table, then
     answer p1/p25/p50/p75/p99 by merging the STORED sketches — no second
     scan of the events data.  Deterministic (hash routing + sorted
-    compression, no sampling), so the rows-only driver check is stable;
-    the ±ε·N rank guarantee against the exact sorted data is
-    pytest-asserted (tests/test_quantiles.py)."""
+    compression, no sampling).  Returns the raw estimates
+    (q, est_value, rank_lo, rank_hi, n_total) — the registered strict
+    query wraps these in the rank-bracket certificate."""
     events = load_table(spark, sf_dir, "events")
     sk = build_partition_sketches(events, "value")
     store = os.path.join(
@@ -182,6 +181,70 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "q double, est_value double, rank_lo long, rank_hi long, n_total long",
     ).orderBy("q")
+
+
+def _rank_bracket_certificate(
+    events: DataFrame,
+    est: DataFrame,
+    group_cols: list[str],
+    n_col: str,
+) -> DataFrame:
+    """Strict certificate for a quantile estimate table: one exact scan
+    computes each estimate's true rank bracket [cnt_lt+1, cnt_le] among
+    the values it summarises, and ``within_eps`` asserts that bracket
+    overlaps the ±ε·N band around the target rank ⌈q·N⌉ (+1 slack for
+    the tie/rounding convention, the pytest suite's own criterion).  The
+    sketch-valued column never reaches the output, so a DuckDB oracle
+    reproduces the row exactly — the estimate is verified, not trusted
+    (VERDICT r08 task 3)."""
+    if len(group_cols) == 1:  # global tier: group_cols == ["q"]
+        joined = events.crossJoin(F.broadcast(est))
+    else:  # grouped tier: equi-join on the leading group column(s)
+        joined = events.join(F.broadcast(est), group_cols[:-1])
+    ranks = joined.groupBy(*group_cols, "est_value", n_col).agg(
+        F.sum((F.col("value") < F.col("est_value")).cast("long")).alias(
+            "cnt_lt"
+        ),
+        F.sum((F.col("value") <= F.col("est_value")).cast("long")).alias(
+            "cnt_le"
+        ),
+    )
+    t = F.greatest(F.lit(1.0), F.ceil(F.col("q") * F.col(n_col)))
+    eps_n = F.lit(EPS) * F.col(n_col)
+    within = (F.col("cnt_lt") + 1 <= t + eps_n + 1) & (
+        F.col("cnt_le") >= t - eps_n - 1
+    )
+    return ranks.select(
+        *group_cols, F.col(n_col), within.alias("within_eps")
+    ).orderBy(*group_cols)
+
+
+@register(
+    "events_quantile_sketch",
+    # The estimates are sketch-valued (engine-specific by construction),
+    # so the STRICT row is the certificate: the oracle recomputes N and
+    # expects every rank-bracket check to hold.
+    oracle="""
+    SELECT CAST(t.q AS DOUBLE) AS q,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_total,
+           TRUE AS within_eps
+    FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) AS t(q)
+    ORDER BY q
+    """,
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict tier of :func:`quantile_sketch_estimates` (VERDICT r08
+    task 3 — upgraded from rows-only): the registered row carries the
+    target quantile, the exact N, and a ``within_eps`` boolean proving
+    the stored-sketch estimate's true rank sits within ±ε·N of ⌈q·N⌉.
+    A broken sketch build/merge/query emits FALSE and hash-mismatches
+    the oracle — a genuinely strict check on a non-SQL-expressible
+    operator."""
+    events = load_table(spark, sf_dir, "events")
+    est = quantile_sketch_estimates(spark, sf_dir).select(
+        "q", "est_value", "n_total"
+    )
+    return _rank_bracket_certificate(events, est, ["q"], "n_total")
 
 
 @register("events_equidepth_histogram_sketch")  # rows-only: sketch boundaries
@@ -279,13 +342,15 @@ def build_grouped_sketches(
 GROUPED_QUANTILES = [0.5, 0.95, 0.99]
 
 
-@register("events_grouped_quantile_sketch")  # rows-only: sketch
-def events_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouped_quantile_sketch_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Per-event-type p50/p95/p99 from mergeable rank sketches — the
     per-segment latency-style monitoring shape: one summary table serves
     every group's quantiles with no per-group rescan, and per-group
     summaries merge across ingest batches exactly like the global tier.
-    Deterministic; the per-group ±ε·N_g guarantee is pytest-pinned."""
+    Deterministic.  Returns raw estimates (event_type, q, est_value,
+    n_group); the registered strict query wraps the certificate."""
     events = load_table(spark, sf_dir, "events")
     sk = build_grouped_sketches(events, "event_type", "value")
     rows = sk.collect()
@@ -304,3 +369,33 @@ def events_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         out, "event_type string, q double, est_value double, n_group long"
     ).orderBy("event_type", "q")
+
+
+@register(
+    "events_grouped_quantile_sketch",
+    oracle="""
+    SELECT e.event_type,
+           CAST(t.q AS DOUBLE) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n_group,
+           TRUE AS within_eps
+    FROM events e CROSS JOIN (VALUES (0.5), (0.95), (0.99)) AS t(q)
+    GROUP BY e.event_type, t.q
+    ORDER BY event_type, q
+    """,
+)
+def events_grouped_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict tier of :func:`grouped_quantile_sketch_estimates` (VERDICT
+    r08 task 3 — upgraded from rows-only): per (event_type, q), the
+    exact group size and a ``within_eps`` boolean proving the sketch
+    estimate's true rank within its group sits within ±ε·N_g of
+    ⌈q·N_g⌉ — the per-group mergeability guarantee, verified by one
+    exact broadcast-join scan rather than trusted."""
+    events = load_table(spark, sf_dir, "events")
+    est = grouped_quantile_sketch_estimates(spark, sf_dir).select(
+        "event_type", "q", "est_value", "n_group"
+    )
+    return _rank_bracket_certificate(
+        events, est, ["event_type", "q"], "n_group"
+    )

@@ -295,14 +295,46 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_time_to_convert_approx")  # rows-only: sketch output
+@register(
+    "events_time_to_convert_approx",
+    # approx_percentile is sketch-valued; the strict row is the
+    # certificate (VERDICT r08 task 3): exact count/min/max plus
+    # booleans asserting each approx percentile sits within 5% relative
+    # (min 1s) of the exact nearest-rank value — the exact twin's
+    # oracle, reduced to the verifiable columns + TRUE booleans.
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT CAST(FLOOR(epoch(first_buy)) AS BIGINT)
+                   - CAST(FLOOR(epoch(first_view)) AS BIGINT) AS ttc_sec
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(MIN(ttc_sec) AS BIGINT) AS min_sec,
+           CAST(MAX(ttc_sec) AS BIGINT) AS max_sec,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol
+    FROM conv
+    """,
+)
 def events_time_to_convert_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB tier the exact twin names in its docstring: identical
     per-user firsts derivation, but the percentile summary comes from
     ``approx_percentile`` (one map-side-mergeable sketch, NO global sort
     or O(converters) window) — the plan that survives billions of
-    converters.  Same output columns as ``events_time_to_convert``; a
-    tolerance pytest bounds its deviation against the exact twin."""
+    converters.  Upgraded from rows-only to strict: the registered row
+    keeps the exactly-verifiable columns (count, min, max) and converts
+    the sketch percentiles into rank-bracket booleans: one extra exact
+    pass computes each approx value's true rank among converters, which
+    must sit within n/1000+1 of the nearest-rank target (10× the
+    documented accuracy-10k guarantee, robust to value-scale)."""
     events = load_table(spark, sf_dir, "events")
     firsts = events.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
@@ -322,12 +354,36 @@ def events_time_to_convert_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("ttc_sec"),
     )
     pcts = F.percentile_approx("ttc_sec", [0.5, 0.9], 10_000)
-    return conv.agg(
+    approx = conv.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converters"),
         F.min("ttc_sec").alias("min_sec"),
-        pcts.getItem(0).alias("p50_sec"),
-        pcts.getItem(1).alias("p90_sec"),
         F.max("ttc_sec").alias("max_sec"),
+        pcts.getItem(0).alias("p50_approx"),
+        pcts.getItem(1).alias("p90_approx"),
+    )
+    ranks = conv.crossJoin(F.broadcast(approx)).agg(
+        F.first("n_converters").alias("n_converters"),
+        F.first("min_sec").alias("min_sec"),
+        F.first("max_sec").alias("max_sec"),
+        F.sum(
+            (F.col("ttc_sec") <= F.col("p50_approx")).cast("long")
+        ).alias("rank_p50"),
+        F.sum(
+            (F.col("ttc_sec") <= F.col("p90_approx")).cast("long")
+        ).alias("rank_p90"),
+    )
+
+    def band(rank: str, q: float):
+        target = F.ceil(F.lit(q) * F.col("n_converters"))
+        tol = F.col("n_converters") / 1000.0 + 1.0
+        return F.abs(F.col(rank) - target) <= tol
+
+    return ranks.select(
+        "n_converters",
+        "min_sec",
+        "max_sec",
+        band("rank_p50", 0.5).alias("p50_within_tol"),
+        band("rank_p90", 0.9).alias("p90_within_tol"),
     )
 
 

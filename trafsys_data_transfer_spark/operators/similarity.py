@@ -255,23 +255,23 @@ IVF_TRAIN_SAMPLE = 4096
 def _collect_train_sample(
     corpus: DataFrame, vec_col: str, cap: int
 ) -> np.ndarray:
-    """Bounded, DETERMINISTIC training sample: a modulo filter on
-    ``xxhash64(vec)`` draws ≤ ``cap`` vectors with one narrow pruned scan,
-    and the collected rows are sorted by their hash so the sample matrix is
-    independent of partition/scan order — k-means init indexes into this
-    matrix, so row order would otherwise leak scan nondeterminism into the
-    codebooks (ADVICE r04)."""
-    n = corpus.count()
-    every = max(1, n // cap)
+    """Bounded, DETERMINISTIC training sample: the ``cap`` vectors with
+    the smallest ``xxhash64(vec)`` — a single TakeOrderedAndProject job
+    (map-side partial top-k per partition, no full-count pre-pass; the
+    r8 version's count+filtered-collect pair cost two scans per trainer
+    call).  Ordering by (hash, vector) makes both the sample SET and its
+    row order independent of partition/scan layout — k-means init
+    indexes into this matrix, so row order would otherwise leak scan
+    nondeterminism into the codebooks (ADVICE r04)."""
     sample = (
         corpus.select(
             as_double(F.col(vec_col)).alias("v"),
             F.xxhash64(F.col(vec_col)).alias("h"),
         )
-        .filter(F.pmod(F.col("h"), every) == 0)
+        .orderBy("h", "v")
+        .limit(cap)
         .collect()
     )
-    sample.sort(key=lambda r: (r["h"], tuple(r["v"])))
     return np.array([r["v"] for r in sample], dtype=np.float64)
 
 
@@ -969,12 +969,16 @@ def train_pq_codebooks(
     zero-padded, so encode's argmin can never select a phantom all-zero
     code (ADVICE r04).
     """
-    X = _l2_normalize_rows(_collect_train_sample(corpus, vec_col, PQ_TRAIN_SAMPLE))
+    X = _l2_normalize_rows(
+        _collect_train_sample(corpus, vec_col, PQ_TRAIN_SAMPLE)
+    ).astype(np.float32)  # fp32 Lloyd: 8× faster on the 1024×256 distance
+    # matrices, codebook drift ~1e-8 vs fp64, and the reported scores are
+    # untouched (the shortlist is exact-rescored in fp64) — VERDICT r08 #2
     d = X.shape[1]
     ds = d // m
     ks_eff = min(ks, len(X))
     rng = np.random.RandomState(seed)
-    books = np.zeros((m, ks_eff, ds), dtype=np.float64)
+    books = np.zeros((m, ks_eff, ds), dtype=np.float32)
     for j in range(m):
         sub = X[:, j * ds : (j + 1) * ds]
         cent = sub[rng.choice(len(sub), size=ks_eff, replace=False)].copy()
@@ -989,18 +993,24 @@ def train_pq_codebooks(
             nz = counts > 0
             cent[nz] = sums[nz] / counts[nz, None]
         books[j] = cent
-    return books
+    # LUT / ADC math downstream stays fp64 on top of fp32-trained books
+    return books.astype(np.float64)
 
 
 def _pq_encode_udf(books: np.ndarray):
-    """Pandas UDF: vector → m argmin codes (one matmul batch per subspace)."""
+    """Pandas UDF: vector → m argmin codes (one matmul batch per subspace).
+    Encode math runs fp32 (same precision the codebooks were trained at;
+    halves the corpus-scan bandwidth) — borderline argmin flips only move
+    a vector between near-equidistant codes, and the reported scores come
+    from the fp64 exact rescore either way."""
+    books = books.astype(np.float32)
     m, ks, ds = books.shape
 
     @pandas_udf(ArrayType(LongType()))
     def encode(vecs: pd.Series) -> pd.Series:
         V = _l2_normalize_rows(
             np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        )
+        ).astype(np.float32)
         codes = np.empty((len(V), m), dtype=np.int64)
         for j in range(m):
             sub = V[:, j * ds : (j + 1) * ds]
@@ -1041,12 +1051,10 @@ def topk_pq(
     reported scores.
     """
     books = train_pq_codebooks(corpus, vec_col, m, ks)
-    encode = _pq_encode_udf(books)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    encoded = c.select("neighbor_id", encode(F.col("cv")).alias("codes"))
 
     # Bounded |Q| driver step: LUT[q, j, code] = <q_subvec_j, codebook[j][code]>.
     qrows = _collect_bounded_queries(
@@ -1061,7 +1069,10 @@ def topk_pq(
         )
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = _l2_normalize_rows(np.array([r["qv"] for r in qrows], dtype=np.float64))
-    return _pq_adc_topk(encoded, c, books, qids, Q, k, shortlist)
+    # Inline tier: encode+scan fused into one corpus pass (VERDICT r08
+    # #2); the stored tier's separate encode/_pq_adc_topk path is what
+    # materializes the narrow code column.
+    return _pq_fused_scan_topk(c, books, qids, Q, k, shortlist)
 
 
 def _pq_adc_topk(
@@ -1094,24 +1105,53 @@ def _pq_adc_topk(
             for j in range(m):
                 S += lut[:, j, codes[:, j]]
             n_ids = pdf["neighbor_id"].values
+            # Per-batch partial top-k (VERDICT r08 #2): the global
+            # shortlist is a subset of the per-batch shortlists, so emit
+            # only those — the window shuffle sees |Q|·shortlist rows per
+            # Arrow batch instead of |Q|·N.  Self-matches are masked here
+            # so they never consume a shortlist slot; the lexsort breaks
+            # ADC ties by neighbor_id exactly like the window's ordering,
+            # keeping the surviving candidate set deterministic.
+            take = min(shortlist, len(codes))
+            qcol, ncol, scol = [], [], []
+            for i, qid in enumerate(qids):
+                s = S[i]
+                s = np.where(n_ids == qid, -np.inf, s)
+                order = np.lexsort((n_ids, -s))[:take]
+                qcol.append(np.full(take, qid, dtype=np.int64))
+                ncol.append(n_ids[order])
+                scol.append(s[order])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, len(codes)),
-                    "neighbor_id": np.tile(n_ids, len(qids)),
-                    "adc": S.reshape(-1),
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "adc": np.concatenate(scol),
                 }
             )
 
     scored = encoded.mapInPandas(
         adc, schema="query_id long, neighbor_id long, adc double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    ).filter(F.col("adc") != float("-inf"))
+    return _pq_shortlist_rescore(scored, c_float, qids, Q, k, shortlist)
 
+
+def _pq_shortlist_rescore(
+    scored: DataFrame,
+    c_float: DataFrame,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared PQ tail: global shortlist over the per-batch ADC
+    candidates, exact fp64 cosine rescore against the float corpus,
+    final top-k."""
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     short = scored.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= shortlist
     )
 
-    q_df = encoded.sparkSession.createDataFrame(
+    q_df = c_float.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         "query_id long, qv array<double>",
     )
@@ -1132,6 +1172,72 @@ def _pq_adc_topk(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def _pq_fused_scan_topk(
+    c_float: DataFrame,
+    books: np.ndarray,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Inline-tier PQ search in ONE corpus pass: encode (fp32, identical
+    codes to :func:`_pq_encode_udf`), ADC-score against the per-query
+    LUTs, and per-batch partial top-k — all inside a single mapInPandas,
+    so the float corpus crosses the Arrow boundary once instead of twice
+    (encode job + scan job).  The stored-index tier keeps the separate
+    :func:`_pq_adc_topk` path, where the scan genuinely reads only the
+    code column."""
+    m = books.shape[0]
+    ds = Q.shape[1] // m
+    lut = np.stack(
+        [
+            np.stack([books[j] @ Q[i, j * ds : (j + 1) * ds] for j in range(m)])
+            for i in range(len(Q))
+        ]
+    )  # (|Q|, m, ks)
+    books32 = books.astype(np.float32)
+
+    def scan(batches):
+        for pdf in batches:
+            V = _l2_normalize_rows(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                )
+            ).astype(np.float32)
+            n_ids = pdf["neighbor_id"].values
+            S = np.zeros((len(qids), len(V)))
+            for j in range(m):
+                sub = V[:, j * ds : (j + 1) * ds]
+                # bitwise the SAME fp32 expression as _pq_encode_udf, so
+                # fused codes match the stored-index encoder exactly
+                d2 = (
+                    (sub**2).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books32[j].T)
+                    + (books32[j] ** 2).sum(axis=1)[None, :]
+                )
+                S += lut[:, j, d2.argmin(axis=1)]
+            take = min(shortlist, len(V))
+            qcol, ncol, scol = [], [], []
+            for i, qid in enumerate(qids):
+                s = np.where(n_ids == qid, -np.inf, S[i])
+                order = np.lexsort((n_ids, -s))[:take]
+                qcol.append(np.full(take, qid, dtype=np.int64))
+                ncol.append(n_ids[order])
+                scol.append(s[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "adc": np.concatenate(scol),
+                }
+            )
+
+    scored = c_float.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    ).filter(F.col("adc") != float("-inf"))
+    return _pq_shortlist_rescore(scored, c_float, qids, Q, k, shortlist)
 
 
 @register("sim_topk_pq")  # rows-only: k-means codebooks aren't ANSI-SQL

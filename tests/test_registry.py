@@ -20,40 +20,48 @@ def test_priority_matches_registry_exactly():
 
 
 def test_priority_window_front_loads_every_family():
-    """The driver records ~50 rows; the round-8 rotation (VERDICT r07
-    task 1) fills ALL 50 slots with never-driver-verified strict queries,
-    so the family representatives are now the never-windowed flagships —
-    the r1-r7 driver-green names sit past the window, still covered by
+    """The driver records ~50 rows; the round-9 rotation (VERDICT r08
+    task 1) fills ALL 50 slots with never-driver-verified strict queries
+    — 50 of the 59 that remained after r8, with the 9 deferred
+    same-family twins queued directly behind the window for r10.  The
+    r1-r8 driver-green names sit past the window, still covered by
     tools/verify_local.py."""
     window = set(_PRIORITY[:50])
     for family_member in (
-        # traffic reference-parity tier (rollup/merge/watermark variants
-        # are driver-green r1-r7; the gap-fill + uptime tier was not)
-        "traffic_resample_ffill",
-        "traffic_uptime_coverage",
-        # streaming tier: MV refresh, CDF feed, exactly-once ingest
-        "streaming_mv_refresh",
-        "streaming_merge_cdf",
-        "streaming_versioned_ingest",
-        # timetravel/catalog tier
-        "timetravel_rollback_read",
-        "catalog_snapshot_join",
-        # retrieval stored-index tier
-        "text_bm25_index_probe",
-        "retrieval_hybrid_rrf",
-        # graph tier
-        "graph_triangle_census",
-        "dedup_components_incremental",
-        # layout clustering tier
-        "layout_hilbert",
-        # entity resolution
-        "er_golden_record",
-        # behavior analytics
-        "events_path_mining",
-        # contribution capping (batch twin of the streaming cap)
-        "events_contribution_capped",
+        # r8 additions: hierarchy + interval coalescing (batch and stream)
+        "customer_hierarchy_rollup",
+        "events_interval_islands",
+        "streaming_interval_islands",
+        # the r9 rows-only→strict conversions
+        "events_quantile_sketch",
+        "events_grouped_quantile_sketch",
+        "dedup_hll_sketch_union",
+        "events_sliding_active_users_hll",
+        "events_time_to_convert_approx",
+        # streaming tier never yet windowed
+        "streaming_trending_topk",
+        "streaming_cusum_changepoints",
+        "streaming_percolate",
+        "streaming_ohlc_hourly",
+        # layout / runtime-filter / fingerprint tiers
+        "layout_bloom_file_skip",
+        "bloom_prefilter_join",
+        "orders_fingerprint_diff_locate",
+        # analytics / quality tiers
+        "events_max_drawdown",
+        "profile_orders_columns",
+        "supplier_abc_classification",
+        "fk_integrity_audit",
+        # graph + timetravel history
+        "graph_lpa_communities",
+        "timetravel_table_history",
     ):
         assert family_member in window, f"{family_member} outside 50-row window"
+    # the deferred strict twins sit immediately after the window (r10)
+    next_up = set(_PRIORITY[50:78])
+    for deferred in ("events_time_to_convert", "events_sliding_active_users",
+                     "split_kfold", "text_percolate"):
+        assert deferred in next_up, f"{deferred} not queued for r10"
 
 
 def test_priority_window_is_all_strict_oracle():

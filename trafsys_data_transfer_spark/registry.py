@@ -92,19 +92,95 @@ _QUERY_MODULES = (
 #: inventory; redundant same-family variants (all locally verified by
 #: tools/verify_local.py) sit past the window.
 _PRIORITY = (
-    # ---- round-8 driver window (VERDICT r07 task 1): ALL 50 slots rotate
-    # to queries that have NEVER produced a driver CORRECTNESS row (the
-    # driver records only the first 50 queries() entries; rounds 1-7
-    # hard-verified 106 distinct names, leaving 122 registry queries with
-    # local-verifier/judge evidence only).  Every name below carries a
-    # strict DuckDB oracle and passed tools/verify_local.py at sf0.01
-    # before this rotation landed; the 106 previously driver-green
-    # queries sit past the window, unchanged, still covered by
-    # tools/verify_local.py.  Family spread: traffic parity (4),
-    # streaming (8), timetravel/catalog (7), retrieval indexes (4),
-    # graph (3), layout (3), fingerprints (2), entity resolution (2),
-    # SCD2 (2), behavior/analytics (6), sampling (2), frequency (2),
-    # IVM (1), text quality (2), multimodal (1), contribution cap (1).
+    # ---- round-9 driver window (VERDICT r08 task 1): all 50 slots are
+    # STRICT-oracle queries that have never produced a driver
+    # CORRECTNESS row (rounds 1-8 hard-verified 156 distinct names; 78
+    # remained local/judge-verified only).  Of the 59 never-windowed
+    # strict queries, 50 enter here; the 9 deferred are same-family
+    # twins of in-window names, queued immediately after the window
+    # with the 19 rows-only queries so round 10 closes the set.
+    "text_dup_segments",
+    "customer_hierarchy_rollup",
+    "events_interval_islands",
+    "streaming_interval_islands",
+    "events_value_winsorize",
+    "ivm_delta_join_orders",
+    "events_asof_next_order",
+    "orders_drift_chi2",
+    "events_key_skew_profile",
+    "events_ab_test",
+    "streaming_trending_topk",
+    "text_keyphrases_rake",
+    "fk_integrity_audit",
+    "streaming_cusum_changepoints",
+    "streaming_view_click_leftjoin",
+    "basket_item_similarity",
+    "dedup_hll_sketch_union",
+    "text_repetition",
+    "corpus_snapshot_diff",
+    "docs_chunk_manifest",
+    "docs_mixture_sample",
+    "export_shard_assign",
+    "layout_partition_overwrite_restate",
+    "timetravel_version_diff",
+    "orders_mor_read",
+    "multimodal_audio_stats",
+    "events_variant_extract",
+    "streaming_seasonal_anomalies",
+    "profile_orders_columns",
+    "docs_weighted_sample",
+    "streaming_decayed_topk",
+    "text_bm25_index_incremental",
+    "events_time_to_convert_approx",
+    "events_sliding_active_users_hll",
+    "bloom_prefilter_join",
+    "orders_fingerprint_diff_locate",
+    "events_sessionize_incremental",
+    "layout_bloom_file_skip",
+    "streaming_ohlc_hourly",
+    "events_concurrency_daily_peak",
+    "supplier_abc_classification",
+    "events_equidepth_histogram",
+    "events_stats_unpivot",
+    "split_group_holdout",
+    "events_quantile_sketch",
+    "timetravel_table_history",
+    "graph_lpa_communities",
+    "events_grouped_quantile_sketch",
+    "streaming_percolate",
+    "events_max_drawdown",
+    # ---- deferred strict twins (next window, r10)
+    "events_time_to_convert",
+    "events_sliding_active_users",
+    "events_ohlc_hourly",
+    "text_percolate",
+    "traffic_seasonal_anomalies",
+    "events_decayed_topk",
+    "docs_overlap_chunks",
+    "split_kfold",
+    "docs_epoch_upsample",
+    # ---- rows-only (no DuckDB-expressible oracle by design; next window)
+    "events_heavy_hitters_cms",
+    "multimodal_image_neardup",
+    "text_decontaminate_fuzzy",
+    "dedup_incremental_neardup",
+    "sim_topk_pq_stored",
+    "sim_topk_ivfpq",
+    "sim_semantic_dedup_pipeline",
+    "pretrain_data_pipeline",
+    "tokenizer_bpe_stats",
+    "embeddings_kmeans",
+    "graph_pagerank_partsupp",
+    "multimodal_features",
+    "tokenizer_bpe_encode",
+    "embeddings_pca_project",
+    "text_compression_ratio",
+    "events_dp_counts",
+    "streaming_quantile_sketch",
+    "embeddings_jl_project",
+    "events_equidepth_histogram_sketch",
+    # ---- driver-verified in r1-r8 (unchanged; covered every round by
+    # tools/verify_local.py)
     "traffic_resample_ffill",
     "traffic_uptime_coverage",
     "traffic_ewma_hourly",
@@ -146,38 +222,15 @@ _PRIORITY = (
     "events_path_mining",
     "events_sequence_pattern",
     "orders_lineitem_nested_agg",
-    # VACUUM lifecycle (r8, VERDICT r07 task 6; split_kfold ceded —
-    # docs_stratified_sample keeps the sampling-family row)
     "timetravel_vacuum_gc",
     "docs_stratified_sample",
     "events_heavy_hitters",
-    # frame-level video decode (r8 flagship, VERDICT r07 task 3)
     "multimodal_video_frames",
     "ivm_retractable_agg",
     "text_pii_scrub",
-    # REST DataSource lifecycle (r8, VERDICT r07 task 6;
-    # text_dup_segments ceded — text_pii_scrub keeps the family row)
     "trafsys_rest_source_window",
     "multimodal_resize",
     "events_contribution_capped",
-    # ---- past the driver window: every name below is either driver-green
-    # from a prior round (96 distinct across r1-r7) or re-verified by the
-    # round-7 judge's independent strict oracle run; all remain covered by
-    # tools/verify_local.py each round.  Relative order preserved from the
-    # round-7 list (rotation history in git: rounds 3-7 annotations).
-    # (events_decayed_topk ceded its r8 window slot to the new
-    # multimodal_video_frames flagship; heavy_hitters keeps the
-    # frequency-family row.  split_kfold and text_dup_segments ceded
-    # theirs to the two r8 lifecycle queries — all three remain
-    # verify_local-covered here.)
-    "events_decayed_topk",
-    "split_kfold",
-    "text_dup_segments",
-    # r8 additions (strict; past the settled window — verify_local covers
-    # them this round, eligible for a future window rotation)
-    "customer_hierarchy_rollup",
-    "events_interval_islands",
-    "streaming_interval_islands",
     "flagship_revenue_topk",
     "traffic_normalize",
     "traffic_window_filter",
@@ -241,65 +294,28 @@ _PRIORITY = (
     "events_session_window_native",
     "events_props_map",
     "events_value_histogram",
-    "events_value_winsorize",
     "events_value_approx_quantiles",
     "traffic_rollup_incremental",
-    "ivm_delta_join_orders",
-    "events_asof_next_order",
-    "orders_drift_chi2",
-    "events_heavy_hitters_cms",
-    "events_key_skew_profile",
-    "events_ab_test",
-    "streaming_trending_topk",
-    "text_keyphrases_rake",
-    "fk_integrity_audit",
-    "streaming_cusum_changepoints",
-    "multimodal_image_neardup",
-    "streaming_view_click_leftjoin",
-    "events_time_to_convert",
-    "basket_item_similarity",
-    "text_decontaminate_fuzzy",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",
     "sim_topk_lsh",
-    "dedup_incremental_neardup",
     "sim_topk_pq",
-    "sim_topk_pq_stored",
-    "sim_topk_ivfpq",
     "sim_topk_sq8",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_neardup_pipeline",
-    "sim_semantic_dedup_pipeline",
     "dedup_approx_distinct",
-    "pretrain_data_pipeline",
     "skew_salted_agg",
-    "dedup_hll_sketch_union",
     "sim_embedding_neardup",
     "events_daily_pivot",
     "events_daily_activity_full_join",
     "dedup_exact",
     "text_token_count",
     "text_quality",
-    "text_repetition",
-    "tokenizer_bpe_stats",
-    "embeddings_kmeans",
-    "graph_pagerank_partsupp",
-    "corpus_snapshot_diff",
-    "docs_chunk_manifest",
-    "docs_overlap_chunks",
-    "docs_mixture_sample",
-    "export_shard_assign",
     "traffic_daily_rollup",
-    "traffic_seasonal_anomalies",
-    "layout_partition_overwrite_restate",
-    "timetravel_version_diff",
-    "orders_mor_read",
     "sim_topk_ivf",
-    "multimodal_features",
     "multimodal_frame_sample",
-    "multimodal_audio_stats",
     "text_top_terms",
     "pricing_summary",
     "regional_market_share",
@@ -312,50 +328,15 @@ _PRIORITY = (
     "top_parts_per_brand",
     "orders_status_priority_cube",
     "events_user_gaps",
-    "events_sliding_active_users",
-    "events_variant_extract",
-    "streaming_seasonal_anomalies",
     "orders_above_customer_avg",
     "orders_retention_cohort",
-    "profile_orders_columns",
     "nation_revenue_share",
     "text_lang_profile",
     "sim_topk_sq8_stored",
-    "docs_weighted_sample",
-    "streaming_decayed_topk",
     "events_funnel",
-    "text_bm25_index_incremental",
-    "tokenizer_bpe_encode",
     "dedup_fingerprint",
     "bucketed_colocated_join",
     "streaming_session_window",
-    "events_time_to_convert_approx",
-    "events_sliding_active_users_hll",
-    "bloom_prefilter_join",
-    "orders_fingerprint_diff_locate",
-    "events_sessionize_incremental",
-    "events_ohlc_hourly",
-    "layout_bloom_file_skip",
-    "streaming_ohlc_hourly",
-    "events_concurrency_daily_peak",
-    "embeddings_pca_project",
-    "text_compression_ratio",
-    "supplier_abc_classification",
-    "events_equidepth_histogram",
-    "events_stats_unpivot",
-    "split_group_holdout",
-    "events_quantile_sketch",
-    "events_dp_counts",
-    "streaming_quantile_sketch",
-    "embeddings_jl_project",
-    "events_equidepth_histogram_sketch",
-    "timetravel_table_history",
-    "graph_lpa_communities",
-    "events_grouped_quantile_sketch",
-    "docs_epoch_upsample",
-    "text_percolate",
-    "streaming_percolate",
-    "events_max_drawdown",
 )
 
 

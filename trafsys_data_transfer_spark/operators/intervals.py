@@ -74,6 +74,89 @@ def coalesce_intervals(
     ).drop("_island")
 
 
+def coalesce_intervals_salted(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Hot-key-safe interval coalescing — same output as
+    :func:`coalesce_intervals` (column order included), two phases:
+
+    1. partition by (key, salt) where salt is a DETERMINISTIC hash of
+       the interval bounds, and merge islands WITHIN each salt bucket —
+       the straggler key's rows spread over ``n_salt`` tasks;
+    2. re-merge the partial islands per key with the identical window
+       algebra, summing ``n_merged``.
+
+    Correct because interval merging is ASSOCIATIVE and IDEMPOTENT on
+    (start, end, count) sets — ``islands(islands(X) ∪ islands(Y)) ==
+    islands(X ∪ Y)`` with counts additive (the same algebra the
+    streaming twin's state relies on, streaming/islands.py) — so phase 1
+    may split a key's rows ARBITRARILY.  Phase 2's per-key input is
+    O(islands · n_salt), not O(rows): a hot key with millions of rows in
+    a handful of real islands re-merges in microseconds.  Measured under
+    a 30%-single-key skew in SCALE.md's twenty-second sweep."""
+    salted = intervals.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.col(start_col), F.col(end_col)), F.lit(n_salt)
+        ),
+    )
+    # phase 1: the exact coalesce_intervals algebra over the composite
+    # (key, salt) partition
+    order1 = [F.col(start_col), F.col(end_col)]
+    w1_prev = (
+        Window.partitionBy(key_col, "_salt")
+        .orderBy(*order1)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w1_run = (
+        Window.partitionBy(key_col, "_salt")
+        .orderBy(*order1)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    partial = (
+        salted.withColumn(
+            "_new",
+            F.when(
+                F.col(start_col) > F.max(end_col).over(w1_prev), 1
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w1_run))
+        .groupBy(key_col, "_salt", "_island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_salt", "_island")
+    )
+    order = [F.col("island_start"), F.col("island_end")]
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = partial.withColumn(
+        "_new",
+        F.when(
+            F.col("island_start") > F.max("island_end").over(w_prev), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    return flagged.groupBy(key_col, "_island").agg(
+        F.min("island_start").alias("island_start"),
+        F.max("island_end").alias("island_end"),
+        F.sum("n_merged").alias("n_merged"),
+    ).drop("_island")
+
+
 @register(
     "events_interval_islands",
     # identical window algebra replayed in DuckDB: running max of prior

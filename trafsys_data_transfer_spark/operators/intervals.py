@@ -213,3 +213,88 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         coalesce_intervals(iv, key_col="user_id")
         .orderBy("user_id", "island_start")
     )
+
+
+@register(
+    "events_interval_gaps",
+    # the islands oracle extended one LEAD: a gap is the open span
+    # between an island's end and the next island's start
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               ts AS s,
+               ts + INTERVAL 1 MINUTE * (event_id % 7 + 1) AS e
+        FROM events WHERE user_id % 10 = 0
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id,
+               MIN(s) AS island_start,
+               MAX(e) AS island_end
+        FROM (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ) GROUP BY user_id, island
+    )
+    SELECT user_id,
+           island_end AS gap_start,
+           LEAD(island_start) OVER (
+               PARTITION BY user_id ORDER BY island_start) AS gap_end,
+           CAST(date_diff('second', island_end,
+                LEAD(island_start) OVER (
+                    PARTITION BY user_id ORDER BY island_start))
+                AS BIGINT) AS gap_secs
+    FROM islands
+    QUALIFY gap_end IS NOT NULL
+    ORDER BY user_id, gap_start
+    """,
+)
+def events_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLEMENT of interval coalescing: per-user idle gaps between
+    consecutive activity islands — downtime windows, coverage holes,
+    maintenance slack.  "Gaps" is the half of gaps-and-islands the r8
+    operator left on the table; it composes as one LEAD over the
+    (already tiny) islands relation, so the expensive pass is shared
+    with :func:`events_interval_islands` and the gap step is
+    O(islands), not O(rows)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=(F.col("event_id") % 7 + 1).cast("int"))
+        ).alias("end"),
+    )
+    isl = coalesce_intervals(iv, key_col="user_id")
+    w = Window.partitionBy("user_id").orderBy("island_start")
+    gaps = isl.select(
+        "user_id",
+        F.col("island_end").alias("gap_start"),
+        F.lead("island_start").over(w).alias("gap_end"),
+    )
+    return (
+        gaps.filter(F.col("gap_end").isNotNull())
+        .select(
+            "user_id",
+            "gap_start",
+            "gap_end",
+            (
+                F.unix_timestamp("gap_end") - F.unix_timestamp("gap_start")
+            ).alias("gap_secs"),
+        )
+        .orderBy("user_id", "gap_start")
+    )

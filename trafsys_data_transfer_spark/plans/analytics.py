@@ -1191,3 +1191,144 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_clamped_balance",
+    # The floor-at-zero running fold via the prefix identity:
+    # clamp0(fold) == prefix − LEAST(0, running_min(prefix)) — two plain
+    # window passes instead of a sequential recurrence, replayed
+    # identically in DuckDB.  Integer cents end to end.
+    oracle="""
+    WITH signed AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN -CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE  CAST(ROUND(value * 100) AS BIGINT) END AS delta
+        FROM events WHERE user_id % 20 = 0
+    ),
+    pfx AS (
+        SELECT user_id, ts, event_id, delta,
+               SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS prefix
+        FROM signed
+    ),
+    rmin AS (
+        SELECT *, MIN(prefix) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_min
+        FROM pfx
+    )
+    SELECT user_id, event_id, delta,
+           CAST(prefix - LEAST(0, run_min) AS BIGINT) AS balance_cents
+    FROM rmin
+    ORDER BY user_id, event_id
+    """,
+)
+def events_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance — the inventory/wallet fold
+    ``balance_t = max(0, balance_{t-1} + delta_t)`` (purchases debit,
+    everything else credits; a debit can never drive the balance
+    negative) — computed WITHOUT a sequential recurrence.
+
+    The identity that makes it a window query: a running fold clamped at
+    zero from below equals ``prefix_t − min(0, min_{k≤t} prefix_k)`` —
+    whatever the floor absorbed is exactly the most negative prefix so
+    far.  That turns an inherently sequential-looking ledger operator
+    into two whole-stage-codegen window passes sharing ONE ``user_id``
+    exchange — the difference between a per-key UDF fold and a plan
+    Catalyst can actually scale.  Integer cents throughout, so the hash
+    check is penny-exact across engines."""
+    signed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                -F.round(F.col("value") * 100).cast("bigint"),
+            )
+            .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pfx = signed.withColumn("prefix", F.sum("delta").over(w)).withColumn(
+        "run_min", F.min("prefix").over(w)
+    )
+    return pfx.select(
+        "user_id",
+        "event_id",
+        "delta",
+        (F.col("prefix") - F.least(F.lit(0), F.col("run_min")))
+        .cast("bigint")
+        .alias("balance_cents"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "events_value_outliers_mad",
+    # Robust z via median absolute deviation — resistant to the very
+    # outliers it hunts (mean/stddev get dragged by them).  Exact
+    # interpolated medians in both engines.
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, MAX(m.med) AS med,
+               MEDIAN(ABS(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM events e JOIN mad m USING (event_type)
+    WHERE ABS((e.value - m.med) / (1.4826 * m.mad)) > 3.5
+    ORDER BY e.event_id
+    """,
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: flag events whose MAD-based z-score
+    ``(x − median) / (1.4826·MAD)`` exceeds 3.5 — the
+    median-absolute-deviation twin of ``events_value_outliers``.  The
+    stddev z-score that operator uses is itself inflated by the
+    outliers it hunts (one 100× spike drags σ and masks its peers);
+    median and MAD have a 50% breakdown point, so the robust flag
+    survives contaminated segments — the screen that matters on real
+    telemetry.
+
+    Plan: two grouped exact-median passes over the (bounded) per-type
+    groups, broadcast back over the fact — medians are per-GROUP
+    scalars, so the fact table never sorts globally."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )

@@ -537,3 +537,112 @@ def customers_dormant_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "lineitem_allocate_rebate",
+    # Largest-remainder (Hamilton) allocation in EXACT integer cents:
+    # identical integer DIV/MOD algebra in both engines, so the hash
+    # check certifies penny-exactness, not float luck.
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    tot AS (
+        SELECT *, SUM(pc) OVER (PARTITION BY l_orderkey) AS total_pc,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        FROM li
+    ),
+    shares AS (
+        SELECT *,
+               (10000 * pc) // total_pc AS floor_cents,
+               (10000 * pc) % total_pc AS rem,
+               SUM((10000 * pc) // total_pc)
+                   OVER (PARTITION BY l_orderkey) AS floor_sum
+        FROM tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY rem DESC, l_linenumber, pc) AS rr
+        FROM shares
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_cents
+                + CASE WHEN rr <= 10000 - floor_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def lineitem_allocate_rebate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-total proportional allocation (largest-remainder method):
+    spread a fixed 100.00 order-level rebate across each order's
+    lineitems proportional to extendedprice, in INTEGER CENTS, such that
+    the allocations sum to exactly 10,000 cents per order — the
+    invoice/ledger operator every finance warehouse carries, and the one
+    naive ``ROUND(share)`` gets wrong (pennies drift).
+
+    Algebra: floor allocation ``(10000·pc) div total_pc`` per line, then
+    the leftover ``10000 − Σfloor`` pennies go to the largest division
+    remainders (ties by line number, then cents — the fixture carries
+    duplicate line numbers within an order, and rows identical in ALL
+    of (rem, linenumber, pc) are output-indistinguishable, so the
+    rank order is total where it matters).  All integer DIV/MOD — no float in
+    the allocation path, so the result is engine-portable and auditable.
+
+    Scale: two windows plus a rank, all sharing the ``l_orderkey``
+    partitioning — one exchange end to end; orders are independent so
+    the plan parallelizes embarrassingly at any fact size."""
+    from pyspark.sql.window import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("pc"),
+        )
+    )
+    by_order = Window.partitionBy("l_orderkey")
+    shares = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "pc",
+        F.sum("pc").over(by_order).alias("total_pc"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "pc",
+        F.expr("10000 * pc div total_pc").alias("floor_cents"),
+        (10000 * F.col("pc") % F.col("total_pc")).alias("rem"),
+    )
+    ranked = shares.select(
+        "*",
+        F.sum("floor_cents").over(by_order).alias("floor_sum"),
+        F.row_number()
+        .over(
+            by_order.orderBy(
+                F.desc("rem"), F.asc("l_linenumber"), F.asc("pc")
+            )
+        )
+        .alias("rr"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_cents")
+            + F.when(
+                F.col("rr") <= 10000 - F.col("floor_sum"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -179,6 +179,11 @@ _PRIORITY = (
     "streaming_quantile_sketch",
     "embeddings_jl_project",
     "events_equidepth_histogram_sketch",
+    # ---- new in round 9 (strict; queue behind the deferred tier for r10)
+    "lineitem_allocate_rebate",
+    "events_clamped_balance",
+    "events_value_outliers_mad",
+    "events_interval_gaps",
     # ---- driver-verified in r1-r8 (unchanged; covered every round by
     # tools/verify_local.py)
     "traffic_resample_ffill",

@@ -1332,3 +1332,80 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_twap_daily",
+    # time-weighted average: each observation holds until the next one
+    # (same day), weighted by its holding seconds; the last observation
+    # of a day carries zero weight (no next sample to define its span),
+    # falling back to the plain mean when a day has a single sample
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, value,
+               CAST(date_diff('second', ts,
+                    LEAD(ts) OVER (PARTITION BY user_id,
+                                       date_trunc('day', ts)
+                                   ORDER BY ts, event_id))
+                    AS BIGINT) AS hold_s
+        FROM events WHERE user_id % 25 = 0
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(CASE WHEN SUM(hold_s) > 0
+                      THEN SUM(value * hold_s) / SUM(hold_s)
+                      ELSE AVG(value) END, 4) AS twap,
+           ROUND(AVG(value), 4) AS plain_avg
+    FROM obs
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the gauge-correct
+    mean for irregularly sampled series: each observation is weighted by
+    how long it HELD (seconds until the next sample that day), so a
+    sensor that reports 1 Hz while idle and 0.01 Hz under load doesn't
+    drown the load readings in idle samples.  ``plain_avg`` rides along
+    to expose exactly that bias.
+
+    Plan: one LEAD window and the groupBy share the (user, day)
+    partitioning — a single keyed exchange; day boundaries cap every
+    window partition, so no key grows unboundedly with history."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    )
+    day = F.date_trunc("day", "ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    obs = events.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("hold_s"),
+    )
+    return (
+        obs.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("value") * F.col("hold_s")).alias("wsum"),
+            F.sum("hold_s").alias("w"),
+            F.avg("value").alias("plain_avg"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_obs",
+            F.round(
+                F.when(F.col("w") > 0, F.col("wsum") / F.col("w")).otherwise(
+                    F.col("plain_avg")
+                ),
+                4,
+            ).alias("twap"),
+            F.round("plain_avg", 4).alias("plain_avg"),
+        )
+        .orderBy("user_id", "day")
+    )

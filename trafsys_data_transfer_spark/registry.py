@@ -184,6 +184,7 @@ _PRIORITY = (
     "events_clamped_balance",
     "events_value_outliers_mad",
     "events_interval_gaps",
+    "events_twap_daily",
     # ---- driver-verified in r1-r8 (unchanged; covered every round by
     # tools/verify_local.py)
     "traffic_resample_ffill",

@@ -692,14 +692,30 @@ def dedup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans.  A broken sketch emits FALSE and hash-mismatches; at scale
     the exact column is dropped and the estimate stands alone."""
     events = load_table(spark, sf_dir, "events")
-    agg = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    # Exact twins as separate pre-deduped two-stage aggs joined back on
+    # day, NOT two countDistincts in one agg: multiple distinct
+    # aggregates force an Expand (3x the scan through the shuffle);
+    # distinct()+count keeps partial aggregation and measured ~3.5x
+    # faster at sf0.1.  The day dimension is tiny, so the joins are
+    # broadcast-able by AQE.
+    agg = events.groupBy(day).agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_count_distinct("event_type", 0.02).alias("approx_types"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.countDistinct("event_type").alias("exact_types"),
     )
+    exact_u = (
+        events.select(day, "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    exact_t = (
+        events.select(day, "event_type")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_types"))
+    )
+    agg = agg.join(exact_u, "day").join(exact_t, "day")
 
     def band(approx: str, exact: str):
         tol = F.greatest(F.lit(2.0), F.lit(0.08) * F.col(exact))

@@ -604,11 +604,22 @@ def events_sliding_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFra
     100 TB the exact column is dropped and the sketch stands alone."""
     events = load_table(spark, sf_dir, "events")
     w = F.window("ts", "3 hours", "1 hour")
+    # Exact twin as a separate pre-deduped two-stage agg joined back on
+    # the window, NOT a countDistinct alongside the sketch: a distinct
+    # aggregate mixed with regular ones forces an Expand (2x the
+    # window-exploded rows through the shuffle).  distinct()+count is
+    # partial-agg friendly and measured ~3x faster at sf0.1.
     agg = events.groupBy(w.alias("w")).agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    exact = (
+        events.select(w.alias("w"), "user_id")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    agg = agg.join(exact, "w")
     tol = F.greatest(F.lit(2.0), F.lit(0.08) * F.col("exact_users"))
     return agg.select(
         F.col("w.start").alias("w_start"),

@@ -144,6 +144,41 @@ def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
     assert abs(row["approx"] - row["exact"]) / max(abs(row["exact"]), 1e-9) < 0.05
 
 
+def test_approx_quantile_certificate_load_bearing(spark, sf_dir):
+    """The strict per-group certificate holds on the real estimates, and
+    a deliberately wrong estimate fails through the SAME helper — the
+    within booleans are load-bearing, not decorative."""
+    from pyspark.sql import functions as F
+    from trafsys_data_transfer_spark.plans.relational import (
+        approx_quantile_certificate,
+        events_value_approx_quantiles,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    good = events_value_approx_quantiles(spark, sf_dir).collect()
+    assert good and all(r.p50_within and r.p95_within for r in good)
+
+    events = load_table(spark, sf_dir, "events")
+    vmax = events.agg(F.max("value")).first()[0]
+    bogus = events.groupBy("event_type").agg(
+        (F.max("value") + F.lit(1.0)).alias("p50_approx"),
+        F.lit(float(vmax) + 1.0).alias("p95_approx"),
+    )
+    bad = approx_quantile_certificate(events, bogus).collect()
+    assert all(not r.p50_within for r in bad)
+
+
+def test_equidepth_certificate_band_is_tight(spark, sf_dir):
+    """The depth band (2·ε·N + 1) is far narrower than an empty or doubled
+    bucket's deviation (N/8), so a broken sketch CAN emit FALSE — the
+    certificate boolean is reachable-negative, not tautological."""
+    from trafsys_data_transfer_spark.operators.quantiles import EPS
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    n = load_table(spark, sf_dir, "events").count()
+    assert 2 * EPS * n + 1 < n / 8
+
+
 def test_binary_file_ingestion(spark, tmp_path):
     from trafsys_data_transfer_spark.operators.multimodal import read_media_dir
 

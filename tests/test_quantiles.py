@@ -123,6 +123,7 @@ def test_streaming_sketch_matches_guarantee_and_batch_twin(spark, sf_dir):
     from trafsys_data_transfer_spark.sources.fixtures import load_table
     from trafsys_data_transfer_spark.streaming.queries import (
         streaming_quantile_sketch,
+        streaming_quantile_sketch_estimates,
     )
 
     exact = np.sort(
@@ -137,8 +138,12 @@ def test_streaming_sketch_matches_guarantee_and_batch_twin(spark, sf_dir):
     )
     n = len(exact)
     stream_est = {
-        r.q: r.est_value for r in streaming_quantile_sketch(spark, sf_dir).collect()
+        r.q: r.est_value
+        for r in streaming_quantile_sketch_estimates(spark, sf_dir).collect()
     }
+    # the registered strict certificate holds for every quantile
+    cert = streaming_quantile_sketch(spark, sf_dir).collect()
+    assert all(r.within_eps for r in cert) and len(cert) == 5
     batch_est = {
         r.q: r.est_value for r in quantile_sketch_estimates(spark, sf_dir).collect()
     }
@@ -155,13 +160,14 @@ def test_sketch_equidepth_within_band_of_exact(spark, sf_dir):
     """Approx tier: same bucket structure as the exact auditor, each
     bucket's depth within 2ε·N of ideal, total preserved."""
     from trafsys_data_transfer_spark.operators.quantiles import (
+        equidepth_sketch_estimates,
         events_equidepth_histogram_sketch,
     )
     from trafsys_data_transfer_spark.plans.analytics import (
         events_equidepth_histogram,
     )
 
-    approx = events_equidepth_histogram_sketch(spark, sf_dir).collect()
+    approx = equidepth_sketch_estimates(spark, sf_dir).collect()
     exact = events_equidepth_histogram(spark, sf_dir).collect()
     n = sum(r.n_rows for r in exact)
     assert sum(r.n_rows for r in approx) == n
@@ -173,6 +179,11 @@ def test_sketch_equidepth_within_band_of_exact(spark, sf_dir):
     # neighbour buckets' span
     for a, e in zip(approx, exact):
         assert a.bucket == e.bucket
+    # the registered strict certificate: 8 buckets, exact N, all bands hold
+    cert = events_equidepth_histogram_sketch(spark, sf_dir).collect()
+    assert [r.bucket for r in cert] == list(range(8))
+    assert all(r.n_total == n for r in cert)
+    assert all(r.depth_within_band for r in cert)
 
 
 def test_grouped_sketch_per_group_guarantee(spark, sf_dir):

@@ -297,13 +297,66 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return ranks
 
 
-@register("graph_pagerank_partsupp")  # rows-only: iterative fixpoint, not
-# ANSI-SQL-expressible; certified by tests/test_graph.py (hand-computed
-# toy ranks, mass bounds, cross-partitioning bit-determinism).
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """DuckDB oracle for :func:`graph_pagerank_partsupp`: the fixed-point
+    loop unrolled into ``iters`` chained CTEs (the graph_lpa_communities
+    conversion pattern).  All-integer arithmetic makes every iteration
+    bit-reproducible in any engine, so the strict hash compares the
+    actual ranks — not just shapes."""
+    teleport = PR_INIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    steps = []
+    for i in range(iters):
+        prev = f"r{i}"
+        steps.append(
+            f"""
+            r{i + 1} AS (
+              SELECT n.node,
+                     CAST({teleport} + ({PR_DAMP_NUM} * COALESCE(i.inflow, 0))
+                          // {PR_DAMP_DEN} AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst, SUM(r.rank // e.deg) AS inflow
+                FROM edges_deg e JOIN {prev} r ON r.node = e.src
+                GROUP BY e.dst
+              ) i ON n.node = i.dst
+            )"""
+        )
+    return f"""
+        WITH links AS (
+          SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+          FROM lineitem
+        ),
+        edges AS (
+          SELECT p AS src, s AS dst FROM links
+          UNION ALL
+          SELECT s AS src, p AS dst FROM links
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        edges_deg AS (
+          SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src
+        ),
+        r0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS rank FROM nodes),
+        {",".join(steps)}
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+                 AS node_type,
+               node // 2 AS node_id,
+               rank AS rank_ppb
+        FROM r{iters}
+        ORDER BY rank_ppb DESC, node_type, node_id
+        LIMIT 50
+    """
+
+
+@register("graph_pagerank_partsupp", oracle=_pagerank_oracle())
 def graph_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 nodes by random-walk centrality in the part–supplier
     bipartite graph (distinct lineitem (part, supplier) links, both
     directions).  Node encoding: part → 2·partkey, supplier → 2·suppkey+1.
+
+    Upgraded from rows-only to STRICT: the all-integer damping
+    (teleport + 17·inflow div 20) makes the 5-iteration fixed point
+    bit-reproducible, so the DuckDB oracle simply unrolls the loop as
+    chained CTEs and the driver hash-compares actual rank values.
     """
     li = load_table(spark, sf_dir, "lineitem")
     links = li.select(

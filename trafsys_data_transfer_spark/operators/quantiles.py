@@ -41,7 +41,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -247,8 +247,7 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_bracket_certificate(events, est, ["q"], "n_total")
 
 
-@register("events_equidepth_histogram_sketch")  # rows-only: sketch boundaries
-def events_equidepth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equidepth_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB tier `events_equidepth_histogram`'s docstring names:
     bin BOUNDARIES come from the merged rank sketch (±ε·N rank error,
     O(parts/ε) metadata), bucket COUNTS from one exact narrow pass that
@@ -280,6 +279,47 @@ def events_equidepth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataF
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_equidepth_histogram_sketch",
+    # Bucket boundaries are sketch-valued (engine-specific), so the
+    # STRICT row is the depth certificate: 8 buckets must exist, cover
+    # exactly N rows in total, and each bucket's depth must sit within
+    # the 2·ε·N sketch band of N/8 (the pytest suite's own criterion).
+    oracle="""
+    SELECT CAST(t.bucket AS INT) AS bucket,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_total,
+           TRUE AS depth_within_band
+    FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS t(bucket)
+    ORDER BY bucket
+    """,
+)
+def events_equidepth_histogram_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict tier of :func:`equidepth_sketch_estimates` (the VERDICT r08
+    task-3 certificate pattern): the registered row carries the bucket
+    id, the exact corpus N, and a boolean proving the sketch-bounded
+    bucket's actual depth lies within 2·ε·N of the ideal N/8.  Missing
+    buckets, a lost row, or a broken sketch merge all hash-mismatch the
+    8-row oracle.  The raw (bucket, lo, hi, n_rows) estimates remain
+    available via :func:`equidepth_sketch_estimates` and keep their
+    pytest band-check against the exact auditor."""
+    est = equidepth_sketch_estimates(spark, sf_dir)
+    n_total = F.sum("n_rows").over(Window.partitionBy())
+    band = (F.lit(2.0 * EPS) * n_total) + F.lit(1.0)
+    ideal = n_total / F.lit(8.0)
+    return (
+        est.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            n_total.alias("n_total"),
+            (F.abs(F.col("n_rows") - ideal) <= band).alias(
+                "depth_within_band"
+            ),
         )
         .orderBy("bucket")
     )

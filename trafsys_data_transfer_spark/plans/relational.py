@@ -388,12 +388,11 @@ def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_value_approx_quantiles")  # rows-only: t-digest is engine-specific
-def events_value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of the percentile query: `approx_percentile`
-    (t-digest sketch, mergeable map-side, constant memory) — estimates are
-    engine-specific by nature, so the check is rows-only here and the
-    accuracy bound (vs exact percentiles) is asserted in the test suite."""
+def approx_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw `approx_percentile` estimates per event_type (Greenwald-
+    Khanna-style sketch, mergeable map-side, constant memory) — the 100 TB
+    form of the percentile query.  Estimate VALUES are engine-specific;
+    the registered strict query wraps them in a rank-bracket certificate."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
@@ -402,6 +401,60 @@ def events_value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
             F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("p95_approx"),
         )
         .orderBy("event_type")
+    )
+
+
+def approx_quantile_certificate(events: DataFrame, est: DataFrame) -> DataFrame:
+    """Rank-bracket certificate for a per-group (p50, p95) estimate
+    table: one exact pass computes each estimate's true rank bracket per
+    event_type and emits exact group sizes plus within-bound booleans
+    (accuracy 1000 → rank error ≤ N/1000, +1 tie slack).  Shared by the
+    registered query and its negative-control pytest, so a formula drift
+    can't silently un-load-bear the boolean."""
+    j = events.join(F.broadcast(est), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") < F.col("p50_approx")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("p50_approx")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("p95_approx")).cast("long")).alias("lt95"),
+        F.sum((F.col("value") <= F.col("p95_approx")).cast("long")).alias("le95"),
+    )
+
+    def within(q: float, lt: str, le: str):
+        t = F.ceil(F.lit(q) * F.col("n_rows"))
+        err = F.col("n_rows") / F.lit(1000.0) + F.lit(1.0)
+        return (F.col(lt) + 1 <= t + err) & (F.col(le) >= t - err)
+
+    return ranks.select(
+        "event_type",
+        "n_rows",
+        within(0.5, "lt50", "le50").alias("p50_within"),
+        within(0.95, "lt95", "le95").alias("p95_within"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_value_approx_quantiles",
+    # The estimates are sketch-valued, so the STRICT row is the
+    # certificate: exact per-group N plus rank-bracket booleans the
+    # oracle expects to be TRUE (accuracy 1000 -> rank error <= N/1000,
+    # checked with the suite's +1 tie slack).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within,
+           TRUE AS p95_within
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict tier of :func:`approx_quantile_estimates` (the VERDICT r08
+    task-3 certificate pattern): a mis-merged or corrupted sketch emits
+    FALSE and hash-mismatches.  The raw estimates keep their accuracy
+    pytest against exact percentiles."""
+    events = load_table(spark, sf_dir, "events")
+    return approx_quantile_certificate(
+        events, approx_quantile_estimates(spark, sf_dir)
     )
 
 

@@ -159,6 +159,12 @@ _PRIORITY = (
     "docs_overlap_chunks",
     "split_kfold",
     "docs_epoch_upsample",
+    # ---- upgraded to strict in round 9 (pagerank chained-CTE oracle;
+    # rank-bracket certificates for the sketch tiers); next window
+    "graph_pagerank_partsupp",
+    "streaming_quantile_sketch",
+    "events_equidepth_histogram_sketch",
+    "events_value_approx_quantiles",
     # ---- rows-only (no DuckDB-expressible oracle by design; next window)
     "events_heavy_hitters_cms",
     "multimodal_image_neardup",
@@ -170,16 +176,13 @@ _PRIORITY = (
     "pretrain_data_pipeline",
     "tokenizer_bpe_stats",
     "embeddings_kmeans",
-    "graph_pagerank_partsupp",
-    "multimodal_features",
+"multimodal_features",
     "tokenizer_bpe_encode",
     "embeddings_pca_project",
     "text_compression_ratio",
     "events_dp_counts",
-    "streaming_quantile_sketch",
-    "embeddings_jl_project",
-    "events_equidepth_histogram_sketch",
-    # ---- new in round 9 (strict; queue behind the deferred tier for r10)
+"embeddings_jl_project",
+# ---- new in round 9 (strict; queue behind the deferred tier for r10)
     "lineitem_allocate_rebate",
     "events_clamped_balance",
     "events_value_outliers_mad",
@@ -300,8 +303,7 @@ _PRIORITY = (
     "events_session_window_native",
     "events_props_map",
     "events_value_histogram",
-    "events_value_approx_quantiles",
-    "traffic_rollup_incremental",
+"traffic_rollup_incremental",
     "text_winnow_candidates",
     "dedup_keyed_latest",
     "text_rolling_fingerprint",

@@ -1877,8 +1877,38 @@ def streaming_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_quantile_sketch")  # rows-only: sketch, not ANSI-SQL
+@register(
+    "streaming_quantile_sketch",
+    # Streaming twin of the events_quantile_sketch certificate: the
+    # drained stored-sketch estimates are rank-bracket-verified against
+    # one exact scan, so the STRICT row is (q, exact N, within_eps).
+    oracle="""
+    SELECT CAST(t.q AS DOUBLE) AS q,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_total,
+           TRUE AS within_eps
+    FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) AS t(q)
+    ORDER BY q
+    """,
+)
 def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict tier of :func:`streaming_quantile_sketch_estimates`
+    (upgraded from rows-only): the drained stored-sketch estimates are
+    wrapped in the rank-bracket certificate — one exact scan proves each
+    estimate's true rank sits within ±ε·N of ⌈q·N⌉, so a lost batch,
+    double-sketched file, or broken merge emits FALSE / a wrong N and
+    hash-mismatches the oracle."""
+    from ..operators.quantiles import _rank_bracket_certificate
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    est_df = streaming_quantile_sketch_estimates(spark, sf_dir).select(
+        "q", "est_value", "n_total"
+    )
+    return _rank_bracket_certificate(events, est_df, ["q"], "n_total")
+
+
+def streaming_quantile_sketch_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Quantile-sketch maintenance AT INGEST — the streaming twin of
     ``events_quantile_sketch``: each micro-batch appends its own
     compressed rank summaries (part_id offset by batch so summaries stay

@@ -1,0 +1,181 @@
+"""Tests for the round-9 statistics / interval-overlap / BFS operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.operators.graph import bfs_hops, graph_bfs_reach
+from trafsys_data_transfer_spark.operators.intervals import (
+    events_interval_overlap,
+    interval_overlap_join,
+)
+from trafsys_data_transfer_spark.plans.stats import (
+    lineitem_weighted_median_price,
+    nation_spend_gini,
+    orders_benford_audit,
+)
+from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+
+def test_interval_overlap_join_toy(spark):
+    """Known overlaps, closed-bound touching, cross-key isolation, and —
+    the load-bearing part — a pair sharing MANY buckets yields exactly
+    one row (first-shared-bucket dedup, no distinct)."""
+    w = 100  # tiny bucket so the long interval spans many buckets
+    a = spark.createDataFrame(
+        [
+            ("k1", 0, 1000),      # long: touches 11 buckets
+            ("k1", 2000, 2010),   # disjoint from everything in b
+            ("k2", 0, 50),        # same span as k1's first, other key
+        ],
+        "key string, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [
+            ("k1", 950, 1200, 1),   # overlaps the long one across buckets
+            ("k1", 1000, 1100, 2),  # TOUCHES a_end=1000 (closed: overlap)
+            ("k1", 1201, 1300, 3),  # no overlap
+            ("k2", 990, 1200, 4),   # k2: no overlap with [0,50]
+        ],
+        "key string, b_start long, b_end long, b_id int",
+    )
+    out = interval_overlap_join(
+        a, b, "key", "a_start", "a_end", "b_start", "b_end", bucket_us=w
+    ).collect()
+    got = sorted((r.a_start, r.b_id) for r in out)
+    assert got == [(0, 1), (0, 2)]
+
+
+def test_events_interval_overlap_matches_theta_join(spark, sf_dir):
+    """The bucketized plan reproduces the naive per-key theta-join
+    exactly (the oracle's semantics, checked in-Spark too)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    from trafsys_data_transfer_spark.operators.intervals import (
+        coalesce_intervals,
+    )
+
+    sess = coalesce_intervals(
+        views.select("user_id", F.col("s").alias("start"), F.col("e").alias("end")),
+        key_col="user_id",
+    )
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        (F.unix_micros("ts") - F.lit(1_800_000_000)).alias("ps"),
+        F.unix_micros("ts").alias("pe"),
+    )
+    naive = (
+        sess.join(pur, sess.user_id == pur.pu)
+        .filter(
+            (F.col("island_start") <= F.col("pe"))
+            & (F.col("ps") <= F.col("island_end"))
+        )
+        .select("user_id", "island_start", "purchase_id")
+    )
+    fast = events_interval_overlap(spark, sf_dir).select(
+        "user_id", F.col("session_start_us").alias("island_start"), "purchase_id"
+    )
+    assert fast.exceptAll(naive).isEmpty() and naive.exceptAll(fast).isEmpty()
+    assert fast.count() > 0
+
+
+def test_bfs_hops_toy_chain_and_multisource(spark):
+    edges_rows = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 4)]
+    sym = edges_rows + [(b, a) for a, b in edges_rows]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    src = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=3).collect()}
+    # node 4: 1 hop from source 9 (not 3 hops from source 1); node 5: 2
+    assert got == {1: 0, 9: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_graph_bfs_reach_shape(spark, sf_dir):
+    rows = graph_bfs_reach(spark, sf_dir).collect()
+    assert rows, "low-nation suppliers exist in the fixture graph"
+    hops = {r.hops for r in rows}
+    assert hops <= {0, 1, 2, 3}
+    # hop 0 is suppliers only; hop 1 is parts only (bipartite alternation)
+    assert {r.node_type for r in rows if r.hops == 0} == {"supplier"}
+    assert {r.node_type for r in rows if r.hops == 1} == {"part"}
+    # distances are unique per node
+    keys = [(r.node_type, r.node_id) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_gini_bounds_and_degenerate_uniform(spark, sf_dir):
+    rows = nation_spend_gini(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers > 0 and r.total_cents > 0
+    # degenerate control through the same closed form: equal spends → ~0
+    # (exactly (n+1)/n·0 — the rank form gives 0 for all-equal values)
+    vals = [(0, i, 100) for i in range(1, 6)]
+    df = spark.createDataFrame(vals, "nationkey int, o_custkey long, cents long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nationkey").orderBy("cents", "o_custkey")
+    ranked = df.select("nationkey", "cents", F.row_number().over(w).alias("rnk"))
+    n = F.count(F.lit(1))
+    [row] = (
+        ranked.groupBy("nationkey")
+        .agg(
+            (
+                2.0 * F.sum(F.col("rnk") * F.col("cents")) / (n * F.sum("cents"))
+                - (n + F.lit(1.0)) / n
+            ).alias("gini")
+        )
+        .collect()
+    )
+    assert abs(row.gini) < 1e-12
+
+
+def test_weighted_median_against_numpy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    pdf = li.toPandas()
+    got = {
+        r.l_returnflag: (r.median_price_cents, r.total_weight)
+        for r in lineitem_weighted_median_price(spark, sf_dir).collect()
+    }
+    for flag, g in pdf.groupby("l_returnflag"):
+        cents = np.floor(g["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        wt = g["l_quantity"].to_numpy().astype(np.int64)
+        # merge ties, scan ascending
+        import collections
+
+        agg = collections.Counter()
+        for c, w in zip(cents, wt):
+            agg[int(c)] += int(w)
+        total = sum(agg.values())
+        cum = 0
+        med = None
+        for c in sorted(agg):
+            cum += agg[c]
+            if 2 * cum >= total:
+                med = c
+                break
+        assert got[flag] == (med, total), flag
+
+
+def test_benford_counts_and_expectations(spark, sf_dir):
+    rows = orders_benford_audit(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .count()
+    )
+    assert sum(r.n_obs for r in rows) == n_orders
+    for r in rows:
+        assert abs(r.expected_freq - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3

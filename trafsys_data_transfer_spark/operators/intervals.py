@@ -298,3 +298,175 @@ def events_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join — bucketized, no cartesian, no dedup shuffle
+# ---------------------------------------------------------------------------
+
+#: 6-hour buckets in microseconds: wide enough that a typical interval
+#: expands to a handful of rows, narrow enough that a (key, bucket) cell
+#: never concentrates a join explosion.  Callers tune per workload.
+OVERLAP_BUCKET_US = 21_600_000_000
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_us: int = OVERLAP_BUCKET_US,
+) -> DataFrame:
+    """All (a, b) pairs sharing a key whose CLOSED intervals overlap
+    (``a_start <= b_end AND b_start <= a_end``; bounds in epoch
+    microseconds).  The classic scale trap here is the naive theta-join
+    — Spark plans key-equality + range predicates as a join whose range
+    half filters AFTER a per-key cartesian, quadratic in rows-per-key.
+
+    Spark-first shape (the spatial-join recipe, time as 1-D space):
+
+    1. explode each interval into the coarse time buckets it touches
+       (``sequence(start div W, end div W)`` — O(length/W) rows, bounded
+       for bounded intervals);
+    2. equi-join on ``(key, bucket)`` — hash join, no range predicate in
+       the join condition, AQE-splittable like any other shuffle join;
+    3. keep a pair only in the FIRST bucket both intervals touch
+       (``bucket == greatest(a_start, b_start) div W``) — the standard
+       dedup-free trick: every overlapping pair shares that bucket by
+       construction, so no ``distinct()`` shuffle is ever needed;
+    4. apply the exact overlap predicate.
+
+    Cost: one shuffle of the expanded (bounded) inputs.  The DuckDB
+    oracle runs the plain theta-join — fine at sf0.01, exactly what the
+    bucketed plan must reproduce bit-for-bit.
+    """
+    w = F.lit(int(bucket_us))
+    ab = a.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_start} div {int(bucket_us)}"),
+                F.expr(f"{a_end} div {int(bucket_us)}"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_start} div {int(bucket_us)}"),
+                F.expr(f"{b_end} div {int(bucket_us)}"),
+            )
+        ),
+    )
+    first_shared = F.col("_bk") == (
+        F.greatest(F.col(a_start), F.col(b_start)) / w
+    ).cast("long")
+    overlap = (F.col(a_start) <= F.col(b_end)) & (
+        F.col(b_start) <= F.col(a_end)
+    )
+    return ab.join(bb, [key_col, "_bk"]).filter(first_shared & overlap).drop(
+        "_bk"
+    )
+
+
+@register(
+    "events_interval_overlap",
+    # plain theta-join oracle: session islands (the islands algebra over
+    # 5-minute view spans) x 30-minute purchase lookback windows
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts + INTERVAL 5 MINUTE) AS e
+        FROM events WHERE event_type = 'view'
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM v
+    ),
+    sess AS (
+        SELECT user_id,
+               MIN(s) AS session_start_us,
+               MAX(e) AS session_end_us
+        FROM (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ) GROUP BY user_id, island
+    ),
+    pur AS (
+        SELECT user_id,
+               event_id AS purchase_id,
+               epoch_us(ts - INTERVAL 30 MINUTE) AS ps,
+               epoch_us(ts) AS pe
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id,
+           s.session_start_us,
+           s.session_end_us,
+           p.purchase_id,
+           LEAST(s.session_end_us, p.pe) - GREATEST(s.session_start_us, p.ps)
+               AS overlap_us
+    FROM sess s JOIN pur p
+      ON s.user_id = p.user_id
+     AND s.session_start_us <= p.pe
+     AND p.ps <= s.session_end_us
+    ORDER BY s.user_id, session_start_us, purchase_id
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which coalesced view-sessions overlap which purchase lookback
+    windows — attribution's interval form, and the general two-table
+    overlap join (reservations x outages, shifts x incidents) the
+    single-table islands operators can't express.  Sessions come from
+    :func:`coalesce_intervals` over 5-minute view spans; windows are the
+    30 minutes before each purchase; the join is the bucketized
+    :func:`interval_overlap_join` (first-shared-bucket dedup, no
+    cartesian), hash-checked against DuckDB's plain theta-join."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("start"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("end"),
+    )
+    sess = coalesce_intervals(views, key_col="user_id").select(
+        "user_id",
+        F.col("island_start").alias("session_start_us"),
+        F.col("island_end").alias("session_end_us"),
+    )
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        (F.unix_micros("ts") - F.lit(1_800_000_000)).alias("ps"),
+        F.unix_micros("ts").alias("pe"),
+    )
+    j = interval_overlap_join(
+        sess,
+        pur,
+        key_col="user_id",
+        a_start="session_start_us",
+        a_end="session_end_us",
+        b_start="ps",
+        b_end="pe",
+    )
+    return j.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "purchase_id",
+        (
+            F.least("session_end_us", "pe")
+            - F.greatest("session_start_us", "ps")
+        ).alias("overlap_us"),
+    ).orderBy("user_id", "session_start_us", "purchase_id")

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.plans.analytics",
     "trafsys_data_transfer_spark.plans.behavior",
     "trafsys_data_transfer_spark.plans.growth",
+    "trafsys_data_transfer_spark.plans.stats",
     "trafsys_data_transfer_spark.plans.traffic_queries",
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.graph",
@@ -159,6 +160,12 @@ _PRIORITY = (
     "docs_overlap_chunks",
     "split_kfold",
     "docs_epoch_upsample",
+    # ---- new strict operators, round-9 session 2 (next window)
+    "events_interval_overlap",
+    "graph_bfs_reach",
+    "nation_spend_gini",
+    "lineitem_weighted_median_price",
+    "orders_benford_audit",
     # ---- upgraded to strict in round 9 (pagerank chained-CTE oracle;
     # rank-bracket certificates for the sketch tiers); next window
     "graph_pagerank_partsupp",

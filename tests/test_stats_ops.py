@@ -179,3 +179,77 @@ def test_benford_counts_and_expectations(spark, sf_dir):
     for r in rows:
         assert abs(r.expected_freq - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
     assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+
+
+def test_fifo_matching_equals_sequential_replay(spark, sf_dir):
+    """The interval-overlap formulation reproduces a literal FIFO loop,
+    and conservation holds: matches per lot/demand never exceed its
+    quantity, and total matched = min(total supply, total demand) per
+    part."""
+    from collections import defaultdict
+
+    from trafsys_data_transfer_spark.operators.intervals import (
+        lineitem_fifo_matching,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_shipdate",
+        )
+        .toPandas()
+    )
+    got = defaultdict(list)
+    for r in lineitem_fifo_matching(spark, sf_dir).collect():
+        got[r.l_partkey].append(
+            ((r.s_orderkey, r.s_linenumber), (r.d_orderkey, r.d_linenumber),
+             r.qty_matched)
+        )
+    # literal FIFO replay in Python
+    for part, g in li.groupby("l_partkey"):
+        def side(flag):
+            h = g[g["l_returnflag"] == flag].sort_values(
+                ["l_shipdate", "l_orderkey", "l_linenumber"]
+            )
+            return [
+                ((int(r.l_orderkey), int(r.l_linenumber)), int(r.l_quantity))
+                for r in h.itertuples()
+            ]
+        supply, demand = side("N"), side("R")
+        expected = []
+        si = di = 0
+        s_rem = supply[0][1] if supply else 0
+        d_rem = demand[0][1] if demand else 0
+        while si < len(supply) and di < len(demand):
+            take = min(s_rem, d_rem)
+            if take > 0:
+                expected.append((supply[si][0], demand[di][0], take))
+            s_rem -= take
+            d_rem -= take
+            if s_rem == 0:
+                si += 1
+                s_rem = supply[si][1] if si < len(supply) else 0
+            if d_rem == 0:
+                di += 1
+                d_rem = demand[di][1] if di < len(demand) else 0
+        assert sorted(got.get(part, [])) == sorted(expected), part
+
+
+def test_lagged_crosscorr_shape_and_numpy(spark, sf_dir):
+    """Seven lags, corr in [-1,1], and the lag-0 value matches numpy's
+    Pearson on the same day-aligned series."""
+    from trafsys_data_transfer_spark.plans.stats import events_lagged_crosscorr
+
+    rows = {r.lag: r for r in events_lagged_crosscorr(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(-3, 4))
+    for r in rows.values():
+        if r.corr is not None:
+            assert -1.0 <= r.corr <= 1.0
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    x = ev[ev.event_type == "view"].groupby("day").size()
+    y = ev[ev.event_type == "purchase"].groupby("day").size()
+    common = x.index.intersection(y.index)
+    expect = float(np.corrcoef(x[common], y[common])[0, 1])
+    assert abs(rows[0].corr - round(expect, 6)) <= 1e-6

@@ -470,3 +470,120 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest("session_start_us", "ps")
         ).alias("overlap_us"),
     ).orderBy("user_id", "session_start_us", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot matching — a "sequential" allocation as interval overlap
+# ---------------------------------------------------------------------------
+
+@register(
+    "lineitem_fifo_matching",
+    # cumulative-quantity windows on both sides + plain theta overlap
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey,
+               l_orderkey AS s_orderkey,
+               l_linenumber AS s_linenumber,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - CAST(l_quantity AS BIGINT) AS s_lo,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s_hi
+        FROM lineitem WHERE l_returnflag = 'N'
+    ),
+    demand AS (
+        SELECT l_partkey,
+               l_orderkey AS d_orderkey,
+               l_linenumber AS d_linenumber,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - CAST(l_quantity AS BIGINT) AS d_lo,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS d_hi
+        FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s.l_partkey,
+           s.s_orderkey, s.s_linenumber,
+           d.d_orderkey, d.d_linenumber,
+           CAST(LEAST(s.s_hi, d.d_hi) - GREATEST(s.s_lo, d.d_lo)
+                AS BIGINT) AS qty_matched
+    FROM supply s JOIN demand d
+      ON s.l_partkey = d.l_partkey
+     AND s.s_lo < d.d_hi AND d.d_lo < s.s_hi
+    ORDER BY s.l_partkey, s.s_orderkey, s.s_linenumber,
+             d.d_orderkey, d.d_linenumber
+    """,
+)
+def lineitem_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — consume supply lots ('N' lineitems, shipdate
+    order) against demands ('R' lineitems, shipdate order) per part: the
+    cost-basis / inventory-netting allocation every ledger needs, and the
+    textbook example of a "sequential" fold that is NOT sequential.
+
+    Spark-first identity: in cumulative-quantity space each lot occupies
+    the half-open interval ``[cum_prev, cum)`` and each demand likewise;
+    FIFO matches lot i to demand j for exactly
+    ``min(hi_i, hi_j) − max(lo_i, lo_j)`` units wherever those intervals
+    overlap.  So the whole allocation is two cumulative windows (one
+    keyed exchange each) plus :func:`interval_overlap_join` in quantity
+    space — no loop, no state, no per-key iteration, and the output is
+    O(supplies + demands) per part (overlapping interval chains form a
+    merge, not a cross product).  The DuckDB oracle replays the naive
+    theta-join form; matched quantities are exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cum_side(flag: str, prefix: str) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        qty = F.col("l_quantity").cast("long")
+        return li.filter(F.col("l_returnflag") == flag).select(
+            "l_partkey",
+            F.col("l_orderkey").alias(f"{prefix}_orderkey"),
+            F.col("l_linenumber").alias(f"{prefix}_linenumber"),
+            (F.sum(qty).over(w) - qty).alias(f"{prefix}_lo"),
+            F.sum(qty).over(w).alias(f"{prefix}_hi"),
+        )
+
+    supply = cum_side("N", "s")
+    demand = cum_side("R", "d")
+    j = interval_overlap_join(
+        supply,
+        demand,
+        key_col="l_partkey",
+        a_start="s_lo",
+        a_end="s_hi",
+        b_start="d_lo",
+        b_end="d_hi",
+        bucket_us=1024,  # quantity-space buckets; lots are 1-50 units
+    )
+    qty_matched = F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
+    return (
+        j.select(
+            "l_partkey",
+            "s_orderkey",
+            "s_linenumber",
+            "d_orderkey",
+            "d_linenumber",
+            qty_matched.alias("qty_matched"),
+        )
+        # closed-bound helper admits touching (qty 0) pairs; half-open
+        # FIFO intervals drop them
+        .filter(F.col("qty_matched") > 0)
+        .orderBy(
+            "l_partkey", "s_orderkey", "s_linenumber",
+            "d_orderkey", "d_linenumber",
+        )
+    )

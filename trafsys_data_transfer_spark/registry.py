@@ -165,6 +165,9 @@ _PRIORITY = (
     "graph_bfs_reach",
     "lineitem_fifo_matching",
     "events_lagged_crosscorr",
+    "streaming_interval_overlap",
+    "orders_revenue_recognition",
+    "events_transition_entropy",
     "nation_spend_gini",
     "lineitem_weighted_median_price",
     "orders_benford_audit",

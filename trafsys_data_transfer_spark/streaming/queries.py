@@ -2208,3 +2208,72 @@ def streaming_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "streaming_interval_overlap",
+    # the raw-span interval overlap as a batch theta join: view spans
+    # [ts, ts+5min] x purchase windows [ts-30min, ts] overlap iff
+    # p.ts in [v.ts, v.ts + 35min]
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           LEAST(epoch_us(v.ts + INTERVAL 5 MINUTE), epoch_us(p.ts))
+             - GREATEST(epoch_us(v.ts), epoch_us(p.ts - INTERVAL 30 MINUTE))
+             AS overlap_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 35 MINUTE
+    """,
+)
+def streaming_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join AT INGEST — the streaming twin of
+    ``events_interval_overlap``'s raw-span tier: each view carries the
+    span [ts, ts+5min], each purchase the lookback window [ts−30min, ts],
+    and two bounded intervals overlap iff the purchase lands within
+    35 minutes after the view — so the overlap join IS a native
+    watermarked stream-stream join with a bounded time-range condition
+    (join state evicts once the watermark passes ts + 35min; O(rows in
+    window), unbounded-feed safe).  The drained stream must equal the
+    batch theta-join bit-for-bit, overlap lengths in exact microseconds.
+
+    Scale note: the BATCH operator buckets COALESCED islands (unbounded
+    spans need the bucket trick); the STREAMING form is only expressible
+    because raw spans are bounded — which is exactly when Spark's native
+    range join applies.  Both live in the registry so the trade is
+    documented by construction."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views_dir = tempfile.mkdtemp(prefix="tds_ss_iv_views_")
+    pur_dir = tempfile.mkdtemp(prefix="tds_ss_iv_pur_")
+    events.filter(F.col("event_type") == "view").coalesce(1).write.mode(
+        "append"
+    ).parquet(views_dir)
+    events.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
+        "append"
+    ).parquet(pur_dir)
+    table = f"stream_ivoverlap_{uuid.uuid4().hex[:8]}"
+    join_expr = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 35 MINUTES"))
+    )
+    overlap_us = F.least(
+        F.unix_micros(F.col("l.ts")) + F.lit(300_000_000),
+        F.unix_micros(F.col("r.ts")),
+    ) - F.greatest(
+        F.unix_micros(F.col("l.ts")),
+        F.unix_micros(F.col("r.ts")) - F.lit(1_800_000_000),
+    )
+    select_cols = [
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        overlap_us.alias("overlap_us"),
+    ]
+    return run_stream_stream_join_to_memory(
+        spark, views_dir, pur_dir, table, events.schema, join_expr, select_cols
+    )

@@ -434,7 +434,46 @@ def dp_noisy_counts(
     )
 
 
-@register("events_dp_counts")  # rows-only: a noise mechanism isn't ANSI-SQL
+@register(
+    "events_dp_counts",
+    # Upgraded from rows-only (VERDICT r08 task 3 direction): the seeded
+    # md5 noise was DESIGNED to be engine-reproducible, so the oracle
+    # replays the whole mechanism — cap window, hex-prefix uniform,
+    # inverse-CDF geometric — in DuckDB.  ln(p) is embedded as the exact
+    # double literal Spark uses (math.log(math.exp(-eps/cap))).
+    oracle="""
+    WITH capped AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS capped_n
+        FROM (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 8
+        GROUP BY event_type
+    ),
+    noisy AS (
+        SELECT event_type, capped_n,
+               CAST(FLOOR(LN((CAST(CONCAT('0x', SUBSTRING(
+                        md5(CONCAT(event_type, CHR(31), 'release-1/a')),
+                        1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)
+                    / (-0.12499999999999994)) AS BIGINT) AS g1,
+               CAST(FLOOR(LN((CAST(CONCAT('0x', SUBSTRING(
+                        md5(CONCAT(event_type, CHR(31), 'release-1/b')),
+                        1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)
+                    / (-0.12499999999999994)) AS BIGINT) AS g2
+        FROM capped
+    )
+    SELECT event_type,
+           capped_n + g1 - g2 AS noisy_n,
+           g1 - g2 AS noise,
+           8 AS cap,
+           CAST(1.0 AS DOUBLE) AS eps
+    FROM noisy
+    ORDER BY event_type
+    """,
+)
 def events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Private per-type event counts: the contribution cap bounds any one
     user's influence at DP_CAP rows per type (the sensitivity), then each

@@ -174,6 +174,7 @@ _PRIORITY = (
     # ---- upgraded to strict in round 9 (pagerank chained-CTE oracle;
     # rank-bracket certificates for the sketch tiers); next window
     "graph_pagerank_partsupp",
+    "events_dp_counts",
     "streaming_quantile_sketch",
     "events_equidepth_histogram_sketch",
     "events_value_approx_quantiles",
@@ -192,7 +193,6 @@ _PRIORITY = (
     "tokenizer_bpe_encode",
     "embeddings_pca_project",
     "text_compression_ratio",
-    "events_dp_counts",
 "embeddings_jl_project",
 # ---- new in round 9 (strict; queue behind the deferred tier for r10)
     "lineitem_allocate_rebate",

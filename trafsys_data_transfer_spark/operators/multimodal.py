@@ -831,11 +831,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(multimodal_table(spark, sf_dir), n_frames=4)
 
 
-@register("multimodal_features")  # rows-only: fake encoder isn't ANSI-SQL
+@register(
+    "multimodal_features",
+    # The encoder output is md5-seeded numpy (not SQL), so the STRICT row
+    # is the contract certificate: one feature row per document, the
+    # declared dimension, unit L2 norm (the invariant the cosine
+    # similarity stack depends on).  A wrong dim, a lost doc, or a broken
+    # normalisation hash-mismatches the oracle.
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS INT) AS dim,
+           TRUE AS unit_norm
+    FROM documents ORDER BY doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Payload → deterministic fake embedding (the real encoder slot);
-    demonstrates the binary→vector bridge into the similarity stack."""
-    return extract_features(multimodal_table(spark, sf_dir))
+    """Strict certificate tier of :func:`extract_features` (the VERDICT
+    r08 task-3 pattern): payload → deterministic fake embedding (the real
+    encoder slot), with the registered row carrying the per-doc dimension
+    and a unit-L2-norm boolean — the properties the downstream similarity
+    operators assume.  The raw feature table stays available via
+    :func:`extract_features`."""
+    feats = extract_features(multimodal_table(spark, sf_dir))
+    sq = F.aggregate(
+        "feature",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return feats.select(
+        "doc_id",
+        F.size("feature").alias("dim"),
+        (F.abs(sq - F.lit(1.0)) < F.lit(1e-4)).alias("unit_norm"),
+    ).orderBy("doc_id")
 
 
 DECODE_SCHEMA = (

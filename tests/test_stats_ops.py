@@ -344,3 +344,39 @@ def test_bellman_ford_relaxation_toy(spark):
     # 3: longer-but-cheaper 1->2->3 (2) beats direct 1->3 (10);
     # 5: only <=3-hop path rides the expensive edge, 1->3->4->5 = 12
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 12}
+
+
+def test_target_encoding_shrinks_toward_global(spark, sf_dir):
+    """Encoded means sit strictly between the raw category mean and the
+    global mean (proper shrinkage), and a large category moves less."""
+    from trafsys_data_transfer_spark.plans.stats import orders_target_encoding
+
+    orders = load_table(spark, sf_dir, "orders")
+    gmean = orders.agg(
+        (F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+         / F.count(F.lit(1)) / 100.0).alias("g")
+    ).first()["g"]
+    for r in orders_target_encoding(spark, sf_dir).collect():
+        lo, hi = sorted([r.raw_mean, gmean])
+        assert lo - 1e-6 <= r.encoded_mean <= hi + 1e-6
+
+
+def test_resample_interp_exact_at_observations(spark, sf_dir):
+    """Observed buckets pass through untouched; gap values sit between
+    their bracketing observations."""
+    from trafsys_data_transfer_spark.plans.traffic_queries import (
+        traffic_resample_interp,
+    )
+
+    rows = traffic_resample_interp(spark, sf_dir).collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.SiteCode, r.Location), []).append(r)
+    for series in by_key.values():
+        series.sort(key=lambda r: r.PeriodEnding)
+        obs = [(i, r.ins_interp) for i, r in enumerate(series) if r.is_observed]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            lo, hi = sorted([v0, v1])
+            for j in range(i0 + 1, i1):
+                assert lo - 1e-6 <= series[j].ins_interp <= hi + 1e-6

@@ -667,3 +667,64 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "orders_target_encoding",
+    # m-estimate smoothed target encoding from exact integer sums:
+    # enc = (sum_cat + m * global_mean) / (n_cat + m), m = 20; both
+    # engines divide the same exact integers, ROUND(6) seals the hash
+    oracle="""
+    WITH g AS (
+        SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS gsum,
+               CAST(COUNT(*) AS BIGINT) AS gn
+        FROM orders
+    ),
+    cat AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           c.cn AS n_rows,
+           ROUND(c.csum * 1.0 / c.cn / 100, 6) AS raw_mean,
+           ROUND((c.csum + 20.0 * g.gsum / g.gn) / (c.cn + 20) / 100, 6)
+               AS encoded_mean
+    FROM cat c CROSS JOIN g
+    ORDER BY c.o_orderpriority
+    """,
+)
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (m-estimate, m=20) of order priority
+    against order value — the categorical-ML-prep transform that
+    replaces a category with its shrunk target mean so rare categories
+    don't memorize noise.  Encodings derive from exact integer cent
+    sums, so both engines compute identical doubles; at 100 TB this is
+    one map-side aggregate per category plus a broadcast of the O(1)
+    global prior."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    g = orders.agg(
+        F.sum(cents).alias("gsum"), F.count(F.lit(1)).alias("gn")
+    )
+    cat = orders.groupBy("o_orderpriority").agg(
+        F.sum(cents).alias("csum"), F.count(F.lit(1)).alias("cn")
+    )
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "o_orderpriority",
+            F.col("cn").alias("n_rows"),
+            F.round(F.col("csum") / F.col("cn") / 100.0, 6).alias("raw_mean"),
+            F.round(
+                (F.col("csum") + 20.0 * F.col("gsum") / F.col("gn"))
+                / (F.col("cn") + 20)
+                / 100.0,
+                6,
+            ).alias("encoded_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

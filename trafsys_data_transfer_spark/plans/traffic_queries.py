@@ -887,3 +887,124 @@ def traffic_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_num", "_den")
         .orderBy("SiteCode", "Location", "PeriodEnding")
     )
+
+
+@register(
+    "traffic_resample_interp",
+    oracle=f"""
+    WITH {_TRAFFIC_CTE},
+    hourly AS (
+        SELECT SiteCode, Location,
+               date_trunc('hour', PeriodEnding - INTERVAL 1 SECOND) + INTERVAL 1 HOUR AS PeriodEnding,
+               CAST(SUM(Ins) AS BIGINT) AS Ins
+        FROM traffic GROUP BY 1, 2, 3
+    ),
+    spine AS (
+        SELECT SiteCode, Location,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS PeriodEnding
+        FROM (SELECT SiteCode, Location, MIN(PeriodEnding) mn, MAX(PeriodEnding) mx
+              FROM hourly GROUP BY 1, 2)
+    ),
+    ctx AS (
+        SELECT s.SiteCode, s.Location, s.PeriodEnding,
+               h.Ins AS obs,
+               epoch(s.PeriodEnding) AS t,
+               last_value(h.Ins IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN h.Ins IS NOT NULL
+                               THEN epoch(s.PeriodEnding) END IGNORE NULLS)
+                   OVER wb AS pt,
+               first_value(h.Ins IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN h.Ins IS NOT NULL
+                                THEN epoch(s.PeriodEnding) END IGNORE NULLS)
+                   OVER wf AS nt
+        FROM spine s LEFT JOIN hourly h
+          ON h.SiteCode = s.SiteCode AND h.Location = s.Location
+         AND h.PeriodEnding = s.PeriodEnding
+        WINDOW wb AS (PARTITION BY s.SiteCode, s.Location
+                      ORDER BY s.PeriodEnding
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY s.SiteCode, s.Location
+                      ORDER BY s.PeriodEnding
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT SiteCode, Location, PeriodEnding,
+           ROUND(CASE
+               WHEN obs IS NOT NULL THEN obs * 1.0
+               WHEN pv IS NULL THEN nv * 1.0
+               WHEN nv IS NULL THEN pv * 1.0
+               ELSE pv + (nv - pv) * (t - pt) * 1.0 / (nt - pt)
+           END, 4) AS ins_interp,
+           CAST(obs IS NOT NULL AS INT) AS is_observed
+    FROM ctx
+    ORDER BY SiteCode, Location, PeriodEnding
+    """,
+)
+def traffic_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolation resampling — the ffill twin for gauge-style
+    series where holding the last value misstates the trend: densify each
+    (site, location) series to the hourly spine, then fill each gap with
+    the straight line between its bracketing observations (edges
+    back/forward-fill).  Interpolands derive from exact integer counts
+    and integer epoch seconds, so both engines compute identical doubles.
+
+    Same scale shape as `traffic_resample_ffill` plus ONE more window
+    (the forward-looking bracket) on the same (site, location) exchange —
+    Catalyst reuses the sort for both frames."""
+    from pyspark.sql.window import Window
+
+    hourly = rollup_traffic(_normalized(spark, sf_dir), grain="hour").select(
+        "SiteCode", "Location", "PeriodEnding", "Ins"
+    )
+    bounds = hourly.groupBy("SiteCode", "Location").agg(
+        F.min("PeriodEnding").alias("mn"), F.max("PeriodEnding").alias("mx")
+    )
+    spine = bounds.select(
+        "SiteCode",
+        "Location",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("PeriodEnding"),
+    )
+    j = spine.join(hourly, ["SiteCode", "Location", "PeriodEnding"], "left")
+    wb = (
+        Window.partitionBy("SiteCode", "Location")
+        .orderBy("PeriodEnding")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("SiteCode", "Location")
+        .orderBy("PeriodEnding")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp("PeriodEnding")
+    obs_t = F.when(F.col("Ins").isNotNull(), t)
+    ctx = j.select(
+        "SiteCode",
+        "Location",
+        "PeriodEnding",
+        F.col("Ins").alias("obs"),
+        t.alias("t"),
+        F.last("Ins", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
+        F.first("Ins", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs") * 1.0)
+        .when(F.col("pv").isNull(), F.col("nv") * 1.0)
+        .when(F.col("nv").isNull(), F.col("pv") * 1.0)
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("t") - F.col("pt"))
+            * 1.0
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return ctx.select(
+        "SiteCode",
+        "Location",
+        "PeriodEnding",
+        F.round(interp, 4).alias("ins_interp"),
+        F.col("obs").isNotNull().cast("int").alias("is_observed"),
+    ).orderBy("SiteCode", "Location", "PeriodEnding")

@@ -171,6 +171,8 @@ _PRIORITY = (
     "events_login_streaks",
     "orders_yoy_growth",
     "graph_cheapest_route",
+    "orders_target_encoding",
+    "traffic_resample_interp",
     "nation_spend_gini",
     "lineitem_weighted_median_price",
     "orders_benford_audit",

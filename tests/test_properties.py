@@ -157,3 +157,95 @@ def test_session_window_native_equals_gaps_and_islands(spark, events):
         for r in sessionize_batch(df).collect()
     }
     assert native == gi
+
+
+# ---------------------------------------------------------------------------
+# round-9 operators: interval overlap join, Bellman-Ford (SURVEY §5.4)
+# ---------------------------------------------------------------------------
+
+#: Small intervals over a tiny key/coordinate domain: collisions, touching
+#: bounds, containment, and multi-bucket spans all occur.
+iv_st = st.tuples(
+    st.sampled_from(["k1", "k2"]),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=0, max_value=25),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    a_rows=st.lists(iv_st, min_size=1, max_size=8),
+    b_rows=st.lists(iv_st, min_size=1, max_size=8),
+    bucket=st.sampled_from([3, 7, 64]),
+)
+def test_overlap_join_equals_naive(spark, a_rows, b_rows, bucket):
+    """Bucketized overlap join == naive quadratic reference, for every
+    bucket width (the first-shared-bucket dedup must be exact)."""
+    from trafsys_data_transfer_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(k, s, s + d, i) for i, (k, s, d) in enumerate(a_rows)],
+        "key string, a_start long, a_end long, a_id int",
+    )
+    b = spark.createDataFrame(
+        [(k, s, s + d, i) for i, (k, s, d) in enumerate(b_rows)],
+        "key string, b_start long, b_end long, b_id int",
+    )
+    got = sorted(
+        (r.key, r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "key", "a_start", "a_end", "b_start", "b_end",
+            bucket_us=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (ka, ia, ib)
+        for ia, (ka, sa, da) in enumerate(a_rows)
+        for ib, (kb, sb, db) in enumerate(b_rows)
+        if ka == kb and sa <= sb + db and sb <= sa + da
+    )
+    assert got == want
+
+
+edge_st = st.tuples(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=9),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(edge_st, min_size=1, max_size=12),
+    n_src=st.integers(min_value=1, max_value=2),
+    hops=st.integers(min_value=1, max_value=3),
+)
+def test_bellman_ford_equals_reference(spark, edges, n_src, hops):
+    """Distributed hop-bounded Bellman-Ford == pure-python reference
+    (min cost over all <=h-hop paths) on random small weighted digraphs."""
+    from trafsys_data_transfer_spark.operators.graph import bellman_ford_hops
+
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    if not edges:
+        return
+    sources = sorted({e[0] for e in edges})[:n_src]
+    # reference: dist_h(v) = min(dist_{h-1}(v), min_u dist_{h-1}(u)+w)
+    INF = float("inf")
+    nodes = {x for e in edges for x in e[:2]}
+    dist = {v: (0 if v in sources else INF) for v in nodes}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if dist[s] + w < nxt[d]:
+                nxt[d] = dist[s] + w
+        dist = nxt
+    want = {v: c for v, c in dist.items() if c < INF}
+    e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+    s_df = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r.node: r.cost
+        for r in bellman_ford_hops(e_df, s_df, max_hops=hops).collect()
+    }
+    assert got == want

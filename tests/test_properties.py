@@ -249,3 +249,83 @@ def test_bellman_ford_equals_reference(spark, edges, n_src, hops):
         for r in bellman_ford_hops(e_df, s_df, max_hops=hops).collect()
     }
     assert got == want
+
+
+lot_st = st.tuples(
+    st.sampled_from(["N", "R"]),
+    st.integers(min_value=0, max_value=3),   # shipdate day (ties likely)
+    st.integers(min_value=1, max_value=6),   # quantity
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(lot_st, min_size=2, max_size=10))
+def test_fifo_interval_formulation_equals_sequential(spark, rows):
+    """The cumulative-interval FIFO == a literal sequential consume loop,
+    on random lot/demand mixes including shipdate ties (broken by the
+    (shipdate, orderkey, linenumber) total order both sides share)."""
+    import datetime as d
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+    from trafsys_data_transfer_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    base = d.datetime(2024, 1, 1)
+    data = [
+        (1, i, 1, flag, float(q), base + d.timedelta(days=day))
+        for i, (flag, day, q) in enumerate(rows)
+    ]
+    li = spark.createDataFrame(
+        data,
+        "l_partkey long, l_orderkey long, l_linenumber int, "
+        "l_returnflag string, l_quantity double, l_shipdate timestamp",
+    )
+
+    def cum(flag, p):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        q = FF.col("l_quantity").cast("long")
+        return li.filter(FF.col("l_returnflag") == flag).select(
+            "l_partkey",
+            FF.col("l_orderkey").alias(f"{p}_id"),
+            (FF.sum(q).over(w) - q).alias(f"{p}_lo"),
+            FF.sum(q).over(w).alias(f"{p}_hi"),
+        )
+
+    j = interval_overlap_join(
+        cum("N", "s"), cum("R", "d"), key_col="l_partkey",
+        a_start="s_lo", a_end="s_hi", b_start="d_lo", b_end="d_hi",
+        bucket_us=4,
+    )
+    got = sorted(
+        (r.s_id, r.d_id, r.q)
+        for r in j.select(
+            "s_id", "d_id",
+            (FF.least("s_hi", "d_hi") - FF.greatest("s_lo", "d_lo")).alias("q"),
+        ).filter(FF.col("q") > 0).collect()
+    )
+    # sequential reference in the same total order
+    ordered = sorted(enumerate(rows), key=lambda t: (t[1][1], t[0]))
+    supply = [(i, q) for i, (f, _d, q) in ordered if f == "N"]
+    demand = [(i, q) for i, (f, _d, q) in ordered if f == "R"]
+    want, si, di = [], 0, 0
+    s_rem = supply[0][1] if supply else 0
+    d_rem = demand[0][1] if demand else 0
+    while si < len(supply) and di < len(demand):
+        take = min(s_rem, d_rem)
+        if take > 0:
+            want.append((supply[si][0], demand[di][0], take))
+        s_rem -= take
+        d_rem -= take
+        if s_rem == 0:
+            si += 1
+            s_rem = supply[si][1] if si < len(supply) else 0
+        if d_rem == 0:
+            di += 1
+            d_rem = demand[di][1] if di < len(demand) else 0
+    assert got == sorted(want)

@@ -213,10 +213,13 @@ def test_overlap_join_equals_naive(spark, a_rows, b_rows, bucket):
     assert got == want
 
 
+#: Weights include NEGATIVES: the hop-bounded Jacobi relaxation is exact
+#: for any weights (no cycle can be exploited within a finite hop bound),
+#: unlike unbounded Bellman-Ford which requires no negative cycles.
 edge_st = st.tuples(
     st.integers(min_value=0, max_value=6),
     st.integers(min_value=0, max_value=6),
-    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=-4, max_value=9),
 )
 
 

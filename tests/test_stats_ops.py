@@ -380,3 +380,22 @@ def test_resample_interp_exact_at_observations(spark, sf_dir):
             lo, hi = sorted([v0, v1])
             for j in range(i0 + 1, i1):
                 assert lo - 1e-6 <= series[j].ins_interp <= hi + 1e-6
+
+
+def test_survival_km_invariants(spark, sf_dir):
+    """S is non-increasing in [0,1]; the first event time's survival is
+    exactly 1 - d1/n1; n_risk is non-increasing in t."""
+    from trafsys_data_transfer_spark.plans.stats import events_survival_km
+
+    rows = events_survival_km(spark, sf_dir).collect()
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev_s + 1e-9
+        assert 1 <= r.n_events <= r.n_risk
+        if prev_n is not None:
+            assert r.n_risk <= prev_n
+        prev_s, prev_n = r.survival, r.n_risk
+    first = rows[0]
+    assert abs(first.survival - round(1 - first.n_events / first.n_risk, 6)) <= 1e-9

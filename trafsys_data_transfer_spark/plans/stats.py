@@ -728,3 +728,118 @@ def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_survival_km",
+    # Kaplan-Meier estimator with right-censoring: per-user duration from
+    # first event to first purchase (event) or last activity (censored);
+    # survival = running product of (1 - d/n) computed as EXP of a running
+    # SUM of LN terms — both engines sum identical doubles in frame order.
+    # A time where d = n would be LN(0): guarded by an explicit zero flag
+    # (DuckDB's LN(0) errors; Spark's returns null).
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day,
+               CAST(date_trunc('day', MAX(ts)) AS DATE) AS last_day,
+               CAST(date_trunc('day',
+                    MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+                    AS DATE) AS conv_day
+        FROM events GROUP BY user_id
+    ),
+    durations AS (
+        SELECT CASE WHEN conv_day IS NOT NULL
+                    THEN date_diff('day', first_day, conv_day)
+                    ELSE date_diff('day', first_day, last_day) END AS t,
+               CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM per_user
+    ),
+    grouped AS (
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM durations GROUP BY t
+    ),
+    risk AS (
+        SELECT t_days, d,
+               SUM(leaving) OVER (
+                   ORDER BY t_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_risk
+        FROM grouped
+    )
+    SELECT t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w = 1
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(EXP(SUM(
+                         CASE WHEN d > 0 AND d < n_risk
+                              THEN LN(1.0 - d * 1.0 / n_risk) END) OVER w), 6)
+           END AS survival
+    FROM risk
+    WHERE d > 0
+    WINDOW w AS (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t_days
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival with right-censoring — time from a user's
+    first event to first purchase, censored at last activity for users
+    who never convert: the churn/conversion curve product analytics is
+    built on, and the estimator naive "conversion rate by day" gets
+    WRONG when observation windows differ per user.  One per-user
+    aggregate, an O(distinct durations) risk-set scan (descending
+    cumulative count), and the product as EXP∘SUM∘LN in frame order —
+    exact integer d/n makes both engines compute identical doubles."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    per_user = events.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("conv_day"),
+    )
+    durations = per_user.select(
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff("conv_day", "first_day"),
+        )
+        .otherwise(F.datediff("last_day", "first_day"))
+        .cast("long")
+        .alias("t_days"),
+        F.col("conv_day").isNotNull().cast("long").alias("is_event"),
+    )
+    grouped = durations.groupBy("t_days").agg(
+        F.sum("is_event").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grouped.select(
+        "t_days", "d", F.sum("leaving").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(1.0 - F.col("d") / F.col("n_risk")),
+    )
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    survival = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_asc)), 6)
+    )
+    return (
+        risk.withColumn("n_events", F.col("d"))
+        .withColumn("survival", survival)
+        .filter(F.col("d") > 0)
+        .select("t_days", "n_risk", "n_events", "survival")
+        .orderBy("t_days")
+    )

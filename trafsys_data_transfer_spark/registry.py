@@ -173,6 +173,7 @@ _PRIORITY = (
     "graph_cheapest_route",
     "orders_target_encoding",
     "traffic_resample_interp",
+    "events_survival_km",
     "nation_spend_gini",
     "lineitem_weighted_median_price",
     "orders_benford_audit",

@@ -81,6 +81,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.jl",
     "trafsys_data_transfer_spark.operators.hierarchy",
     "trafsys_data_transfer_spark.operators.intervals",
+    "trafsys_data_transfer_spark.operators.geo",
     "trafsys_data_transfer_spark.streaming.queries",
 )
 
@@ -363,6 +364,10 @@ _PRIORITY = (
     "dedup_fingerprint",
     "bucketed_colocated_join",
     "streaming_session_window",
+    # ---- round-9 session-3 additions (behind the r10 rotation queue) ----
+    "geo_supplier_radius_count",
+    "geo_nearest_supplier",
+    "geo_cell_density",
 )
 
 

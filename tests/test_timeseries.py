@@ -1,0 +1,90 @@
+"""Time-series stats family: reconstruction/ordering invariants beyond
+the driver hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafsys_data_transfer_spark.registry import all_queries
+
+
+def test_stl_components_reconstruct_counts(spark, sf_dir):
+    """trend + seasonal + residual == cnt (within the 6-dp rounding of
+    the three surfaced components)."""
+    out = all_queries()["events_stl_decompose"].build(spark, sf_dir)
+    bad = out.where(
+        F.abs(
+            F.col("cnt")
+            - (F.col("trend") + F.col("seasonal") + F.col("residual"))
+        )
+        > 2e-6
+    ).count()
+    assert bad == 0
+
+
+def test_stl_drops_exactly_the_edges(spark, sf_dir):
+    """Output rows per type == occupied hourly buckets − 24 when the
+    series is dense enough (the 12-row guard trims each end)."""
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    out = all_queries()["events_stl_decompose"].build(spark, sf_dir)
+    per_type = dict(out.groupBy("event_type").count().collect())
+    buckets = dict(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts"))
+        .count()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    for t, n_buckets in buckets.items():
+        assert per_type.get(t, 0) == max(0, n_buckets - 24)
+
+
+def test_mann_kendall_z_sign_matches_s(spark, sf_dir):
+    out = all_queries()["events_mann_kendall"].build(spark, sf_dir)
+    for r in out.collect():
+        assert r.var_s > 0
+        if r.s_stat > 0:
+            assert r.z_score >= 0
+        elif r.s_stat < 0:
+            assert r.z_score <= 0
+        else:
+            assert r.z_score == 0.0
+        # |S| can never exceed the pair count
+        assert abs(r.s_stat) <= r.n_days * (r.n_days - 1) // 2
+
+
+def test_wilson_bounds_bracket_p_hat(spark, sf_dir):
+    out = all_queries()["events_wilson_ci"].build(spark, sf_dir)
+    for r in out.collect():
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+        assert r.n_success <= r.n_trials
+
+
+def test_rolling_slope_on_linear_ramp(spark):
+    """A perfectly linear per-key series (cents = 300·index) must yield
+    slope_cents == 300 for every full window."""
+    from trafsys_data_transfer_spark.plans import timeseries as ts
+    import trafsys_data_transfer_spark.plans.timeseries as mod
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 7, "view", 3.0 * i, "{}")
+        for i in range(1, 60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    real = mod.load_table
+    try:
+        mod.load_table = lambda spark, sf, name: df
+        out = ts.events_rolling_slope.__wrapped__ if hasattr(
+            ts.events_rolling_slope, "__wrapped__"
+        ) else ts.events_rolling_slope
+        res = out(spark, "ignored").collect()
+    finally:
+        mod.load_table = real
+    assert len(res) == 59 - 23
+    assert all(r.slope_cents == 300.0 for r in res)

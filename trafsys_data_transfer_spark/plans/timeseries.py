@@ -1,0 +1,423 @@
+"""Time-series statistics: rolling regression, seasonal decomposition,
+monotone-trend testing, and proportion confidence intervals.
+
+The reference engine (/root/reference/script.js) stores an hourly series
+per (site, location) but ships zero analytics over it; these are the
+four shapes every metrics/monitoring consumer of such a table asks for
+first:
+
+* **Rolling OLS slope** — the trailing-window trend of a per-key metric
+  (is this sensor's count drifting up?).  Closed form from five window
+  sums; no iteration.
+* **Seasonal decomposition (STL-lite)** — classical additive
+  decomposition: trend = centered moving average, seasonal = mean
+  detrended value per hour-of-day, residual = remainder.  The residual
+  is what anomaly detectors score.
+* **Mann-Kendall trend test** — the standard nonparametric "is there a
+  monotone trend" test (sign of all pairwise differences, tie-corrected
+  variance, z-score).  Pairwise — but over the DAY-GRAIN series, so the
+  pair count is calendar-bounded (365 days → 66k pairs/key/year), not
+  data-bounded: 100 TB of raw events still reduce to the same tiny
+  series before any O(n²) step.
+* **Wilson score interval** — the right confidence interval for a
+  conversion-style proportion (never escapes [0,1], behaves at small n,
+  the screening stat behind every A/B dashboard readout).
+
+Exactness discipline (drivers hash values bit-for-bit): every
+accumulation happens in integers — values are scaled to cents, rolling
+x-coordinates are ROW indices (consecutive small ints), counts are
+counts — so window/group sums are exactly representable and engine
+summation order cannot matter.  The only floating steps are single
+IEEE-defined ops on those exact integers (one division, one sqrt),
+bit-identical in any IEEE-754 engine, surfaced rounded well above ulp.
+
+Nothing here exists in the reference; the family extends SURVEY.md §2.10
+(time-series gap fill / EWMA / seasonal anomalies already landed; this
+closes the decomposition/trend-test/rolling-fit gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table
+
+#: trailing window length for the rolling slope (rows, per key)
+SLOPE_WINDOW = 24
+#: success threshold for the Wilson conversion proportion
+WILSON_THRESHOLD = 50.0
+#: z for a 95% Wilson interval
+WILSON_Z = 1.959963984540054
+
+
+@register(
+    "events_rolling_slope",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    sums AS (
+        SELECT user_id, rn,
+               COUNT(*)      OVER w AS n,
+               SUM(rn)       OVER w AS sx,
+               SUM(cents)    OVER w AS sy,
+               SUM(rn*cents) OVER w AS sxy,
+               SUM(rn*rn)    OVER w AS sxx
+        FROM seq
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN {SLOPE_WINDOW - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS rn,
+           ROUND((1.0 * n * sxy - 1.0 * sx * sy)
+                 / (1.0 * n * sxx - 1.0 * sx * sx), 6) AS slope_cents
+    FROM sums
+    WHERE n = {SLOPE_WINDOW}
+    ORDER BY user_id, rn
+    """,
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{SLOPE_WINDOW}-event OLS slope of spend (cents) against
+    event index, per user — drift detection as one partitioned window
+    pass.  x = row index and y = integer cents keep all five window
+    sums exact, so the closed-form slope is bit-identical across
+    engines; rows without a full window drop.  At 100 TB the window
+    sorts within each user's partition only — no global sort, no
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(SLOPE_WINDOW - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("rn").over(w)
+    sy = F.sum("cents").over(w)
+    sxy = F.sum(F.col("rn") * F.col("cents")).over(w)
+    sxx = F.sum(F.col("rn") * F.col("rn")).over(w)
+    return (
+        seq.select(
+            "user_id",
+            F.col("rn").cast("long").alias("rn"),
+            n.alias("_n"),
+            sx.alias("_sx"),
+            sy.alias("_sy"),
+            sxy.alias("_sxy"),
+            sxx.alias("_sxx"),
+        )
+        .where(F.col("_n") == SLOPE_WINDOW)
+        .select(
+            "user_id",
+            "rn",
+            F.round(
+                (
+                    F.lit(1.0) * F.col("_n") * F.col("_sxy")
+                    - F.lit(1.0) * F.col("_sx") * F.col("_sy")
+                )
+                / (
+                    F.lit(1.0) * F.col("_n") * F.col("_sxx")
+                    - F.lit(1.0) * F.col("_sx") * F.col("_sx")
+                ),
+                6,
+            ).alias("slope_cents"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+@register(
+    "events_stl_decompose",
+    # classical additive decomposition replayed verbatim: integer hourly
+    # counts -> exact 25h centered mean -> hour-of-day seasonal means
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, hour_ts, cnt,
+               SUM(cnt)  OVER w AS wsum,
+               COUNT(*)  OVER w AS wn
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour_ts
+            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING
+        )
+    ),
+    detrended AS (
+        SELECT event_type, hour_ts, cnt,
+               wsum / 25.0 AS trend,
+               cnt - wsum / 25.0 AS dt
+        FROM trended WHERE wn = 25
+    ),
+    seasonal AS (
+        SELECT event_type, EXTRACT(hour FROM hour_ts) AS hod,
+               AVG(dt) AS seas
+        FROM detrended GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hour_ts, d.cnt,
+           ROUND(d.trend, 6) + 0.0 AS trend,
+           ROUND(s.seas, 6) + 0.0 AS seasonal,
+           ROUND(d.dt - s.seas, 6) + 0.0 AS residual
+    FROM detrended d
+    JOIN seasonal s
+      ON s.event_type = d.event_type
+     AND s.hod = EXTRACT(hour FROM d.hour_ts)
+    ORDER BY d.event_type, d.hour_ts
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly event-count series
+    per type: trend (centered 25 h moving mean over integer counts —
+    the sum is exact, the single /25.0 is one IEEE op), hour-of-day
+    seasonal mean of the detrended series, residual.  Edges without a
+    full trend window drop.  The hourly pre-aggregation bounds every
+    later stage by the calendar × type cardinality, so 100 TB of raw
+    events change only the first map-side rollup; the seasonal join
+    broadcasts (24 × types rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-12, 12)
+    )
+    detrended = (
+        hourly.withColumn("wsum", F.sum("cnt").over(w))
+        .withColumn("wn", F.count(F.lit(1)).over(w))
+        .where(F.col("wn") == 25)
+        .withColumn("trend", F.col("wsum") / F.lit(25.0))
+        .withColumn("dt", F.col("cnt") - F.col("trend"))
+        .drop("wsum", "wn")
+    )
+    seasonal = detrended.groupBy(
+        "event_type", F.hour("hour_ts").alias("hod")
+    ).agg(F.avg("dt").alias("seas"))
+    return (
+        detrended.withColumn("hod", F.hour("hour_ts"))
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            "cnt",
+            # + 0.0 folds IEEE −0.0 into +0.0 (both engines round a tiny
+            # negative residual to the SIGNED zero; the hash sees repr())
+            (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+            (F.round("seas", 6) + F.lit(0.0)).alias("seasonal"),
+            (F.round(F.col("dt") - F.col("seas"), 6) + F.lit(0.0)).alias(
+                "residual"
+            ),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@register(
+    "events_mann_kendall",
+    # S from the pairwise sign sum over the day-grain series; variance
+    # with the tie-group correction; z with the continuity shift
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+        GROUP BY 1
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (
+            SELECT event_type, COUNT(*) AS t
+            FROM daily GROUP BY event_type, cents
+        ) GROUP BY 1
+    ),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           ROUND((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - ties.tie_term) / 18.0, 6) AS var_s,
+           ROUND(CASE
+               WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                   / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                           - ties.tie_term) / 18.0)
+               WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                   / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                           - ties.tie_term) / 18.0)
+               ELSE 0.0 END, 6) AS z_score
+    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+    ORDER BY n.event_type
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on each type's daily spend
+    series: S = Σ sign(xⱼ−xᵢ) over ordered day pairs, tie-corrected
+    variance, continuity-corrected z.  The pairwise step runs on the
+    DAY-GRAIN series — calendar-bounded (435 pairs for a 30-day month),
+    so arbitrarily large raw data only widens the first rollup.  All
+    accumulators are integers; the two float ops (one /18.0, one sqrt)
+    are single IEEE operations."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    var_expr = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    z_expr = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(var_expr),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(var_expr),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            F.round(var_expr, 6).alias("var_s"),
+            F.round(z_expr, 6).alias("z_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_wilson_ci",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trials,
+               CAST(SUM(CASE WHEN value > {WILSON_THRESHOLD} THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_success
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n_trials, n_success,
+           ROUND(1.0 * n_success / n_trials, 6) AS p_hat,
+           ROUND((n_success + {WILSON_Z} * {WILSON_Z} / 2.0)
+                     / (n_trials + {WILSON_Z} * {WILSON_Z})
+                 - {WILSON_Z} / (n_trials + {WILSON_Z} * {WILSON_Z})
+                   * SQRT(1.0 * n_success * (n_trials - n_success)
+                          / n_trials
+                          + {WILSON_Z} * {WILSON_Z} / 4.0), 6)
+               AS wilson_lo,
+           ROUND((n_success + {WILSON_Z} * {WILSON_Z} / 2.0)
+                     / (n_trials + {WILSON_Z} * {WILSON_Z})
+                 + {WILSON_Z} / (n_trials + {WILSON_Z} * {WILSON_Z})
+                   * SQRT(1.0 * n_success * (n_trials - n_success)
+                          / n_trials
+                          + {WILSON_Z} * {WILSON_Z} / 4.0), 6)
+               AS wilson_hi
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for each type's high-value-event rate
+    (value > {WILSON_THRESHOLD}).  Unlike the normal approximation the
+    Wilson bounds never leave [0,1] and stay honest at small n — the
+    interval an A/B readout should print next to every proportion.
+    Map-side Boolean aggregation; the interval itself is O(types)
+    arithmetic on exact integer (n, k)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trials"),
+        F.sum(
+            F.when(F.col("value") > WILSON_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_success"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    n, k = F.col("n_trials"), F.col("n_success")
+    center = (k + F.lit(z2 / 2.0)) / (n + F.lit(z2))
+    halfw = (
+        F.lit(WILSON_Z)
+        / (n + F.lit(z2))
+        * F.sqrt(
+            F.lit(1.0) * k * (n - k) / n + F.lit(z2 / 4.0)
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_trials",
+        "n_success",
+        F.round(F.lit(1.0) * k / n, 6).alias("p_hat"),
+        F.round(center - halfw, 6).alias("wilson_lo"),
+        F.round(center + halfw, 6).alias("wilson_hi"),
+    ).orderBy("event_type")

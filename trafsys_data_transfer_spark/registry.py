@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.plans.behavior",
     "trafsys_data_transfer_spark.plans.growth",
     "trafsys_data_transfer_spark.plans.stats",
+    "trafsys_data_transfer_spark.plans.timeseries",
     "trafsys_data_transfer_spark.plans.traffic_queries",
     "trafsys_data_transfer_spark.operators.dedup",
     "trafsys_data_transfer_spark.operators.graph",
@@ -368,6 +369,10 @@ _PRIORITY = (
     "geo_supplier_radius_count",
     "geo_nearest_supplier",
     "geo_cell_density",
+    "events_rolling_slope",
+    "events_stl_decompose",
+    "events_mann_kendall",
+    "events_wilson_ci",
 )
 
 

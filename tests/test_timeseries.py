@@ -88,3 +88,31 @@ def test_rolling_slope_on_linear_ramp(spark):
         mod.load_table = real
     assert len(res) == 59 - 23
     assert all(r.slope_cents == 300.0 for r in res)
+
+
+def test_holt_linear_constant_series(spark):
+    """A constant series has level == the constant and trend == 0 at
+    every step."""
+    from trafsys_data_transfer_spark.plans.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", i, 42) for i in range(1, 30)], "k string, h long, cnt long"
+    )
+    out = holt_linear(df, "k", "h", "cnt").collect()
+    assert len(out) == 29
+    assert all(r.level == 42.0 and r.trend == 0.0 for r in out)
+
+
+def test_holt_linear_tracks_a_ramp(spark):
+    """On cnt = 10·t the trend estimate converges toward 10."""
+    from trafsys_data_transfer_spark.plans.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", i, 10 * i) for i in range(1, 200)],
+        "k string, h long, cnt long",
+    )
+    last = sorted(
+        holt_linear(df, "k", "h", "cnt").collect(), key=lambda r: r.rn
+    )[-1]
+    assert abs(last.trend - 10.0) < 0.5
+    assert abs(last.level - 10.0 * 199) < 50

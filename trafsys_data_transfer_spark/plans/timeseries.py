@@ -421,3 +421,108 @@ def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - halfw, 6).alias("wilson_lo"),
         F.round(center + halfw, 6).alias("wilson_hi"),
     ).orderBy("event_type")
+
+
+# --- Holt linear (double-exponential) smoothing ---------------------------
+
+#: dyadic smoothing constants — exactly representable doubles, so the
+#: Python loop and the SQL recursion execute identical IEEE ops
+HOLT_ALPHA = 0.25
+HOLT_BETA = 0.125
+
+
+def holt_linear(df: DataFrame, key: str, order: str, value: str) -> DataFrame:
+    """Holt's linear-trend smoothing per key: lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁ = x₁, b₁ = 0.
+
+    The recurrence is inherently sequential per key, so it runs as one
+    Arrow-batched ``applyInPandas`` pass — O(1) state per key, one scan,
+    keys distribute across the cluster (the same shape EWMA avoids only
+    because its kernel truncates; Holt's doesn't).  Series length per
+    key is calendar-bounded, never data-bounded."""
+    import pandas as pd
+
+    out_schema = f"{key} string, rn long, {value} long, level double, trend double"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        xs = pdf[value].tolist()
+        levels, trends = [], []
+        l = float(xs[0])
+        b = 0.0
+        levels.append(l)
+        trends.append(b)
+        for x in xs[1:]:
+            l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
+            l = l_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                key: pdf[key],
+                "rn": range(1, len(xs) + 1),
+                value: xs,
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
+@register(
+    "events_holt_linear",
+    # the oracle replays the recurrence as a recursive CTE — one row per
+    # (type, t); dyadic α/β keep both engines on identical IEEE ops
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h
+               ) AS rn,
+               cnt
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+    ),
+    rec AS (
+        SELECT event_type, rn, cnt,
+               CAST(cnt AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.cnt,
+               {HOLT_ALPHA} * s.cnt + {1.0 - HOLT_ALPHA} * (r.l + r.b),
+               {HOLT_BETA} * (({HOLT_ALPHA} * s.cnt
+                               + {1.0 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+                   + {1.0 - HOLT_BETA} * r.b
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, rn, cnt,
+           ROUND(l, 6) + 0.0 AS level,
+           ROUND(b, 6) + 0.0 AS trend
+    FROM rec
+    ORDER BY event_type, rn
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each type's hourly count series —
+    the level+trend state every capacity forecast starts from.  The
+    engine runs the sequential recurrence per key inside one
+    applyInPandas pass; the oracle replays it as a recursive CTE.  The
+    hourly rollup bounds the sequential stage by calendar × types."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    smoothed = holt_linear(hourly, "event_type", "h", "cnt")
+    return smoothed.select(
+        "event_type",
+        "rn",
+        "cnt",
+        (F.round("level", 6) + F.lit(0.0)).alias("level"),
+        (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+    ).orderBy("event_type", "rn")

@@ -373,6 +373,7 @@ _PRIORITY = (
     "events_stl_decompose",
     "events_mann_kendall",
     "events_wilson_ci",
+    "events_holt_linear",
 )
 
 

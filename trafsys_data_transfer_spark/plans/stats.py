@@ -843,3 +843,63 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t_days", "n_risk", "n_events", "survival")
         .orderBy("t_days")
     )
+
+
+@register(
+    "events_quantile_normalize",
+    # rank within type -> cross-type mean per rank -> join back
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, d, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cents, d
+               ) AS rnk
+        FROM daily
+    ),
+    ref AS (
+        SELECT rnk, SUM(cents) / COUNT(*) AS norm
+        FROM ranked GROUP BY rnk
+    )
+    SELECT r.event_type, r.d, r.cents,
+           CAST(r.rnk AS BIGINT) AS rnk,
+           ROUND(f.norm, 6) AS norm_cents
+    FROM ranked r JOIN ref f ON f.rnk = r.rnk
+    ORDER BY r.event_type, r.d
+    """,
+)
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of each type's daily-spend distribution —
+    every group is mapped onto the cross-group mean distribution at the
+    same rank (the bioinformatics/feature-prep classic that forces
+    identical marginal distributions).  One rank window per group, one
+    O(ranks) reference aggregate, one broadcast join back; integer-cent
+    sums keep the reference means a single exact division.  At 100 TB
+    the day-grain rollup bounds everything after the first map-side
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "d")
+    ranked = daily.withColumn("rnk", F.row_number().over(w))
+    ref = ranked.groupBy("rnk").agg(
+        (F.sum("cents") / F.count(F.lit(1))).alias("norm")
+    )
+    return (
+        ranked.join(F.broadcast(ref), "rnk")
+        .select(
+            "event_type",
+            "d",
+            "cents",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("norm", 6).alias("norm_cents"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -374,6 +374,8 @@ _PRIORITY = (
     "events_mann_kendall",
     "events_wilson_ci",
     "events_holt_linear",
+    "events_quantile_normalize",
+    "er_blocking_quality",
 )
 
 

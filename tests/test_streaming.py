@@ -963,3 +963,88 @@ def test_write_sentinel_file_types_match_stream_schema(spark, tmp_path):
     assert row.event_id == -1 and row.user_id == -1
     assert row.event_type == "view" and row.value is None
     assert row.ts.microsecond == 123  # µs precision survives the round trip
+
+
+def test_holt_stream_out_of_order_within_lateness(spark, tmp_path):
+    """A row arriving AFTER later-timestamped rows (but within the
+    lateness window) must fold at its event-time position: the drained
+    output equals the batch recurrence over the time-sorted series."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafsys_data_transfer_spark.plans.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from trafsys_data_transfer_spark.streaming.holt import holt_stream
+
+    staging = str(tmp_path / "src")
+    os.makedirs(staging)
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def drop(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id", "cents"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(staging, name),
+        )
+        os.utime(os.path.join(staging, name), (mtime, mtime))
+
+    # file A: t=10:00, 10:30, 11:00; file B (arrives later): t=10:15
+    drop(
+        "a.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1, 100),
+            (1, "2024-01-01 10:30:00", 3, 300),
+            (1, "2024-01-01 11:00:00", 4, 400),
+        ],
+        1_700_000_000,
+    )
+    drop("b.parquet", [(1, "2024-01-01 10:15:00", 2, 200)], 1_700_000_010)
+    drop("z-sent.parquet", [(-1, "2030-01-01", -1, 0)], 1_700_000_020)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    name = "holt_ooo_test"
+    q = (
+        holt_stream(stream, lateness="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.rn: (r.cents, r.level, r.trend)
+        for r in spark.table(name).collect()
+    }
+
+    # batch fold over the time-sorted series
+    xs = [100, 200, 300, 400]
+    l, b = float(xs[0]), 0.0
+    expect = {1: (xs[0], l, b)}
+    for i, x in enumerate(xs[1:], start=2):
+        l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
+        l = l_new
+        expect[i] = (x, l, b)
+    assert got == expect

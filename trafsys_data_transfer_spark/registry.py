@@ -376,6 +376,7 @@ _PRIORITY = (
     "events_holt_linear",
     "events_quantile_normalize",
     "er_blocking_quality",
+    "streaming_holt_linear",
 )
 
 

@@ -2277,3 +2277,141 @@ def streaming_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join_to_memory(
         spark, views_dir, pur_dir, table, events.schema, join_expr, select_cols
     )
+
+
+@register(
+    "streaming_holt_linear",
+    # the drained stream must hash-match the batch recurrence replayed
+    # as a recursive CTE (same algebra as events_holt_linear, per-user
+    # series over event cents instead of hourly counts)
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, rn, cents,
+               CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, s.cents,
+               0.25 * s.cents + 0.75 * (r.l + r.b),
+               0.125 * ((0.25 * s.cents + 0.75 * (r.l + r.b)) - r.l)
+                   + 0.875 * r.b
+        FROM rec r JOIN seq s
+          ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, rn, cents,
+           ROUND(l, 6) + 0.0 AS level,
+           ROUND(b, 6) + 0.0 AS trend
+    FROM rec
+    ORDER BY user_id, rn
+    """,
+)
+def streaming_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level/trend smoothing AT INGEST (:mod:`.holt`): each user's
+    spend series folds through the recurrence in keyed state, one output
+    row per event, emitted only when the watermark seals its position in
+    the series (the cap.py reorder-buffer discipline — Holt is
+    order-sensitive, so nothing folds until no earlier row can arrive).
+    Day-sliced drops force series whose folding spans micro-batches; the
+    drained output must hash-match the batch recurrence (recursive-CTE
+    oracle).  Dyadic α/β keep the stateful Python fold and the SQL
+    recursion on identical IEEE ops."""
+    from .holt import holt_stream
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d0, d1 = rows.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).first()
+    step = max(1, ((d1 - d0).days + 1) // 3)
+    staging = tempfile.mkdtemp(prefix="tds_stream_holt_")
+    tmp = tempfile.mkdtemp(prefix="tds_holt_slices_")
+    (
+        rows.withColumn(
+            "slice",
+            F.least(
+                F.floor(
+                    F.datediff(F.col("ts").cast("date"), F.lit(d0)) / step
+                ),
+                F.lit(2),
+            ),
+        )
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(3):
+        sdir = os.path.join(tmp, f"slice={i}")
+        if not os.path.isdir(sdir):
+            continue
+        base = 1_700_000_000 + i * 10
+        for j, f in enumerate(sorted(os.listdir(sdir))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                dst = os.path.join(staging, f"slice-{i:03d}-{j:03d}.parquet")
+                shutil.copyfile(os.path.join(sdir, f), dst)
+                os.utime(dst, (base, base))
+    import pandas as _pd
+    import pyarrow as _pa
+
+    _write_sentinel_file(
+        os.path.join(staging, "zz-sent.parquet"),
+        _pd.DataFrame(
+            {
+                "user_id": [-1],
+                "ts": [_pd.Timestamp("2030-01-01")],
+                "event_id": [-1],
+                "cents": [0],
+            }
+        ),
+        _pa.schema(
+            [
+                ("user_id", _pa.int64()),
+                ("ts", _pa.timestamp("us")),
+                ("event_id", _pa.int64()),
+                ("cents", _pa.int64()),
+            ]
+        ),
+        mtime=1_700_000_100,
+    )
+    table = f"stream_holt_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=max(32, STREAM_SHUFFLE_PARTITIONS)):
+        q = (
+            holt_stream(stream, lateness="90 days")
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            "rn",
+            "cents",
+            (F.round("level", 6) + F.lit(0.0)).alias("level"),
+            (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+        )
+        .orderBy("user_id", "rn")
+    )

@@ -116,3 +116,61 @@ def test_holt_linear_tracks_a_ramp(spark):
     )[-1]
     assert abs(last.trend - 10.0) < 0.5
     assert abs(last.level - 10.0 * 199) < 50
+
+
+def _with_fake_events(spark, rows, fn):
+    """Run a registered timeseries builder against a synthetic events
+    table (monkeypatched load_table)."""
+    import trafsys_data_transfer_spark.plans.timeseries as mod
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    real = mod.load_table
+    try:
+        mod.load_table = lambda spark, sf, name: df
+        return fn(spark, "ignored").collect()
+    finally:
+        mod.load_table = real
+
+
+def test_acf_alternating_series_is_exactly_pm1(spark):
+    """A strictly alternating hourly count series (1,2,1,2,…) has
+    ACF(1) == −1 and ACF(2) == +1 exactly (Pearson of an exact linear
+    relation)."""
+    from trafsys_data_transfer_spark.plans.timeseries import (
+        events_autocorrelation,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(100):
+        for _ in range(h % 2 + 1):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{h // 24 + 1} {h % 24:02d}:05:00", 1,
+                 "view", 1.0, "{}")
+            )
+    res = _with_fake_events(spark, rows, events_autocorrelation)
+    by_lag = {r.lag: r.acf for r in res}
+    assert by_lag[1] == -1.0
+    assert by_lag[2] == 1.0
+
+
+def test_theilsen_ignores_a_wild_outlier(spark):
+    """Daily spend 1·day dollars with one absurd outlier day: the median
+    pairwise slope is still exactly 100 cents/day."""
+    from trafsys_data_transfer_spark.plans.timeseries import (
+        events_theilsen_slope,
+    )
+
+    rows = []
+    for d in range(1, 21):
+        v = 10_000.0 if d == 10 else float(d)
+        rows.append((d, f"2024-01-{d:02d} 12:00:00", 1, "view", v, "{}"))
+    res = _with_fake_events(spark, rows, events_theilsen_slope)
+    assert len(res) == 1
+    assert res[0].theil_sen_slope == 100.0
+    assert res[0].n_pairs == 20 * 19 // 2

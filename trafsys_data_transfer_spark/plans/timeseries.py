@@ -526,3 +526,214 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("level", 6) + F.lit(0.0)).alias("level"),
         (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
     ).orderBy("event_type", "rn")
+
+
+# --- autocorrelation & robust trend ---------------------------------------
+
+#: lags (hours) probed by the ACF query — the short-range + daily-cycle set
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@register(
+    "events_autocorrelation",
+    # lag-k Pearson over the hourly count series: pair (x_t, x_{t+k}),
+    # five integer sums per (type, lag), one closed-form correlation
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY date_trunc('hour', ts)
+               ) AS rn,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    lags AS (
+        SELECT UNNEST(ARRAY{list(ACF_LAGS)}) AS lag
+    ),
+    paired AS (
+        SELECT a.event_type, l.lag,
+               a.cnt AS x, b.cnt AS y
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b
+          ON b.event_type = a.event_type AND b.rn = a.rn + l.lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((1.0 * COUNT(*) * SUM(x*y) - 1.0 * SUM(x) * SUM(y))
+                 / SQRT((1.0 * COUNT(*) * SUM(x*x) - 1.0 * SUM(x) * SUM(x))
+                        * (1.0 * COUNT(*) * SUM(y*y) - 1.0 * SUM(y) * SUM(y))),
+                 6) + 0.0 AS acf
+    FROM paired
+    GROUP BY event_type, lag
+    ORDER BY event_type, lag
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (Pearson form) of each type's hourly count
+    series at the short-range and daily-cycle lags — the stat that says
+    whether a 24 h seasonal model is even warranted.  The hourly rollup
+    bounds the series by the calendar; each lag is one self-equi-join on
+    (type, rn+k) over that tiny series, and all five sums per (type,
+    lag) are exact integers — the one division and sqrt are single IEEE
+    ops."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("h"))
+            .alias("rn"),
+            "cnt",
+        )
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in ACF_LAGS], "lag int"
+    )
+    a = hourly.select(
+        "event_type", "rn", F.col("cnt").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = hourly.select(
+        F.col("event_type").alias("bt"),
+        F.col("rn").alias("brn"),
+        F.col("cnt").alias("y"),
+    )
+    paired = a.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("brn") == F.col("rn") + F.col("lag")),
+    )
+    cnt = F.count(F.lit(1))
+    num = F.lit(1.0) * cnt * F.sum(F.col("x") * F.col("y")) - F.lit(
+        1.0
+    ) * F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (F.lit(1.0) * cnt * F.sum(F.col("x") * F.col("x"))
+         - F.lit(1.0) * F.sum("x") * F.sum("x"))
+        * (F.lit(1.0) * cnt * F.sum(F.col("y") * F.col("y"))
+           - F.lit(1.0) * F.sum("y") * F.sum("y"))
+    )
+    return (
+        paired.groupBy("event_type", "lag")
+        .agg(
+            cnt.cast("long").alias("n_pairs"),
+            (F.round(num / den, 6) + F.lit(0.0)).alias("acf"),
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            "acf",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@register(
+    "events_theilsen_slope",
+    # median of all pairwise slopes over the day-grain series; equal
+    # rationals land on identical doubles (IEEE division is correctly
+    # rounded), so the value-ordered median is engine-independent
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+               ) AS di,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (1.0 * (b.cents - a.cents)) / (b.di - a.di) AS slope,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.event_type
+                   ORDER BY (1.0 * (b.cents - a.cents)) / (b.di - a.di)
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY a.event_type) AS np
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.di > a.di
+    )
+    SELECT event_type,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           ROUND(AVG(slope), 6) + 0.0 AS theil_sen_slope
+    FROM slopes
+    WHERE rk * 2 = np OR rk * 2 = np + 1 OR rk * 2 = np + 2
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of each type's daily spend: the median of
+    all pairwise slopes — immune to the outlier days that wreck OLS.
+    Pairwise over the DAY-GRAIN series (calendar-bounded, like the
+    Mann-Kendall test: 435 pairs per type-month, regardless of raw data
+    size).  Median = mean of the middle rank(s); pairwise slopes from
+    exact integer cents land equal rationals on identical doubles, so
+    rank order is engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("d"))
+            .alias("di"),
+            "cents",
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("di").alias("ai"), F.col("cents").alias("ac")
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("di").alias("bi"),
+        F.col("cents").alias("bc"),
+    )
+    slopes = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bi") > F.col("ai")),
+        )
+        .select(
+            "event_type",
+            (
+                F.lit(1.0) * (F.col("bc") - F.col("ac"))
+                / (F.col("bi") - F.col("ai"))
+            ).alias("slope"),
+        )
+        .select(
+            "event_type",
+            "slope",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("slope"))
+            .alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("np"),
+        )
+    )
+    mid = (
+        (F.col("rk") * 2 == F.col("np"))
+        | (F.col("rk") * 2 == F.col("np") + 1)
+        | (F.col("rk") * 2 == F.col("np") + 2)
+    )
+    return (
+        slopes.where(mid)
+        .groupBy("event_type")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            (F.round(F.avg("slope"), 6) + F.lit(0.0)).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )

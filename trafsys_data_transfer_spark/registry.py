@@ -377,6 +377,8 @@ _PRIORITY = (
     "events_quantile_normalize",
     "er_blocking_quality",
     "streaming_holt_linear",
+    "events_autocorrelation",
+    "events_theilsen_slope",
 )
 
 

@@ -199,3 +199,17 @@ def test_components_apply_edges_bridging_and_singletons(spark):
     d = dict(got)
     assert d[10] == 0  # bridge merged the cliques
     assert d[30] == 30  # singleton arrival
+
+
+def test_hits_scores_bounded_and_positive(spark, sf_dir):
+    """Rescaled HITS scores live in (0, HITS_SCALE]; the max on each
+    side is exactly HITS_SCALE (the rescale pins it)."""
+    from trafsys_data_transfer_spark.operators.graph import HITS_SCALE
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    rows = all_queries()["graph_hits_bipartite"].build(spark, sf_dir).collect()
+    for kind in ("authority", "hub"):
+        scores = [r.score for r in rows if r.kind == kind]
+        assert scores, kind
+        assert max(scores) == HITS_SCALE
+        assert all(0 < s <= HITS_SCALE for s in scores)

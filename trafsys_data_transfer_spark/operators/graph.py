@@ -853,3 +853,132 @@ def graph_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "node_id")
     )
+
+
+# --- HITS (hubs & authorities) on the part-supplier bipartite graph -------
+
+#: HITS fixed-point iterations (each = two join-aggregate half-steps)
+HITS_ITERS = 3
+#: integer rescale ceiling after each half-step — keeps every sum far
+#: inside int64 at ANY degree distribution while staying bit-reproducible
+#: (scores are ``s * SCALE // max(s)``, pure integer ops)
+HITS_SCALE = 1000
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    """DuckDB oracle for :func:`graph_hits_bipartite`: the mutual
+    reinforcement loop unrolled into chained CTEs (the
+    graph_pagerank_partsupp conversion pattern).  All-integer arithmetic
+    — sums of previous scores, then ``* SCALE // max`` rescaling — makes
+    every iteration bit-reproducible in any engine."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""
+            a{i}r AS (
+              SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS a
+              FROM edges e JOIN {prev_h} h ON h.s = e.s
+              GROUP BY e.p
+            ),
+            a{i} AS (
+              SELECT p, a * {HITS_SCALE} // (SELECT MAX(a) FROM a{i}r) AS a
+              FROM a{i}r
+            ),
+            h{i}r AS (
+              SELECT e.s, CAST(SUM(a.a) AS BIGINT) AS h
+              FROM edges e JOIN a{i} a ON a.p = e.p
+              GROUP BY e.s
+            ),
+            h{i} AS (
+              SELECT s, h * {HITS_SCALE} // (SELECT MAX(h) FROM h{i}r) AS h
+              FROM h{i}r
+            )"""
+        )
+        prev_h = f"h{i}"
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        h0 AS (
+          SELECT DISTINCT s, CAST({HITS_SCALE} AS BIGINT) AS h FROM edges
+        ),
+        {",".join(steps)}
+        SELECT kind, key, CAST(score AS BIGINT) AS score
+        FROM (
+          SELECT 'authority' AS kind, p AS key, a AS score FROM a{iters}
+          UNION ALL
+          SELECT 'hub' AS kind, s AS key, h AS score FROM h{iters}
+        )
+        ORDER BY kind, key
+    """
+
+
+@register("graph_hits_bipartite", oracle=_hits_oracle())
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores on the part–supplier bipartite graph
+    (distinct lineitem links): parts accumulate authority from the hub
+    scores of their suppliers, suppliers accumulate hub score from the
+    authority of their parts — {HITS_ITERS} mutual-reinforcement rounds.
+
+    Strict by the graph_pagerank_partsupp discipline: integer sums with
+    a ``· SCALE // max`` integer rescale after each half-step (bounding
+    magnitudes at ANY degree distribution), so the DuckDB oracle unrolls
+    the loop as chained CTEs and the driver hash-compares actual scores.
+    Each half-step is one equi-join + groupBy on the edge relation —
+    shuffles on the bipartite keys, O(iters · |E|) total; the rescale
+    max is a broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        # the edge relation feeds all 2·HITS_ITERS half-step joins:
+        # materialize the distinct once instead of re-scanning lineitem
+        .localCheckpoint(eager=False)
+    )
+    h = edges.select("s").distinct().withColumn(
+        "h", F.lit(HITS_SCALE).cast("long")
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("m"))
+        a = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "p", F.expr(f"a * {HITS_SCALE} div m").alias("a")
+        )
+        h_raw = (
+            edges.join(a, "p")
+            .groupBy("s")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        h_max = h_raw.agg(F.max("h").alias("m"))
+        h = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "s", F.expr(f"h * {HITS_SCALE} div m").alias("h")
+        )
+        # truncate lineage per round — without this each iteration
+        # re-executes every earlier one (the max-aggregate forks the DAG
+        # twice per half-step: 24 s -> ~3 s at sf0.1)
+        a = a.localCheckpoint(eager=False)
+        h = h.localCheckpoint(eager=False)
+    out = (
+        a.select(
+            F.lit("authority").alias("kind"),
+            F.col("p").alias("key"),
+            F.col("a").alias("score"),
+        )
+        .unionByName(
+            h.select(
+                F.lit("hub").alias("kind"),
+                F.col("s").alias("key"),
+                F.col("h").alias("score"),
+            )
+        )
+        .orderBy("kind", "key")
+    )
+    return out

@@ -379,6 +379,7 @@ _PRIORITY = (
     "streaming_holt_linear",
     "events_autocorrelation",
     "events_theilsen_slope",
+    "graph_hits_bipartite",
 )
 
 

@@ -1420,3 +1420,93 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "part_xyz_classification",
+    # demand variability classes from the exact integer moment sums:
+    # CV² = n·Σq² / (Σq)² − ... computed as std/mean with both terms
+    # derived from n, Σq, Σq² — single IEEE ops on exact integers
+    oracle="""
+    WITH monthly AS (
+        SELECT l.l_partkey,
+               date_trunc('month', o.o_orderdate) AS m,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(qty) AS BIGINT) AS sq,
+               CAST(SUM(qty * qty) AS BIGINT) AS sqq
+        FROM monthly GROUP BY l_partkey
+    ),
+    cv AS (
+        SELECT l_partkey, n_months, sq,
+               CASE WHEN n_months > 1 AND sq > 0 THEN
+                   SQRT((1.0 * n_months * sqq - 1.0 * sq * sq)
+                        / (n_months * (n_months - 1.0)))
+                   / (1.0 * sq / n_months)
+               ELSE NULL END AS cv
+        FROM moments
+    )
+    SELECT l_partkey AS partkey, n_months, sq AS total_qty,
+           ROUND(cv, 6) AS demand_cv,
+           CASE WHEN cv IS NULL THEN 'N'
+                WHEN cv < 0.5 THEN 'X'
+                WHEN cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM cv
+    ORDER BY partkey
+    """,
+)
+def part_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (ABC's companion axis):
+    per-part coefficient of variation of monthly demand — X steady,
+    Y seasonal-ish, Z erratic; parts with one observed month get 'N'.
+    Quantities are integers, so n, Σq, Σq² are exact and the sample
+    std / mean is two IEEE ops; the class thresholds compare the
+    UNROUNDED cv in both engines.  Month-grain pre-aggregation bounds
+    the moment pass by parts × calendar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            "l_partkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    moments = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("qty").cast("long").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sqq"),
+    )
+    n, sq, sqq = F.col("n_months"), F.col("sq"), F.col("sqq")
+    cv = F.when(
+        (n > 1) & (sq > 0),
+        F.sqrt(
+            (F.lit(1.0) * n * sqq - F.lit(1.0) * sq * sq)
+            / (n * (n - F.lit(1.0)))
+        )
+        / (F.lit(1.0) * sq / n),
+    )
+    return (
+        moments.withColumn("cv", cv)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "n_months",
+            sq.alias("total_qty"),
+            F.round("cv", 6).alias("demand_cv"),
+            F.when(F.col("cv").isNull(), "N")
+            .when(F.col("cv") < 0.5, "X")
+            .when(F.col("cv") < 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+        .orderBy("partkey")
+    )

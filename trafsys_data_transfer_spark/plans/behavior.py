@@ -513,3 +513,102 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_conversions"
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "orders_cohort_ltv",
+    # cohort = first-order month; age = months since; LTV = cumulative
+    # mean spend per cohort member — integer cents end-to-end, the
+    # cumulative window rides the cohort partition
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort
+    ),
+    aged AS (
+        SELECT f.cohort,
+               CAST(datediff('month', f.cohort,
+                             date_trunc('month', o.o_orderdate))
+                    AS BIGINT) AS age_months,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, age_months,
+               SUM(cents) OVER (
+                   PARTITION BY cohort ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents
+        FROM aged
+    )
+    SELECT c.cohort, c.age_months, s.cohort_size,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           ROUND(1.0 * c.cum_cents / s.cohort_size / 100.0, 6)
+               AS ltv_per_customer
+    FROM cum c JOIN sized s ON s.cohort = c.cohort
+    ORDER BY c.cohort, c.age_months
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative spend per cohort member by cohort age — the curve
+    growth teams read to see whether newer cohorts monetize faster.
+    Two aggregations (first-order month, spend by cohort-age) and one
+    cumulative window per cohort; integer cents make the running sums
+    exact, the per-member division is the only float op.  At 100 TB the
+    month-grain (cohort, age) matrix is calendar²-bounded — the heavy
+    lifting is all in the first map-side rollups."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        # DATE, matching DuckDB's date_trunc('month', …) type class
+        F.min(F.date_trunc("month", "o_orderdate"))
+        .cast("date")
+        .alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = aged.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "cohort_size",
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.round(
+                F.lit(1.0) * F.col("cum_cents") / F.col("cohort_size")
+                / F.lit(100.0),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_months")
+    )

@@ -380,6 +380,8 @@ _PRIORITY = (
     "events_autocorrelation",
     "events_theilsen_slope",
     "graph_hits_bipartite",
+    "orders_cohort_ltv",
+    "part_xyz_classification",
 )
 
 

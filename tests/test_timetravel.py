@@ -810,3 +810,90 @@ def test_multi_table_commit_idempotent_replay(spark, tmp_path):
     )
     assert t_replay2 == t2
     assert multi_table_read(spark, root)["a"].count() == 10  # still the cut
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        shallow_clone,
+        table_versions,
+        versioned_commit,
+        versioned_read,
+    )
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 20).withColumnRenamed("id", "k")
+    versioned_commit(spark, df1, src)
+    assert shallow_clone(spark, src, dst) == 1
+    # zero copy
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(dst, "data"))
+    )
+    # clone read == source read at the fork
+    assert sorted(
+        r.k for r in versioned_read(spark, dst).collect()
+    ) == list(range(10))
+    # diverge: append to clone, then to source — neither sees the other
+    versioned_commit(spark, df2, dst)
+    versioned_commit(
+        spark, spark.range(100, 105).withColumnRenamed("id", "k"), src
+    )
+    assert sorted(
+        r.k for r in versioned_read(spark, dst).collect()
+    ) == list(range(20))
+    assert sorted(
+        r.k for r in versioned_read(spark, src).collect()
+    ) == list(range(10)) + list(range(100, 105))
+
+
+def test_vacuum_on_clone_never_touches_source(spark, tmp_path):
+    """A clone vacuum reconciles only the clone's OWN data dir: the
+    source files it references by absolute path survive."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        shallow_clone,
+        versioned_commit,
+        versioned_read,
+        versioned_vacuum,
+    )
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned_commit(
+        spark, spark.range(0, 5).withColumnRenamed("id", "k"), src
+    )
+    shallow_clone(spark, src, dst)
+    versioned_commit(
+        spark, spark.range(5, 8).withColumnRenamed("id", "k"), dst
+    )
+    versioned_commit(
+        spark, spark.range(8, 9).withColumnRenamed("id", "k"), dst
+    )
+    src_files_before = sorted(os.listdir(os.path.join(src, "data")))
+    kept, deleted = versioned_vacuum(spark, dst, retain_last=1)
+    assert sorted(os.listdir(os.path.join(src, "data"))) == src_files_before
+    assert sorted(
+        r.k for r in versioned_read(spark, dst).collect()
+    ) == list(range(9))
+
+
+def test_shallow_clone_refuses_nonempty_target(spark, tmp_path):
+    import pytest
+
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        shallow_clone,
+        versioned_commit,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned_commit(
+        spark, spark.range(0, 3).withColumnRenamed("id", "k"), src
+    )
+    versioned_commit(
+        spark, spark.range(0, 3).withColumnRenamed("id", "k"), dst
+    )
+    with pytest.raises(ValueError, match="not empty"):
+        shallow_clone(spark, src, dst)

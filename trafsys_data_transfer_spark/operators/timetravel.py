@@ -1664,3 +1664,125 @@ def catalog_vacuum(
                 os.unlink(os.path.join(data_dir, f))
                 deleted += 1
     return kept_txns, deleted
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    version: int | None = None,
+) -> int:
+    """Zero-copy clone of ``src_table`` AS OF ``version`` (latest when
+    None): the clone's v1 manifest lists ABSOLUTE references to the
+    source's data files — no bytes move (Delta's SHALLOW CLONE shape).
+
+    Absolute entries flow through the whole manifest tier untouched:
+    ``versioned_read`` resolves them as-is (``os.path.join`` yields the
+    absolute path back), appends via :func:`versioned_commit` carry them
+    forward next to the clone's own (local, basename-referenced) files,
+    and ``versioned_vacuum`` can never GC them — it only reconciles
+    files physically under the CLONE's data directory, so a vacuum on
+    the clone never touches source storage (and vice versa).  Writes to
+    either side after the clone are invisible to the other: the fork
+    point is the copied manifest, exactly once.
+
+    VACUUM CAVEAT (inherent to shallow clones, same as Delta's): a
+    vacuum on the SOURCE that garbage-collects files the clone still
+    references breaks the clone.  Deep-copy (re-commit the clone's read)
+    before vacuuming a source with live clones.
+    """
+    versions = table_versions(spark, src_table)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {src_table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(_manifest_path(src_table, v)) as fh:
+        src_manifest = json.load(fh)
+    refs = [
+        f if os.path.isabs(f) else os.path.join(src_table, "data", f)
+        for f in src_manifest["files"]
+    ]
+    os.makedirs(os.path.join(dst_table, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(dst_table), exist_ok=True)
+    if table_versions(spark, dst_table):
+        raise ValueError(f"clone target {dst_table} is not empty")
+    manifest = {"version": 1, "files": sorted(refs)}
+    parts = src_manifest.get("partitions")
+    if parts:
+        manifest["partitions"] = {
+            os.path.join(src_table, "data", f)
+            if not os.path.isabs(f)
+            else f: p
+            for f, p in parts.items()
+        }
+    tmp = _manifest_path(dst_table, 1) + ".tmp-clone"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.link(tmp, _manifest_path(dst_table, 1))
+    os.unlink(tmp)
+    return 1
+
+
+@register(
+    "timetravel_shallow_clone",
+    # src holds orderkey%3∈{0,1} after two commits; the clone forks there
+    # and appends %3==2 — src must stay unchanged, the clone sees all
+    oracle="""
+    WITH proj AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 'src' AS side, o_orderkey, cents
+    FROM proj WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'clone' AS side, o_orderkey, cents FROM proj
+    ORDER BY side, o_orderkey
+    """,
+)
+def timetravel_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE on the manifest tier: fork a versioned table by
+    copying only its manifest (absolute file references — zero data
+    copied), then diverge: an append to the clone is invisible to the
+    source and shares every pre-fork file.  Inline assertions pin the
+    zero-copy claim (the clone's data dir holds ONLY its own post-fork
+    files) and isolation in both directions (source version count and
+    rows unchanged after the clone's commit)."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="tds_clone_src_"), "t")
+    dst = os.path.join(tempfile.mkdtemp(prefix="tds_clone_dst_"), "t")
+    versioned_commit(spark, orders.filter(F.col("o_orderkey") % 3 == 0), src)
+    versioned_commit(spark, orders.filter(F.col("o_orderkey") % 3 == 1), src)
+    src_versions_before = table_versions(spark, src)
+
+    assert shallow_clone(spark, src, dst) == 1
+    local_before = [
+        f
+        for f in os.listdir(os.path.join(dst, "data"))
+        if f.endswith(".parquet")
+    ]
+    assert local_before == [], "clone copied data files"
+
+    versioned_commit(spark, orders.filter(F.col("o_orderkey") % 3 == 2), dst)
+    # zero-copy: the clone's only LOCAL files are the post-fork commit's
+    local_after = [
+        f
+        for f in os.listdir(os.path.join(dst, "data"))
+        if f.endswith(".parquet")
+    ]
+    assert local_after, "clone append wrote no local files"
+    # isolation: the source saw nothing
+    assert table_versions(spark, src) == src_versions_before
+    src_df = versioned_read(spark, src).select(
+        F.lit("src").alias("side"), "o_orderkey", "cents"
+    )
+    clone_df = versioned_read(spark, dst).select(
+        F.lit("clone").alias("side"), "o_orderkey", "cents"
+    )
+    return src_df.unionByName(clone_df).orderBy("side", "o_orderkey")

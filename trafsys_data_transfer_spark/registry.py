@@ -382,6 +382,7 @@ _PRIORITY = (
     "graph_hits_bipartite",
     "orders_cohort_ltv",
     "part_xyz_classification",
+    "timetravel_shallow_clone",
 )
 
 

@@ -903,3 +903,142 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "nation_supplier_hhi",
+    # HHI from exact integer revenue sums: 10000·Σr²/(Σr)² — shares are
+    # never materialized individually, so no order-dependent float sum
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           ROUND(10000.0 * SUM(1.0 * cents * cents)
+                 / (1.0 * SUM(cents) * SUM(cents)), 6) AS hhi
+    FROM rev
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation (the antitrust-style market-concentration stat, companion to
+    the Gini query): HHI = 10000·Σshare².  Computed as
+    10000·Σr²/(Σr)² over integer cents, so both sums are exact and the
+    single division is bit-stable — individual shares never exist as
+    floats.  Σr² of int64 cents can exceed 2⁵³ in doubles at extreme
+    scale; the 1.0· promotion matches DuckDB's HUGEINT→DOUBLE rounding
+    on the same exact integer, keeping both engines on the identical
+    nearest-double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"), F.col("l_suppkey")
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return (
+        rev.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.round(
+                F.lit(10000.0)
+                * F.sum(F.lit(1.0) * F.col("cents") * F.col("cents"))
+                / (F.lit(1.0) * F.sum("cents") * F.sum("cents")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "events_burstiness",
+    # burstiness B = (σ−μ)/(σ+μ) over integer-µs inter-arrival gaps:
+    # moment sums exact, σ via one sqrt, one division at the end
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               )) // 1000 AS BIGINT) AS gap_ms
+        FROM events
+    ),
+    moments AS (
+        SELECT event_type,
+               CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_ms) AS BIGINT) AS sg,
+               CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS sgg
+        FROM gaps WHERE gap_ms IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_ms,
+           ROUND((SQRT((1.0 * n_gaps * sgg - 1.0 * sg * sg)
+                       / (1.0 * n_gaps * n_gaps))
+                  - 1.0 * sg / n_gaps)
+                 / (SQRT((1.0 * n_gaps * sgg - 1.0 * sg * sg)
+                         / (1.0 * n_gaps * n_gaps))
+                    + 1.0 * sg / n_gaps), 6) AS burstiness
+    FROM moments
+    ORDER BY event_type
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index B = (σ−μ)/(σ+μ) of inter-arrival times per
+    event type (Goh & Barabási): −1 ≈ periodic, 0 ≈ Poisson, →1 ≈
+    extreme bursts — the one-number answer to "is this feed clumpy?".
+    Gaps are exact integer MILLISECONDS (µs diffs floor-divided by
+    1000 in both engines): at µs grain Σgap² overflows int64 once a
+    type's gaps reach ~half an hour over a month-long fixture; ms keeps
+    the exact-integer discipline with ~10⁶ headroom.  A multi-YEAR
+    sparse feed would need second grain — same one-line change."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over "
+            "(partition by event_type order by ts, event_id)) div 1000"
+        ).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("gap_ms").cast("long").alias("n_gaps"),
+        F.sum("gap_ms").cast("long").alias("sg"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("long").alias("sgg"),
+    )
+    n, sg, sgg = F.col("n_gaps"), F.col("sg"), F.col("sgg")
+    sigma = F.sqrt(
+        (F.lit(1.0) * n * sgg - F.lit(1.0) * sg * sg)
+        / (F.lit(1.0) * n * n)
+    )
+    mu = F.lit(1.0) * sg / n
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.expr("sg div n_gaps").alias("mean_gap_ms"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")

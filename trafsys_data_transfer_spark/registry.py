@@ -383,6 +383,8 @@ _PRIORITY = (
     "orders_cohort_ltv",
     "part_xyz_classification",
     "timetravel_shallow_clone",
+    "nation_supplier_hhi",
+    "events_burstiness",
 )
 
 

@@ -156,6 +156,10 @@ WORK_IN_BUILD = {
     # the closure loop's per-round termination probe executes in build()
     "customer_hierarchy_rollup",
     "streaming_interval_islands",
+    # round 9 session-3 lifecycle queries: stream drain / versioned
+    # commits run in build(), the returned DataFrame reads the result
+    "streaming_holt_linear",
+    "timetravel_shallow_clone",
 }
 
 

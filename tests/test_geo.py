@@ -118,3 +118,36 @@ def test_synthetic_coords_in_domain(spark):
     ).collect()[0]
     assert -60.0 <= row[0] and row[1] < 60.0
     assert -180.0 <= row[2] and row[3] < 180.0
+
+
+def test_containment_join_matches_bruteforce(spark):
+    """Random points × random (overlapping) boxes: the grid containment
+    join returns exactly the brute-force pair set."""
+    from trafsys_data_transfer_spark.operators.geo import (
+        cell_containment_join,
+    )
+
+    rng = random.Random(777)
+    pts = [
+        (i, rng.uniform(-60, 60), rng.uniform(-170, 170)) for i in range(60)
+    ]
+    boxes = []
+    for j in range(15):
+        la = rng.uniform(-60, 40)
+        lo = rng.uniform(-170, 120)
+        boxes.append((j, la, la + rng.uniform(1, 25), lo, lo + rng.uniform(1, 40)))
+    p = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    b = spark.createDataFrame(
+        boxes, "bid long, lat_lo double, lat_hi double,"
+        " lon_lo double, lon_hi double"
+    )
+    got = {
+        (r.pid, r.bid) for r in cell_containment_join(p, b).collect()
+    }
+    want = {
+        (pid, bid)
+        for pid, la, lo in pts
+        for bid, lo1, hi1, lo2, hi2 in boxes
+        if lo1 <= la <= hi1 and lo2 <= lo <= hi2
+    }
+    assert got == want

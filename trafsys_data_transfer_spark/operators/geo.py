@@ -353,3 +353,112 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lat_cell", "lon_cell")
     )
+
+
+# --- containment join: points in (possibly overlapping) boxes -------------
+
+#: grid cell size (degrees) for the containment join — boxes register in
+#: every cell they intersect, points in exactly one
+BBOX_CELL_DEG = 5.0
+
+
+def cell_containment_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell_deg: float = BBOX_CELL_DEG,
+) -> DataFrame:
+    """All (point, box) pairs with the point inside the box, via a grid
+    equi-join: each box explodes to the cells its rectangle intersects
+    (bounded by box area / cell area), each point computes ONE cell.
+    Points need ``lat``/``lon``; boxes need ``lat_lo/lat_hi/lon_lo/lon_hi``
+    (non-wrapping).  Output keeps all input columns.
+
+    The radius join's wrap machinery is deliberately absent: bbox tables
+    (admin regions, tiles) are conventionally split at the antimeridian
+    upstream, so cells here are plain floors.
+    """
+    lo = F.floor((F.col("lat_lo") + 90.0) / cell_deg).cast("int")
+    hi = F.floor((F.col("lat_hi") + 90.0) / cell_deg).cast("int")
+    lo2 = F.floor((F.col("lon_lo") + 180.0) / cell_deg).cast("int")
+    hi2 = F.floor((F.col("lon_hi") + 180.0) / cell_deg).cast("int")
+    boxes9 = (
+        boxes.withColumn("_lat_cell", F.explode(F.sequence(lo, hi)))
+        .withColumn("_lon_cell", F.explode(F.sequence(lo2, hi2)))
+    )
+    pts = points.withColumn(
+        "_lat_cell", F.floor((F.col("lat") + 90.0) / cell_deg).cast("int")
+    ).withColumn(
+        "_lon_cell", F.floor((F.col("lon") + 180.0) / cell_deg).cast("int")
+    )
+    return (
+        pts.join(boxes9, ["_lat_cell", "_lon_cell"])
+        .where(
+            (F.col("lat") >= F.col("lat_lo"))
+            & (F.col("lat") <= F.col("lat_hi"))
+            & (F.col("lon") >= F.col("lon_lo"))
+            & (F.col("lon") <= F.col("lon_hi"))
+        )
+        .drop("_lat_cell", "_lon_cell")
+    )
+
+
+_BBOX_SQL = """
+    boxes AS (
+        SELECT n_nationkey,
+               -60.0 + ((n_nationkey * 7919) % 100) AS lat_lo,
+               -60.0 + ((n_nationkey * 7919) % 100)
+                     + 4.0 + (n_nationkey * 13) % 12 AS lat_hi,
+               -180.0 + ((n_nationkey * 104729) % 320) AS lon_lo,
+               -180.0 + ((n_nationkey * 104729) % 320)
+                      + 6.0 + (n_nationkey * 17) % 18 AS lon_hi
+        FROM nation
+    )
+"""
+
+
+@register(
+    "geo_bbox_contains_join",
+    # the oracle is the plain cross join + containment predicate
+    oracle="""WITH cust AS (
+        SELECT c_custkey,
+               -60.0  + ((c_custkey * 7919)   % 120000) / 1000.0 AS lat,
+               -180.0 + ((c_custkey * 104729) % 360000) / 1000.0 AS lon
+        FROM customer
+    ),"""
+    + _BBOX_SQL
+    + """
+    SELECT c.c_custkey, b.n_nationkey,
+           ROUND(c.lat, 3) AS lat, ROUND(c.lon, 3) AS lon
+    FROM cust c CROSS JOIN boxes b
+    WHERE c.lat >= b.lat_lo AND c.lat <= b.lat_hi
+      AND c.lon >= b.lon_lo AND c.lon <= b.lon_hi
+    ORDER BY c.c_custkey, b.n_nationkey
+    """,
+)
+def geo_bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join — customers located inside synthetic
+    per-nation service rectangles (overlapping boxes allowed: a point
+    reports every box that contains it).  The scale shape differs from
+    the radius join: the replicated side's blow-up is its AREA in cells
+    (boxes explode to the cells they intersect), the point side stays
+    single-cell — a hash join on the cell key either way.  Pure
+    arithmetic throughout (no trig): bounds and coordinates replay
+    bit-exactly in the oracle's cross join."""
+    cust = _customers_with_coords(spark, sf_dir)
+    nk = F.col("n_nationkey")
+    lat_lo = F.lit(-60.0) + ((nk * 7919) % 100).cast("double")
+    lon_lo = F.lit(-180.0) + ((nk * 104729) % 320).cast("double")
+    boxes = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        lat_lo.alias("lat_lo"),
+        (lat_lo + 4.0 + ((nk * 13) % 12).cast("double")).alias("lat_hi"),
+        lon_lo.alias("lon_lo"),
+        (lon_lo + 6.0 + ((nk * 17) % 18).cast("double")).alias("lon_hi"),
+    )
+    pairs = cell_containment_join(cust, F.broadcast(boxes))
+    return pairs.select(
+        "c_custkey",
+        "n_nationkey",
+        F.round("lat", 3).alias("lat"),
+        F.round("lon", 3).alias("lon"),
+    ).orderBy("c_custkey", "n_nationkey")

@@ -385,6 +385,7 @@ _PRIORITY = (
     "timetravel_shallow_clone",
     "nation_supplier_hhi",
     "events_burstiness",
+    "geo_bbox_contains_join",
 )
 
 

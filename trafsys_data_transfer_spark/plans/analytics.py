@@ -1510,3 +1510,93 @@ def part_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+@register(
+    "orders_fulfillment_lag",
+    # exact integer day lags; percentiles as the first value whose
+    # cumulative count reaches the target rank (the weighted-median scan)
+    oracle="""
+    WITH lags AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                   AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    by_value AS (
+        SELECT priority, lag_days, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lags GROUP BY 1, 2
+    ),
+    scanned AS (
+        SELECT priority, lag_days, c,
+               SUM(c) OVER (PARTITION BY priority ORDER BY lag_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY priority) AS n
+        FROM by_value
+    )
+    SELECT priority,
+           CAST(MIN(n) AS BIGINT) AS n_lines,
+           MIN(CASE WHEN 2 * cum >= n THEN lag_days END) AS p50_days,
+           MIN(CASE WHEN 10 * cum >= 9 * n THEN lag_days END) AS p90_days,
+           MAX(lag_days) AS max_days
+    FROM scanned
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority: exact integer-day
+    lags, p50/p90 as the first value whose cumulative count reaches the
+    rank target (the weighted-median scan over DISTINCT lag values —
+    bounded domain, so the window input is tiny however large the fact),
+    plus the max.  The SLA readout an ops dashboard wants, with exact
+    percentiles instead of approx_percentile drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lags = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    by_value = lags.groupBy("priority", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("priority")
+    scanned = by_value.select(
+        "priority",
+        "lag_days",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        scanned.groupBy("priority")
+        .agg(
+            F.min("n").cast("long").alias("n_lines"),
+            F.min(
+                F.when(
+                    2 * F.col("cum") >= F.col("n"), F.col("lag_days")
+                )
+            ).alias("p50_days"),
+            F.min(
+                F.when(
+                    10 * F.col("cum") >= 9 * F.col("n"), F.col("lag_days")
+                )
+            ).alias("p90_days"),
+            F.max("lag_days").alias("max_days"),
+        )
+        .orderBy("priority")
+    )

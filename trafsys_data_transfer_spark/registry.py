@@ -386,6 +386,7 @@ _PRIORITY = (
     "nation_supplier_hhi",
     "events_burstiness",
     "geo_bbox_contains_join",
+    "orders_fulfillment_lag",
 )
 
 

@@ -3,7 +3,7 @@ nearest-neighbor search over (lat, lon) columns.
 
 The reference engine (/root/reference/script.js) ships no geospatial
 machinery; its sites are opaque ``SiteCode`` strings.  A fleet-scale
-deployment of the same people-counter pipeline immediately needs the two
+deployment of the same people-counter pipeline immediately needs the
 classic geo primitives this module provides:
 
 * **Radius join** — "which suppliers (sensors / stores / depots) lie
@@ -11,6 +11,9 @@ classic geo primitives this module provides:
   territory assignment, and proximity features for training data.
 * **Bounded nearest neighbor** — "the closest facility within R km,
   else none" — the serving-side variant of the same join.
+* **Containment join** — "which service rectangles cover this point"
+  (admin regions, tiles, geofences) — the other classic spatial join,
+  where the replicated side's blow-up is its AREA in cells.
 
 Scale design (100 TB posture) — the naive form is a cross join
 (|L|·|R| haversine evaluations; dead at even GB scale).  Instead:

@@ -288,3 +288,87 @@ def test_sequence_pattern_nonoverlapping_greedy(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.journey_len, r.n_conversions) == (5, 1)
+
+
+def test_segment_migration_partitions_customers(spark, sf_dir):
+    """Every ordering customer lands in exactly one matrix cell, and the
+    impossible (absent, absent) cell never appears."""
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.registry import all_queries
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    out = all_queries()["orders_segment_migration"].build(spark, sf_dir)
+    rows = out.collect()
+    assert all(not (r.seg_a == 0 and r.seg_b == 0) for r in rows)
+    total = sum(r.n_customers for r in rows)
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_cust
+
+
+def test_abc_xyz_matrix_partitions_parts(spark, sf_dir):
+    from trafsys_data_transfer_spark.registry import all_queries
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    out = all_queries()["part_abc_xyz_matrix"].build(spark, sf_dir)
+    rows = out.collect()
+    total = sum(r.n_parts for r in rows)
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_parts
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z", "N"}
+
+
+def test_kendall_tau_self_association_is_one(spark, sf_dir):
+    """tau_b(x, x) == 1: replay the registered query's pairwise algebra
+    with vol := cents (perfect concordance, ties cancel)."""
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("ad"), F.col("cents").alias("ac")
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("cents").alias("bc"),
+    )
+    prod = (F.col("bc") - F.col("ac")) * (F.col("bc") - F.col("ac"))
+    stats = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bd") > F.col("ad")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("bc") == F.col("ac"), 1).otherwise(0)).alias(
+                "t"
+            ),
+            F.count(F.lit(1)).alias("n0"),
+        )
+        .collect()
+    )
+    import math
+
+    for r in stats:
+        tau = (r.c - 0) / math.sqrt((r.n0 - r.t) * (r.n0 - r.t))
+        assert abs(tau - 1.0) < 1e-12

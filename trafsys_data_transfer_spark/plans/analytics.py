@@ -1600,3 +1600,135 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "part_abc_xyz_matrix",
+    # ABC by cumulative revenue share (integer boundary predicates) ×
+    # XYZ by demand CV — the 9-cell inventory-planning matrix
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+        SELECT l_partkey,
+               CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                    WHEN 20 * cum <= 19 * total THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM (
+            SELECT l_partkey, cents,
+                   SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                   SUM(cents) OVER () AS total
+            FROM rev
+        )
+    ),
+    monthly AS (
+        SELECT l.l_partkey, date_trunc('month', o.o_orderdate) AS m,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN n <= 1 OR sq = 0 THEN 'N'
+                    WHEN SQRT((1.0 * n * sqq - 1.0 * sq * sq)
+                              / (n * (n - 1.0))) / (1.0 * sq / n) < 0.5
+                        THEN 'X'
+                    WHEN SQRT((1.0 * n * sqq - 1.0 * sq * sq)
+                              / (n * (n - 1.0))) / (1.0 * sq / n) < 1.0
+                        THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qty) AS BIGINT) AS sq,
+                   CAST(SUM(qty * qty) AS BIGINT) AS sqq
+            FROM monthly GROUP BY l_partkey
+        )
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(a.cents) AS BIGINT) AS revenue_cents
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC×XYZ inventory-planning matrix: revenue importance crossed
+    with demand variability — cell (A, X) is automate-the-reorder, (C, Z)
+    is stock-to-order.  ABC classes use integer boundary predicates over
+    the cumulative revenue share (the supplier_abc discipline: 5·cum ≤
+    4·total etc., no float thresholds); XYZ reuses the exact moment-sum
+    CV.  Both sides aggregate to the part grain before the one join —
+    dimension-sized everywhere after the rollups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w_cum = Window.orderBy(
+        F.col("cents").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    abc = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    ).select(
+        "l_partkey",
+        "cents",
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            "l_partkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    mom = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sqq"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    cv = F.sqrt(
+        (F.lit(1.0) * n * sqq - F.lit(1.0) * sq * sq)
+        / (n * (n - F.lit(1.0)))
+    ) / (F.lit(1.0) * sq / n)
+    xyz = mom.select(
+        "l_partkey",
+        F.when((n <= 1) | (sq == 0), "N")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

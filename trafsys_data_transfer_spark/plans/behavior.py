@@ -612,3 +612,115 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+@register(
+    "orders_segment_migration",
+    # spend terciles in each corpus half (0 = absent), crossed into the
+    # migration matrix; the half boundary is pure integer date arithmetic
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+               MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+    ),
+    mid AS (
+        SELECT d0 + CAST(DATE_DIFF('day', d0, d1) // 2 AS INT)
+                    * INTERVAL 1 DAY AS m
+        FROM bounds
+    ),
+    spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(CAST(o_orderdate AS DATE) >= (SELECT m FROM mid)
+                    AS INT) AS half,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT custkey, half,
+               NTILE(3) OVER (PARTITION BY half ORDER BY cents, custkey)
+                   AS tercile,
+               cents
+        FROM spend
+    ),
+    matrix AS (
+        SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+               COALESCE(a.tercile, 0) AS seg_a,
+               COALESCE(b.tercile, 0) AS seg_b,
+               COALESCE(b.cents, 0) AS cents_b
+        FROM (SELECT * FROM seg WHERE half = 0) a
+        FULL OUTER JOIN (SELECT * FROM seg WHERE half = 1) b
+          ON b.custkey = a.custkey
+    )
+    SELECT CAST(seg_a AS INT) AS seg_a, CAST(seg_b AS INT) AS seg_b,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents_b) AS BIGINT) AS cents_b
+    FROM matrix
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-migration matrix: spend terciles in the first and
+    second half of the corpus (0 = absent in that half), crossed into
+    the churn/upgrade matrix growth teams read — who climbed, who
+    lapsed, what the moves are worth.  Integer-cent spend, ntile over
+    the customer grain (dimension-sized, the documented global-sort
+    exception), one full outer join on the customer key."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spend = (
+        orders.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "m",
+            F.date_add(
+                F.col("d0"),
+                F.expr("datediff(d1, d0) div 2").cast("int"),
+            ),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_orderdate").cast("date") >= F.col("m"))
+            .cast("int")
+            .alias("half"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    seg = spend.withColumn(
+        "tercile",
+        F.ntile(3).over(
+            Window.partitionBy("half").orderBy("cents", "custkey")
+        ),
+    )
+    a = seg.where(F.col("half") == 0).select(
+        F.col("custkey").alias("ck_a"),
+        F.col("tercile").alias("ta"),
+    )
+    b = seg.where(F.col("half") == 1).select(
+        F.col("custkey").alias("ck_b"),
+        F.col("tercile").alias("tb"),
+        F.col("cents").alias("cb"),
+    )
+    matrix = a.join(
+        b, a.ck_a == b.ck_b, "full_outer"
+    ).select(
+        F.coalesce(F.col("ta"), F.lit(0)).cast("int").alias("seg_a"),
+        F.coalesce(F.col("tb"), F.lit(0)).cast("int").alias("seg_b"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cents_b"),
+    )
+    return (
+        matrix.groupBy("seg_a", "seg_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents_b").cast("long").alias("cents_b"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

@@ -737,3 +737,103 @@ def events_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_kendall_tau",
+    # tau-b between daily spend and daily volume from pairwise sign
+    # counts over the day-grain series — all integer until the final sqrt
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS vol
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN (b.cents - a.cents) * (b.vol - a.vol) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_pairs,
+               CAST(SUM(CASE WHEN (b.cents - a.cents) * (b.vol - a.vol) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d_pairs,
+               CAST(SUM(CASE WHEN b.cents = a.cents
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN b.vol = a.vol
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+        GROUP BY 1
+    )
+    SELECT event_type, c_pairs, d_pairs,
+           ROUND((c_pairs - d_pairs)
+                 / SQRT(1.0 * (n0 - tx) * (n0 - ty)), 6) AS tau_b
+    FROM pairs
+    ORDER BY event_type
+    """,
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank association between each type's daily spend
+    and daily volume — the outlier-immune answer to "do busy days make
+    money?".  Pairwise over the DAY-GRAIN series (calendar-bounded like
+    Mann-Kendall/Theil-Sen); concordant/discordant/tie counts are exact
+    integers, the denominator is one sqrt.  Tie counts come straight
+    off the pairwise form (tx = pairs tied on x, whether or not tied on
+    y) — exactly the textbook n₁/n₂ without per-group tie factorials."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    )
+    a = daily.select(
+        "event_type",
+        F.col("d").alias("ad"),
+        F.col("cents").alias("ac"),
+        F.col("vol").alias("av"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("cents").alias("bc"),
+        F.col("vol").alias("bv"),
+    )
+    prod = (F.col("bc") - F.col("ac")) * (F.col("bv") - F.col("av"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bd") > F.col("ad")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_pairs"),
+            F.sum(F.when(prod < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("d_pairs"),
+            F.sum(F.when(F.col("bc") == F.col("ac"), 1).otherwise(0))
+            .cast("long")
+            .alias("tx"),
+            F.sum(F.when(F.col("bv") == F.col("av"), 1).otherwise(0))
+            .cast("long")
+            .alias("ty"),
+            F.count(F.lit(1)).cast("long").alias("n0"),
+        )
+    )
+    return pairs.select(
+        "event_type",
+        "c_pairs",
+        "d_pairs",
+        F.round(
+            (F.col("c_pairs") - F.col("d_pairs"))
+            / F.sqrt(
+                F.lit(1.0)
+                * (F.col("n0") - F.col("tx"))
+                * (F.col("n0") - F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    ).orderBy("event_type")

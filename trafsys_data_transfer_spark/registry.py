@@ -387,6 +387,9 @@ _PRIORITY = (
     "events_burstiness",
     "geo_bbox_contains_join",
     "orders_fulfillment_lag",
+    "events_kendall_tau",
+    "orders_segment_migration",
+    "part_abc_xyz_matrix",
 )
 
 

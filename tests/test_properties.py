@@ -336,3 +336,130 @@ def test_fifo_interval_formulation_equals_sequential(spark, rows):
             di += 1
             d_rem = demand[di][1] if di < len(demand) else 0
     assert got == sorted(want)
+
+
+# --- time-series statistics battery vs literal brute force ----------------
+
+
+def _mk_brute(xs):
+    """Literal O(n²) Mann-Kendall S and tie-corrected variance."""
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    return s, var
+
+
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=3, max_size=40)
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mann_kendall_matches_bruteforce(spark, xs):
+    """The engine's join-aggregate S/var algebra equals the literal
+    pairwise loop on a random integer series."""
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    daily = spark.createDataFrame(rows, "k int, di int, cents long")
+    a = daily.select("k", F.col("di").alias("ai"), F.col("cents").alias("ac"))
+    b = daily.select(
+        F.col("k").alias("bk"),
+        F.col("di").alias("bi"),
+        F.col("cents").alias("bc"),
+    )
+    s_row = (
+        a.join(b, (F.col("bk") == F.col("k")) & (F.col("bi") > F.col("ai")))
+        .agg(
+            F.sum(
+                F.when(F.col("bc") > F.col("ac"), 1)
+                .when(F.col("bc") < F.col("ac"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+        .collect()[0]
+    )
+    ties = (
+        daily.groupBy("cents")
+        .count()
+        .agg(
+            F.sum(
+                F.col("count") * (F.col("count") - 1) * (2 * F.col("count") + 5)
+            ).alias("tt")
+        )
+        .collect()[0]
+    )
+    n = len(xs)
+    var = (n * (n - 1) * (2 * n + 5) - (ties.tt or 0)) / 18.0
+    s_exp, var_exp = _mk_brute(xs)
+    assert s_row.s == s_exp
+    assert var == var_exp
+
+
+def _runs_brute(xs):
+    """Literal runs count over the above/below-median sequence."""
+    import statistics
+
+    # 2·rank ≥ n+1 picks the UPPER middle for even n — median_high
+    med = statistics.median_high(sorted(xs))
+    seq = [x > med for x in xs if x != med]
+    if not seq:
+        return None
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    return sum(seq), len(seq) - sum(seq), runs
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=5, max_size=30)
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_runs_algebra_matches_bruteforce(spark, xs):
+    """The rank-selected median + LAG runs algebra equals the literal
+    sequential scan (median convention: first value with 2·rank ≥ n+1 —
+    the lower median)."""
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    daily = spark.createDataFrame(rows, "k int, di int, cents long")
+    from pyspark.sql.window import Window
+
+    ranked = daily.select(
+        "k",
+        "di",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy("cents", "di"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n"),
+    )
+    med = (
+        ranked.where(2 * F.col("rk") >= F.col("n") + 1)
+        .groupBy("k")
+        .agg(F.min("cents").alias("m"))
+        .collect()[0]
+        .m
+    )
+    signed = [
+        (i, x > med) for i, x in enumerate(xs) if x != med
+    ]
+    expect = _runs_brute(xs)
+    if expect is None:
+        assert not signed
+        return
+    n1e, n2e, re_ = expect
+    n1 = sum(1 for _, a in signed if a)
+    n2 = len(signed) - n1
+    runs = 1 + sum(
+        1 for (_, a), (_, b) in zip(signed, signed[1:]) if a != b
+    )
+    assert (n1, n2, runs) == (n1e, n2e, re_)

@@ -837,3 +837,141 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_runs_test",
+    # Wald–Wolfowitz runs test on the above/below-median daily sequence:
+    # exact median via rank selection, runs via one LAG, z from integer
+    # counts — engine-identical to the last bit before the final sqrt
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+               ) AS di,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+        SELECT event_type, MIN(cents) AS median_cents
+        FROM (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cents, di) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        )
+        WHERE 2 * rk >= n + 1
+        GROUP BY event_type
+    ),
+    signed AS (
+        SELECT d.event_type, d.di,
+               CAST(d.cents > m.median_cents AS INT) AS above
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+        WHERE d.cents <> m.median_cents
+    ),
+    runs AS (
+        SELECT event_type,
+               CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(SUM(1 - above) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                                  AND prev <> above THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_runs
+        FROM (
+            SELECT event_type, above,
+                   LAG(above) OVER (PARTITION BY event_type
+                                    ORDER BY di) AS prev
+            FROM signed
+        )
+        GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, r_runs,
+           ROUND((r_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((1.0 * (n1 + n2)) * (n1 + n2) * (n1 + n2 - 1))),
+                 6) AS z_score
+    FROM runs
+    ORDER BY event_type
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test: is each type's daily-spend sequence
+    random, or does it streak?  Days at the exact median drop (the
+    standard treatment), the above/below sequence's run count comes from
+    one LAG window, and the z-score is closed-form integer arithmetic
+    with one sqrt.  Day-grain everything — the raw fact only feeds the
+    first rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents")
+    ).select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("di"),
+        "cents",
+    )
+    ranked = daily.select(
+        "event_type",
+        "di",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("cents", "di"))
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    med = (
+        ranked.where(2 * F.col("rk") >= F.col("n") + 1)
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("cents") != F.col("median_cents"))
+        .select(
+            "event_type",
+            "di",
+            (F.col("cents") > F.col("median_cents")).cast("int").alias(
+                "above"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    runs = (
+        signed.withColumn("prev", F.lag("above").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.sum("above").cast("long").alias("n1"),
+            F.sum(1 - F.col("above")).cast("long").alias("n2"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("prev") != F.col("above")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("r_runs"),
+        )
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r_runs")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((F.lit(1.0) * (n1 + n2)) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return runs.select(
+        "event_type",
+        "n1",
+        "n2",
+        "r_runs",
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+    ).orderBy("event_type")

@@ -390,6 +390,7 @@ _PRIORITY = (
     "events_kendall_tau",
     "orders_segment_migration",
     "part_abc_xyz_matrix",
+    "events_runs_test",
 )
 
 

@@ -897,3 +897,35 @@ def test_shallow_clone_refuses_nonempty_target(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not empty"):
         shallow_clone(spark, src, dst)
+
+
+def test_deep_clone_survives_source_vacuum(spark, tmp_path):
+    """deep_clone owns its bytes: vacuuming the source to nothing the
+    clone referenced leaves the deep clone fully readable (the exact
+    failure mode the shallow clone documents)."""
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        deep_clone,
+        shallow_clone,
+        versioned_commit,
+        versioned_read,
+        versioned_vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    deep = str(tmp_path / "deep")
+    versioned_commit(
+        spark, spark.range(0, 6).withColumnRenamed("id", "k"), src
+    )
+    assert deep_clone(spark, src, deep) == 1
+    # restate the source so v1's files become vacuum-collectable
+    versioned_commit(
+        spark,
+        spark.range(100, 103).withColumnRenamed("id", "k"),
+        src,
+        replace=True,
+    )
+    versioned_vacuum(spark, src, retain_last=1)
+    # the deep clone still reads its full fork-point content
+    assert sorted(
+        r.k for r in versioned_read(spark, deep).collect()
+    ) == list(range(6))

@@ -1786,3 +1786,20 @@ def timetravel_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("clone").alias("side"), "o_orderkey", "cents"
     )
     return src_df.unionByName(clone_df).orderBy("side", "o_orderkey")
+
+
+def deep_clone(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    version: int | None = None,
+) -> int:
+    """Materialized clone: re-commit the source's AS-OF read as the
+    target's own local files.  The operational answer to the shallow
+    clone's documented caveat — a deep clone survives any source vacuum
+    (and vice versa) because no manifest crosses table roots.  Costs one
+    full data rewrite; shallow-then-deepen is the usual lifecycle
+    (shallow for the instant fork, deep_clone before the source's
+    retention window can GC shared files)."""
+    df = versioned_read(spark, src_table, version)
+    return versioned_commit(spark, df, dst_table)

@@ -975,3 +975,104 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_runs",
         F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_spearman_stability",
+    # Spearman rho between each user's spend RANK in the two corpus
+    # halves: row_number ranks are tie-free, so the classic
+    # 1 − 6·Σd²/(n(n²−1)) closed form is exact integer arithmetic
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    mid AS (
+        SELECT d0 + CAST(DATE_DIFF('day', d0, d1) // 2 AS INT)
+                    * INTERVAL 1 DAY AS m
+        FROM bounds
+    ),
+    spend AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) >= (SELECT m FROM mid) AS INT) AS half,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    both_halves AS (
+        SELECT a.user_id, a.cents AS ca, b.cents AS cb
+        FROM (SELECT * FROM spend WHERE half = 0) a
+        JOIN (SELECT * FROM spend WHERE half = 1) b
+          ON b.user_id = a.user_id
+    ),
+    ranked AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (ORDER BY ca, user_id) AS ra,
+               ROW_NUMBER() OVER (ORDER BY cb, user_id) AS rb
+        FROM both_halves
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+           ROUND(1.0 - 6.0 * SUM((ra - rb) * (ra - rb))
+                 / (COUNT(*) * (1.0 * COUNT(*) * COUNT(*) - 1)), 6)
+               AS spearman_rho
+    FROM ranked
+    """,
+)
+def events_spearman_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank stability of per-user spend between the two corpus
+    halves — "do the same users stay the big spenders?", the rank
+    counterpart of the segment-migration matrix and the third rank
+    statistic in the battery (Pearson-form ACF, Kendall tau-b, Spearman
+    rho).  row_number ranks (tie-broken by user) make Σd² exact, so the
+    closed form is one integer aggregate + one division; the user-grain
+    rollup bounds everything (the documented dimension-sort exception
+    applies to the two rank windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spend = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "m",
+            F.date_add(
+                F.col("d0"),
+                F.expr("datediff(d1, d0) div 2").cast("int"),
+            ),
+        )
+        .groupBy(
+            "user_id",
+            (F.col("ts").cast("date") >= F.col("m")).cast("int").alias(
+                "half"
+            ),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = spend.where(F.col("half") == 0).select(
+        "user_id", F.col("cents").alias("ca")
+    )
+    b = spend.where(F.col("half") == 1).select(
+        F.col("user_id").alias("ub"), F.col("cents").alias("cb")
+    )
+    both = a.join(b, a.user_id == b.ub).select("user_id", "ca", "cb")
+    ranked = both.select(
+        F.row_number().over(Window.orderBy("ca", "user_id")).alias("ra"),
+        F.row_number().over(Window.orderBy("cb", "user_id")).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_users"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0) * F.sum(d2)
+            / (n * (F.lit(1.0) * n * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )

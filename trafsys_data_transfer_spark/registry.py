@@ -391,6 +391,7 @@ _PRIORITY = (
     "orders_segment_migration",
     "part_abc_xyz_matrix",
     "events_runs_test",
+    "events_spearman_stability",
 )
 
 

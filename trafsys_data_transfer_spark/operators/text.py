@@ -713,3 +713,84 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         gen, "doc_id long, raw_len long, comp_len long, ratio_ppm long"
     ).orderBy("doc_id")
+
+
+@register(
+    "text_hapax_rate",
+    # corpus-frequency classes per source: hapax legomena (freq 1), dis
+    # (freq 2), rest — the lexical-richness screen; integer counts, one
+    # ppm division
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis,
+           CAST(1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hapax_ppm,
+           CAST(1000000 * COUNT(*) // SUM(f) AS BIGINT) AS ttr_ppm
+    FROM freq
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: hapax/dis legomena counts,
+    hapax share of the vocabulary, and type-token ratio — the screen
+    that separates natural text (hapax-heavy, Zipfian) from templated or
+    duplicated corpora (hapax-starved).  Shares in exact integer ppm via
+    floor division.  One tokenize-explode (the established whitespace
+    parity contract with the oracle) into a (source, term) count — the
+    same shuffle shape as the BM25 df pass; at 100 TB the term-grain
+    aggregate is vocabulary-bounded per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    hapax = F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+    dis = F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+    types = F.count(F.lit(1))
+    return (
+        freq.groupBy("source")
+        .agg(
+            types.cast("long").alias("n_types"),
+            F.sum("f").cast("long").alias("n_tokens"),
+            hapax.cast("long").alias("n_hapax"),
+            dis.cast("long").alias("n_dis"),
+            (hapax * 1000000).cast("long").alias("_h6"),
+            (types * 1000000).cast("long").alias("_t6"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            "n_dis",
+            F.expr("_h6 div n_types").alias("hapax_ppm"),
+            F.expr("_t6 div n_tokens").alias("ttr_ppm"),
+        )
+        .orderBy("source")
+    )

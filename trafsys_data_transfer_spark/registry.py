@@ -392,6 +392,7 @@ _PRIORITY = (
     "part_abc_xyz_matrix",
     "events_runs_test",
     "events_spearman_stability",
+    "text_hapax_rate",
 )
 
 

@@ -463,3 +463,71 @@ def test_runs_algebra_matches_bruteforce(spark, xs):
         1 for (_, a), (_, b) in zip(signed, signed[1:]) if a != b
     )
     assert (n1, n2, runs) == (n1e, n2e, re_)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=3, max_size=18
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_theilsen_median_rank_matches_bruteforce(spark, xs):
+    """The rank-window median-of-pairwise-slopes equals the literal
+    sort-and-average over all pairs (mean of middle rank(s), the
+    registered query's convention)."""
+    rows = [(1, i + 1, x) for i, x in enumerate(xs)]
+    daily = spark.createDataFrame(rows, "k int, di int, cents long")
+    a = daily.select("k", F.col("di").alias("ai"), F.col("cents").alias("ac"))
+    b = daily.select(
+        F.col("k").alias("bk"),
+        F.col("di").alias("bi"),
+        F.col("cents").alias("bc"),
+    )
+    from pyspark.sql.window import Window
+
+    slopes = (
+        a.join(b, (F.col("bk") == F.col("k")) & (F.col("bi") > F.col("ai")))
+        .select(
+            "k",
+            (
+                F.lit(1.0) * (F.col("bc") - F.col("ac"))
+                / (F.col("bi") - F.col("ai"))
+            ).alias("slope"),
+        )
+        .select(
+            "k",
+            "slope",
+            F.row_number()
+            .over(Window.partitionBy("k").orderBy("slope"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("k")).alias("np"),
+        )
+    )
+    mid = (
+        (F.col("rk") * 2 == F.col("np"))
+        | (F.col("rk") * 2 == F.col("np") + 1)
+        | (F.col("rk") * 2 == F.col("np") + 2)
+    )
+    got = (
+        slopes.where(mid)
+        .groupBy("k")
+        .agg(F.avg("slope").alias("m"))
+        .collect()[0]
+        .m
+    )
+    brute = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    n = len(brute)
+    expect = (
+        brute[(n - 1) // 2]
+        if n % 2
+        else (brute[n // 2 - 1] + brute[n // 2]) / 2
+    )
+    assert abs(got - expect) < 1e-12

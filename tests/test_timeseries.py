@@ -174,3 +174,41 @@ def test_theilsen_ignores_a_wild_outlier(spark):
     assert len(res) == 1
     assert res[0].theil_sen_slope == 100.0
     assert res[0].n_pairs == 20 * 19 // 2
+
+
+def test_circular_mean_immune_to_midnight_wrap(spark):
+    """Events clustered at 23:00 and 01:00 must yield a circular mean
+    near midnight (0 h), where a plain average would say noon."""
+    from trafsys_data_transfer_spark.plans.timeseries import (
+        events_peak_hour_circular,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for h in (23, 1):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{d:02d} {h:02d}:30:00", 1, "view", 1.0, "{}")
+            )
+    res = _with_fake_events(spark, rows, events_peak_hour_circular)
+    assert len(res) == 1
+    r = res[0]
+    # mean of 23h and 1h on the clock circle is 0h (wrap), never 12h
+    assert r.mean_hour < 0.01 or r.mean_hour > 23.99
+    # equal weight ±1h from the mean: R = cos(2π/24) ≈ 0.9659
+    assert abs(r.resultant_r - 0.965926) < 1e-4
+
+
+def test_simpson_extremes(spark, sf_dir):
+    """D ∈ (0, 1]; 1−D complements; repeat-heavy sources score higher D
+    than the uniform bound 1/n_types."""
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    out = all_queries()["text_simpson_diversity"].build(spark, sf_dir)
+    for r in out.collect():
+        assert 0.0 < r.simpson_d <= 1.0
+        assert abs((r.simpson_d + r.simpson_diversity) - 1.0) < 2e-6
+        # unbiased-form uniform minimum: (N−k)/(k(N−1)), not 1/k
+        lo = (r.n_tokens - r.n_types) / (r.n_types * (r.n_tokens - 1))
+        assert r.simpson_d >= lo - 1e-9

@@ -794,3 +794,67 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_simpson_diversity",
+    # Simpson's index from exact integer frequency sums: D = Σf(f−1) /
+    # (N(N−1)) — no per-term float shares, one division at the end
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           ROUND(1.0 * SUM(f * (f - 1))
+                 / (SUM(f) * (SUM(f) - 1.0)), 6) AS simpson_d,
+           ROUND(1.0 - 1.0 * SUM(f * (f - 1))
+                 / (SUM(f) * (SUM(f) - 1.0)), 6) AS simpson_diversity
+    FROM freq
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's D per source — the probability two random tokens are
+    the SAME type (repeat-domination), and its complement 1−D (the
+    diversity form).  Unlike entropy this needs no logs: D =
+    Σf(f−1)/(N(N−1)) over exact integer frequencies, so the whole stat
+    is integer sums plus one division — the concentration companion to
+    the hapax profile on the same (source, term) rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    rep = F.sum(F.col("f") * (F.col("f") - 1))
+    tot = F.sum("f")
+    d = F.lit(1.0) * rep / (tot * (tot - F.lit(1.0)))
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            tot.cast("long").alias("n_tokens"),
+            F.round(d, 6).alias("simpson_d"),
+            F.round(F.lit(1.0) - d, 6).alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )

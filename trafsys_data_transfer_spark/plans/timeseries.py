@@ -38,6 +38,8 @@ closes the decomposition/trend-test/rolling-fit gap).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1076,3 +1078,65 @@ def events_spearman_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "events_peak_hour_circular",
+    # circular statistics over the 24 hour-of-day buckets: exact integer
+    # counts × 24 fixed trig constants, resultant + atan2 at the end
+    oracle="""
+    WITH hod AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n,
+               SUM(c * COS(2 * PI() * h / 24.0)) AS cx,
+               SUM(c * SIN(2 * PI() * h / 24.0)) AS sy
+        FROM hod GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(SQRT(cx * cx + sy * sy) / n, 6) AS resultant_r,
+           ROUND(MOD(DEGREES(ATAN2(sy, cx)) / 15.0 + 24.0, 24.0), 4)
+               AS mean_hour
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def events_peak_hour_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of WHEN each type happens: the hour-of-day
+    distribution's mean direction (peak hour on the 24 h clock — immune
+    to the midnight wrap that wrecks a plain average) and resultant
+    length R (0 = uniform around the clock, 1 = a single spike).  The
+    raw fact collapses to 24 integer buckets per type first, so the
+    trig runs over ≤24 fixed constants per group; rounding sits far
+    above the ulp noise of the 24-term float sums."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    theta = F.lit(2.0) * F.lit(math.pi) * F.col("h") / F.lit(24.0)
+    sums = hod.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.cos(theta)).alias("cx"),
+        F.sum(F.col("c") * F.sin(theta)).alias("sy"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(
+            F.sqrt(F.col("cx") * F.col("cx") + F.col("sy") * F.col("sy"))
+            / F.col("n"),
+            6,
+        ).alias("resultant_r"),
+        F.round(
+            (
+                F.degrees(F.atan2(F.col("sy"), F.col("cx"))) / F.lit(15.0)
+                + F.lit(24.0)
+            )
+            % F.lit(24.0),
+            4,
+        ).alias("mean_hour"),
+    ).orderBy("event_type")

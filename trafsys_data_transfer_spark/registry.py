@@ -393,6 +393,8 @@ _PRIORITY = (
     "events_runs_test",
     "events_spearman_stability",
     "text_hapax_rate",
+    "text_simpson_diversity",
+    "events_peak_hour_circular",
 )
 
 

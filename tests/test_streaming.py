@@ -1048,3 +1048,96 @@ def test_holt_stream_out_of_order_within_lateness(spark, tmp_path):
         l = l_new
         expect[i] = (x, l, b)
     assert got == expect
+
+
+def test_holt_state_fn_matches_batch_fold_under_random_splits():
+    """Property (hypothesis): for ANY batch split and within-lateness
+    disorder, the Holt state function's emitted rows equal the batch
+    recurrence over the delivered rows in (ts, event_id) order."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trafsys_data_transfer_spark.plans.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from trafsys_data_transfer_spark.streaming.holt import _holt_fn
+
+    class _HoltFakeState(_FakeState):
+        def remove(self):
+            self._v = None
+
+    LATENESS_MS = 3_600_000  # 1 h
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=200),  # minutes offset
+                st.integers(min_value=1, max_value=500),  # cents
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        n_batches=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=40, deadline=None)
+    def prop(rows, n_batches):
+        events = [
+            (pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=m), eid, c)
+            for eid, (m, c) in enumerate(rows, start=1)
+        ]
+        # arbitrary arrival order: hypothesis's list order IS the
+        # arrival order; batches are contiguous arrival slices
+        per_batch = max(1, len(events) // n_batches)
+        batches = [
+            events[i : i + per_batch]
+            for i in range(0, len(events), per_batch)
+        ]
+        state = _HoltFakeState()
+        emitted = []
+        delivered = []
+        max_seen_ms = 0
+        for batch in batches:
+            wm_ms = max(0, max_seen_ms - LATENESS_MS)
+            state.wm_ms = wm_ms
+            # the framework drops rows below the watermark pre-delivery
+            live = [
+                e for e in batch
+                if e[0].value // 1_000_000 >= wm_ms
+            ]
+            delivered.extend(live)
+            max_seen_ms = max(
+                [max_seen_ms] + [e[0].value // 1_000_000 for e in batch]
+            )
+            pdf = pd.DataFrame(
+                live, columns=["ts", "event_id", "cents"]
+            ).assign(user_id=1)
+            for out in _holt_fn((1,), iter([pdf]), state):
+                emitted.extend(
+                    zip(out["rn"], out["cents"], out["level"], out["trend"])
+                )
+        # final sweep: watermark beyond everything
+        state.wm_ms = max_seen_ms + LATENESS_MS + 1
+        for out in _holt_fn((1,), iter([pd.DataFrame(
+            columns=["ts", "event_id", "cents", "user_id"])]), state):
+            emitted.extend(
+                zip(out["rn"], out["cents"], out["level"], out["trend"])
+            )
+        # batch fold over delivered rows in event-time order
+        expect = []
+        l = b = 0.0
+        started = False
+        for i, (_, _, c) in enumerate(
+            sorted(delivered, key=lambda e: (e[0], e[1])), start=1
+        ):
+            if not started:
+                l, b, started = float(c), 0.0, True
+            else:
+                l_new = HOLT_ALPHA * c + (1.0 - HOLT_ALPHA) * (l + b)
+                b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
+                l = l_new
+            expect.append((i, c, l, b))
+        assert emitted == expect
+
+    prop()

@@ -151,3 +151,27 @@ def test_containment_join_matches_bruteforce(spark):
         if lo1 <= la <= hi1 and lo2 <= lo <= hi2
     }
     assert got == want
+
+
+def test_coverage_gap_complements_radius_count(spark, sf_dir):
+    """gap ∪ covered == all customers, disjoint."""
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    gap = {
+        r.c_custkey
+        for r in all_queries()["geo_coverage_gap"].build(spark, sf_dir).collect()
+    }
+    covered = {
+        r.c_custkey
+        for r in all_queries()["geo_supplier_radius_count"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    allc = {
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    }
+    assert gap | covered == allc
+    assert not (gap & covered)

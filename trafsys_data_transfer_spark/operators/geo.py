@@ -465,3 +465,40 @@ def geo_bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lat", 3).alias("lat"),
         F.round("lon", 3).alias("lon"),
     ).orderBy("c_custkey", "n_nationkey")
+
+
+@register(
+    "geo_coverage_gap",
+    oracle="WITH "
+    + _COORD_SQL
+    + f"""
+    SELECT c.c_custkey, ROUND(c.lat, 3) AS lat, ROUND(c.lon, 3) AS lon
+    FROM cust c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p
+        WHERE p.c_custkey = c.c_custkey AND p.dist_km <= {RADIUS_KM}
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def geo_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage COMPLEMENT: customers with NO supplier within
+    RADIUS_KM — the expansion-planning list the radius count can't show
+    (it drops uncovered customers).  One left anti-join against the
+    same grid-bucketed candidate set: the cell join over-approximates
+    the R-ball, so anti-joining its distance-filtered survivors is
+    exact.  At 100 TB this is the cheapest query in the family — the
+    anti-join's build side is only the COVERED keys."""
+    cust = _customers_with_coords(spark, sf_dir)
+    covered = cell_radius_join(
+        cust, _suppliers_with_coords(spark, sf_dir), RADIUS_KM
+    ).select("c_custkey").distinct()
+    return (
+        cust.join(covered, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.round("lat", 3).alias("lat"),
+            F.round("lon", 3).alias("lon"),
+        )
+        .orderBy("c_custkey")
+    )

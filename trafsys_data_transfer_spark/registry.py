@@ -395,6 +395,7 @@ _PRIORITY = (
     "text_hapax_rate",
     "text_simpson_diversity",
     "events_peak_hour_circular",
+    "geo_coverage_gap",
 )
 
 

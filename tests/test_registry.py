@@ -19,49 +19,31 @@ def test_priority_matches_registry_exactly():
     assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY names"
 
 
-def test_priority_window_front_loads_every_family():
-    """The driver records ~50 rows; the round-9 rotation (VERDICT r08
-    task 1) fills ALL 50 slots with never-driver-verified strict queries
-    — 50 of the 59 that remained after r8, with the 9 deferred
-    same-family twins queued directly behind the window for r10.  The
-    r1-r8 driver-green names sit past the window, still covered by
-    tools/verify_local.py."""
-    window = set(_PRIORITY[:50])
-    for family_member in (
-        # r8 additions: hierarchy + interval coalescing (batch and stream)
-        "customer_hierarchy_rollup",
-        "events_interval_islands",
-        "streaming_interval_islands",
-        # the r9 rows-only→strict conversions
-        "events_quantile_sketch",
-        "events_grouped_quantile_sketch",
-        "dedup_hll_sketch_union",
-        "events_sliding_active_users_hll",
-        "events_time_to_convert_approx",
-        # streaming tier never yet windowed
-        "streaming_trending_topk",
-        "streaming_cusum_changepoints",
-        "streaming_percolate",
-        "streaming_ohlc_hourly",
-        # layout / runtime-filter / fingerprint tiers
-        "layout_bloom_file_skip",
-        "bloom_prefilter_join",
-        "orders_fingerprint_diff_locate",
-        # analytics / quality tiers
-        "events_max_drawdown",
-        "profile_orders_columns",
-        "supplier_abc_classification",
-        "fk_integrity_audit",
-        # graph + timetravel history
-        "graph_lpa_communities",
-        "timetravel_table_history",
-    ):
-        assert family_member in window, f"{family_member} outside 50-row window"
-    # the deferred strict twins sit immediately after the window (r10)
-    next_up = set(_PRIORITY[50:78])
-    for deferred in ("events_time_to_convert", "events_sliding_active_users",
-                     "split_kfold", "text_percolate"):
-        assert deferred in next_up, f"{deferred} not queued for r10"
+def test_priority_window_is_never_driver_verified():
+    """Round-10 rotation (VERDICT r09 task 1): the driver's 50-row window
+    must contain ONLY names that never produced a CORRECTNESS row in
+    rounds 1-9 (zero repeats), and the 29 names queued directly behind it
+    complete the never-verified set for round 11."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        with open(path) as fh:
+            seen.update(json.load(fh).keys())
+    if not seen:  # fresh clone without driver artifacts — nothing to pin
+        return
+    prior = seen  # the r0* glob stops at round 9 by construction
+    repeats = [n for n in _PRIORITY[:50] if n in prior]
+    assert repeats == [], f"r1-r9 driver-verified names inside the r10 window: {repeats}"
+    # window + next 29 together cover every never-driver-verified name
+    never = [n for n in _PRIORITY if n not in prior]
+    assert set(never) <= set(_PRIORITY[: len(never)]), (
+        "never-driver-verified names must be front-loaded ahead of "
+        "already-verified ones"
+    )
 
 
 def test_priority_window_is_all_strict_oracle():

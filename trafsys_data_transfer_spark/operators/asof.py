@@ -39,15 +39,25 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
+    right_tie_break: Sequence[str] = (),
 ) -> DataFrame:
     """Backward as-of join: for every left row, the latest right row with
     ``right.ts <= left.ts`` on the same key; left rows with no earlier
     right row keep nulls (left-outer semantics).
 
     ``right_payload`` columns are carried onto the left rows.
+
+    ``right_tie_break``: payload columns appended (ascending) to the carry
+    window's ordering so that among right rows sharing a timestamp the row
+    with the LARGEST tie-break vector wins deterministically.  This folds
+    the per-(key, ts) dedup into the one existing window pass — no separate
+    ``row_number`` exchange (VERDICT r09 item 2: the extra dedup window had
+    drifted ``events_asof_latest_order`` to 2.47x its baseline).
     """
     on = list(on)
     payload = list(right_payload)
+    tie = list(right_tie_break)
+    assert set(tie) <= set(payload), "tie-break columns must be in right_payload"
 
     left_cols = [f.name for f in left.schema.fields if f.name not in on and f.name != left_ts]
     l_tag = left.select(
@@ -67,9 +77,17 @@ def asof_join(
 
     # Right rows sort before left rows at equal timestamps (__is_left asc),
     # so a right row AT the left row's timestamp is visible to it ("<=").
+    # Tie-break columns sort ascending among equal-timestamp right rows, so
+    # last(ignorenulls) carries the max-tie-break row; left rows hold nulls
+    # there (sorted first — __is_left already separates them, the key is
+    # inert on the left side).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(
+            F.col("__ts"),
+            F.col("__is_left"),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in tie],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r_tag.unionByName(l_tag).select(
@@ -113,28 +131,21 @@ def asof_join(
 )
 def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each user event annotated with that user's most recent
-    order at event time (backward, left-outer).  The right side is deduped
-    to one row per (user, date) first — with duplicate timestamps, both
-    engines' as-of tie-pick is arbitrary."""
-    from pyspark.sql.window import Window
-
+    order at event time (backward, left-outer).  With duplicate order
+    timestamps both engines' as-of tie-pick is arbitrary, so the oracle
+    dedups to the max-orderkey row per (user, date); the Spark side gets
+    the same semantics for free by tie-breaking the carry window on
+    ``o_orderkey`` — one shuffle total, no dedup pass."""
     events = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 500)
         .select("event_id", "user_id", "ts")
     )
-    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            "o_orderdate",
-            "o_orderkey",
-            "o_totalprice",
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
     )
     out = asof_join(
         events,
@@ -143,6 +154,7 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="o_orderdate",
         right_payload=["o_orderkey", "o_totalprice"],
+        right_tie_break=["o_orderkey"],
     )
     return out.select(
         "event_id",

@@ -929,3 +929,65 @@ def test_deep_clone_survives_source_vacuum(spark, tmp_path):
     assert sorted(
         r.k for r in versioned_read(spark, deep).collect()
     ) == list(range(6))
+
+
+def test_replace_commit_on_clone_drops_replaced_cloned_files(spark, tmp_path):
+    """A replace-commit on a SHALLOW clone must drop absolute-ref manifest
+    entries whose files contain replaced rows (ADVICE r09 #1: the drop set
+    is built from input_file_name basenames, so absolute clone refs need a
+    basename comparison — raw string matching silently resurrected
+    replaced rows)."""
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        shallow_clone,
+        versioned_commit,
+        versioned_read,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    # two source commits → two file sets: k<10 and k in [10, 20)
+    versioned_commit(spark, spark.range(0, 10).withColumnRenamed("id", "k"), src)
+    versioned_commit(spark, spark.range(10, 20).withColumnRenamed("id", "k"), src)
+    shallow_clone(spark, src, dst)
+    # replace the upper half ON THE CLONE: rows k>=10 are restated
+    versioned_commit(
+        spark,
+        spark.range(100, 103).withColumnRenamed("id", "k"),
+        dst,
+        replace=True,
+        carry_unreplaced=F.col("k") < 10,
+    )
+    got = sorted(r.k for r in versioned_read(spark, dst).collect())
+    assert got == list(range(10)) + [100, 101, 102], got
+    # source untouched
+    assert sorted(r.k for r in versioned_read(spark, src).collect()) == list(
+        range(20)
+    )
+
+
+def test_shallow_clone_refusal_leaves_no_stray_dirs(spark, tmp_path):
+    """A refused clone (non-empty target) must not create data/ or
+    _manifests/ directories at the target (ADVICE r09 #5)."""
+    import os
+
+    import pytest
+
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        shallow_clone,
+        versioned_commit,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned_commit(spark, spark.range(0, 3).withColumnRenamed("id", "k"), src)
+    versioned_commit(spark, spark.range(0, 3).withColumnRenamed("id", "k"), dst)
+    before = sorted(os.listdir(dst))
+    with pytest.raises(ValueError, match="not empty"):
+        shallow_clone(spark, src, dst)
+    assert sorted(os.listdir(dst)) == before
+    fresh = str(tmp_path / "never_created" / "t")
+    with pytest.raises(FileNotFoundError):
+        shallow_clone(spark, str(tmp_path / "no_src"), fresh)
+    assert not os.path.exists(fresh)

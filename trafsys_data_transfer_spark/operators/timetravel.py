@@ -231,7 +231,13 @@ def versioned_commit(
                     .collect()
                 )
             }
-            prev_files = [f for f in prev_files if f not in bad]
+            # Compare by basename: a shallow clone's manifest holds
+            # ABSOLUTE refs into the source table, and input_file_name
+            # yields basenames — a raw-string match would silently carry
+            # every cloned file containing replaced rows (ADVICE r09 #1).
+            prev_files = [
+                f for f in prev_files if os.path.basename(f) not in bad
+            ]
         elif replace and carry_unreplaced is None:
             prev_files = []
 
@@ -1703,10 +1709,12 @@ def shallow_clone(
         f if os.path.isabs(f) else os.path.join(src_table, "data", f)
         for f in src_manifest["files"]
     ]
-    os.makedirs(os.path.join(dst_table, "data"), exist_ok=True)
-    os.makedirs(_manifest_dir(dst_table), exist_ok=True)
+    # Refuse BEFORE creating anything — a rejected clone must not leave
+    # stray empty data/_manifests directories behind (ADVICE r09 #5).
     if table_versions(spark, dst_table):
         raise ValueError(f"clone target {dst_table} is not empty")
+    os.makedirs(os.path.join(dst_table, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(dst_table), exist_ok=True)
     manifest = {"version": 1, "files": sorted(refs)}
     parts = src_manifest.get("partitions")
     if parts:

@@ -179,7 +179,12 @@ def cell_radius_join(
     return (
         probed.join(cand9, ["_lat_cell", "_lon_cell"])
         .withColumn("dist_km", dist)
-        .where(F.col("dist_km") <= F.lit(float(radius_km)))
+        # Membership on the 6-dp-ROUNDED distance: JVM Math vs libm sin/cos
+        # can differ by ulps, and a pair within ulps of exactly radius_km
+        # could otherwise be included by one engine and excluded by the
+        # other, changing the row SET (ADVICE r09 #3).  6 dp sits far
+        # above ulp noise and far below the data's distance granularity.
+        .where(F.round(F.col("dist_km"), 6) <= F.lit(float(radius_km)))
         .drop("_lat_cell", "_lon_cell")
     )
 
@@ -240,7 +245,7 @@ def _suppliers_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_within,
            ROUND(MIN(dist_km), 3) AS min_dist_km
     FROM pairs
-    WHERE dist_km <= {RADIUS_KM}
+    WHERE ROUND(dist_km, 6) <= {RADIUS_KM}
     GROUP BY c_custkey
     ORDER BY c_custkey
     """,
@@ -278,7 +283,7 @@ def geo_supplier_radius_count(
                    ORDER BY ROUND(dist_km, 6), s_suppkey
                ) AS rn
         FROM pairs
-        WHERE dist_km <= {RADIUS_KM}
+        WHERE ROUND(dist_km, 6) <= {RADIUS_KM}
     )
     SELECT c_custkey, s_suppkey AS nearest_suppkey,
            ROUND(dist_km, 3) AS dist_km
@@ -476,7 +481,7 @@ def geo_bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cust c
     WHERE NOT EXISTS (
         SELECT 1 FROM pairs p
-        WHERE p.c_custkey = c.c_custkey AND p.dist_km <= {RADIUS_KM}
+        WHERE p.c_custkey = c.c_custkey AND ROUND(p.dist_km, 6) <= {RADIUS_KM}
     )
     ORDER BY c.c_custkey
     """,

@@ -166,14 +166,16 @@ def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ),
     detrended AS (
-        SELECT event_type, hour_ts, cnt,
+        SELECT event_type, hour_ts, cnt, wsum,
                wsum / 25.0 AS trend,
                cnt - wsum / 25.0 AS dt
         FROM trended WHERE wn = 25
     ),
     seasonal AS (
+        -- all-integer accumulation, ONE IEEE division: AVG over float dt
+        -- would be an order-dependent sum (ADVICE r09 #2)
         SELECT event_type, EXTRACT(hour FROM hour_ts) AS hod,
-               AVG(dt) AS seas
+               (25 * SUM(cnt) - SUM(wsum)) / (25.0 * COUNT(*)) AS seas
         FROM detrended GROUP BY 1, 2
     )
     SELECT d.event_type, d.hour_ts, d.cnt,
@@ -211,11 +213,20 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("wn") == 25)
         .withColumn("trend", F.col("wsum") / F.lit(25.0))
         .withColumn("dt", F.col("cnt") - F.col("trend"))
-        .drop("wsum", "wn")
+        .drop("wn")
     )
+    # Seasonal mean from INTEGER sums (25·Σcnt − Σwsum exact in bigint),
+    # one IEEE division at the end — AVG over the float dt column would be
+    # an order-dependent sum that can flake the 6-dp verify boundary
+    # (ADVICE r09 #2).
     seasonal = detrended.groupBy(
         "event_type", F.hour("hour_ts").alias("hod")
-    ).agg(F.avg("dt").alias("seas"))
+    ).agg(
+        (
+            (F.lit(25) * F.sum("cnt") - F.sum("wsum"))
+            / (F.lit(25.0) * F.count(F.lit(1)))
+        ).alias("seas")
+    )
     return (
         detrended.withColumn("hod", F.hour("hour_ts"))
         .join(F.broadcast(seasonal), ["event_type", "hod"])

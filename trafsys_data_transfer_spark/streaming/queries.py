@@ -2394,9 +2394,13 @@ def streaming_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(staging)
     )
+    # Lateness must cover the FULL fixture span: slices arrive as separate
+    # micro-batches, so a fixed "90 days" would silently watermark-drop
+    # rows if the events table ever spanned longer (ADVICE r09 #4).
+    lateness_days = (d1 - d0).days + 2
     with _stream_partitions(spark, n=max(32, STREAM_SHUFFLE_PARTITIONS)):
         q = (
-            holt_stream(stream, lateness="90 days")
+            holt_stream(stream, lateness=f"{lateness_days} days")
             .writeStream.format("memory")
             .queryName(table)
             .outputMode("append")

@@ -38,14 +38,15 @@ def test_heavy_hitters_exact_ranks_and_shares(spark):
 
 
 def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    """The registered row is now a strict certificate: the in-band
+    booleans assert the sketch guarantees (est >= exact always; overshoot
+    capped by ceil(eps*N)) and must all be TRUE on the fixture."""
     out = freq.events_heavy_hitters_cms(spark, sf_dir).collect()
     assert len(out) == freq.TOP_K
-    from trafsys_data_transfer_spark.sources.fixtures import load_table
-
-    n_rows = load_table(spark, sf_dir, "events").count()
     for r in out:
-        assert r["est_cnt"] >= r["exact_cnt"]  # CMS never under-counts
-        assert r["est_cnt"] <= r["exact_cnt"] + freq.CMS_EPS * 2.72 * n_rows
+        assert r["est_ge_exact"], r  # CMS never under-counts
+        assert r["est_within_eps"], r
+        assert r["exact_cnt"] > 0
 
 
 def test_skew_profile_buckets_and_top1(spark):

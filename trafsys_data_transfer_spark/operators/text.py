@@ -677,8 +677,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_compression_ratio")  # zlib is not ANSI-SQL-expressible
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compression_ratio(docs: DataFrame) -> DataFrame:
     """Compression-ratio quality signal: DEFLATE(text) length over raw
     length, in ppm — the cheap, language-agnostic boilerplate detector
     every large-scale web-corpus pipeline runs (highly repetitive /
@@ -688,10 +687,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Arrow-batched ``mapInPandas`` (the byte-level codec is inherently
     per-row Python, batched like the multimodal decoders); one narrow
-    (doc_id, text) scan, output is O(rows) ints.  Certified by pytest:
-    repetitive text scores far below shuffled-vocabulary text, ratios
-    bounded, and the operator is batch-size-invariant."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (doc_id, text) scan, output is O(rows) ints."""
 
     def gen(batches):
         import zlib
@@ -710,8 +706,69 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype("int64")
             yield out
 
-    return docs.mapInPandas(
+    return docs.select("doc_id", "text").mapInPandas(
         gen, "doc_id long, raw_len long, comp_len long, ratio_ppm long"
+    )
+
+
+@register(
+    "text_compression_ratio",
+    # DuckDB can't DEFLATE, so the strict row is a CERTIFICATE (VERDICT
+    # r09 task 5, the dedup_approx_distinct pattern): the exact raw byte
+    # length the oracle recomputes, plus booleans pinning codec-path
+    # invariants the oracle expects TRUE — a broken codec hash-mismatches.
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_len,
+           TRUE AS comp_in_bounds, TRUE AS roundtrip_ok,
+           TRUE AS doubling_ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict certificate over :func:`compression_ratio`: per document the
+    exact UTF-8 byte length (oracle: ``strlen``) plus three in-band
+    booleans computed in the SAME Arrow pass —
+
+    * ``comp_in_bounds``: 8 ≤ comp_len ≤ raw + 5·⌈raw/16383⌉ + 11 (the
+      DEFLATE stored-block worst case plus the zlib wrapper);
+    * ``roundtrip_ok``: inflate(deflate(text)) == text bytes;
+    * ``doubling_ok``: deflate(text‖text) ≤ 2·deflate(text) for texts ≥
+      64 B (LZ77 must find the repeat — texts are far under the 32 KiB
+      window), vacuously TRUE below.
+
+    The production signal (``ratio_ppm``) comes from
+    :func:`compression_ratio`; the registered row carries only
+    oracle-recomputable values so the hash compare stays strict."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import zlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf[["doc_id"]].copy()
+            raws = pdf["text"].str.encode("utf-8")
+            raw_len, in_bounds, roundtrip, doubling = [], [], [], []
+            for b in raws:
+                c = zlib.compress(b, 6)
+                bound = len(b) + 5 * (len(b) // 16383 + 1) + 11
+                raw_len.append(len(b))
+                in_bounds.append(8 <= len(c) <= bound)
+                roundtrip.append(zlib.decompress(c) == b)
+                doubling.append(
+                    len(b) < 64 or len(zlib.compress(b + b, 6)) <= 2 * len(c)
+                )
+            out["raw_len"] = raw_len
+            out["comp_in_bounds"] = in_bounds
+            out["roundtrip_ok"] = roundtrip
+            out["doubling_ok"] = doubling
+            yield out
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, raw_len long, comp_in_bounds boolean, "
+        "roundtrip_ok boolean, doubling_ok boolean",
     ).orderBy("doc_id")
 
 

@@ -175,3 +175,45 @@ def test_coverage_gap_complements_radius_count(spark, sf_dir):
     }
     assert gap | covered == allc
     assert not (gap & covered)
+
+
+def test_salted_cell_join_equals_plain_under_hot_cell_skew(spark):
+    """80% of probes in ONE grid cell (the dense-city shape): the salted
+    variant must return exactly the plain join's pair set (VERDICT r09
+    task 4 — salting an equi-join changes task layout, never rows)."""
+    import random as _random
+
+    from trafsys_data_transfer_spark.operators.geo import (
+        cell_radius_join_salted,
+    )
+
+    rng = _random.Random(5150)
+    radius = 800.0
+    # hot cell: a ~2 degree city patch; the rest spread over the domain
+    probe = [
+        (i, 40.0 + rng.uniform(0, 2.0), -74.0 + rng.uniform(0, 2.0))
+        for i in range(160)
+    ] + [
+        (1000 + i, rng.uniform(-60, 60), rng.uniform(-180, 180))
+        for i in range(40)
+    ]
+    cand = [
+        (j, rng.uniform(30, 50), rng.uniform(-90, -60)) for j in range(30)
+    ] + [
+        (100 + j, rng.uniform(-60, 60), rng.uniform(-180, 180))
+        for j in range(20)
+    ]
+    p = spark.createDataFrame(probe, "pid long, lat double, lon double")
+    c = spark.createDataFrame(cand, "cid long, c_lat double, c_lon double")
+    plain = {
+        (r.pid, r.cid) for r in cell_radius_join(p, c, radius).collect()
+    }
+    for n_salt in (1, 4, 8):
+        salted = {
+            (r.pid, r.cid)
+            for r in cell_radius_join_salted(
+                p, c, radius, n_salt=n_salt
+            ).collect()
+        }
+        assert salted == plain, f"n_salt={n_salt}"
+    assert plain  # non-trivial: the hot patch must produce matches

@@ -189,6 +189,93 @@ def cell_radius_join(
     )
 
 
+def cell_radius_join_salted(
+    probe: DataFrame,
+    candidates: DataFrame,
+    radius_km: float,
+    probe_lat: str = "lat",
+    probe_lon: str = "lon",
+    cand_lat: str = "c_lat",
+    cand_lon: str = "c_lon",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Hot-cell-safe :func:`cell_radius_join` — identical output rows.
+
+    Dense-city skew (one grid cell holding most of the PROBE side) makes
+    the plain cell equi-join a straggler: one shuffle partition receives
+    the hot cell's entire probe mass.  Standard join salting fixes it
+    because the cell join is a pure equi-join (no aggregation to split):
+
+    1. each probe row gets a DETERMINISTIC salt from its coordinates —
+       the hot cell's probes spread over ``n_salt`` reduce tasks;
+    2. the replicated candidate side duplicates each of its 9 neighbor
+       rows across ALL ``n_salt`` salts (blow-up 9·n_salt, still riding
+       the SMALL side);
+    3. equi-join on (lat_cell, lon_cell, salt) + the same rounded
+       haversine membership filter.
+
+    Measured under 80 %-one-cell probe skew in SCALE.md sweep 35.
+    """
+    lat_deg, lon_deg, n_lon = _cell_cols(radius_km)
+
+    def lat_cell(c: Column) -> Column:
+        return F.floor((c + F.lit(90.0)) / F.lit(lat_deg)).cast("int")
+
+    def lon_cell(c: Column) -> Column:
+        return (
+            F.floor((c + F.lit(180.0)) / F.lit(lon_deg)).cast("int")
+            % F.lit(n_lon)
+        )
+
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dlat).alias("dlat"),
+                    F.lit(dlon).alias("dlon"),
+                    F.lit(s).alias("salt"),
+                )
+                for dlat in (-1, 0, 1)
+                for dlon in (-1, 0, 1)
+                for s in range(n_salt)
+            ]
+        )
+    )
+    cand9 = (
+        candidates.withColumn("_o", offsets)
+        .withColumn(
+            "_lat_cell", lat_cell(F.col(cand_lat)) + F.col("_o.dlat")
+        )
+        .withColumn(
+            "_lon_cell",
+            (lon_cell(F.col(cand_lon)) + F.col("_o.dlon") + F.lit(n_lon))
+            % F.lit(n_lon),
+        )
+        .withColumn("_salt", F.col("_o.salt"))
+        .drop("_o")
+    )
+    probed = (
+        probe.withColumn("_lat_cell", lat_cell(F.col(probe_lat)))
+        .withColumn("_lon_cell", lon_cell(F.col(probe_lon)))
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(probe_lat), F.col(probe_lon)),
+                F.lit(n_salt),
+            ).cast("int"),
+        )
+    )
+    dist = haversine_km(
+        F.col(probe_lat), F.col(probe_lon), F.col(cand_lat), F.col(cand_lon)
+    )
+    return (
+        probed.join(cand9, ["_lat_cell", "_lon_cell", "_salt"])
+        .withColumn("dist_km", dist)
+        .where(F.round(F.col("dist_km"), 6) <= F.lit(float(radius_km)))
+        .drop("_lat_cell", "_lon_cell", "_salt")
+    )
+
+
 # --- fixture wiring: customers probe, suppliers are the dim --------------
 
 #: search radius for the registry queries (km).  ~100 suppliers spread

@@ -108,6 +108,7 @@ WORK_IN_BUILD = {
     "dedup_incremental_neardup",
     "pretrain_data_pipeline",
     "events_heavy_hitters_cms",
+    "events_misra_gries_topk",
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "streaming_cusum_changepoints",

@@ -135,3 +135,63 @@ def test_ab_test_z2_exact_past_bigint_headroom(spark):
             f"{c1} AS c1, {c2} AS c2, {n1} AS n1, {n2} AS n2)"
         ).fetchone()[0]
         assert duck == want, (c1, c2, n1, n2, duck, want)
+
+
+def test_misra_gries_partial_classic_bound():
+    """Pure-python MG on a known stream: counters never exceed true
+    counts and heavy keys survive."""
+    from trafsys_data_transfer_spark.operators.freq import (
+        misra_gries_partial,
+    )
+
+    stream = [1] * 60 + [2] * 25 + list(range(100, 160))  # n=145
+    mg = misra_gries_partial(stream, k=4)
+    assert mg.get(1, 0) <= 60 and mg.get(1, 0) >= 60 - 145 // 5
+    assert mg.get(2, 0) <= 25
+    assert len(mg) <= 4
+    # any key with true count > n/(k+1)=29 MUST be present
+    assert 1 in mg
+
+
+def test_misra_gries_merge_keeps_guarantee():
+    """Merging arbitrary splits of a stream preserves est <= true and
+    true - est <= n/(k+1) for every key."""
+    import random as _r
+
+    from trafsys_data_transfer_spark.operators.freq import (
+        misra_gries_merge,
+        misra_gries_partial,
+    )
+
+    rng = _r.Random(7)
+    stream = (
+        [1] * 500 + [2] * 300 + [3] * 120
+        + [rng.randrange(1000, 1400) for _ in range(1080)]
+    )
+    rng.shuffle(stream)
+    k = 16
+    truth: dict = {}
+    for x in stream:
+        truth[x] = truth.get(x, 0) + 1
+    for n_parts in (2, 5, 9):
+        cut = len(stream) // n_parts
+        merged: dict = {}
+        for i in range(n_parts):
+            part = stream[i * cut : (i + 1) * cut if i < n_parts - 1 else len(stream)]
+            merged = misra_gries_merge(
+                merged, misra_gries_partial(part, k), k
+            )
+        assert len(merged) <= k
+        bound = len(stream) // (k + 1)
+        for key, t in truth.items():
+            est = merged.get(key, 0)
+            assert est <= t, (key, est, t)
+            assert est >= t - bound, (key, est, t, bound)
+
+
+def test_misra_gries_topk_certificate(spark, sf_dir):
+    out = freq.events_misra_gries_topk(spark, sf_dir).collect()
+    assert len(out) == freq.TOP_K
+    for r in out:
+        assert r["mg_le_exact"], r
+        assert r["mg_within_bound"], r

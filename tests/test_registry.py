@@ -36,14 +36,12 @@ def test_priority_window_is_never_driver_verified():
     if not seen:  # fresh clone without driver artifacts — nothing to pin
         return
     prior = seen  # the r0* glob stops at round 9 by construction
-    repeats = [n for n in _PRIORITY[:50] if n in prior]
-    assert repeats == [], f"r1-r9 driver-verified names inside the r10 window: {repeats}"
-    # window + next 29 together cover every never-driver-verified name
-    never = [n for n in _PRIORITY if n not in prior]
-    assert set(never) <= set(_PRIORITY[: len(never)]), (
-        "never-driver-verified names must be front-loaded ahead of "
-        "already-verified ones"
+    repeats = [n for n in _PRIORITY[:79] if n in prior]
+    assert repeats == [], (
+        f"r1-r9 driver-verified names inside the r10/r11 rotation: {repeats}"
     )
+    # new session-4 queries queue BEHIND the rotation (VERDICT r09 task
+    # 8), so positions 1-79 are exactly the pre-r10 never-verified set.
 
 
 def test_priority_window_is_all_strict_oracle():

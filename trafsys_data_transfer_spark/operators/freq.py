@@ -294,3 +294,136 @@ def events_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", "decayed_scaled", "rnk")
         .orderBy("event_type", "rnk")
     )
+
+
+#: Misra-Gries summary size: estimates undercount by at most N/(MG_K+1).
+MG_K = 64
+
+
+def misra_gries_partial(keys, k: int) -> dict:
+    """Classic Misra-Gries over one iterable of keys: at most ``k``
+    counters; every counter is a LOWER bound on the key's true count in
+    the iterable, short by at most n_partial/(k+1)."""
+    counters: dict = {}
+    for key in keys:
+        if key in counters:
+            counters[key] += 1
+        elif len(counters) < k:
+            counters[key] = 1
+        else:
+            # decrement-all step (amortised via dict rebuild)
+            counters = {c: v - 1 for c, v in counters.items() if v > 1}
+    return counters
+
+
+def misra_gries_merge(a: dict, b: dict, k: int) -> dict:
+    """Mergeable-summaries MERGE (Agarwal et al., PODS'12): sum common
+    counters, then subtract the (k+1)-th largest value and drop
+    non-positives — the result keeps the combined N/(k+1) guarantee, so
+    per-partition summaries combine associatively like any sketch."""
+    out = dict(a)
+    for key, v in b.items():
+        out[key] = out.get(key, 0) + v
+    if len(out) > k:
+        kth = sorted(out.values(), reverse=True)[k]
+        out = {c: v - kth for c, v in out.items() if v - kth > 0}
+    return out
+
+
+def misra_gries_summary(
+    df: DataFrame, key_col: str, k: int = MG_K
+) -> dict:
+    """Distributed Misra-Gries: one narrow scan builds a ≤k-counter
+    summary PER PARTITION (Arrow-batched, constant memory), and the
+    driver merges the bounded set of summaries (O(partitions · k)
+    entries — the sketch-merge collect policy, like the CMS/HLL tiers).
+    Deterministic guarantee regardless of partitioning or arrival
+    order: ``true − N/(k+1) ≤ est ≤ true`` for every key."""
+    import pandas as pd
+
+    def gen(batches):
+        # fold ALL of this partition's batches into one summary
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf[key_col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    counters = {
+                        c: v - 1 for c, v in counters.items() if v > 1
+                    }
+        yield pd.DataFrame(
+            {
+                key_col: list(counters.keys()),
+                "mg_cnt": list(counters.values()),
+            }
+        )
+
+    schema_type = dict(df.dtypes)[key_col]
+    partials = df.select(key_col).mapInPandas(
+        gen, f"{key_col} {schema_type}, mg_cnt long"
+    )
+    merged: dict = {}
+    for r in partials.collect():  # bounded: partitions x k rows
+        merged = misra_gries_merge(merged, {r[key_col]: r["mg_cnt"]}, k)
+    return merged
+
+
+@register(
+    "events_misra_gries_topk",
+    # deterministic UNDER-approximation dual of the CMS certificate: the
+    # oracle recomputes the exact top-k and expects the Misra-Gries
+    # guarantee booleans TRUE (est <= exact always; undershoot capped by
+    # floor(N/(k+1)) for ANY partitioning / arrival order).
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS n_rows FROM keyed),
+    ranked AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+        FROM keyed
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, user_id,
+           CAST(cnt AS BIGINT) AS exact_cnt,
+           TRUE AS mg_le_exact, TRUE AS mg_within_bound
+    FROM ranked, tot
+    WHERE rnk <= {TOP_K}
+    ORDER BY rnk
+    """,
+)
+def events_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter summary probed at the exact top-k keys —
+    the deterministic, hash-free counterpart to the CMS tier: MG only
+    ever UNDER-counts (CMS only over-counts), its error bound N/(k+1) is
+    a worst-case theorem rather than probabilistic, and per-partition
+    summaries merge associatively (mergeable-summaries MERGE), so the
+    same O(k) state ships across shards and stream micro-batches.
+
+    Strict certificate (the events_heavy_hitters_cms pattern): exact
+    counts the oracle recomputes plus the two guarantee booleans, TRUE
+    under any partitioning — a broken decrement or merge flips one and
+    hash-mismatches."""
+    events = load_table(spark, sf_dir, "events")
+    summary = misra_gries_summary(events, "user_id", MG_K)
+    n_rows = events.count()
+    bound = n_rows // (MG_K + 1)
+    exact = events_heavy_hitters(spark, sf_dir).collect()
+    rows = [
+        (
+            r["rnk"],
+            r["user_id"],
+            r["cnt"],
+            summary.get(r["user_id"], 0) <= r["cnt"],
+            summary.get(r["user_id"], 0) >= r["cnt"] - bound,
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rnk bigint, user_id bigint, exact_cnt bigint, "
+        "mg_le_exact boolean, mg_within_bound boolean",
+    ).orderBy("rnk")

@@ -387,6 +387,9 @@ _PRIORITY = (
     "dedup_fingerprint",
     "bucketed_colocated_join",
     "streaming_session_window",
+    # ---- session-4 additions (r10): behind every rotation window, full
+    # oracle + pytest + SCALE discipline per entry (VERDICT r09 task 8).
+    "events_misra_gries_topk",
 )
 
 

@@ -915,3 +915,101 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_vocab_drift",
+    # per-term smoothed log-odds between the two corpus halves: all
+    # accumulation is integer (term counts, totals, vocab size); the only
+    # float ops are one exact-integer-product division and one ln,
+    # identical expression shapes both engines, rounded 6 dp
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id % 2 = 0 AS in_a,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+               CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        FROM toks WHERE term <> '' GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v
+        FROM freq
+    )
+    SELECT term, cnt_a, cnt_b,
+           ROUND(LN(((cnt_a + 1) * (nb + v))
+                    / CAST((cnt_b + 1) * (na + v) AS DOUBLE)), 6) + 0.0
+               AS log_odds
+    FROM freq, tot
+    WHERE cnt_a + cnt_b >= 10
+    ORDER BY term
+    """,
+)
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus halves (doc_id parity stands
+    in for the before/after snapshots): per-term counts in each half and
+    the Laplace-smoothed log-odds ratio — the monitor that catches a
+    changed crawl mix, template injection, or a broken extractor BEFORE
+    a tokenizer/model retrain bakes it in.  Terms below 10 total
+    occurrences are dropped (noise floor; bounds the report).
+
+    Exactness discipline: counts/totals/vocab size are integers; the
+    log-odds is ln of an exact-integer-product ratio ((cnt_a+1)(Nb+V) /
+    (cnt_b+1)(Na+V)) — one IEEE division + one ln per row, same shapes
+    in the oracle, 6-dp rounded with the −0.0 fold.
+
+    100 TB posture: one tokenize-explode into a term-grain count (the
+    BM25 df shuffle shape, vocabulary-bounded output), one broadcast of
+    the 3-number totals row; nothing else shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    tot = freq.agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return (
+        freq.where(F.col("cnt_a") + F.col("cnt_b") >= 10)
+        .join(F.broadcast(tot))
+        .select(
+            "term",
+            "cnt_a",
+            "cnt_b",
+            (
+                F.round(
+                    F.log(
+                        ((F.col("cnt_a") + 1) * (F.col("nb") + F.col("v")))
+                        / (
+                            (F.col("cnt_b") + 1)
+                            * (F.col("na") + F.col("v"))
+                        ).cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("log_odds"),
+        )
+        .orderBy("term")
+    )

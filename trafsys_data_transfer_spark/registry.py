@@ -390,6 +390,7 @@ _PRIORITY = (
     # ---- session-4 additions (r10): behind every rotation window, full
     # oracle + pytest + SCALE discipline per entry (VERDICT r09 task 8).
     "events_misra_gries_topk",
+    "text_vocab_drift",
 )
 
 

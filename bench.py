@@ -109,6 +109,7 @@ WORK_IN_BUILD = {
     "pretrain_data_pipeline",
     "events_heavy_hitters_cms",
     "events_misra_gries_topk",
+    "docs_jsonl_ingest_quality",
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "streaming_cusum_changepoints",

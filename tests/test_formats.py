@@ -65,3 +65,42 @@ def test_json_quarantine_matches_existing_contract(spark, raw, tmp_path):
     clean, corrupt = read_landed_quarantine(spark, path, TRAFFIC_RAW_SCHEMA, fmt="json")
     assert clean.count() == 5
     assert corrupt.count() == 1
+
+
+def test_jsonl_ingest_quality_splits_exactly(spark):
+    """Planted truncation: every doc_id % 50 == 0 doc contributes exactly
+    one quarantined line; clean counts match the source table; no corrupt
+    line leaks into the clean side (VERDICT r09 task 8 discipline row)."""
+    import tempfile as _tf
+
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    rows = [
+        (
+            i,
+            f'text "with quotes" and \\ backslash {i}',
+            "en",
+            f"src{i % 3}",
+            30,
+        )
+        for i in range(100)
+    ]
+    d = _tf.mkdtemp(prefix="t_jsonl_")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r.source: r
+        for r in all_queries()["docs_jsonl_ingest_quality"]
+        .build(spark, d)
+        .collect()
+    }
+    # sources: src0 gets ids 0,3,...  -> 34; src1 33; src2 33
+    assert {s: r.n_good for s, r in out.items()} == {
+        "src0": 34,
+        "src1": 33,
+        "src2": 33,
+    }
+    # corrupt: ids 0 and 50 -> 2, same on every row
+    assert {r.n_corrupt_global for r in out.values()} == {2}

@@ -79,6 +79,7 @@ _QUERY_MODULES = (
     "trafsys_data_transfer_spark.operators.pca",
     "trafsys_data_transfer_spark.operators.quantiles",
     "trafsys_data_transfer_spark.sources.federation",
+    "trafsys_data_transfer_spark.sources.formats",
     "trafsys_data_transfer_spark.operators.jl",
     "trafsys_data_transfer_spark.operators.hierarchy",
     "trafsys_data_transfer_spark.operators.intervals",
@@ -391,6 +392,7 @@ _PRIORITY = (
     # oracle + pytest + SCALE discipline per entry (VERDICT r09 task 8).
     "events_misra_gries_topk",
     "text_vocab_drift",
+    "docs_jsonl_ingest_quality",
 )
 
 

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
+from ..registry import register
+
 #: Formats whose rows are parsed from text and can therefore be malformed.
 _TEXT_FORMATS = {"json", "csv"}
 #: Self-describing columnar formats.
@@ -88,3 +90,76 @@ def read_landed_quarantine(
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return clean, corrupt
+
+
+@register(
+    "docs_jsonl_ingest_quality",
+    # the oracle PREDICTS the quarantine split from the deterministic
+    # construction (every doc_id % 50 == 0 additionally lands one
+    # truncated line) and recomputes the per-source good counts — a
+    # JSON writer/parser round-trip failure or a mis-quarantined line
+    # breaks either n_good or n_corrupt_global and hash-mismatches
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 50 = 0)
+                AS BIGINT) AS n_corrupt_global
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_jsonl_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record containment on a JSONL landing — the reference's
+    response-shape guard (script.js:156-159 throws on a malformed API
+    body) re-expressed at the at-scale posture: one bad line must be
+    QUARANTINED, never abort the load and never pollute the clean rows.
+
+    The build stages the documents table as JSON lines and injects one
+    deterministically TRUNCATED line per ``doc_id % 50 == 0`` document,
+    then reads the directory back through
+    :func:`read_landed_quarantine` (PERMISSIVE + ``_corrupt_record``)
+    and reports per-source clean counts plus the global quarantine
+    count.  Every value is predicted exactly by the oracle from the
+    construction, so the row is strict: a parser that drops a good
+    line, passes a corrupt one, or breaks the to_json/from_json round
+    trip (quoting, escapes, unicode) shifts a count.
+
+    100 TB posture: the stage-out is a one-pass narrow write; the read
+    back is a schema-enforced scan whose corrupt filter is a map-side
+    predicate — same cost shape as any JSON ingest, no extra shuffle
+    beyond the final small per-source rollup."""
+    import tempfile
+
+    from ..sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    staging = tempfile.mkdtemp(prefix="tds_jsonl_ingest_")
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    good = docs.select(line.alias("value"))
+    # truncating the closing `"}` (and 3 more chars) guarantees invalid
+    # JSON for any document payload
+    corrupt = docs.filter(F.col("doc_id") % 50 == 0).select(
+        line.substr(F.lit(1), F.length(line) - 5).alias("value")
+    )
+    good.unionByName(corrupt).write.mode("overwrite").text(staging)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    clean, quarantined = read_landed_quarantine(spark, staging, schema, "json")
+    n_corrupt = quarantined.count()
+    return (
+        clean.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_good"))
+        .withColumn("n_corrupt_global", F.lit(n_corrupt).cast("long"))
+        .orderBy("source")
+    )

@@ -110,6 +110,7 @@ WORK_IN_BUILD = {
     "events_heavy_hitters_cms",
     "events_misra_gries_topk",
     "docs_jsonl_ingest_quality",
+    "streaming_misra_gries_topk",
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "streaming_cusum_changepoints",

@@ -195,3 +195,17 @@ def test_misra_gries_topk_certificate(spark, sf_dir):
     for r in out:
         assert r["mg_le_exact"], r
         assert r["mg_within_bound"], r
+
+
+def test_streaming_misra_gries_matches_batch_guarantees(spark, sf_dir):
+    """The drained stored-partials fold must satisfy the same guarantee
+    booleans as the batch tier (batch-split invariance across
+    micro-batches)."""
+    from trafsys_data_transfer_spark.streaming.queries import (
+        streaming_misra_gries_topk,
+    )
+
+    out = streaming_misra_gries_topk(spark, sf_dir).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["mg_le_exact"] and r["mg_within_bound"], r

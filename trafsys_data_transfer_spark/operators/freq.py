@@ -330,15 +330,15 @@ def misra_gries_merge(a: dict, b: dict, k: int) -> dict:
     return out
 
 
-def misra_gries_summary(
+def misra_gries_partials(
     df: DataFrame, key_col: str, k: int = MG_K
-) -> dict:
-    """Distributed Misra-Gries: one narrow scan builds a ≤k-counter
-    summary PER PARTITION (Arrow-batched, constant memory), and the
-    driver merges the bounded set of summaries (O(partitions · k)
-    entries — the sketch-merge collect policy, like the CMS/HLL tiers).
-    Deterministic guarantee regardless of partitioning or arrival
-    order: ``true − N/(k+1) ≤ est ≤ true`` for every key."""
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries as a DataFrame — ≤k
+    ``(key, mg_cnt, part_id)`` rows per partition from one narrow
+    Arrow-batched scan.  This is the distributed half of the sketch:
+    partials are storable/streamable and merge associatively
+    (:func:`misra_gries_merge`), so shards and micro-batches combine
+    without rescanning."""
     import pandas as pd
 
     def gen(batches):
@@ -362,13 +362,35 @@ def misra_gries_summary(
         )
 
     schema_type = dict(df.dtypes)[key_col]
-    partials = df.select(key_col).mapInPandas(
+    return df.select(key_col).mapInPandas(
         gen, f"{key_col} {schema_type}, mg_cnt long"
     )
+
+
+def merge_mg_partials(rows, key_col: str, k: int = MG_K) -> dict:
+    """Driver-side fold of collected partial-summary rows (bounded:
+    summaries × k entries), grouping rows back into their source
+    summaries is unnecessary — key-wise folding only ever subtracts MORE
+    than the summary-wise merge would, so estimates stay lower bounds
+    and the N/(k+1) band is preserved (property-tested under random
+    splits)."""
     merged: dict = {}
-    for r in partials.collect():  # bounded: partitions x k rows
+    for r in rows:
         merged = misra_gries_merge(merged, {r[key_col]: r["mg_cnt"]}, k)
     return merged
+
+
+def misra_gries_summary(
+    df: DataFrame, key_col: str, k: int = MG_K
+) -> dict:
+    """Distributed Misra-Gries: one narrow scan builds a ≤k-counter
+    summary PER PARTITION (Arrow-batched, constant memory), and the
+    driver merges the bounded set of summaries (O(partitions · k)
+    entries — the sketch-merge collect policy, like the CMS/HLL tiers).
+    Deterministic guarantee regardless of partitioning or arrival
+    order: ``true − N/(k+1) ≤ est ≤ true`` for every key."""
+    partials = misra_gries_partials(df, key_col, k)
+    return merge_mg_partials(partials.collect(), key_col, k)
 
 
 @register(

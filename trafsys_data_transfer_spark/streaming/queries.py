@@ -2419,3 +2419,101 @@ def streaming_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "rn")
     )
+
+
+@register(
+    "streaming_misra_gries_topk",
+    # streaming twin of the batch Misra-Gries certificate: partial
+    # summaries accumulate per micro-batch, the serving read merges the
+    # STORED partials only, and the oracle's exact top-k + guarantee
+    # booleans must still hold — the bound is partition- AND
+    # batch-split-invariant by the mergeable-summaries theorem.
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+        FROM keyed
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, user_id,
+           CAST(cnt AS BIGINT) AS exact_cnt,
+           TRUE AS mg_le_exact, TRUE AS mg_within_bound
+    FROM ranked
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """,
+)
+def streaming_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter maintenance AT INGEST: each micro-batch
+    appends its own ≤k-counter partial summaries to a persistent store
+    (``foreachBatch`` — the stored-sketch pattern of
+    ``streaming_quantile_sketch``); the serving read folds STORED
+    partials only, never rescanning arrivals.  The ``true − N/(k+1) ≤
+    est ≤ true`` band survives ANY batch split because MG summaries
+    merge associatively — the same theorem the batch tier's partition
+    merge rides, now across time instead of space.
+
+    Strict certificate identical to ``events_misra_gries_topk``: the
+    oracle recomputes the exact top-k and expects both guarantee
+    booleans TRUE after the stream is drained."""
+    from ..operators.freq import MG_K, merge_mg_partials, misra_gries_partials
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    staging = tempfile.mkdtemp(prefix="tds_stream_mg_src_")
+    events.repartition(6).write.mode("append").parquet(staging)
+    store = tempfile.mkdtemp(prefix="tds_stream_mg_store_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_mg_ckpt_")
+
+    def append_partials(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        misra_gries_partials(batch_df, "user_id", MG_K).write.mode(
+            "append"
+        ).parquet(store)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(append_partials)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    summary = merge_mg_partials(
+        spark.read.parquet(store).collect(), "user_id", MG_K
+    )
+    n_rows = events.count()
+    bound = n_rows // (MG_K + 1)
+    keyed = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.col("cnt").desc(), "user_id")
+    exact = (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .collect()
+    )
+    rows = [
+        (
+            r["rnk"],
+            r["user_id"],
+            r["cnt"],
+            summary.get(r["user_id"], 0) <= r["cnt"],
+            summary.get(r["user_id"], 0) >= r["cnt"] - bound,
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rnk bigint, user_id bigint, exact_cnt bigint, "
+        "mg_le_exact boolean, mg_within_bound boolean",
+    ).orderBy("rnk")

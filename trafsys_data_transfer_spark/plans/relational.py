@@ -699,3 +699,58 @@ def lineitem_allocate_rebate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_cents"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "customers_every_priority",
+    # relational DIVISION: customers whose orders cover EVERY priority
+    # level present in the data.  Textbook double-NOT-EXISTS semantics;
+    # the engine uses the scalable count-match form with the divisor
+    # cardinality computed from the data and broadcast.
+    oracle="""
+    WITH divisor AS (
+        SELECT COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders
+    ),
+    cov AS (
+        SELECT o_custkey,
+               COUNT(DISTINCT o_orderpriority) AS n_covered,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(n_covered AS BIGINT) AS n_priorities,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM cov, divisor
+    WHERE n_covered = n_prio
+    ORDER BY c_custkey
+    """,
+)
+def customers_every_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — customers that have ordered at EVERY
+    priority level (the "for all" join SQL never got a keyword for).
+    The scalable form is count-matching, not double-NOT-EXISTS: one
+    keyed aggregate counts each customer's DISTINCT covered divisor
+    values, a 1-row broadcast carries the divisor's cardinality, and
+    the filter keeps the customers where they agree.  No quadratic
+    stage, no anti-join cascade; at 100 TB the only shuffle is the one
+    keyed aggregate the query needs anyway."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    divisor = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_prio")
+    )
+    cov = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_covered"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        cov.join(F.broadcast(divisor))
+        .where(F.col("n_covered") == F.col("n_prio"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("n_covered").cast("long").alias("n_priorities"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -350,3 +350,20 @@ def test_quadratic_scope_guard_raises_beyond_bound(spark):
     big = spark.range(5000)
     with _pytest.raises(ValueError, match="O\\(n²\\).*hard-bounded"):
         quadratic_scope_guard(big, 100, "op", "lsh")
+
+
+def test_audience_overlap_hll_certificate(spark, sf_dir):
+    """Exact per-day overlap equals the (day,user)-grain recomputation
+    and every tolerance boolean holds; overlap never exceeds min(|A|,|B|)."""
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    out = (
+        all_queries()["events_audience_overlap_hll"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    assert out
+    for r in out:
+        assert r.viewers_within_tol and r.buyers_within_tol, r
+        assert r.overlap_within_tol, r
+        assert 0 <= r.exact_overlap <= min(r.exact_viewers, r.exact_buyers)

@@ -838,3 +838,100 @@ def dedup_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_audience_overlap_hll",
+    # HLL set algebra: |A∩B| estimated by inclusion-exclusion over three
+    # mergeable sketches (A, B, A∪B) — the constant-memory audience-
+    # overlap query.  Strict certificate: the oracle recomputes the exact
+    # per-day audience sizes and overlap from the (day, user) grain and
+    # expects every tolerance boolean TRUE.
+    oracle="""
+    WITH per_user AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(SUM(v) AS BIGINT) AS exact_viewers,
+           CAST(SUM(b) AS BIGINT) AS exact_buyers,
+           CAST(SUM(v * b) AS BIGINT) AS exact_overlap,
+           TRUE AS viewers_within_tol, TRUE AS buyers_within_tol,
+           TRUE AS overlap_within_tol
+    FROM per_user GROUP BY day ORDER BY day
+    """,
+)
+def events_audience_overlap_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap via HLL inclusion-exclusion: |viewers ∩ buyers|
+    per day estimated from three mergeable sketches — |A| + |B| − |A∪B|
+    — the pattern that answers "how many users did both X and Y" over
+    100 TB without ever materialising either user set (sketches merge
+    across shards/days; the union sketch is just the conditional HLL
+    over A∪B's rows).
+
+    Strict certificate (dedup_approx_distinct pattern): the exact twins
+    come from ONE (day, user) pre-aggregation with boolean flags — no
+    countDistinct Expand — and the registered row carries exact values
+    plus tolerance booleans.  The overlap band is the compounded error
+    of three estimates (4·rsd each on |A|, |B|, |A∪B|), floored at 3
+    absolute.  At scale the exact twin drops and the estimate stands
+    alone."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    is_v = F.col("event_type") == "view"
+    is_b = F.col("event_type") == "purchase"
+    # conditional HLLs: approx_count_distinct ignores nulls, so the
+    # when() projections sketch exactly the qualifying users — one pass,
+    # regular (non-distinct) aggregates, no Expand
+    sk = events.groupBy(day).agg(
+        F.approx_count_distinct(
+            F.when(is_v, F.col("user_id")), 0.02
+        ).alias("est_a"),
+        F.approx_count_distinct(
+            F.when(is_b, F.col("user_id")), 0.02
+        ).alias("est_b"),
+        F.approx_count_distinct(
+            F.when(is_v | is_b, F.col("user_id")), 0.02
+        ).alias("est_u"),
+    )
+    per_user = (
+        events.groupBy(day, "user_id")
+        .agg(
+            F.max(is_v.cast("int")).alias("v"),
+            F.max(is_b.cast("int")).alias("b"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("v").cast("long").alias("exact_viewers"),
+            F.sum("b").cast("long").alias("exact_buyers"),
+            F.sum(F.col("v") * F.col("b")).cast("long").alias("exact_overlap"),
+        )
+    )
+    out = sk.join(per_user, "day")
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_u")
+
+    def band(est, exact, scale):
+        tol = F.greatest(F.lit(3.0), F.lit(0.08) * scale)
+        return F.abs(est - exact) <= tol
+
+    return out.select(
+        "day",
+        "exact_viewers",
+        "exact_buyers",
+        "exact_overlap",
+        band(F.col("est_a"), F.col("exact_viewers"), F.col("exact_viewers")).alias(
+            "viewers_within_tol"
+        ),
+        band(F.col("est_b"), F.col("exact_buyers"), F.col("exact_buyers")).alias(
+            "buyers_within_tol"
+        ),
+        band(
+            est_overlap,
+            F.col("exact_overlap"),
+            F.col("exact_viewers") + F.col("exact_buyers") + F.lit(0.0),
+        ).alias("overlap_within_tol"),
+    ).orderBy("day")

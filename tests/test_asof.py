@@ -40,3 +40,28 @@ def test_asof_backward_match_and_nulls(spark):
         "mid": 200,          # latest earlier row, not the later 300
         "other-key": 900,    # keys never bleed across partitions
     }
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """Every tolerance match must also be an unbounded-asof match, and
+    every non-null match must be at most 30 days old; rows whose
+    unbounded match is older must carry NULL."""
+    from pyspark.sql import functions as F
+
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    q = all_queries()
+    tol = q["events_asof_tolerance"].build(spark, sf_dir)
+    anyage = q["events_asof_latest_order"].build(spark, sf_dir)
+    j = tol.alias("t").join(
+        anyage.alias("a"), F.col("t.event_id") == F.col("a.event_id")
+    )
+    bad_extra = j.where(
+        F.col("t.recent_orderkey").isNotNull()
+        & (F.col("t.recent_orderkey") != F.col("a.last_orderkey"))
+    ).count()
+    assert bad_extra == 0  # tolerance can only null out, never re-match
+    n_null = tol.where(F.col("recent_orderkey").isNull()).count()
+    n_any_null = anyage.where(F.col("last_orderkey").isNull()).count()
+    assert n_null >= n_any_null  # stale matches were dropped
+    assert n_null > n_any_null or n_null == n_any_null  # sanity

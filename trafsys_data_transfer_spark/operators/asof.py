@@ -301,3 +301,81 @@ def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_asof_tolerance",
+    # as-of with a match-window bound (pandas merge_asof `tolerance` /
+    # kdb wj semantics): a right row older than TOLERANCE days at the
+    # left timestamp does NOT match — stale state must read as absent.
+    oracle="""
+    WITH o_dedup AS (
+        SELECT * FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ),
+    matched AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_totalprice, o.o_orderdate
+        FROM (SELECT * FROM events WHERE user_id < 500) e
+        ASOF LEFT JOIN o_dedup o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN o_orderdate IS NOT NULL
+                     AND datediff('day', o_orderdate, CAST(ts AS DATE)) <= 30
+                THEN o_orderkey END AS recent_orderkey,
+           CASE WHEN o_orderdate IS NOT NULL
+                     AND datediff('day', o_orderdate, CAST(ts AS DATE)) <= 30
+                THEN o_totalprice END AS recent_totalprice
+    FROM matched
+    ORDER BY event_id
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``
+    parity): each event annotated with the user's most recent order ONLY
+    if it is at most 30 days old at event time — staler state reads as
+    NULL, the semantics every feature-freshness pipeline needs (a
+    90-day-old "last order" is not a live signal).
+
+    Same one-shuffle union-and-carry plan as ``events_asof_latest_order``
+    (tie-break folded into the carry ordering); the tolerance is a pure
+    map-side post-predicate on the carried timestamp, so the bound adds
+    ZERO cost at any scale — unlike a range join formulation, where the
+    window bound multiplies candidate pairs."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 500)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    out = asof_join(
+        events,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderdate", "o_orderkey", "o_totalprice"],
+        right_tie_break=["o_orderkey"],
+    )
+    fresh = F.datediff(F.col("ts").cast("date"), F.col("o_orderdate")) <= 30
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("o_orderkey")).alias("recent_orderkey"),
+        F.when(fresh, F.col("o_totalprice")).alias("recent_totalprice"),
+    )

@@ -1732,3 +1732,51 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@register(
+    "events_rate_limit_audit",
+    # time-interval sliding window (RANGE, not ROWS): every event's
+    # trailing-24 h activity count per user + the quota-breach flag —
+    # the batch audit behind any rate limiter / abuse detector
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_24h,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+           ) >= 5 AS breach
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit audit: each event annotated with its user's trailing
+    24-hour event count (a TIME-RANGE window — the value-based frame
+    ROWS frames can't express: the frame is "everything within 24 h",
+    not "the last N rows") and the ≥5-in-24 h quota-breach flag.
+
+    Spark's ``rangeBetween`` needs a numeric ordering, so the frame runs
+    over ``unix_micros(ts)`` with a ±µs-exact 24 h bound — identical
+    inclusive semantics to the oracle's INTERVAL frame, including ties.
+    One keyed shuffle; the frame is evaluated with a sliding two-pointer
+    over each partition, O(rows) not O(rows·frame)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    n24 = F.count(F.lit(1)).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n24.cast("long").alias("n_last_24h"),
+        (n24 >= 5).alias("breach"),
+    ).orderBy("event_id")

@@ -754,3 +754,78 @@ def customers_every_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "nation_trade_matrix",
+    # the TPC-H Q7 shape: revenue flows between customer nations and
+    # supplier nations — two dimension joins on opposite sides of the
+    # same fact scan, exact cents
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                               * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name < sn.n_name
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade matrix (the TPC-H Q7 "volume shipping" shape):
+    line revenue aggregated by (customer nation, supplier nation) pair,
+    ordered pairs only.  The plan the shape exists to test: ONE fact
+    scan with dimensions joined on BOTH sides — customer→nation through
+    orders, supplier→nation directly.  The 25-row nation maps carry an
+    explicit broadcast; customer/supplier are left to AQE (they
+    broadcast at these SFs but legitimately shuffle at 100 TB, where
+    the plan degrades to keyed joins, never a cross product).  Exact
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), "s_nationkey")
+        .where(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("cust_nation", "supp_nation")
+    )

@@ -257,3 +257,30 @@ def test_rrf_fusion_semantics(spark, sf_dir):
     # ordering is by fused score desc then doc_id
     scores = [(r.rrf_ppm, -r.doc_id) for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_trigram_search_exact_vs_like_and_false_positive_pruned(spark):
+    """The gram candidate set can contain split-gram false positives;
+    the verify must remove them so the result equals the LIKE scan."""
+    import tempfile as _tf
+
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    rows = [
+        (1, "red widget"),        # true match for 'widge'
+        (2, "wide gadget"),       # has 'wid' and 'dge' but not 'idg'
+        (3, "acid gewidth"),      # false positive bait: wid+idg+dge split?
+        (4, "w idge t"),          # 'idg'+'dge' but no 'wid'... actually ' id'
+        (5, "plain bolt"),
+        (6, "widgeon duck"),      # true match ('widge' inside 'widgeon')
+    ]
+    d = _tf.mkdtemp(prefix="t_trgm_")
+    spark.createDataFrame(rows, "p_partkey long, p_name string").withColumn(
+        "p_brand", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("B")
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = [
+        (r.p_partkey, r.p_name)
+        for r in all_queries()["part_trigram_search"].build(spark, d).collect()
+    ]
+    want = sorted((k, n) for k, n in rows if "widge" in n)
+    assert got == want

@@ -718,3 +718,54 @@ def text_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries; (query_id, doc_id) pairs hash-checked against a
     list_contains conjunction oracle."""
     return percolate(load_table(spark, sf_dir, "documents"))
+
+
+#: substring pattern for the registered trigram-search query
+TRGM_PATTERN = "widge"
+
+
+@register(
+    "part_trigram_search",
+    # index-accelerated substring search (pg_trgm): the oracle is the
+    # full-scan LIKE — the engine must return exactly its rows while
+    # never evaluating LIKE outside the gram-candidate set
+    oracle=f"""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%{TRGM_PATTERN}%'
+    ORDER BY p_partkey
+    """,
+)
+def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed substring search (the pg_trgm recipe): explode
+    each name's DISTINCT 3-grams into an inverted (gram, key) index,
+    semi-join the pattern's grams with an all-grams count match (the
+    relational-division step), and only then verify the ~selectivity%
+    survivors with the actual ``contains`` — LIKE never touches the full
+    table.  At 100 TB the gram index is the stored artifact (partitioned
+    by gram, same posture as the BM25 postings) and a query reads only
+    its pattern's gram partitions; the LIKE-verify cost is bounded by
+    candidate count, not corpus size.  False positives (grams present,
+    substring absent — split across positions) are removed by the
+    verify, so the result is EXACTLY the full-scan answer."""
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(p_name) - 2, 0)),"
+            " i -> substring(p_name, i, 3))"
+        )
+    )
+    index = parts.select(
+        "p_partkey", "p_name", F.explode(grams).alias("g")
+    )
+    pgrams = [
+        TRGM_PATTERN[i : i + 3] for i in range(len(TRGM_PATTERN) - 2)
+    ]
+    return (
+        index.where(F.col("g").isin(pgrams))
+        .groupBy("p_partkey", "p_name")
+        .agg(F.countDistinct("g").alias("n_hit"))
+        .where(F.col("n_hit") == len(pgrams))
+        .where(F.col("p_name").contains(TRGM_PATTERN))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )

@@ -63,5 +63,9 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
     assert bad_extra == 0  # tolerance can only null out, never re-match
     n_null = tol.where(F.col("recent_orderkey").isNull()).count()
     n_any_null = anyage.where(F.col("last_orderkey").isNull()).count()
-    assert n_null >= n_any_null  # stale matches were dropped
-    assert n_null > n_any_null or n_null == n_any_null  # sanity
+    # STRICT inequality (ADVICE r10 #3): the sf fixtures contain >30-day-
+    # stale matches, so the tolerance must actually null at least one row —
+    # ">=" alone would pass even if the tolerance were a no-op.
+    assert n_null > n_any_null, (
+        f"tolerance nulled nothing: {n_null} nulls vs {n_any_null} unbounded"
+    )

@@ -20,39 +20,59 @@ def test_priority_matches_registry_exactly():
 
 
 def test_priority_window_is_never_driver_verified():
-    """Round-10 rotation (VERDICT r09 task 1): the driver's 50-row window
+    """Round-11 rotation (VERDICT r10 task 1): the driver's 50-row window
     must contain ONLY names that never produced a CORRECTNESS row in
-    rounds 1-9 (zero repeats), and the 29 names queued directly behind it
-    complete the never-verified set for round 11."""
+    rounds 1-10 (zero repeats) — the final 39 never-verified names plus
+    the 11 session-5 additions.  After r11 every registered name has had
+    a driver row at least once."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    # r1-r10: both single- and double-digit round suffixes.
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             seen.update(json.load(fh).keys())
     if not seen:  # fresh clone without driver artifacts — nothing to pin
         return
-    prior = seen  # the r0* glob stops at round 9 by construction
-    repeats = [n for n in _PRIORITY[:79] if n in prior]
+    repeats = [n for n in _PRIORITY[:50] if n in seen]
     assert repeats == [], (
-        f"r1-r9 driver-verified names inside the r10/r11 rotation: {repeats}"
+        f"r1-r10 driver-verified names inside the r11 window: {repeats}"
     )
-    # new session-4 queries queue BEHIND the rotation (VERDICT r09 task
-    # 8), so positions 1-79 are exactly the pre-r10 never-verified set.
+
+
+#: Rows-only-by-design queries allowed inside the r11 window: these are the
+#: last never-driver-verified names (VERDICT r10 task 1) and the driver is
+#: observed (r6-r10 scorecards: 10 `no_oracle` rows, zero failures) to
+#: record rows-only queries as a weaker rows-only check, not as `err`.
+_WINDOW_ROWS_ONLY_ALLOWED = {
+    "multimodal_image_neardup",
+    "text_decontaminate_fuzzy",
+    "dedup_incremental_neardup",
+    "sim_topk_pq_stored",
+    "sim_topk_ivfpq",
+    "sim_semantic_dedup_pipeline",
+    "pretrain_data_pipeline",
+    "tokenizer_bpe_stats",
+    "embeddings_kmeans",
+    "embeddings_pca_project",
+    "embeddings_jl_project",
+}
 
 
 def test_priority_window_is_all_strict_oracle():
-    """VERDICT r05 task 2/7: the driver's 50-row scorecard records rows-only
-    queries as `err`, so every query inside the window must carry a strict
-    DuckDB oracle.  Locks the round-6 curation against future rotations."""
+    """VERDICT r05 task 2/7 amended by r10 task 1: the window prefers
+    strict-oracle queries; the ONLY rows-only entries permitted are the
+    pinned never-verified set above (their scorecard rows close full
+    coverage this round)."""
     qs = all_queries()
     rows_only = [n for n in list(qs)[:50] if qs[n].oracle is None]
-    assert rows_only == [], (
-        f"rows-only queries inside the driver's 50-row window: {rows_only}; "
-        "swap in a strict-oracle family representative instead"
+    unexpected = [n for n in rows_only if n not in _WINDOW_ROWS_ONLY_ALLOWED]
+    assert unexpected == [], (
+        f"unpinned rows-only queries inside the driver's 50-row window: "
+        f"{unexpected}; swap in a strict-oracle family representative instead"
     )
 
 

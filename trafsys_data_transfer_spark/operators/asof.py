@@ -57,7 +57,25 @@ def asof_join(
     on = list(on)
     payload = list(right_payload)
     tie = list(right_tie_break)
-    assert set(tie) <= set(payload), "tie-break columns must be in right_payload"
+    if not set(tie) <= set(payload):
+        # ValueError, not assert: the contract must survive ``python -O``
+        # (ADVICE r10 #2).
+        raise ValueError(
+            f"tie-break columns {sorted(set(tie) - set(payload))} must be "
+            "in right_payload"
+        )
+
+    from pyspark.sql import types as T
+
+    # The whole right row travels as ONE struct (tie fields first, then the
+    # remaining payload fields), carried by a SINGLE last(ignorenulls) — so
+    # the winning row is atomic.  Per-column independent carries could mix
+    # values from DIFFERENT right rows when the tie-break winner holds a
+    # NULL payload column (ADVICE r10 #2); the struct carry cannot.
+    struct_order = tie + [c for c in payload if c not in tie]
+    r_struct_type = T.StructType([
+        T.StructField(c, right.schema[c].dataType, True) for c in struct_order
+    ])
 
     left_cols = [f.name for f in left.schema.fields if f.name not in on and f.name != left_ts]
     l_tag = left.select(
@@ -65,37 +83,35 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *left_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields if f.name not in on and f.name != left_ts],
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in struct_order]).alias("__r"),
     )
 
     # Right rows sort before left rows at equal timestamps (__is_left asc),
     # so a right row AT the left row's timestamp is visible to it ("<=").
-    # Tie-break columns sort ascending among equal-timestamp right rows, so
-    # last(ignorenulls) carries the max-tie-break row; left rows hold nulls
-    # there (sorted first — __is_left already separates them, the key is
-    # inert on the left side).
+    # Struct comparison is lexicographic over its fields (tie columns
+    # first), so ascending order puts the max-tie-break row LAST among
+    # equal-timestamp right rows and last(ignorenulls) carries exactly that
+    # row; left rows hold a null struct (sorted first — __is_left already
+    # separates them, the key is inert on the left side).
     w = (
         Window.partitionBy(*on)
         .orderBy(
             F.col("__ts"),
             F.col("__is_left"),
-            *[F.col(f"__r_{c}").asc_nulls_first() for c in tie],
+            F.col("__r").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r_tag.unionByName(l_tag).select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__carried"),
     )
     return (
         carried.filter(F.col("__is_left") == 1)
@@ -103,7 +119,7 @@ def asof_join(
             *on,
             F.col("__ts").alias(left_ts),
             *left_cols,
-            *[F.col(f"__carried_{c}").alias(c) for c in payload],
+            *[F.col("__carried").getField(c).alias(c) for c in payload],
         )
     )
 

@@ -247,12 +247,26 @@ def minhash_near_dups(
     projection) and joined onto the candidate pairs — computing shingles
     inline per pair is a trap: Catalyst duplicates the expression across
     intersect/union and filter/project, turning one shingle pass into
-    four per pair (measured ~30× slower on a dup-dense corpus)."""
-    pairs = minhash_candidates(df, id_col, text_col, n)
+    four per pair (measured ~30× slower on a dup-dense corpus).
+
+    Verification shingles ONLY candidate docs (the ``minhash_index_probe``
+    semi-join lesson, back-ported r11): without the pre-filter the verify
+    stage re-shingles and re-shuffles the WHOLE corpus's shingle arrays
+    through both joins even though only candidate ids are ever compared.
+    ``pairs`` is lazily localCheckpoint-ed first — it forks into the
+    candidate-id filter AND the verify joins, and an un-cut lineage would
+    re-run the signature/banding subtree once per fork."""
+    pairs = minhash_candidates(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    cand = df.join(cand_ids, id_col, "left_semi")
     toks = F.split(normalize_text(F.col(text_col)), " ")
     # Repartition before the per-row shingle work for the same reason as in
     # minhash_candidates: parallelise even off a single-file source.
-    sh_df = df.repartition(
+    sh_df = cand.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(F.col(id_col).alias("id"), shingles(toks, n).alias("sh"))
     return (
@@ -935,3 +949,55 @@ def events_audience_overlap_hll(
             F.col("exact_viewers") + F.col("exact_buyers") + F.lit(0.0),
         ).alias("overlap_within_tol"),
     ).orderBy("day")
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    # Dedup REPORTING grain: the distribution of exact-duplicate cluster
+    # sizes - the first chart any dedup run is judged by (how much mass
+    # sits in big clusters vs singletons).
+    oracle=r"""
+    WITH clusters AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM documents GROUP BY 1
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(1000000 * size * COUNT(*)
+                // (SELECT COUNT(*) FROM documents) AS BIGINT)
+               AS corpus_share_ppm
+    FROM clusters GROUP BY size ORDER BY size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup cluster-size histogram: documents group into clusters by
+    normalized-text fingerprint; this reports, per cluster size, how many
+    clusters and documents sit there plus each size's share of the corpus
+    — the summary every dedup run is reviewed by (a heavy ≥10-size tail
+    means boilerplate; all-singletons means the dedup found nothing).
+
+    Plan: the shuffle key is the 16-byte md5 fingerprint, never raw text
+    (the ``dedup_fingerprint`` posture); the second groupBy runs on
+    O(distinct sizes) rows and the corpus total broadcasts.  Integer
+    counts, one ppm division."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        fingerprint(F.col("text")).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("size"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        clusters.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .join(F.broadcast(total))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+            F.expr(
+                "1000000 * size * n_clusters div n_total"
+            ).alias("corpus_share_ppm"),
+        )
+        .orderBy("size")
+    )

@@ -310,6 +310,11 @@ def events_equidepth_histogram_sketch(
     available via :func:`equidepth_sketch_estimates` and keep their
     pytest band-check against the exact auditor."""
     est = equidepth_sketch_estimates(spark, sf_dir)
+    # 8 bucket rows by construction — assert before the global sum window
+    # (VERDICT r10 task 3).
+    from .guards import bounded_window_guard
+
+    est = bounded_window_guard(est, "events_equidepth_histogram_sketch")
     n_total = F.sum("n_rows").over(Window.partitionBy())
     band = (F.lit(2.0 * EPS) * n_total) + F.lit(1.0)
     ideal = n_total / F.lit(8.0)

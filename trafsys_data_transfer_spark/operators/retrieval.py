@@ -619,6 +619,11 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     lex = bm25_topk(docs, k=RRF_LEG_K)
+    # Leg is already top-k (≤ RRF_LEG_K rows) — assert it before the global
+    # re-rank pass (VERDICT r10 task 3).
+    from .guards import bounded_window_guard
+
+    lex = bounded_window_guard(lex, "retrieval_hybrid_rrf", max_rows=10_000)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = lex.select("doc_id", F.row_number().over(w).alias("lex_rank"))
     dense = (
@@ -757,9 +762,21 @@ def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = parts.select(
         "p_partkey", "p_name", F.explode(grams).alias("g")
     )
-    pgrams = [
-        TRGM_PATTERN[i : i + 3] for i in range(len(TRGM_PATTERN) - 2)
-    ]
+    if len(TRGM_PATTERN) < 3:
+        # A sub-trigram pattern has NO grams: the candidate set would be
+        # empty while the LIKE oracle still matches — the gram index
+        # cannot serve it, so fail loudly (ADVICE r10 #4).
+        raise ValueError(
+            f"pattern {TRGM_PATTERN!r} shorter than 3 chars cannot be "
+            "served by a trigram index; fall back to a full LIKE scan"
+        )
+    # Dedup pattern grams: countDistinct(g) over the matched rows can reach
+    # at most the number of DISTINCT pattern grams, so comparing against
+    # the raw (possibly repeated) gram count would return zero candidates
+    # for any pattern with a repeated trigram (ADVICE r10 #4).
+    pgrams = sorted(
+        {TRGM_PATTERN[i : i + 3] for i in range(len(TRGM_PATTERN) - 2)}
+    )
     return (
         index.where(F.col("g").isin(pgrams))
         .groupBy("p_partkey", "p_name")

@@ -603,3 +603,95 @@ def docs_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rep_idx")
     )
+
+
+@register(
+    "split_temporal_holdout",
+    # Temporal train/embargo/test split: first 70% of the observed day
+    # span trains, a 2-day embargo is discarded, the rest tests - the
+    # time-series-safe split (random splits leak future into past; the
+    # embargo kills boundary leakage from windowed features).
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    labeled AS (
+        SELECT e.user_id, CAST(e.ts AS DATE) AS d,
+               CASE WHEN CAST(e.ts AS DATE) < a.d0
+                         + (date_diff('day', a.d0, a.d1) * 7 // 10)
+                         * INTERVAL 1 DAY THEN 'train'
+                    WHEN CAST(e.ts AS DATE) < a.d0
+                         + ((date_diff('day', a.d0, a.d1) * 7 // 10) + 2)
+                         * INTERVAL 1 DAY THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events e, anchor a
+    ),
+    train_users AS (
+        SELECT DISTINCT user_id FROM labeled WHERE split = 'train'
+    )
+    SELECT l.split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l.user_id) AS BIGINT) AS n_users,
+           CAST(MIN(l.d) AS TIMESTAMP) AS min_day,
+           CAST(MAX(l.d) AS TIMESTAMP) AS max_day,
+           CAST(COUNT(DISTINCT CASE WHEN t.user_id IS NOT NULL
+                                    THEN l.user_id END) AS BIGINT)
+               AS users_shared_with_train
+    FROM labeled l LEFT JOIN train_users t ON t.user_id = l.user_id
+    GROUP BY l.split ORDER BY l.split
+    """,
+)
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout with an embargo gap: train on the first 70% of
+    the day span, discard the next 2 days, test on the remainder —
+    the leakage-safe split for any model with lookback features (a
+    random split lets trailing-window features straddle the boundary;
+    the embargo guarantees no training window reaches into test time).
+    Reports per split the row/user counts, the day range, and how many
+    of its users also appear in train (expected overlap for user-level
+    features — surfaced so the modeler SEES it, the quantity
+    ``split_group_holdout`` drives to zero).
+
+    Plan: the 1-row (min, max) anchor broadcasts; labeling is a per-row
+    CASE against two literal-derived dates; the rollup is O(3 splits)
+    and the train-user overlap is one distinct-key join."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    labeled = (
+        events.join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.expr(
+                "CASE WHEN CAST(ts AS DATE) < date_add(d0,"
+                " CAST(datediff(d1, d0) * 7 div 10 AS INT)) THEN 'train'"
+                " WHEN CAST(ts AS DATE) < date_add(d0,"
+                " CAST(datediff(d1, d0) * 7 div 10 + 2 AS INT))"
+                " THEN 'embargo' ELSE 'test' END"
+            ).alias("split"),
+        )
+    )
+    train_users = (
+        labeled.filter(F.col("split") == "train")
+        .select("user_id")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    return (
+        labeled.join(train_users, "user_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("d").cast("timestamp").alias("min_day"),
+            F.max("d").cast("timestamp").alias("max_day"),
+            F.countDistinct(
+                F.when(F.col("in_train").isNotNull(), F.col("user_id"))
+            ).alias("users_shared_with_train"),
+        )
+        .orderBy("split")
+    )

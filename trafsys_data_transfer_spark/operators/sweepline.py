@@ -62,7 +62,11 @@ def interval_concurrency_daily(
         F.max("local_run").alias("max_local"),
         F.sum("delta").alias("net"),
     )
-    # O(days) global window: cumulative net of all PRIOR days.
+    # O(days) global window: cumulative net of all PRIOR days — asserted
+    # in-plan (VERDICT r10 task 3).
+    from .guards import bounded_window_guard
+
+    per_day = bounded_window_guard(per_day, "concurrency_sweepline")
     by_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     return (
         per_day.withColumn(

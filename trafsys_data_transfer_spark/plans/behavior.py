@@ -186,6 +186,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.datediff(F.col("_max_d"), F.col("last_order")).cast("bigint"),
     )
+    # Global ntile = one customer-level pass through a single partition;
+    # valid because the input is the per-customer GROUP table.  The guard
+    # (VERDICT r10 task 3) raises past ~2M customers — the signal to switch
+    # to the approx-percentile-threshold scoring path at that scale.
+    from ..operators.guards import bounded_window_guard
+
+    anchored = bounded_window_guard(anchored, "orders_rfm_segments")
     scored = anchored.select(
         "custkey",
         "recency_days",
@@ -276,6 +283,11 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
         ).alias("ttc_sec"),
     )
+    # Converting-user table (one row per converter) feeds a global
+    # rank+count pass — assert the bounded relation (VERDICT r10 task 3).
+    from ..operators.guards import bounded_window_guard
+
+    conv = bounded_window_guard(conv, "events_time_to_convert")
     w = Window.orderBy("ttc_sec", "user_id")
     ranked = conv.select(
         "ttc_sec",
@@ -723,4 +735,163 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents_b").cast("long").alias("cents_b"),
         )
         .orderBy("seg_a", "seg_b")
+    )
+
+
+@register(
+    "events_bot_detection",
+    # Rate + regularity bot screen per user: burst = >= 5 events inside
+    # one minute bucket; metronome = >= 20 events whose inter-arrival
+    # SECONDS (floor of the exact microsecond gap) collapse to <= 2
+    # distinct values.  All integers - no float anywhere.
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id))) // 1000000 AS gap_s
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT gap_s) AS BIGINT) AS n_distinct_gaps
+        FROM gaps GROUP BY user_id
+    ),
+    bursts AS (
+        SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_per_minute FROM (
+            SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ) GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_events, b.max_per_minute, p.n_distinct_gaps,
+           b.max_per_minute >= 5 AS is_burst,
+           p.n_events >= 20 AND p.n_distinct_gaps <= 2 AS is_metronome
+    FROM per_user p JOIN bursts b ON b.user_id = p.user_id
+    ORDER BY p.user_id
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screen — the velocity-and-regularity heuristics every
+    ingestion pipeline runs before letting traffic into a training
+    corpus: per user the peak events-per-minute (burst rate) and the
+    number of DISTINCT inter-arrival gaps in whole seconds (a metronome
+    script produces one or two; humans produce many), with the two flag
+    booleans.  Every value is an exact integer.
+
+    Plan: one user-partitioned lag window (microsecond-exact gaps) and
+    one (user, minute) rollup, joined at the user grain — two shuffles
+    on the same key family, no fact-table join."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = events.select(
+        "user_id", gap_us.alias("gap_us")
+    ).select(
+        "user_id",
+        # integer div, exact — matches the oracle's epoch_us // 1000000
+        F.expr("gap_us div 1000000").alias("gap_s"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("gap_s").alias("n_distinct_gaps"),
+    )
+    bursts = (
+        events.groupBy("user_id", F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("max_per_minute"))
+    )
+    return (
+        per_user.join(bursts, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "max_per_minute",
+            "n_distinct_gaps",
+            (F.col("max_per_minute") >= 5).alias("is_burst"),
+            (
+                (F.col("n_events") >= 20) & (F.col("n_distinct_gaps") <= 2)
+            ).alias("is_metronome"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_slo_burn_rate",
+    # Multi-window SLO burn-rate alerting (the SRE-workbook rule): error
+    # rate over the trailing 1h and 6h windows, alert when BOTH burn
+    # above the 250000 ppm budget - fast window catches the spike, slow
+    # window suppresses flapping.  Integer counts, integer ppm.
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    windowed AS (
+        SELECT h, n_total, n_err,
+               SUM(n_total) OVER w6 AS total_6h,
+               SUM(n_err)   OVER w6 AS err_6h
+        FROM hourly
+        WINDOW w6 AS (ORDER BY epoch(h)
+                      RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h AS hour, n_total AS total_1h, n_err AS err_1h,
+           CAST(total_6h AS BIGINT) AS total_6h,
+           CAST(err_6h AS BIGINT) AS err_6h,
+           CAST(1000000 * n_err // n_total AS BIGINT) AS rate_1h_ppm,
+           CAST(1000000 * err_6h // total_6h AS BIGINT) AS rate_6h_ppm,
+           (1000000 * n_err // n_total > 250000
+            AND 1000000 * err_6h // total_6h > 250000) AS burn_alert
+    FROM windowed ORDER BY hour
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate alerts over the event stream: hourly error rate
+    plus the trailing-6-hour rate via a RANGE window on the hour epoch
+    (gaps in the series count as elapsed time — RANGE, not ROWS), with
+    the two-window alert rule (both the fast 1 h and slow 6 h rates must
+    burn past the 250 000 ppm budget) that keeps one bad minute from
+    paging and one bad day from hiding.
+
+    Plan: the fact reduces to O(hours) rows in one map-combined rollup;
+    the trailing window then runs on the bounded hourly table —
+    guard-asserted O(hours) single-partition pass.  Integer counts and
+    integer ppm divisions end to end."""
+    from ..operators.guards import bounded_window_guard
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    hourly = bounded_window_guard(hourly, "events_slo_burn_rate")
+    w6 = (
+        Window.orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-18000, 0)
+    )
+    windowed = hourly.select(
+        "h",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).alias("total_6h"),
+        F.sum("n_err").over(w6).alias("err_6h"),
+    )
+    rate1 = F.expr("1000000 * n_err div n_total")
+    rate6 = F.expr("1000000 * err_6h div total_6h")
+    return (
+        windowed.select(
+            F.col("h").alias("hour"),
+            F.col("n_total").alias("total_1h"),
+            F.col("n_err").alias("err_1h"),
+            "total_6h",
+            "err_6h",
+            rate1.alias("rate_1h_ppm"),
+            rate6.alias("rate_6h_ppm"),
+            ((rate1 > 250000) & (rate6 > 250000)).alias("burn_alert"),
+        )
+        .orderBy("hour")
     )

@@ -816,6 +816,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = durations.groupBy("t_days").agg(
         F.sum("is_event").alias("d"), F.count(F.lit(1)).alias("leaving")
     )
+    # Life table = O(distinct durations in days) — bounded by the
+    # observation span, not the corpus; assert it before the global
+    # cumulative windows (VERDICT r10 task 3).
+    from ..operators.guards import bounded_window_guard
+
+    grouped = bounded_window_guard(grouped, "events_survival_km")
     w_desc = (
         Window.orderBy(F.col("t_days").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1073,6 +1073,11 @@ def events_spearman_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("ub"), F.col("cents").alias("cb")
     )
     both = a.join(b, a.user_id == b.ub).select("user_id", "ca", "cb")
+    # O(users) group table feeds the two global rank passes — asserted
+    # in-plan (VERDICT r10 task 3).
+    from ..operators.guards import bounded_window_guard
+
+    both = bounded_window_guard(both, "events_spearman_stability")
     ranked = both.select(
         F.row_number().over(Window.orderBy("ca", "user_id")).alias("ra"),
         F.row_number().over(Window.orderBy("cb", "user_id")).alias("rb"),
@@ -1151,3 +1156,78 @@ def events_peak_hour_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_hour"),
     ).orderBy("event_type")
+
+
+@register(
+    "orders_backlog_timeseries",
+    # Daily open-order ledger: +1 on order day, -1 on completion day
+    # (last lineitem shipdate); backlog = running net.  Orders with no
+    # lineitems never complete and stay in the backlog (the fixture has
+    # some - orders_without_lineitems - so the tail plateau is real).
+    oracle="""
+    WITH opens AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS opened
+        FROM orders GROUP BY 1
+    ),
+    closes AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS closed FROM (
+            SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS d
+            FROM lineitem GROUP BY l_orderkey
+        ) GROUP BY d
+    ),
+    days AS (
+        SELECT COALESCE(o.d, c.d) AS d,
+               COALESCE(opened, 0) AS opened,
+               COALESCE(closed, 0) AS closed
+        FROM opens o FULL OUTER JOIN closes c ON o.d = c.d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, opened, closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM days ORDER BY day
+    """,
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog by day: orders enter the backlog on their
+    order date and leave when their LAST lineitem ships — the operations
+    time series behind fulfilment staffing ("how deep is the queue and
+    is it draining?").
+
+    Plan: two fact rollups (orders by day; lineitem max-shipdate per
+    order, then by day) meet in an O(days) full-outer join, and the
+    running net is the documented O(days) global window, guard-asserted.
+    No event-grain data crosses the final window."""
+    from ..operators.guards import bounded_window_guard
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opens = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("opened"))
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("closed"))
+    )
+    days = (
+        opens.join(closes, "d", "full")
+        .select(
+            "d",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+    )
+    days = bounded_window_guard(days, "orders_backlog_timeseries")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.select(
+            F.col("d").cast("timestamp").alias("day"),
+            "opened",
+            "closed",
+            F.sum(F.col("opened") - F.col("closed")).over(w).alias("backlog"),
+        )
+        .orderBy("day")
+    )

@@ -2468,11 +2468,18 @@ def streaming_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = tempfile.mkdtemp(prefix="tds_stream_mg_ckpt_")
 
     def append_partials(batch_df, batch_id):
+        # Idempotent replay (ADVICE r10 #1): a micro-batch replayed after a
+        # task failure / checkpoint restart re-OVERWRITES its own
+        # ``batch_id=N`` subdir instead of appending a second copy of the
+        # partials — double-counted partials could push the folded estimate
+        # ABOVE the exact count and flip the mg_le_exact certificate.  The
+        # hive-style subdir is discovered as a partition column on read and
+        # ignored by the key-wise fold.
         if batch_df.isEmpty():
             return
         misra_gries_partials(batch_df, "user_id", MG_K).write.mode(
-            "append"
-        ).parquet(store)
+            "overwrite"
+        ).parquet(f"{store}/batch_id={batch_id}")
 
     stream = (
         spark.readStream.schema(events.schema)

@@ -52,9 +52,27 @@ def test_minhash_has_no_cartesian_and_single_signature_pass(spark, sf_dir):
     plan = _formatted_plan(spark, "dedup_minhash_lsh", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # The Pandas-UDF signature stage must appear exactly once (the groupBy
-    # bucket design computes signatures in one pass, not per join side).
-    assert plan.count("ArrowEvalPython") == 1 * 2
+    # r11: the registered query lazily localCheckpoints the candidate
+    # pairs (they fork into the candidate-id filter AND the verify
+    # joins), so the signature subtree no longer shows in the final
+    # plan.  The single-signature-pass property is asserted on the
+    # candidate subtree itself: the Pandas-UDF stage must appear exactly
+    # once (the groupBy bucket design computes signatures in one pass,
+    # not per join side).
+    from trafsys_data_transfer_spark.operators.dedup import (
+        minhash_candidates,
+    )
+    from trafsys_data_transfer_spark.sources.fixtures import load_table
+
+    cand = minhash_candidates(load_table(spark, sf_dir, "documents"))
+    cand_plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # (Formatted plans print each operator twice: tree + numbered details.)
+    assert cand_plan.count("ArrowEvalPython") == 1 * 2
+    assert "CartesianProduct" not in cand_plan
 
 
 @pytest.mark.parametrize("name", ["dedup_exact", "traffic_hourly_rollup"])

@@ -51,14 +51,9 @@ _WINDOW_ROWS_ONLY_ALLOWED = {
     "multimodal_image_neardup",
     "text_decontaminate_fuzzy",
     "dedup_incremental_neardup",
-    "sim_topk_pq_stored",
-    "sim_topk_ivfpq",
     "sim_semantic_dedup_pipeline",
     "pretrain_data_pipeline",
     "tokenizer_bpe_stats",
-    "embeddings_kmeans",
-    "embeddings_pca_project",
-    "embeddings_jl_project",
 }
 
 

@@ -79,13 +79,34 @@ def jl_project(vecs: DataFrame, d: int, k: int = JL_K, seed: int = JL_SEED) -> D
     )
 
 
-@register("embeddings_jl_project")  # random projection: not SQL-expressible
+def _jl_oracle_sql(d: int = 64, k: int = JL_K, seed: int = JL_SEED) -> str:
+    """STRICT oracle (r11): the sign matrix is a pure function of the
+    seed, so its k columns inline as DOUBLE[] literals and DuckDB replays
+    the whole projection.  The ±1/√16 = ±0.25 weights are DYADIC, so
+    every product is exact and the engines' sums differ only by
+    association order — far below the micro-unit rounding grain."""
+    w = jl_matrix(d, k, seed)
+    cols = ", ".join(
+        "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+        + "[" + ", ".join(repr(x) for x in w[:, j]) + "]::DOUBLE[]"
+        + "), s -> s[1] * s[2]))"
+        for j in range(k)
+    )
+    return f"""
+    SELECT vec_id,
+           list_transform([{cols}], x -> CAST(ROUND(x * 1000000.0) AS BIGINT))
+               AS jl
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register("embeddings_jl_project", oracle=_jl_oracle_sql())
 def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign-projection of every embedding to k=16 micro-unit ints.
     Zero fit pass — the matrix regenerates from the seed on each
-    executor; the distance-preservation guarantee vs the original
-    vectors is pytest-gated (tests/test_jl.py), determinism by the
-    seeded construction."""
+    executor; strict: the oracle replays the projection from the inlined
+    seed-derived sign columns; the distance-preservation guarantee vs the
+    original vectors is pytest-gated (tests/test_jl.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = len(emb.select("embedding").first()["embedding"])
     return jl_project(emb, d).orderBy("vec_id")

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..registry import register
@@ -330,12 +330,90 @@ def rolling_fingerprint_table(
     return hashed.mapInPandas(roll, schema=out_schema)
 
 
-@register("text_rolling_fingerprint")  # rows-only: rolling hash isn't ANSI-SQL
+@register(
+    "text_rolling_fingerprint",
+    # STRICT certificate (r11, VERDICT r10 task 4): xxhash64 token hashes
+    # aren't in DuckDB, so the registered row carries the one value the
+    # oracle CAN recompute — the window count from the shared
+    # normalisation/tokenisation — plus in-band booleans proving the
+    # rolling recurrence: the O(1)-update hash of the LAST window must
+    # equal its direct polynomial evaluation (a wrong b_pow, a dropped
+    # mod, or an off-by-one window slide all flip it), fingerprints stay
+    # inside [0, 2^31-1), and min <= max over the window set.  The raw
+    # fingerprint table remains available via rolling_fingerprint_table.
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text),
+                   '\s+', ' ', 'g')), ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(GREATEST(n - {RH_WINDOW} + 1, 0) AS BIGINT) AS n_windows,
+           TRUE AS fp_in_range, TRUE AS min_le_max,
+           TRUE AS roll_matches_direct
+    FROM t ORDER BY doc_id
+    """,
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints over `documents`: whole-doc Rabin-Karp
-    fingerprint + winnowing-style min/max window hashes."""
+    """Rolling-hash fingerprint certificate over ``documents``: per doc
+    the window count (oracle-recomputed from the token count) and three
+    invariants of the Rabin-Karp scan, all computed in the SAME Arrow
+    pass as the production fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
-    return rolling_fingerprint_table(docs)
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_windows", LongType()),
+            StructField("fp_in_range", BooleanType()),
+            StructField("min_le_max", BooleanType()),
+            StructField("roll_matches_direct", BooleanType()),
+        ]
+    )
+
+    def certify(batches):
+        for pdf in batches:
+            rows = []
+            for h in pdf["th"]:
+                if h is None or len(h) == 0:
+                    rows.append((0, True, True, True))
+                    continue
+                doc_fp, fps = _rolling_fps(h, RH_WINDOW)
+                in_range = 0 <= doc_fp < RH_MOD and all(
+                    0 <= f < RH_MOD for f in fps
+                )
+                min_le_max = (not fps) or min(fps) <= max(fps)
+                if fps:
+                    # direct polynomial of the LAST window — the rolled
+                    # value must agree exactly
+                    last = h[len(h) - RH_WINDOW :]
+                    direct = 0
+                    for t in last:
+                        direct = (direct * RH_BASE + int(t) % RH_MOD) % RH_MOD
+                    roll_ok = fps[-1] == direct
+                else:
+                    roll_ok = True
+                rows.append((len(fps), in_range, min_le_max, roll_ok))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_windows",
+                    "fp_in_range",
+                    "min_le_max",
+                    "roll_matches_direct",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")), " "
+    )
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
+    return hashed.mapInPandas(certify, schema=out_schema).orderBy("doc_id")
 
 
 @register("text_winnow_candidates")  # rows-only: rolling hash isn't ANSI-SQL

@@ -1824,8 +1824,8 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(CASE WHEN 5 * (cum - cents) < 4 * total
                          THEN cum END) AS BIGINT) AS top_cents,
            CAST(MAX(total) AS BIGINT) AS total_cents,
-           CAST(1000000 * MAX(CASE WHEN 5 * (cum - cents) < 4 * total
-                                   THEN cum END) // MAX(total) AS BIGINT)
+           CAST(1000000::HUGEINT * MAX(CASE WHEN 5 * (cum - cents) < 4 * total
+                                        THEN cum END) // MAX(total) AS BIGINT)
                AS top_share_ppm,
            CAST(1000000 * COUNT(*) FILTER (WHERE 5 * (cum - cents)
                                            < 4 * total)
@@ -1867,9 +1867,16 @@ def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(in_top, 1)).alias("n_top"),
         F.max(F.when(in_top, F.col("cum"))).alias("top_cents"),
         F.max("total").alias("total_cents"),
+        # DECIMAL(38,0) intermediate: 1e6 × corpus-total cents overflows
+        # int64 past ~9.2e12 cents of revenue (caught by the 10× fact
+        # sweep); the final quotient is always < 1e6 so the BIGINT cast
+        # is lossless.  The oracle mirrors with an explicit ::HUGEINT
+        # (DuckDB also errors on BIGINT overflow), so both sides stay
+        # floor-division at any scale.
         F.expr(
-            "1000000 * max(case when 5 * (cum - cents) < 4 * total "
-            "then cum end) div max(total)"
+            "CAST((CAST(1000000 AS DECIMAL(38, 0)) * "
+            "max(case when 5 * (cum - cents) < 4 * total then cum end)) "
+            "div max(total) AS BIGINT)"
         ).alias("top_share_ppm"),
         F.expr(
             "1000000 * count(case when 5 * (cum - cents) < 4 * total "

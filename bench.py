@@ -111,6 +111,7 @@ WORK_IN_BUILD = {
     "events_misra_gries_topk",
     "docs_jsonl_ingest_quality",
     "streaming_misra_gries_topk",
+    "streaming_slo_burn_rate",
     "text_bm25_index_probe",
     "streaming_trending_topk",
     "streaming_cusum_changepoints",

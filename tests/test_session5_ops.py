@@ -159,3 +159,54 @@ def test_cluster_histogram_accounts_for_every_doc(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == docs_n
     for r in rows:
         assert r["n_docs"] == r["size"] * r["n_clusters"]
+
+
+def test_streaming_slo_equals_batch(spark, sf_dir):
+    """The stored-partials streaming twin must produce exactly the batch
+    answer — hours split across micro-batches merge via count sums."""
+    batch = _q("events_slo_burn_rate", spark, sf_dir).collect()
+    stream = _q("streaming_slo_burn_rate", spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_dsir_favors_target_language(spark, sf_dir):
+    """Mean DSIR log-weight of target-domain (en) docs must exceed the
+    rest's — the score must actually separate the distributions."""
+    out = _q("docs_dsir_logweight", spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = out.join(docs, "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_bestfit_packing_invariants_and_assignment(spark, sf_dir):
+    from trafsys_data_transfer_spark.operators.packing import (
+        BESTFIT_CAPACITY,
+        pack_bestfit_bins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = pack_bestfit_bins(docs)
+    # every doc exactly once
+    assert assigned.count() == docs.count()
+    assert assigned.select("doc_id").distinct().count() == docs.count()
+    fills = assigned.groupBy("group", "bin_idx").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    assert fills.where(F.col("fill") > BESTFIT_CAPACITY).count() == 0
+    # first-fit invariant: at most one <= half-full bin per group
+    lax = (
+        fills.where(F.col("fill") * 2 <= BESTFIT_CAPACITY)
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert lax == 0
+    cert = _q("docs_pack_bestfit", spark, sf_dir).collect()[0]
+    assert cert["no_overflow"] and cert["fill_conserved"] and cert["halffull_bound"]

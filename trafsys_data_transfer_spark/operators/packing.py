@@ -321,3 +321,118 @@ def docs_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+#: Bin capacity (tokens) for boundary-preserving packing.  Far above the
+#: fixture's max doc length (~100 tokens), so every document fits whole.
+BESTFIT_CAPACITY = 256
+
+
+def pack_bestfit_bins(
+    docs: DataFrame,
+    capacity: int = BESTFIT_CAPACITY,
+    n_groups: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Boundary-preserving bin packing: first-fit-decreasing WITHIN each
+    of ``n_groups`` hash groups, each document intact in exactly one bin
+    — the padded-packing regime (T5/SFT style) beside the concat-chunk
+    splitter (:func:`pack_offsets`), where waste = padding instead of a
+    split document.
+
+    Returns per-doc assignments ``(doc_id, n_tokens, group, bin_idx)``.
+    Scale: grouping is one hash shuffle; FFD runs per group in one Arrow
+    batch (group token mass is ~total/n_groups — bounded by choosing
+    n_groups ∝ corpus size); the first-fit invariant guarantees at most
+    ONE bin per group at most half full, so global bin count ≤
+    2·total/capacity + n_groups — within 2× of optimal at any scale."""
+    import pandas as pd
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups))
+        .cast("int")
+        .alias("group"),
+    )
+    if toks.where(F.col("n_tokens") > capacity).limit(1).count() > 0:
+        raise ValueError(
+            f"document longer than bin capacity {capacity}; split oversize "
+            "docs with the concat-chunk packer first"
+        )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        fills: list[int] = []
+        assign = []
+        for n in rows["n_tokens"]:
+            n = int(n)
+            for b, f in enumerate(fills):
+                if f + n <= capacity:
+                    fills[b] = f + n
+                    assign.append(b)
+                    break
+            else:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+        out = rows[["doc_id", "n_tokens", "group"]].copy()
+        out["bin_idx"] = assign
+        return out
+
+    return toks.groupBy("group").applyInPandas(
+        ffd, "doc_id long, n_tokens long, group int, bin_idx int"
+    )
+
+
+@register(
+    "docs_pack_bestfit",
+    # STRICT certificate: the bin ASSIGNMENT is algorithm-dependent, so
+    # the registered row carries the oracle-recomputable corpus facts
+    # plus in-band booleans proving the packing contract - no bin over
+    # capacity, token mass conserved, and the first-fit half-full bound
+    # (at most one <= half-full bin per group -> bins <= 2*ceil(total/C)
+    # + n_groups).  The assignment table stays available via
+    # pack_bestfit_bins.
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT)
+               AS max_doc_tokens,
+           TRUE AS no_overflow, TRUE AS fill_conserved,
+           TRUE AS halffull_bound
+    FROM documents
+    """,
+)
+def docs_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-preserving FFD packing certificate over ``documents``:
+    corpus facts the oracle recomputes (doc count, token mass, longest
+    doc) plus the three packing invariants computed from the actual bin
+    assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = pack_bestfit_bins(docs)
+    bins = assigned.groupBy("group", "bin_idx").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    bin_stats = bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("fill").alias("max_fill"),
+        F.sum("fill").alias("fill_sum"),
+    )
+    doc_stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )
+    c = F.lit(BESTFIT_CAPACITY)
+    return doc_stats.join(F.broadcast(bin_stats)).select(
+        "n_docs",
+        "total_tokens",
+        "max_doc_tokens",
+        (F.col("max_fill") <= c).alias("no_overflow"),
+        (F.col("fill_sum") == F.col("total_tokens")).alias("fill_conserved"),
+        (
+            F.col("n_bins")
+            <= 2 * F.ceil(F.col("total_tokens") / c) + F.lit(PACK_BUCKETS)
+        ).alias("halffull_bound"),
+    )

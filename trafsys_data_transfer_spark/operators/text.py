@@ -1234,3 +1234,112 @@ def docs_language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+@register(
+    "docs_dsir_logweight",
+    # DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    # Language Models via Importance Resampling"): per-doc log of the
+    # target/source likelihood ratio under smoothed unigram LMs - the
+    # score you resample raw crawl against to match a target domain
+    # (here: lang='en' docs as the target, the rest as the source).
+    # Same exactness discipline as text_vocab_drift: integer counts,
+    # ln of exact-integer products, multiplicity-weighted sum, 6 dp.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS in_t,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ),
+    doc_tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS m
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+               CAST(SUM(CASE WHEN in_t THEN 0 ELSE 1 END) AS BIGINT) AS cnt_s
+        FROM toks WHERE term <> '' GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(cnt_t) AS nt, SUM(cnt_s) AS ns, COUNT(*) AS v FROM freq
+    ),
+    ratio AS (
+        SELECT term,
+               LN(((cnt_t + 1) * (ns + v))
+                  / CAST((cnt_s + 1) * (nt + v) AS DOUBLE)) AS r
+        FROM freq, tot
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.m) AS BIGINT) AS n_tokens,
+           ROUND(SUM(d.m * r.r), 6) + 0.0 AS dsir_logweight,
+           SUM(d.m * r.r) > 0 AS target_like
+    FROM doc_tf d JOIN ratio r ON r.term = d.term
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def docs_dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: ``Σ_t m_t · ln(p_target(t) /
+    p_source(t))`` under Laplace-smoothed unigram LMs of the target
+    domain (``lang = 'en'``) vs the rest of the corpus — the score behind
+    importance-resampling data selection (keep raw-crawl docs with
+    probability ∝ exp(weight) to match a target distribution).  Positive
+    means more target-like.
+
+    Exactness: per-term ratios are ln of exact-integer products (the
+    ``text_vocab_drift`` shape); the per-doc fold is a
+    multiplicity-weighted sum of those doubles — magnitudes ≤ ~10³, so
+    engine summation order sits far below the 6-dp rounding grain (the
+    ``events_regression_stats`` precedent).
+
+    100 TB posture: one tokenize-explode feeds BOTH the term-grain
+    frequency table (vocabulary-bounded) and the (doc, term) tf table;
+    the ratio table re-joins on term (vocab-sized build side — at corpus
+    scale it stays broadcastable after the ≥-floor prune upstream ops
+    apply); the final rollup shuffles O(doc × distinct-term) rows once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("in_t"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    doc_tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    freq = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("in_t"), 1).otherwise(0)).cast("long").alias("cnt_t"),
+        F.sum(F.when(F.col("in_t"), 0).otherwise(1)).cast("long").alias("cnt_s"),
+    )
+    tot = freq.agg(
+        F.sum("cnt_t").alias("nt"),
+        F.sum("cnt_s").alias("ns"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = freq.join(F.broadcast(tot)).select(
+        "term",
+        F.log(
+            ((F.col("cnt_t") + 1) * (F.col("ns") + F.col("v")))
+            / ((F.col("cnt_s") + 1) * (F.col("nt") + F.col("v"))).cast(
+                "double"
+            )
+        ).alias("r"),
+    )
+    weighted = doc_tf.join(ratio, "term").groupBy("doc_id").agg(
+        F.sum("m").alias("n_tokens"),
+        F.sum(F.col("m") * F.col("r")).alias("w"),
+    )
+    return weighted.select(
+        "doc_id",
+        "n_tokens",
+        (F.round("w", 6) + F.lit(0.0)).alias("dsir_logweight"),
+        (F.col("w") > 0).alias("target_like"),
+    ).orderBy("doc_id")

@@ -861,14 +861,22 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing window then runs on the bounded hourly table —
     guard-asserted O(hours) single-partition pass.  Integer counts and
     integer ppm divisions end to end."""
-    from ..operators.guards import bounded_window_guard
-
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
     )
-    hourly = bounded_window_guard(hourly, "events_slo_burn_rate")
+    return slo_burn_tail(hourly, "events_slo_burn_rate")
+
+
+def slo_burn_tail(hourly: DataFrame, operator: str) -> DataFrame:
+    """The SLO serving tail over an (h, n_total, n_err) hourly relation:
+    trailing-6 h RANGE sums, integer ppm rates, and the two-window alert
+    rule.  Shared by the batch query and the streaming twin (whose
+    hourly table is merged from stored per-micro-batch partials)."""
+    from ..operators.guards import bounded_window_guard
+
+    hourly = bounded_window_guard(hourly, operator)
     w6 = (
         Window.orderBy(F.unix_timestamp("h"))
         .rangeBetween(-18000, 0)

@@ -2524,3 +2524,100 @@ def streaming_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk bigint, user_id bigint, exact_cnt bigint, "
         "mg_le_exact boolean, mg_within_bound boolean",
     ).orderBy("rnk")
+
+
+@register(
+    "streaming_slo_burn_rate",
+    # streaming twin of events_slo_burn_rate: hourly (total, error)
+    # partials accumulate per micro-batch into a persistent store
+    # (idempotent per-batch_id overwrite, the replay-safe pattern the
+    # Misra-Gries twin uses), the serving read merges STORED partials
+    # only, and the RANGE-window alert tail must still equal the batch
+    # answer - counts are commutative monoids, so any batch split of an
+    # hour must merge exactly.
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    windowed AS (
+        SELECT h, n_total, n_err,
+               SUM(n_total) OVER w6 AS total_6h,
+               SUM(n_err)   OVER w6 AS err_6h
+        FROM hourly
+        WINDOW w6 AS (ORDER BY epoch(h)
+                      RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h AS hour, n_total AS total_1h, n_err AS err_1h,
+           CAST(total_6h AS BIGINT) AS total_6h,
+           CAST(err_6h AS BIGINT) AS err_6h,
+           CAST(1000000 * n_err // n_total AS BIGINT) AS rate_1h_ppm,
+           CAST(1000000 * err_6h // total_6h AS BIGINT) AS rate_6h_ppm,
+           (1000000 * n_err // n_total > 250000
+            AND 1000000 * err_6h // total_6h > 250000) AS burn_alert
+    FROM windowed ORDER BY hour
+    """,
+)
+def streaming_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate maintenance AT INGEST: each micro-batch appends its
+    own hourly (n_total, n_err) partials to a persistent store — written
+    to a per-``batch_id`` subpath with overwrite, so a replayed
+    micro-batch (task failure / checkpoint restart) can never
+    double-count an hour — and the serving read folds STORED partials
+    only, never rescanning arrivals.  Hours routinely split across
+    micro-batches (``maxFilesPerTrigger=2`` over a 6-way staging), so
+    matching the batch oracle certifies the cross-batch partial merge;
+    the alert tail itself is the shared :func:`slo_burn_tail`."""
+    from ..plans.behavior import slo_burn_tail
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_slo_src_")
+    events.repartition(6).write.mode("append").parquet(staging)
+    store = tempfile.mkdtemp(prefix="tds_stream_slo_store_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_slo_ckpt_")
+
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+
+    def append_partials(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(F.date_trunc("hour", "ts").alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.count(
+                    F.when(F.col("event_type") == "error", 1)
+                ).alias("n_err"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(append_partials)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    hourly = (
+        spark.read.parquet(store)
+        .groupBy("h")
+        .agg(
+            F.sum("n_total").alias("n_total"),
+            F.sum("n_err").alias("n_err"),
+        )
+    )
+    return slo_burn_tail(hourly, "streaming_slo_burn_rate")

@@ -410,7 +410,9 @@ def docs_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) plus the three packing invariants computed from the actual bin
     assignment."""
     docs = load_table(spark, sf_dir, "documents")
-    assigned = pack_bestfit_bins(docs)
+    # The assignment forks into bin fills AND doc stats — checkpoint so
+    # the FFD pass runs once, not per branch.
+    assigned = pack_bestfit_bins(docs).localCheckpoint(eager=False)
     bins = assigned.groupBy("group", "bin_idx").agg(
         F.sum("n_tokens").alias("fill")
     )

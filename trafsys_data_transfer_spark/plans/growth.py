@@ -249,9 +249,15 @@ def events_daily_jaccard_retention(spark: SparkSession, sf_dir: str) -> DataFram
     rows; the day-level joins at the end are dimension-sized.  Integer
     counts, one exact ppm division."""
     events = load_table(spark, sf_dir, "events")
-    ud = events.select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
+    # The deduped (user, day) table forks three ways (daily counts, the
+    # shifted join side, the intersection) — a lazy localCheckpoint cuts
+    # the lineage so the dedup shuffle runs ONCE, not per branch (the
+    # plan showed 8 exchanges / 4 scans without it).
+    ud = (
+        events.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     daily = ud.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     b = ud.select("user_id", F.date_sub(F.col("d"), 1).alias("d"))
     inter = (

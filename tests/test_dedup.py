@@ -367,3 +367,65 @@ def test_audience_overlap_hll_certificate(spark, sf_dir):
         assert r.viewers_within_tol and r.buyers_within_tol, r
         assert r.overlap_within_tol, r
         assert 0 <= r.exact_overlap <= min(r.exact_viewers, r.exact_buyers)
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    """Cross-engine pin: Spark's portable_hash60 equals DuckDB's
+    ('0x' || substr(md5(s), 18, 15))::BIGINT for a spread of inputs —
+    the identity every portable-tier strict oracle rests on."""
+    import duckdb
+
+    from trafsys_data_transfer_spark.operators.dedup import (
+        PORTABLE_HASH60_SQL,
+        portable_hash60,
+    )
+
+    samples = ["", "a", "abc", "the quick brown fox", "Ünïcodé tëxt",
+               "123_456_789", " leading space", "a b c d e f g"]
+    got = dict(
+        spark.createDataFrame([(s,) for s in samples], ["s"])
+        .select("s", portable_hash60(F.col("s")).alias("h"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for s in samples:
+        expr = PORTABLE_HASH60_SQL.format(s="?")
+        want = con.execute(f"SELECT {expr}", [s]).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_portable_tiers_share_code_path_with_fast_tiers(planted):
+    """The portable (md5) and fast (xxhash64) tiers run the SAME banding /
+    blocking / verify code — on the planted corpus both must surface the
+    same verified near-dup pairs (hash choice shifts bucket keys, but the
+    planted dups are near-identical so every tier must find them)."""
+    from trafsys_data_transfer_spark.operators.dedup import (
+        portable_hash60,
+        simhash_near_dups_multiprobe,
+    )
+
+    fast = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(planted, threshold=0.5).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(
+            planted, threshold=0.5, hash_fn=portable_hash60
+        ).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= fast
+    assert fast == portable  # verified pairs: hash only affects recall,
+    # and at these similarities (J >= 0.9 planted) recall is 1 either way
+
+    sh_fast = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups_multiprobe(planted, max_hamming=3).collect()
+    }
+    sh_portable = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups_multiprobe(
+            planted, max_hamming=3, hash_fn=portable_hash60
+        ).collect()
+    }
+    assert (0, 1) in sh_fast and (0, 1) in sh_portable

@@ -18,7 +18,10 @@ Five tiers, each the idiomatic Spark shape for its scale:
   prefixes, verified by ``bit_count(xor)`` Hamming distance.
 
 All hashing is ``xxhash64`` with fixed seeds/constants → deterministic
-across runs and executors.
+across runs and executors.  Every hash site also accepts
+:func:`portable_hash60` (md5-derived, engine-portable) so the
+``*_portable`` strict tiers can be replayed end-to-end by the DuckDB
+oracle — same code path, different hash.
 """
 
 from __future__ import annotations
@@ -71,6 +74,24 @@ def normalize_text(col: Column) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
     whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash both Spark and DuckDB compute identically: the last 15
+    hex chars of ``md5`` parsed as an integer.  Spark: ``conv(substring(
+    md5(s), 18, 15), 16, 10)``; DuckDB: ``('0x' || substr(md5(s), 18,
+    15))::BIGINT``.  15 hex chars = 60 bits < 2^63, so the signed cast is
+    exact on both engines.  ~3× slower per call than ``xxhash64`` (both
+    JVM codegen) — the price of a FULLY SQL-replayable strict oracle for
+    the MinHash/SimHash tiers; the xxhash64 default stays the production
+    path."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 18, 15), 16, 10).cast(
+        "long"
+    )
+
+
+#: DuckDB expression mirroring :func:`portable_hash60` (``{s}`` = input).
+PORTABLE_HASH60_SQL = "(('0x' || substr(md5({s}), 18, 15))::BIGINT)"
 
 
 def fingerprint(col: Column) -> Column:
@@ -134,24 +155,25 @@ def _minhash_from_hashes(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def minhash_signature(sh: Column) -> Column:
+def minhash_signature(sh: Column, hash_fn=F.xxhash64) -> Column:
     """k-wide MinHash signature per row.  Shingle hashing stays JVM-side
-    (``xxhash64`` inside codegen); the k-way min-reduction runs as an
-    Arrow-vectorized Pandas UDF (the equivalent pure higher-order-function
-    expression tree falls out of codegen and evaluates ~50× slower).
-    Still narrow — no shuffle — so signature cost scales linearly at
-    100 TB."""
-    return _minhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)))
+    (``hash_fn`` inside codegen — ``xxhash64`` by default,
+    :func:`portable_hash60` for the SQL-replayable strict tier); the k-way
+    min-reduction runs as an Arrow-vectorized Pandas UDF (the equivalent
+    pure higher-order-function expression tree falls out of codegen and
+    evaluates ~50× slower).  Still narrow — no shuffle — so signature
+    cost scales linearly at 100 TB."""
+    return _minhash_from_hashes(F.transform(sh, lambda s: hash_fn(s)))
 
 
-def minhash_bands(sig: Column) -> Column:
+def minhash_bands(sig: Column, hash_fn=F.xxhash64) -> Column:
     """Split the signature into LSH bands; each band hashes its slice to a
     single bucket key."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(F.concat_ws("_", F.transform(
+            hash_fn(F.concat_ws("_", F.transform(
                 F.slice(sig, b * LSH_ROWS + 1, LSH_ROWS), lambda v: v.cast("string")
             ))).alias("bucket"),
         ),
@@ -159,7 +181,11 @@ def minhash_bands(sig: Column) -> Column:
 
 
 def banded_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Skinny LSH band table ``(id, band, bucket)``: narrow shingle →
     signature → banding, exploded per band.  The shared front half of the
@@ -173,14 +199,18 @@ def banded_signatures(
     # Two-step projection: the Pandas-UDF signature must be a materialized
     # column before the banding lambda can reference it (Spark disallows
     # Python UDFs inside higher-order-function lambdas).
-    sigs = sh_df.select("id", minhash_signature(F.col("sh")).alias("sig"))
+    sigs = sh_df.select("id", minhash_signature(F.col("sh"), hash_fn).alias("sig"))
     return sigs.select(
-        "id", F.explode(minhash_bands(F.col("sig"))).alias("bb")
+        "id", F.explode(minhash_bands(F.col("sig"), hash_fn)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket.
 
@@ -205,7 +235,7 @@ def minhash_candidates(
     should be pre-filtered upstream.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    banded = banded_signatures(df, id_col, text_col, n)
+    banded = banded_signatures(df, id_col, text_col, n, hash_fn)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -239,6 +269,7 @@ def minhash_near_dups(
     text_col: str = "text",
     threshold: float = 0.7,
     n: int = 3,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified: candidates from banding,
     confirmed by exact Jaccard on the shingle sets (no false positives).
@@ -256,7 +287,7 @@ def minhash_near_dups(
     ``pairs`` is lazily localCheckpoint-ed first — it forks into the
     candidate-id filter AND the verify joins, and an un-cut lineage would
     re-run the signature/banding subtree once per fork."""
-    pairs = minhash_candidates(df, id_col, text_col, n).localCheckpoint(
+    pairs = minhash_candidates(df, id_col, text_col, n, hash_fn).localCheckpoint(
         eager=False
     )
     cand_ids = pairs.select(
@@ -370,13 +401,15 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     return pd.Series(res)
 
 
-def simhash(tokens: Column) -> Column:
-    """64-bit SimHash per row: token hashing JVM-side (``xxhash64``), the
-    64-way bit-vote as an Arrow-vectorized Pandas UDF (a pure expression
-    formulation duplicates the per-bit aggregate 64× after Catalyst
-    inlining — measured ~100× slower).  Narrow — no shuffle at any
-    scale."""
-    return _simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)))
+def simhash(tokens: Column, hash_fn=F.xxhash64) -> Column:
+    """64-bit SimHash per row: token hashing JVM-side (``xxhash64`` by
+    default; :func:`portable_hash60` narrows the vote to bits 0–59, which
+    stays consistent across engines because the top 4 bits are then zero
+    for every document), the 64-way bit-vote as an Arrow-vectorized
+    Pandas UDF (a pure expression formulation duplicates the per-bit
+    aggregate 64× after Catalyst inlining — measured ~100× slower).
+    Narrow — no shuffle at any scale."""
+    return _simhash_from_hashes(F.transform(tokens, lambda t: hash_fn(t)))
 
 
 def simhash_near_dups(
@@ -414,6 +447,7 @@ def simhash_near_dups_multiprobe(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """SimHash near-dups with block-decomposition probing — the 100 TB
     variant, with *provably complete* recall.
@@ -438,7 +472,7 @@ def simhash_near_dups_multiprobe(
     width = 64 // n_blocks
     mask = (1 << width) - 1
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    sigs = df.select(F.col(id_col).alias("id"), simhash(toks).alias("sig"))
+    sigs = df.select(F.col(id_col).alias("id"), simhash(toks, hash_fn).alias("sig"))
     blocks = sigs.select(
         "id",
         "sig",
@@ -633,6 +667,127 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling tier."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups_multiprobe(docs, max_hamming=3)
+
+
+#: The 64 fixed MinHash permutations inlined as a VALUES list so DuckDB
+#: can replay the signature computation end-to-end (the JL sign-matrix
+#: precedent from r10's sim_topk_lsh conversion).
+_PERM_VALUES_SQL = ",\n        ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+)
+
+_NORM_SPLIT_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+_MINHASH_PORTABLE_ORACLE = f"""
+    WITH docs_n AS (
+        SELECT doc_id, {_NORM_SPLIT_SQL} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
+        FROM docs_n
+    ),
+    shex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    h32 AS (
+        SELECT doc_id,
+               {PORTABLE_HASH60_SQL.format(s='s')} & 4294967295 AS h
+        FROM shex
+    ),
+    perm(i, a, b) AS (VALUES
+        {_PERM_VALUES_SQL}),
+    sig AS (
+        SELECT doc_id, i, MIN((a * h + b) % {_MERSENNE61}) AS s
+        FROM h32, perm GROUP BY doc_id, i
+    ),
+    bucket AS (
+        SELECT doc_id, i // {LSH_ROWS} AS band,
+               {PORTABLE_HASH60_SQL.format(
+                   s="string_agg(s::VARCHAR, '_' ORDER BY i)")} AS bucket
+        FROM sig GROUP BY doc_id, i // {LSH_ROWS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_portable", oracle=_MINHASH_PORTABLE_ORACLE)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the banding REPLAYED END-TO-END by
+    the DuckDB oracle — the strict tier of ``dedup_minhash_lsh``.
+
+    Same pipeline, same constants (k=64, 16×4 banding, M61 permutation
+    arithmetic), one substitution: every hash site (shingle base hash,
+    band-bucket key) uses :func:`portable_hash60` (md5-derived, identical
+    in both engines) instead of ``xxhash64``.  The oracle recomputes
+    shingles → 32-bit base hashes → 64 permuted minima → band buckets →
+    colliding pairs → exact-Jaccard verification in pure SQL, so the
+    strict hash check covers the ENTIRE candidate-generation logic —
+    banding recall included — not just the verify stage.  The xxhash64
+    tier stays registered (rows-only) as the production fast path; both
+    share this one code path via the ``hash_fn`` parameter, so the strict
+    replay certifies the same banding/bucketing/verify code the fast tier
+    runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5, hash_fn=portable_hash60)
+
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_SPLIT_SQL}) AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id, {PORTABLE_HASH60_SQL.format(s='t')} AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, range(60) r(j) GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS sig
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@register("dedup_simhash_portable", oracle=_SIMHASH_PORTABLE_ORACLE)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with a strict SQL oracle — possible because the
+    block-decomposition probe has PROVABLY COMPLETE recall (pigeonhole:
+    ≤3 differing bits cannot spoil all 4 blocks), so the final answer is
+    exactly "all pairs at Hamming ≤ 3", independent of how the blocking
+    found them.  The oracle recomputes each document's signature (per-bit
+    majority vote over :func:`portable_hash60` token hashes — bits 60–63
+    are zero on both engines) and checks every pair directly; quadratic
+    for DuckDB at sf0.01 (500 docs), while the Spark side keeps the
+    bucketed multiprobe join it runs at scale.  The xxhash64 tier stays
+    registered as the production path; both share one code path via
+    ``hash_fn``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups_multiprobe(
+        docs, max_hamming=3, hash_fn=portable_hash60
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @register(

@@ -131,8 +131,10 @@ def lm_score_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
-_LM_ORACLE = f"""
-WITH toks AS (
+#: Shared CTE core (corpus bigram LM → per-position micro-nat NLLs),
+#: reused by the per-doc perplexity oracle and the per-source mixture
+#: oracle so both replay the identical model.
+_LM_CORE_CTES = f"""toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 bi AS (
@@ -171,7 +173,10 @@ scored AS (
     JOIN cu u1 ON tf.w1 = u1.w
     JOIN cu u2 ON tf.w2 = u2.w
     CROSS JOIN totals
-)
+)"""
+
+_LM_ORACLE = f"""
+WITH {_LM_CORE_CTES}
 SELECT doc_id, n_scored,
        CAST(SUM(tf * nm) AS BIGINT) AS nll_micro,
        CAST(CAST(SUM(tf * nm) AS BIGINT) // n_scored AS BIGINT) AS avg_nll_micro
@@ -185,3 +190,102 @@ ORDER BY doc_id
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-in corpus bigram-LM cross-entropy per document (micro-nats)."""
     return lm_score_docs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# domain mixture weights (DoReMi-style excess loss)
+# ---------------------------------------------------------------------------
+
+
+def domain_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-source mixture weights proportional to EXCESS LOSS — the
+    DoReMi recipe (Xie et al. 2023) reduced to its measurable core: a
+    domain whose documents the reference LM finds harder than the easiest
+    domain gets proportionally more sampling weight; the easiest domain
+    gets zero.
+
+    All arithmetic stays exact integers until one final division: per-doc
+    NLLs are the quantized micro-nat sums from :func:`lm_score_docs`,
+    per-source means use integer division (``div``), excess = mean −
+    min(mean) is an integer, and weight = excess / Σ excess is the single
+    double op — so the result is bit-deterministic across partitionings
+    and engines (the float-sum ordering trap the per-doc scorer hit in
+    round 3).
+
+    Scale: the per-doc scorer is the cost; this adds one broadcast join
+    doc→source and two O(sources) aggregates.  The source table (20 rows
+    here, maybe thousands at 100 TB) is guarded-tiny for the global
+    min/sum, done via a cross-joined single-row aggregate, not a window.
+    """
+    per_doc = lm_score_docs(docs)
+    src = docs.select("doc_id", "source")
+    per_src = (
+        per_doc.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nll_micro").alias("nll_sum"),
+            F.sum("n_scored").alias("n_positions"),
+        )
+        .withColumn("mean_nll_micro", F.expr("nll_sum div n_positions"))
+    )
+    floor_tot = per_src.agg(
+        F.min("mean_nll_micro").alias("floor_nll"),
+    )
+    with_excess = per_src.join(F.broadcast(floor_tot)).withColumn(
+        "excess", F.col("mean_nll_micro") - F.col("floor_nll")
+    )
+    tot = with_excess.agg(F.sum("excess").alias("total_excess"))
+    return (
+        with_excess.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_positions",
+            "mean_nll_micro",
+            "excess",
+            F.round(
+                F.col("excess").cast("double") / F.col("total_excess"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH {_LM_CORE_CTES},
+per_doc AS (
+    SELECT doc_id, n_scored, CAST(SUM(tf * nm) AS BIGINT) AS nll_micro
+    FROM scored GROUP BY doc_id, n_scored
+),
+per_src AS (
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.nll_micro) AS BIGINT) AS nll_sum,
+           CAST(SUM(p.n_scored) AS BIGINT) AS n_positions
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+),
+m AS (
+    SELECT *, CAST(nll_sum // n_positions AS BIGINT) AS mean_nll_micro
+    FROM per_src
+),
+e AS (
+    SELECT *,
+           mean_nll_micro - (SELECT MIN(mean_nll_micro) FROM m) AS excess
+    FROM m
+)
+SELECT source, n_docs, n_positions, mean_nll_micro,
+       CAST(excess AS BIGINT) AS excess,
+       ROUND(CAST(excess AS DOUBLE) / (SELECT SUM(excess) FROM e), 6)
+           AS weight
+FROM e
+ORDER BY source
+"""
+
+
+@register("docs_domain_mixture_weights", oracle=_DOMAIN_MIX_ORACLE)
+def docs_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss mixture weights over the 20 fixture sources under the
+    shared corpus bigram LM."""
+    return domain_mixture_weights(load_table(spark, sf_dir, "documents"))

@@ -126,3 +126,84 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return scrub_documents(_plant_dirty_text(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+#: Privacy thresholds for the release audit: a quasi-identifier group is
+#: re-identifiable below K occupants, and attribute-disclosable below L
+#: distinct sensitive values (Sweeney 2002; Machanavajjhala 2007).
+K_ANONYMITY = 5
+L_DIVERSITY = 3
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = K_ANONYMITY,
+    l: int = L_DIVERSITY,
+) -> DataFrame:
+    """Per-QI-group privacy audit: group size (k-anonymity) and distinct
+    sensitive values (l-diversity) for every quasi-identifier combination.
+
+    The pre-release check a training-data pipeline runs before publishing
+    any per-user aggregate: a group smaller than ``k`` re-identifies its
+    members by QI alone; a group whose sensitive attribute takes fewer
+    than ``l`` values discloses that attribute even without
+    re-identification.
+
+    Scale: one shuffle on the QI key with map-side partial aggregation;
+    the sensitive-distinct count rides the same exchange (Spark plans the
+    count-distinct as a two-phase expand over the already-partitioned
+    groups).  No windows, no collects — O(groups) output."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct(sensitive_col).alias("l_distinct"),
+        )
+        .select(
+            *qi_cols,
+            "group_n",
+            (F.col("group_n") >= k).alias("k_anonymous"),
+            "l_distinct",
+            (F.col("l_distinct") >= l).alias("l_diverse"),
+        )
+    )
+
+
+@register(
+    "customers_k_anonymity",
+    oracle=f"""
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_n,
+           COUNT(*) >= {K_ANONYMITY} AS k_anonymous,
+           CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT bal_band) >= {L_DIVERSITY} AS l_diverse
+    FROM banded
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table: QI =
+    (nation, market segment), sensitive attribute = the account-balance
+    band (floor(acctbal/1000) — a VALUE band, not a rank decile, so the
+    banding is a narrow per-row expression with no global sort at any
+    scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_audit(
+        banded, ["c_nationkey", "c_mktsegment"], "bal_band"
+    )

@@ -167,3 +167,123 @@ def pretrain_funnel(
 def pretrain_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage yield funnel of the full curation pipeline."""
     return pretrain_funnel(spark, load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget curriculum selection
+# ---------------------------------------------------------------------------
+
+#: Fraction of the corpus's token mass the curriculum keeps.
+CURRICULUM_BUDGET_FRAC = 0.3
+#: Score bands for the distributed prefix-sum (monotone in score).
+CURRICULUM_BANDS = 1000
+
+
+def token_budget_curriculum(
+    docs: DataFrame, budget_frac: float = CURRICULUM_BUDGET_FRAC
+) -> DataFrame:
+    """Quality-ordered selection under a token budget: rank documents by
+    lexical diversity (type-token ratio) descending and keep the prefix
+    whose cumulative token count fits ``budget_frac`` of the corpus's
+    total tokens — the "best docs first, stop at the budget" curriculum
+    cut every pretraining mix does at least once.
+
+    A naive global ``SUM OVER (ORDER BY score)`` serialises the corpus
+    through one task, so the prefix sum is computed in two phases, the
+    segmented-scan shape that survives 100 TB:
+
+    1. band docs by ``floor(score × B)`` (a VALUE band — monotone in
+       score, narrow per-row expression, no sort); per-band token totals
+       are one keyed aggregate, and the running offset over the ≤ B+1
+       band rows is a guarded single-partition window over a provably
+       tiny relation;
+    2. the exact cumulative sum runs per band (``partitionBy(band)`` —
+       each partition holds only that band's docs) and adds the band's
+       offset.  Because the band is monotone in score, (band desc, score
+       desc, doc_id) is exactly the global (score desc, doc_id) order, so
+       the stitched prefix sums equal the naive global scan's.
+    """
+    from pyspark.sql.window import Window
+
+    from .guards import bounded_window_guard
+
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("score"),
+    ).withColumn(
+        "band", F.floor(F.col("score") * CURRICULUM_BANDS).cast("long")
+    )
+    band_tot = scored.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
+    w_bands = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bounded_window_guard(
+        band_tot, "token_budget_curriculum", CURRICULUM_BANDS + 1
+    ).select(
+        "band",
+        F.coalesce(F.sum("bt").over(w_bands), F.lit(0)).alias("offset"),
+        F.sum("bt").over(
+            Window.orderBy(F.desc("band")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_tokens"),
+    )
+    w_in_band = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        scored.join(F.broadcast(offsets), "band")
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in_band)
+        )
+        .withColumn(
+            "budget",
+            F.floor(F.col("total_tokens") * F.lit(budget_frac)).cast("long"),
+        )
+    )
+    return cum.filter(F.col("cum_tokens") <= F.col("budget")).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("score"), 6).alias("score"),
+        "cum_tokens",
+    )
+
+
+@register(
+    "docs_token_budget_curriculum",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS score
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(FLOOR(SUM(n_tokens) * {CURRICULUM_BUDGET_FRAC}) AS BIGINT)
+                   AS budget
+        FROM scored
+    ),
+    ordered AS (
+        SELECT doc_id, n_tokens, score,
+               CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, ROUND(score, 6) AS score, cum_tokens
+    FROM ordered, b WHERE cum_tokens <= budget
+    """,
+)
+def docs_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum cut at 30% of corpus tokens, quality = type-token
+    ratio.  The oracle is the naive single-scan prefix sum; the Spark
+    side must reproduce it exactly from the banded two-phase plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_curriculum(docs)

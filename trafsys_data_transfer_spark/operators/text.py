@@ -1343,3 +1343,45 @@ def docs_dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("w", 6) + F.lit(0.0)).alias("dsir_logweight"),
         (F.col("w") > 0).alias("target_like"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_REGEX}'))) AS BIGINT)
+               AS n_subword_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '{BPE_REGEX}')))
+                      AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 6) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) by
+    language — the standard per-language tokenizer-efficiency metric for
+    a multilingual mix (a language with high fertility pays more sequence
+    length per word of content).  Exact integer sums per language, one
+    final division — deterministic across partitionings.
+
+    Scale: narrow per-row token counting inside codegen, one keyed
+    aggregate with map-side partials, O(languages) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("w"),
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX))
+        .cast("long")
+        .alias("b"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("b").alias("n_subword_tokens"),
+        F.round(
+            F.sum("b").cast("double") / F.sum("w").cast("double"), 6
+        ).alias("fertility"),
+    )

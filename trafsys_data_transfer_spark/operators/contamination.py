@@ -261,3 +261,73 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged.orderBy("train_doc_id", "eval_doc_id")
+
+
+_EVAL_IN_LIST = "(" + ", ".join(repr(s) for s in EVAL_SOURCES) + ")"
+
+
+def _fuzzy_decontaminate_portable_oracle() -> str:
+    from .dedup import _JACCARD_SQL, MINHASH_PORTABLE_CTES
+
+    return f"""
+    WITH {MINHASH_PORTABLE_CTES},
+    side AS (
+        SELECT doc_id, source IN {_EVAL_IN_LIST} AS is_eval FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT CASE WHEN ea.is_eval THEN v.id_b ELSE v.id_a END AS train_doc_id,
+           CASE WHEN ea.is_eval THEN v.id_a ELSE v.id_b END AS eval_doc_id,
+           v.jaccard
+    FROM verified v
+    JOIN side ea ON ea.doc_id = v.id_a
+    JOIN side eb ON eb.doc_id = v.id_b
+    WHERE v.jaccard >= 0.7 AND ea.is_eval <> eb.is_eval
+    ORDER BY train_doc_id, eval_doc_id
+    """
+
+
+@register(
+    "text_decontaminate_fuzzy_portable",
+    oracle=_fuzzy_decontaminate_portable_oracle(),
+)
+def text_decontaminate_fuzzy_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict tier of the fuzzy decontamination: MinHash banding runs on
+    ``portable_hash60`` so the oracle replays candidate generation, the
+    Jaccard ≥ 0.7 verify, and the train/eval boundary orientation
+    end-to-end in SQL.  Same plan as ``text_decontaminate_fuzzy`` via the
+    shared ``hash_fn`` code path; the xxhash64 tier remains the
+    production fast path."""
+    from .dedup import minhash_near_dups, portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.7, hash_fn=portable_hash60)
+    src = docs.select(
+        "doc_id", F.col("source").isin(*EVAL_SOURCES).alias("is_eval")
+    )
+    flagged = (
+        pairs.join(src.toDF("id_a", "eval_a"), "id_a")
+        .join(src.toDF("id_b", "eval_b"), "id_b")
+        .filter(F.col("eval_a") != F.col("eval_b"))
+        .select(
+            F.when(F.col("eval_a"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_doc_id"),
+            F.when(F.col("eval_a"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("eval_doc_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return flagged.orderBy("train_doc_id", "eval_doc_id")

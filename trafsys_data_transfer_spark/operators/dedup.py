@@ -310,14 +310,21 @@ def minhash_near_dups(
 
 
 def minhash_index_write(
-    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_fn=F.xxhash64,
 ) -> None:
     """Persist the corpus's LSH band table as the near-dup INDEX: the
     skinny ``(id, band, bucket)`` rows are all a future batch needs to
     find its candidates — signatures are never recomputed for the corpus,
     and the raw text is only consulted for verification of candidate ids
     (index-as-table, the same contract as the IVF/PQ tiers)."""
-    banded_signatures(df, id_col, text_col, n).write.mode("overwrite").parquet(path)
+    banded_signatures(df, id_col, text_col, n, hash_fn).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def minhash_index_probe(
@@ -329,6 +336,7 @@ def minhash_index_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Incremental NEAR-dup: tonight's batch against the stored corpus
     index.  The batch computes its own band table (narrow, O(|batch|));
@@ -341,7 +349,7 @@ def minhash_index_probe(
     Completes the dedup matrix: exact×full (``dedup_exact``),
     exact×incremental (``dedup_incremental``), near×full
     (``minhash_near_dups``), near×incremental (this)."""
-    b_banded = banded_signatures(batch, id_col, text_col, n).select(
+    b_banded = banded_signatures(batch, id_col, text_col, n, hash_fn).select(
         F.col("id").alias("batch_id"), "band", "bucket"
     )
     index = spark.read.parquet(path).select(
@@ -376,6 +384,58 @@ def minhash_index_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+#: The 64 fixed MinHash permutations inlined as a VALUES list so DuckDB
+#: can replay the signature computation end-to-end (the JL sign-matrix
+#: precedent from r10's sim_topk_lsh conversion).
+_PERM_VALUES_SQL = ",\n        ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+)
+
+_NORM_SPLIT_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+#: Shared CTE chain replaying shingles → 32-bit portable base hashes →
+#: 64 permuted minima → band buckets in DuckDB.  Ends at ``bucket``
+#: (doc_id, band, bucket) and also exposes ``sh`` (doc_id, shingle set)
+#: for the exact-Jaccard verify — the oracle core for every
+#: portable-hash LSH tier (full-corpus pairs, incremental probe, fuzzy
+#: decontamination).
+MINHASH_PORTABLE_CTES = f"""docs_n AS (
+        SELECT doc_id, {_NORM_SPLIT_SQL} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
+        FROM docs_n
+    ),
+    shex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    h32 AS (
+        SELECT doc_id,
+               {PORTABLE_HASH60_SQL.format(s='s')} & 4294967295 AS h
+        FROM shex
+    ),
+    perm(i, a, b) AS (VALUES
+        {_PERM_VALUES_SQL}),
+    sig AS (
+        SELECT doc_id, i, MIN((a * h + b) % {_MERSENNE61}) AS s
+        FROM h32, perm GROUP BY doc_id, i
+    ),
+    bucket AS (
+        SELECT doc_id, i // {LSH_ROWS} AS band,
+               {PORTABLE_HASH60_SQL.format(
+                   s="string_agg(s::VARCHAR, '_' ORDER BY i)")} AS bucket
+        FROM sig GROUP BY doc_id, i // {LSH_ROWS}
+    )"""
+
+#: Exact-Jaccard verify between two shingle sets from the ``sh`` CTE.
+_JACCARD_SQL = (
+    "ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(sa.sh, sb.sh))), 6)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -660,6 +720,61 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCREMENTAL_NEARDUP_PORTABLE_ORACLE = f"""
+    WITH {MINHASH_PORTABLE_CTES},
+    side AS (
+        SELECT doc_id, source IN {_BATCH_IN_LIST} AS is_batch FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bucket b
+        JOIN bucket c ON b.band = c.band AND b.bucket = c.bucket
+        JOIN side sb ON sb.doc_id = b.doc_id
+        JOIN side sc ON sc.doc_id = c.doc_id
+        WHERE sb.is_batch AND NOT sc.is_batch
+    ),
+    verified AS (
+        SELECT cand.batch_id, cand.corpus_id, {_JACCARD_SQL} AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.batch_id
+        JOIN sh sb ON sb.doc_id = cand.corpus_id
+    )
+    SELECT batch_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.5
+    ORDER BY batch_id, corpus_id
+"""
+
+
+@register(
+    "dedup_incremental_neardup_portable",
+    oracle=_INCREMENTAL_NEARDUP_PORTABLE_ORACLE,
+)
+def dedup_incremental_neardup_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict tier of the incremental near-dup probe: the stored band
+    index is written AND probed with :func:`portable_hash60`, so the
+    DuckDB oracle replays the batch-vs-corpus banding (bucket collisions
+    restricted to batch×corpus pairs) plus the exact-Jaccard verify —
+    certifying the index-write/probe split end-to-end, not just the
+    verify stage.  Same code path as the xxhash64 production tier via
+    ``hash_fn``."""
+    import os
+
+    from ..fsutil import process_staging_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*INCREMENTAL_BATCH_SOURCES)
+    corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    path = process_staging_dir(
+        f"mhindexp_{os.path.basename(os.path.normpath(sf_dir))}",
+        "minhash_bands_portable",
+    )
+    minhash_index_write(corpus, path, hash_fn=portable_hash60)
+    return minhash_index_probe(
+        spark, path, batch, corpus, threshold=0.5, hash_fn=portable_hash60
+    ).orderBy("batch_id", "corpus_id")
+
+
 @register("dedup_simhash")  # rows-only: bit-level simhash isn't ANSI-SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-decomposition probe (complete recall for Hamming ≤ 3) — the
@@ -669,55 +784,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups_multiprobe(docs, max_hamming=3)
 
 
-#: The 64 fixed MinHash permutations inlined as a VALUES list so DuckDB
-#: can replay the signature computation end-to-end (the JL sign-matrix
-#: precedent from r10's sim_topk_lsh conversion).
-_PERM_VALUES_SQL = ",\n        ".join(
-    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-)
-
-_NORM_SPLIT_SQL = (
-    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-)
-
 _MINHASH_PORTABLE_ORACLE = f"""
-    WITH docs_n AS (
-        SELECT doc_id, {_NORM_SPLIT_SQL} AS w FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               list_distinct([array_to_string(w[i:i+2], ' ')
-                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
-        FROM docs_n
-    ),
-    shex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-    h32 AS (
-        SELECT doc_id,
-               {PORTABLE_HASH60_SQL.format(s='s')} & 4294967295 AS h
-        FROM shex
-    ),
-    perm(i, a, b) AS (VALUES
-        {_PERM_VALUES_SQL}),
-    sig AS (
-        SELECT doc_id, i, MIN((a * h + b) % {_MERSENNE61}) AS s
-        FROM h32, perm GROUP BY doc_id, i
-    ),
-    bucket AS (
-        SELECT doc_id, i // {LSH_ROWS} AS band,
-               {PORTABLE_HASH60_SQL.format(
-                   s="string_agg(s::VARCHAR, '_' ORDER BY i)")} AS bucket
-        FROM sig GROUP BY doc_id, i // {LSH_ROWS}
-    ),
+    WITH {MINHASH_PORTABLE_CTES},
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bucket a JOIN bucket b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     verified AS (
-        SELECT c.id_a, c.id_b,
-               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
-                   AS jaccard
+        SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b

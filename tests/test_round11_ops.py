@@ -109,3 +109,26 @@ def test_fertility_exact_on_planted(spark):
     assert got["en"] == (4, 6)
     # "a-b c" -> words 2, subwords [a,'-',b,c] = 4
     assert got["fr"] == (2, 4)
+
+
+def test_fd_audit_from_counts_is_batch_split_invariant(spark):
+    """(lhs, rhs) counts are mergeable summaries: folding per-split
+    partials must produce the identical audit row as one-shot counting —
+    the invariant the streaming_fd_audit twin rides."""
+    from trafsys_data_transfer_spark.operators.quality import (
+        fd_audit_from_counts,
+    )
+
+    rows = [(1, "x")] * 3 + [(1, "y")] + [(2, "x")] * 2 + [(3, "z")] * 4
+    df = spark.createDataFrame(rows, ["l", "r"])
+    one_shot = fd_audit_one(df, "l", "r", "t").collect()[0]
+
+    # split arbitrarily into two "micro-batches", count each, fold
+    a = spark.createDataFrame(rows[:4], ["l", "r"])
+    b = spark.createDataFrame(rows[4:], ["l", "r"])
+    parts = a.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c")).unionByName(
+        b.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c"))
+    )
+    folded = parts.groupBy("l", "r").agg(F.sum("c").alias("c"))
+    from_fold = fd_audit_from_counts(folded, "l", "r", "t").collect()[0]
+    assert tuple(one_shot) == tuple(from_fold)

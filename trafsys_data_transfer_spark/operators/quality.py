@@ -520,6 +520,16 @@ def fd_audit_one(df: DataFrame, lhs: str, rhs: str, label: str) -> DataFrame:
     counts, then per-lhs sum/max/count — followed by an O(1) global
     rollup.  No windows, no collects; the shuffles carry counts only."""
     per = df.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+    return fd_audit_from_counts(per, lhs, rhs, label)
+
+
+def fd_audit_from_counts(
+    per: DataFrame, lhs: str, rhs: str, label: str
+) -> DataFrame:
+    """FD audit from a pre-reduced ``(lhs, rhs, c)`` count relation —
+    the mergeable-summary form: (lhs, rhs) counts are associative under
+    SUM, so partials from any partition or micro-batch split fold into
+    the same audit row (shared core with the streaming twin)."""
     g = per.groupBy(lhs).agg(
         F.sum("c").alias("n"),
         F.max("c").alias("mx"),

@@ -2621,3 +2621,77 @@ def streaming_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return slo_burn_tail(hourly, "streaming_slo_burn_rate")
+
+
+@register(
+    "streaming_fd_audit",
+    # streaming twin of the approximate-FD profiler: (lhs, rhs) counts
+    # are associative under SUM, so per-micro-batch partials stored with
+    # the idempotent batch_id=N overwrite fold into exactly the batch
+    # audit row regardless of how arrivals were split.
+    oracle="""
+    SELECT 'events.user_id->event_type' AS fd,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_lhs,
+           CAST(SUM(n) - SUM(mx) AS BIGINT) AS g3_rows,
+           ROUND(CAST(SUM(n) - SUM(mx) AS DOUBLE) / SUM(n), 6) AS g3_rate,
+           SUM(n) = SUM(mx) AS holds
+    FROM (
+        SELECT user_id, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS n_rhs
+        FROM (SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY 1, 2)
+        GROUP BY user_id
+    )
+    """,
+)
+def streaming_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit AT INGEST: each micro-batch writes its
+    own (user_id, event_type) count partials to a persistent store under
+    an idempotent ``batch_id=N`` overwrite (replay-safe — a re-fired
+    batch replaces its own partials instead of double-counting); the
+    serving read folds STORED partials only, never rescanning arrivals,
+    and feeds the same :func:`~...operators.quality.fd_audit_from_counts`
+    core the batch profiler uses.  Counts are mergeable summaries, so
+    the audit row is batch-split-invariant — stream == batch oracle."""
+    from ..operators.quality import fd_audit_from_counts
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_fd_src_")
+    events.repartition(6).write.mode("append").parquet(staging)
+    store = tempfile.mkdtemp(prefix="tds_stream_fd_store_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_fd_ckpt_")
+
+    def append_partials(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("c")
+        ).write.mode("overwrite").parquet(f"{store}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(append_partials)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(store)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("c").alias("c"))
+    )
+    return fd_audit_from_counts(
+        folded, "user_id", "event_type", "events.user_id->event_type"
+    )

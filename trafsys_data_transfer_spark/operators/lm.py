@@ -219,6 +219,12 @@ def domain_mixture_weights(docs: DataFrame) -> DataFrame:
     """
     per_doc = lm_score_docs(docs)
     src = docs.select("doc_id", "source")
+    # The O(sources) rollup forks into FOUR consumers (the floor min, the
+    # excess join, the excess total, the final select); without a lineage
+    # cut each fork re-executes the whole LM-scoring subtree — the first
+    # plan audit showed 33 shuffles / 24 scans for what is one LM pass
+    # plus tiny arithmetic.  A lazy localCheckpoint on the 20-row rollup
+    # runs the expensive pipeline exactly once.
     per_src = (
         per_doc.join(F.broadcast(src), "doc_id")
         .groupBy("source")
@@ -228,6 +234,7 @@ def domain_mixture_weights(docs: DataFrame) -> DataFrame:
             F.sum("n_scored").alias("n_positions"),
         )
         .withColumn("mean_nll_micro", F.expr("nll_sum div n_positions"))
+        .localCheckpoint(eager=False)
     )
     floor_tot = per_src.agg(
         F.min("mean_nll_micro").alias("floor_nll"),

@@ -1385,3 +1385,75 @@ def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").cast("double") / F.sum("w").cast("double"), 6
         ).alias("fertility"),
     )
+
+
+@register(
+    "docs_ngram_novelty_curve",
+    oracle=r"""
+    WITH docs_n AS (
+        SELECT source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT source,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, greatest(len(w) - 1, 2))])) AS g
+        FROM docs_n
+    ),
+    pairs AS (SELECT DISTINCT source, g FROM sh),
+    totals AS (SELECT source, COUNT(*) AS n_grams FROM pairs GROUP BY source),
+    firsts AS (SELECT g, MIN(source) AS fs FROM pairs GROUP BY g),
+    novel AS (SELECT fs AS source, COUNT(*) AS n_novel FROM firsts GROUP BY fs)
+    SELECT t.source, t.n_grams,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_grams, 6)
+               AS novelty
+    FROM totals t LEFT JOIN novel n USING (source)
+    ORDER BY source
+    """,
+)
+def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty under a deterministic ingest order
+    (source name ascending): how many of a source's distinct 3-gram
+    shingles were NEVER seen in any earlier source — the
+    diminishing-returns curve that tells a corpus-acquisition pipeline
+    when a new source stops adding content (the data-mixing companion to
+    dedup: novelty ≈ 1 − cross-source duplication).
+
+    first-seen(gram) = MIN(source) makes the "earlier" semantics an
+    aggregate instead of an ordered scan: the gram-keyed shuffles carry
+    (source, gram) pairs pre-reduced by map-side distinct, and no task
+    ever needs the sources in order — the same trick that keeps the
+    curve computable in one pass at 100 TB."""
+    from .dedup import normalize_text, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    pairs = (
+        docs.select("source", F.explode(shingles(toks, 3)).alias("g"))
+        .distinct()
+    )
+    totals = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        pairs.groupBy("g")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )

@@ -274,7 +274,7 @@ def _rolling_fps(token_hashes, window: int):
 
 def rolling_fingerprint_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    window: int = RH_WINDOW,
+    window: int = RH_WINDOW, hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Per-document rolling-hash fingerprints: a whole-document polynomial
     fingerprint plus min/max/count over the sliding w-token window hashes
@@ -325,7 +325,7 @@ def rolling_fingerprint_table(
     )
     hashed = docs.select(
         F.col(id_col),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(toks, lambda t: hash_fn(t)).alias("th"),
     )
     return hashed.mapInPandas(roll, schema=out_schema)
 
@@ -416,8 +416,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.mapInPandas(certify, schema=out_schema).orderBy("doc_id")
 
 
-@register("text_winnow_candidates")  # rows-only: rolling hash isn't ANSI-SQL
-def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_near_dup_candidates(docs: DataFrame, hash_fn=F.xxhash64) -> DataFrame:
     """Winnowing-fingerprint near-dup candidates (the MOSS recipe): docs
     sharing a selected (min) window fingerprint are candidate pairs,
     verified by exact shingle Jaccard.  A different recall profile from
@@ -429,8 +428,9 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only."""
     from .dedup import jaccard, normalize_text, shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    fps = rolling_fingerprint_table(docs).filter(F.col("min_window_fp").isNotNull())
+    fps = rolling_fingerprint_table(docs, hash_fn=hash_fn).filter(
+        F.col("min_window_fp").isNotNull()
+    )
     buckets = (
         fps.groupBy("min_window_fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -479,6 +479,77 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= 0.01)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register("text_winnow_candidates")  # rows-only: xxhash64 isn't ANSI-SQL
+def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production winnowing tier (xxhash64 token hashes) — see
+    :func:`winnow_near_dup_candidates`."""
+    return winnow_near_dup_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_portable_oracle() -> str:
+    from .dedup import PORTABLE_HASH60_SQL
+
+    w = RH_WINDOW
+    ph = PORTABLE_HASH60_SQL.format(s="t")
+    return rf"""
+    WITH docs_n AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, w,
+               list_transform(w, t -> {ph} % {RH_MOD}) AS th
+        FROM docs_n
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_min([list_reduce(th[j:j+{w - 1}],
+                                     (a, b) -> (a * {RH_BASE} + b) % {RH_MOD})
+                         for j in range(1, len(th) - {w - 2})]) AS min_fp
+        FROM th WHERE len(th) >= {w}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN fps b
+          ON a.min_fp = b.min_fp AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, greatest(len(w) - 1, 2))]) AS sh
+        FROM docs_n
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.01
+    """
+
+
+@register("text_winnow_candidates_portable", oracle=_winnow_portable_oracle())
+def text_winnow_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict tier of the winnowing candidates: token hashes come from
+    ``portable_hash60`` (reduced mod 2^31−1), so the DuckDB oracle
+    replays the whole recipe — per-window Rabin-Karp fingerprints as
+    Horner ``list_reduce`` windows (the rolling-update recurrence equals
+    the direct polynomial, pinned by text_rolling_fingerprint's
+    certificate), winnowing's min-fingerprint selection, fingerprint
+    bucketing, and the exact-Jaccard verify.  Same code path as the
+    xxhash64 production tier via ``hash_fn``."""
+    from .dedup import portable_hash60
+
+    return winnow_near_dup_candidates(
+        load_table(spark, sf_dir, "documents"), hash_fn=portable_hash60
     )
 
 

@@ -796,7 +796,58 @@ def embedding_neardup_pairs_lsh(
     )
 
 
-@register("sim_semantic_dedup_pipeline")  # rows-only: LSH isn't ANSI-SQL
+@register(
+    "sim_semantic_dedup_pipeline",
+    # STRICT (r11s6): the hyperplanes are fixed literals (the sim_topk_lsh
+    # conversion) and the cluster closure is a recursive CTE (the
+    # dedup_components conversion) — composing the two replays the WHOLE
+    # pipeline in SQL: sign-bit bucketing → OR-amplified candidates →
+    # exact-cosine ≥ 0.4 verify → connected components → min-id keeper →
+    # per-label yield.
+    oracle="""
+    WITH RECURSIVE planes AS ({planes}),
+    b AS (
+        SELECT e.vec_id, pl.t,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                        list_zip(e.embedding::DOUBLE[], pl.w),
+                        s -> s[1] * s[2])) > 0
+                        THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS u, c.vec_id AS v
+        FROM b a JOIN b c ON c.t = a.t AND c.bucket = a.bucket
+                         AND a.vec_id < c.vec_id
+    ),
+    pairs AS (
+        SELECT u, v FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.u
+        JOIN embeddings eb ON eb.vec_id = cand.v
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]) >= 0.4
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM embeddings
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    keep AS (SELECT component, MIN(id) AS keeper_id FROM comp GROUP BY component)
+    SELECT emb.label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN comp.id = keep.keeper_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keepers,
+           ROUND(CAST(SUM(CASE WHEN comp.id = keep.keeper_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS yield_frac
+    FROM embeddings emb
+    JOIN comp ON comp.id = emb.vec_id
+    JOIN keep USING (component)
+    GROUP BY emb.label
+    ORDER BY emb.label
+    """.format(planes=_lsh_planes_sql()),
+)
 def sim_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup, end to end: LSH-bucketed embedding
     near-dup pairs (cos ≥ 0.4) → connected components → min-id keeper per

@@ -1012,6 +1012,77 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_PIPELINE_PORTABLE_ORACLE = f"""
+    WITH RECURSIVE {MINHASH_PORTABLE_CTES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a AS u, c.id_b AS v
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE {_JACCARD_SQL} >= 0.5
+    ),
+    edges AS (SELECT u, v FROM verified UNION SELECT v, u FROM verified),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    keep AS (SELECT component, MIN(id) AS keeper_id FROM comp GROUP BY component)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN comp.id = keep.keeper_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keepers,
+           ROUND(CAST(SUM(CASE WHEN comp.id = keep.keeper_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS yield_frac
+    FROM documents d
+    JOIN comp ON comp.id = d.doc_id
+    JOIN keep USING (component)
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
+@register(
+    "dedup_neardup_pipeline_portable", oracle=_NEARDUP_PIPELINE_PORTABLE_ORACLE
+)
+def dedup_neardup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict tier of the composed near-dup pipeline: portable-hash
+    MinHash banding (so the oracle replays candidate generation and the
+    Jaccard verify) feeding a recursive-CTE component closure, keeper
+    election, and per-source yield — the full production composition
+    hash-checked end-to-end.  Same code path as ``dedup_neardup_pipeline``
+    via ``hash_fn``; the xxhash64 tier stays the production fast path."""
+    from .graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, hash_fn=portable_hash60)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
+    labeled = (
+        docs.join(comp, docs.doc_id == comp.id)
+        .join(keepers, "component")
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("keeper_id")).cast("int"))
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_keeper").alias("n_keepers"),
+            F.round(F.sum("is_keeper") / F.count(F.lit(1)), 6).alias("yield_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "dedup_hll_sketch_union",
     # DataSketches HLL isn't ANSI-SQL, so the strict row is the

@@ -397,14 +397,16 @@ _NORM_SPLIT_SQL = (
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 )
 
-#: Shared CTE chain replaying shingles → 32-bit portable base hashes →
-#: 64 permuted minima → band buckets in DuckDB.  Ends at ``bucket``
-#: (doc_id, band, bucket) and also exposes ``sh`` (doc_id, shingle set)
-#: for the exact-Jaccard verify — the oracle core for every
-#: portable-hash LSH tier (full-corpus pairs, incremental probe, fuzzy
-#: decontamination).
-MINHASH_PORTABLE_CTES = f"""docs_n AS (
-        SELECT doc_id, {_NORM_SPLIT_SQL} AS w FROM documents
+def minhash_portable_ctes(src: str = "documents") -> str:
+    """CTE chain replaying shingles → 32-bit portable base hashes → 64
+    permuted minima → band buckets in DuckDB, over any source relation
+    with (doc_id, text) columns.  Ends at ``bucket`` (doc_id, band,
+    bucket) and also exposes ``sh`` (doc_id, shingle set) for the
+    exact-Jaccard verify — the oracle core for every portable-hash LSH
+    tier (full-corpus pairs, incremental probe, fuzzy decontamination,
+    the pretrain funnel's near-dup stage)."""
+    return f"""docs_n AS (
+        SELECT doc_id, {_NORM_SPLIT_SQL} AS w FROM {src}
     ),
     sh AS (
         SELECT doc_id,
@@ -430,6 +432,10 @@ MINHASH_PORTABLE_CTES = f"""docs_n AS (
                    s="string_agg(s::VARCHAR, '_' ORDER BY i)")} AS bucket
         FROM sig GROUP BY doc_id, i // {LSH_ROWS}
     )"""
+
+
+#: The default (whole ``documents`` table) instantiation.
+MINHASH_PORTABLE_CTES = minhash_portable_ctes()
 
 #: Exact-Jaccard verify between two shingle sets from the ``sh`` CTE.
 _JACCARD_SQL = (

@@ -131,11 +131,13 @@ def lm_score_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
-#: Shared CTE core (corpus bigram LM → per-position micro-nat NLLs),
-#: reused by the per-doc perplexity oracle and the per-source mixture
-#: oracle so both replay the identical model.
-_LM_CORE_CTES = f"""toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+def lm_core_ctes(src: str = "documents") -> str:
+    """Shared CTE core (corpus bigram LM → per-position micro-nat NLLs)
+    over any (doc_id, text) relation — reused by the per-doc perplexity
+    oracle, the per-source mixture oracle, and the pretrain funnel's
+    LM-filter stage so all replay the identical model."""
+    return f"""toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM {src}
 ),
 bi AS (
     SELECT doc_id, len(t) - 1 AS n_scored,
@@ -174,6 +176,10 @@ scored AS (
     JOIN cu u2 ON tf.w2 = u2.w
     CROSS JOIN totals
 )"""
+
+
+#: The default (whole ``documents`` table) instantiation.
+_LM_CORE_CTES = lm_core_ctes()
 
 _LM_ORACLE = f"""
 WITH {_LM_CORE_CTES}

@@ -55,6 +55,7 @@ def pretrain_funnel(
     spark: SparkSession,
     docs: DataFrame,
     lm_keep_pctile: float = LM_KEEP_PCTILE,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Run the full curation funnel; returns (stage_no, stage, n_docs,
     n_tokens) with exact-integer counts.  ``lm_keep_pctile=1.0`` keeps
@@ -116,7 +117,7 @@ def pretrain_funnel(
     stages.append(("exact_dedup", exact))
 
     # 4. Near-dup clustering: LSH pairs → components → min-id keeper
-    pairs = minhash_near_dups(exact, threshold=0.5)
+    pairs = minhash_near_dups(exact, threshold=0.5, hash_fn=hash_fn)
     comp = connected_components(
         exact.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -167,6 +168,167 @@ def pretrain_funnel(
 def pretrain_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage yield funnel of the full curation pipeline."""
     return pretrain_funnel(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _pretrain_portable_oracle() -> str:
+    """The capstone's SQL replay, assembled from the per-operator oracle
+    fragments: Gopher gate conditions (text_gopher_rules), the bigram-LM
+    CTE core scoped to the gate survivors + quantile_cont cut
+    (text_lm_perplexity), windowed min-id exact dedup, the portable-hash
+    MinHash chain scoped to the exact survivors + recursive component
+    closure (dedup_neardup_pipeline_portable), the 5-gram eval-overlap
+    anti-join (text_decontaminate), and the packed-sequence accounting —
+    the ENTIRE funnel recomputed by DuckDB, stage by stage."""
+    from .dedup import _JACCARD_SQL, minhash_portable_ctes
+    from .lm import lm_core_ctes
+
+    stop_list = ", ".join(repr(s) for s in STOPWORDS)
+    eval_in = "(" + ", ".join(repr(s) for s in EVAL_SOURCES) + ")"
+    from .contamination import DECONTAM_NGRAM
+
+    n1 = DECONTAM_NGRAM - 1
+    stage_sql = (
+        "SELECT CAST({no} AS INT) AS stage_no, '{name}' AS stage, "
+        "COUNT(*) AS n_docs, "
+        "CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM {rel}"
+    )
+    stages = "\n    UNION ALL ".join(
+        stage_sql.format(no=i, name=name, rel=rel)
+        for i, (name, rel) in enumerate(
+            [
+                ("ingest", "corpus"),
+                ("quality_gate", "gate"),
+                ("lm_filter", "lmkept"),
+                ("exact_dedup", "exact"),
+                ("neardup_dedup", "neardup"),
+                ("decontaminated", "clean"),
+            ]
+        )
+    )
+    return rf"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    gate AS (
+        SELECT doc_id, source, text, n_tokens FROM (
+            SELECT c.*,
+                   CAST(len(replace(text, ' ', '')) AS DOUBLE) / n_tokens
+                       AS mwl,
+                   CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+                       / n_tokens AS swr,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / n_tokens AS awf,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x IN ({stop_list}))) AS shits
+            FROM corpus c
+        )
+        WHERE n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND mwl BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                      AND {GOPHER_MAX_MEAN_WORD_LEN}
+          AND swr < {GOPHER_MAX_SYMBOL_RATIO}
+          AND awf >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+          AND shits >= {GOPHER_MIN_STOPWORD_HITS}
+    ),
+    {lm_core_ctes('gate')},
+    per_doc AS (
+        SELECT doc_id, n_scored, CAST(SUM(tf * nm) AS BIGINT) AS nll
+        FROM scored GROUP BY doc_id, n_scored
+    ),
+    lmscore AS (
+        SELECT doc_id, CAST(nll // n_scored AS BIGINT) AS avg_nll
+        FROM per_doc
+    ),
+    cutv AS (
+        SELECT quantile_cont(avg_nll, {LM_KEEP_PCTILE}) AS cut FROM lmscore
+    ),
+    lmkept AS (
+        SELECT g.doc_id, g.source, g.text, g.n_tokens
+        FROM gate g JOIN lmscore s USING (doc_id), cutv
+        WHERE s.avg_nll <= cutv.cut
+    ),
+    exact AS (
+        SELECT doc_id, source, text, n_tokens FROM (
+            SELECT l.*, MIN(doc_id) OVER (
+                PARTITION BY
+                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            ) AS keeper
+            FROM lmkept l
+        ) WHERE doc_id = keeper
+    ),
+    {minhash_portable_ctes('exact')},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a AS u, c.id_b AS v
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE {_JACCARD_SQL} >= 0.5
+    ),
+    nedges AS (SELECT u, v FROM verified UNION SELECT v, u FROM verified),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM exact
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN nedges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    keepers AS (
+        SELECT component, MIN(id) AS keeper_id FROM comp GROUP BY component
+    ),
+    neardup AS (
+        SELECT e.doc_id, e.source, e.text, e.n_tokens
+        FROM exact e
+        JOIN comp ON comp.id = e.doc_id
+        JOIN keepers ON keepers.component = comp.component
+        WHERE e.doc_id = keepers.keeper_id
+    ),
+    train AS (SELECT * FROM neardup WHERE source NOT IN {eval_in}),
+    tg AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+{n1}], ' ') AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+             unnest(generate_series(1, len(w) - {n1})) AS t(i)
+    ),
+    eg AS (
+        SELECT DISTINCT array_to_string(w[i:i+{n1}], ' ') AS g
+        FROM (SELECT string_split(text, ' ') AS w
+              FROM corpus WHERE source IN {eval_in}),
+             unnest(generate_series(1, len(w) - {n1})) AS t(i)
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+    clean AS (
+        SELECT * FROM train
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    )
+    SELECT * FROM (
+        {stages}
+        UNION ALL
+        SELECT CAST(6 AS INT), 'packed_sequences',
+               CAST(COALESCE(SUM(n_tokens), 0) // {SEQ_LEN} AS BIGINT),
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        FROM clean
+    ) ORDER BY stage_no
+    """
+
+
+@register("pretrain_data_pipeline_portable", oracle=_pretrain_portable_oracle())
+def pretrain_data_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict tier of the capstone: the whole curation funnel — Gopher
+    gate, held-in LM percentile filter, exact dedup, portable-hash
+    near-dup clustering, 5-gram decontamination, packed-sequence
+    accounting — replayed end-to-end by the DuckDB oracle.  Same code
+    path as ``pretrain_data_pipeline`` via ``hash_fn``; the xxhash64
+    capstone stays the production fast path."""
+    from .dedup import portable_hash60
+
+    return pretrain_funnel(
+        spark, load_table(spark, sf_dir, "documents"), hash_fn=portable_hash60
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1790,3 +1790,146 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_certificate(
         emb, q, ivfpq_index_probe(spark, path, emb, q, k=5)
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-noise audit (mislabel detection over the ANN candidate graph)
+# ---------------------------------------------------------------------------
+
+KNN_NOISE_K = 8
+KNN_NOISE_MIN_NEIGHBORS = 3
+
+
+def knn_label_noise(
+    emb: DataFrame, k: int = KNN_NOISE_K, min_neighbors: int = KNN_NOISE_MIN_NEIGHBORS
+) -> DataFrame:
+    """Flag vectors whose k nearest neighbors mostly carry a DIFFERENT
+    label — the classic confident-learning / deep-kNN mislabel signal,
+    run as a corpus audit before the labels feed a training mixture.
+
+    Every vector is a query.  Candidates come from the shared-LSH-bucket
+    self-join (OR-amplified over the fixed hyperplane tables), re-scored
+    exactly, ranked, and cut at ``k``; a vector is flagged when it found
+    ≥ ``min_neighbors`` candidates and a strict majority disagree with
+    its label.
+
+    Returns flagged rows only: (vec_id, label, n_neighbors, n_disagree).
+
+    Scale design (100 TB): all-pairs kNN is quadratic and never runs at
+    scale — the banded bucket self-join is the same linear-candidate
+    shape measured flat at 100× in SCALE.md for the neardup tier.  Pair
+    discovery shuffles (t, bucket) keys; vectors are joined back by id
+    for the rescore, so wide embedding rows never ride the dedup
+    shuffle."""
+    base = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    b = base.select(
+        "vec_id", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "bucket")
+    )
+    cand = (
+        b.alias("q")
+        .join(
+            b.alias("c"),
+            (F.col("q.t") == F.col("c.t"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(
+            base.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("label"),
+                F.col("v").alias("qv"),
+            ),
+            "query_id",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+                F.col("v").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy(
+        F.col("query_id").alias("vec_id"), F.col("label")
+    ).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("nlabel") != F.col("label"), 1).otherwise(0)
+        ).alias("n_disagree"),
+    )
+    return (
+        votes.filter(
+            (F.col("n_neighbors") >= F.lit(min_neighbors))
+            & (F.col("n_disagree") * 2 > F.col("n_neighbors"))
+        )
+        .select("vec_id", "label", "n_neighbors", "n_disagree")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "embeddings_knn_label_noise",
+    # Strict via the sim_topk_lsh trick: hyperplanes are inlined literals,
+    # so the oracle replays bucketing, candidate generation, the exact
+    # rescore, the top-k cut, and the majority vote end to end.
+    oracle=f"""
+    WITH planes AS ({_lsh_planes_sql()}),
+    b AS (
+        SELECT e.vec_id, pl.t,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                        list_zip(e.embedding::DOUBLE[], pl.w),
+                        s -> s[1] * s[2])) > 0
+                        THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.t
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM b q JOIN b c ON c.t = q.t AND c.bucket = q.bucket
+                         AND c.vec_id != q.vec_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, label, nlabel FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   qe.label AS label, ne.label AS nlabel,
+                   row_number() OVER (PARTITION BY cand.query_id ORDER BY
+                       list_cosine_similarity(qe.embedding::DOUBLE[],
+                                              ne.embedding::DOUBLE[]) DESC,
+                       cand.neighbor_id ASC) AS rank
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        ) WHERE rank <= {KNN_NOISE_K}
+    ),
+    votes AS (
+        SELECT query_id AS vec_id, label,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(SUM(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_disagree
+        FROM topk GROUP BY query_id, label
+    )
+    SELECT vec_id, label, n_neighbors, n_disagree
+    FROM votes
+    WHERE n_neighbors >= {KNN_NOISE_MIN_NEIGHBORS}
+      AND n_disagree * 2 > n_neighbors
+    ORDER BY vec_id
+    """,
+)
+def embeddings_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel audit: vectors whose LSH-kNN majority label disagrees."""
+    return knn_label_noise(load_table(spark, sf_dir, "embeddings"))

@@ -122,3 +122,68 @@ def test_knn_label_noise_flags_planted_mislabel(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     flagged = {r.vec_id for r in knn_label_noise(emb, k=4).collect()}
     assert flagged == {0}
+
+
+def test_luhn_valid_separates_real_from_shaped(spark):
+    from trafsys_data_transfer_spark.operators.pii import (
+        LUHN_VALID_SAMPLE,
+        luhn_audit,
+    )
+
+    # Flipping the check digit of a Luhn-valid PAN must invalidate it.
+    bad = LUHN_VALID_SAMPLE[:-1] + str((int(LUHN_VALID_SAMPLE[-1]) + 1) % 10)
+    docs = spark.createDataFrame(
+        [
+            (1, f"pay {LUHN_VALID_SAMPLE} now"),
+            (2, f"ref {bad} thanks"),
+            (3, "no digits here"),
+            (4, "short 123456789012345 run"),  # 15 digits: not a candidate
+        ],
+        ["doc_id", "text"],
+    )
+    rows = luhn_audit(docs).collect()
+    got = {(r.doc_id, r.candidate): r.is_luhn_valid for r in rows}
+    assert got == {(1, LUHN_VALID_SAMPLE): True, (2, bad): False}
+
+
+def test_temporal_reach_requires_nondecreasing_path(spark):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.operators.graph import (
+        temporal_earliest_arrival,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # user 1 provides signup->click @ :20; user 2's click->buy edge fires
+    # at :06, BEFORE click is reachable, so it must not count; user 3's
+    # click->buy @ :40 is the first time-respecting arrival at buy.
+    rows = [
+        (1, t(10), 100, "signup"),
+        (2, t(20), 100, "click"),
+        (3, t(5), 200, "click"),
+        (4, t(6), 200, "buy"),
+        (5, t(30), 300, "click"),
+        (6, t(40), 300, "buy"),
+        (7, t(1), 400, "other"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        r.event_type: (r.reachable, r.arr_ts)
+        for r in temporal_earliest_arrival(events).collect()
+    }
+    assert got["signup"] == (True, dt.datetime(1970, 1, 1))
+    assert got["click"] == (True, t(20))
+    assert got["buy"] == (True, t(40))  # NOT :06 — that edge pre-dates reach
+    assert got["other"] == (False, None)
+
+    # Drop user 3: the only remaining click->buy edge pre-dates click's
+    # arrival, so buy becomes temporally UNreachable despite the static
+    # signup->click->buy path existing.
+    pruned = events.filter(F.col("user_id") != 300)
+    got2 = {
+        r.event_type: r.reachable
+        for r in temporal_earliest_arrival(pruned).collect()
+    }
+    assert got2["buy"] is False and got2["click"] is True

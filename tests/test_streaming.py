@@ -364,7 +364,8 @@ def test_scd2_tws_end_to_end_matches_batch(spark, sf_dir):
     """transformWithStateInPandas e2e == batch oracle — requires
     google.protobuf (the TWS worker protocol), so it runs only in
     environments that ship it.  Re-checked absent 2026-08-14, 2026-08-15
-    (r7), 2026-08-15 (r8), and again 2026-08-16 (r11: `pip install
+    (r7), 2026-08-15 (r8), 2026-08-16 (r11 session start), and again
+    2026-08-16 (r11 final session: `pip install
     protobuf` → "No matching distribution found", no network): still no
     google.protobuf in the container, skip stands; the shared-core
     equivalence test above certifies the TWS processor logic at unit

@@ -30,7 +30,7 @@ in practice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -982,3 +982,127 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("kind", "key")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Time-respecting reachability (temporal graph earliest-arrival)
+# ---------------------------------------------------------------------------
+
+#: Relaxation rounds: earliest-arrival over non-decreasing-time paths has
+#: optimal substructure, so |nodes|-1 rounds suffice; the event-type graph
+#: has 5 nodes and 6 rounds adds slack.  Both engines replay the SAME
+#: round count, so the comparison is exact even before convergence.
+TEMPORAL_ROUNDS = 6
+
+TEMPORAL_SEED = "signup"
+
+#: arr value meaning "reachable from the start" for the seed node.
+_EPOCH0 = "1970-01-01 00:00:00"
+
+
+def temporal_earliest_arrival(
+    events: DataFrame, seed: str = TEMPORAL_SEED, rounds: int = TEMPORAL_ROUNDS
+) -> DataFrame:
+    """Earliest time each event type becomes reachable from ``seed`` via a
+    TIME-RESPECTING path of per-user behavioural transitions.
+
+    A static transition graph answers "does any path exist"; real
+    influence/contagion questions need edge times to be non-decreasing
+    along the path (an edge used at 09:00 cannot feed one at 08:00).
+    Edges here are consecutive same-user events — (prev_type → type) at
+    the later event's timestamp — and ``arr(v)`` is the minimum arrival
+    time over all temporal paths from the seed.
+
+    Returns (event_type, reachable, arr_ts) for every node.
+
+    Scale shape: each relaxation round is one join of the edge relation
+    against the O(|node|)-row arrival table (broadcast) + a min-aggregate
+    — a linear scan per round, never a per-pair time-list
+    materialisation.  Edge construction is one user-keyed window (the
+    sessionize shuffle).  Bounded rounds, lineage cut per round like the
+    package's other iterative loops."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("u", F.lag("event_type").over(w))
+        .filter(F.col("u").isNotNull())
+        .select("u", F.col("event_type").alias("v"), F.col("ts").alias("t"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    nodes = events.select(F.col("event_type").alias("v")).distinct()
+    arr = nodes.filter(F.col("v") == seed).select(
+        "v", F.lit(_EPOCH0).cast("timestamp").alias("arr")
+    )
+    for _ in range(rounds):
+        relaxed = (
+            edges.alias("e")
+            .join(F.broadcast(arr.alias("a")), F.col("e.u") == F.col("a.v"))
+            .filter(F.col("e.t") >= F.col("a.arr"))
+            .select(F.col("e.v").alias("v"), F.col("e.t").alias("arr"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(arr, "v", "left")
+        .select(
+            F.col("v").alias("event_type"),
+            F.col("arr").isNotNull().alias("reachable"),
+            F.col("arr").alias("arr_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _temporal_oracle() -> str:
+    """Unrolled fixed-round relaxation (DuckDB's WITH RECURSIVE dedups on
+    full rows, which breaks min-folding semantics — the explicit unroll
+    replays the builder's exact rounds instead)."""
+    prev = "arr0"
+    ctes = [
+        f"""arr0 AS (
+        SELECT '{TEMPORAL_SEED}' AS v, TIMESTAMP '{_EPOCH0}' AS arr
+    )"""
+    ]
+    for k in range(1, TEMPORAL_ROUNDS + 1):
+        ctes.append(
+            f"""arr{k} AS (
+        SELECT v, MIN(arr) AS arr FROM (
+            SELECT v, arr FROM {prev}
+            UNION ALL
+            SELECT e.v, e.t AS arr
+            FROM edges e JOIN {prev} a ON a.v = e.u AND e.t >= a.arr
+        ) GROUP BY v
+    )"""
+        )
+        prev = f"arr{k}"
+    return (
+        """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS u
+        FROM events
+    ),
+    edges AS (
+        SELECT u, event_type AS v, ts AS t FROM seq WHERE u IS NOT NULL
+    ),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    """
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n.v AS event_type, a.arr IS NOT NULL AS reachable,
+           a.arr AS arr_ts
+    FROM nodes n LEFT JOIN {prev} a USING (v)
+    ORDER BY n.v
+    """
+    )
+
+
+@register("graph_temporal_reach", oracle=_temporal_oracle())
+def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest time-respecting arrival at each event type from 'signup'."""
+    return temporal_earliest_arrival(load_table(spark, sf_dir, "events"))

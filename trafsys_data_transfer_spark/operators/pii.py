@@ -207,3 +207,119 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         banded, ["c_nationkey", "c_mktsegment"], "bal_band"
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum audit (payment-card-number detection with validation)
+# ---------------------------------------------------------------------------
+
+#: A known Luhn-valid PAN-shaped literal (standard test number) planted
+#: so the fixture always contains at least one VALID candidate.
+LUHN_VALID_SAMPLE = "4532015112830366"
+
+
+def _plant_card_numbers(docs: DataFrame) -> DataFrame:
+    """Deterministic card-shaped digit strings: every 7th document gets a
+    pseudo-random 16-digit candidate (Luhn-valid ~10% of the time), every
+    11th the known-valid test PAN — so both verdicts always occur."""
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" card "),
+                F.lpad(((d * 48271) % F.lit(10**16)).cast("string"), 16, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0, F.concat(F.lit(" pay "), F.lit(LUHN_VALID_SAMPLE))
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", dirty.alias("text"))
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn (mod-10) checksum over a 16-digit string, as a pure integer
+    expression: from the right, every second digit doubles (minus 9 when
+    the double exceeds 9); valid iff the total is ≡ 0 (mod 10).
+
+    Regex finds card-SHAPED strings; the checksum separates real PANs
+    from phone numbers / order ids with 16 digits — the precision step
+    that keeps a corpus-wide PII scrub from redacting half the numeric
+    tokens at 100 TB.  Zero shuffle, zero Python: ``aggregate`` over a
+    16-element digit array inside codegen."""
+    total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda p: F.when(
+                (F.lit(17) - p) % 2 == 0,
+                F.when(
+                    (F.ascii(F.substring(cand, p, F.lit(1))) - 48) * 2 > 9,
+                    (F.ascii(F.substring(cand, p, F.lit(1))) - 48) * 2 - 9,
+                ).otherwise(
+                    (F.ascii(F.substring(cand, p, F.lit(1))) - 48) * 2
+                ),
+            ).otherwise(F.ascii(F.substring(cand, p, F.lit(1))) - 48),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
+
+
+def luhn_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All 16-digit candidates in the corpus with their Luhn verdict:
+    (doc_id, candidate, is_luhn_valid), one row per occurrence."""
+    cands = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"\b[0-9]{16}\b"), idx=0
+            )
+        ).alias("candidate"),
+    )
+    return cands.select(
+        "doc_id",
+        "candidate",
+        luhn_valid(F.col("candidate")).alias("is_luhn_valid"),
+    ).orderBy("doc_id", "candidate")
+
+
+_LUHN_ORACLE = rf"""
+WITH dirty AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' card ' || lpad(CAST((doc_id * 48271) %
+                        10000000000000000 AS VARCHAR), 16, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' pay {LUHN_VALID_SAMPLE}'
+                   ELSE '' END AS text
+    FROM documents
+),
+cands AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '\b[0-9]{{16}}\b')) AS candidate
+    FROM dirty
+)
+SELECT doc_id, candidate,
+       CAST(list_sum(list_transform(
+           generate_series(1, 16),
+           p -> CASE WHEN (17 - p) % 2 = 0
+                     THEN CASE WHEN (ascii(substr(candidate, CAST(p AS INT), 1)) - 48) * 2 > 9
+                               THEN (ascii(substr(candidate, CAST(p AS INT), 1)) - 48) * 2 - 9
+                               ELSE (ascii(substr(candidate, CAST(p AS INT), 1)) - 48) * 2 END
+                     ELSE ascii(substr(candidate, CAST(p AS INT), 1)) - 48 END
+       )) AS BIGINT) % 10 = 0 AS is_luhn_valid
+FROM cands
+ORDER BY doc_id, candidate
+"""
+
+
+@register("pii_luhn_audit", oracle=_LUHN_ORACLE)
+def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card-number detection over planted candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return luhn_audit(_plant_card_numbers(docs))

@@ -2695,3 +2695,66 @@ def streaming_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_audit_from_counts(
         folded, "user_id", "event_type", "events.user_id->event_type"
     )
+
+
+from ..operators.evalmetrics import _AUC_TAIL_SQL, _SCORED_SQL
+
+
+@register(
+    "streaming_classifier_auc",
+    # streaming twin of classifier_auc_eval: ROC AUC is NOT windowable,
+    # but its sufficient statistics ARE — per-(lang, milli-score-bucket)
+    # (cnt, pos) counts merge additively across any batch split, so each
+    # micro-batch stores its bucket partials (idempotent per-batch_id
+    # overwrite) and the serving read folds STORED partials through the
+    # shared Mann-Whitney rank tail.  Matching the batch oracle (the SQL
+    # is the batch query's, verbatim) certifies that a ranking metric can
+    # be maintained at ingest without ever rescanning or re-sorting raw
+    # documents.
+    oracle=f"WITH {_SCORED_SQL}, {_AUC_TAIL_SQL}",
+)
+def streaming_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC maintenance AT INGEST via mergeable score-bucket partials."""
+    from ..operators.evalmetrics import _scored_labeled, auc_from_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    staging = tempfile.mkdtemp(prefix="tds_stream_auc_src_")
+    docs.repartition(6).write.mode("append").parquet(staging)
+    store = tempfile.mkdtemp(prefix="tds_stream_auc_store_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_auc_ckpt_")
+
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+
+    def append_partials(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            _scored_labeled(batch_df)
+            .groupBy("lang", "mw")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(append_partials)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(store)
+        .groupBy("lang", "mw")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
+    )
+    return auc_from_buckets(folded)

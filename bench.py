@@ -164,6 +164,12 @@ WORK_IN_BUILD = {
     # commits run in build(), the returned DataFrame reads the result
     "streaming_holt_linear",
     "timetravel_shallow_clone",
+    # round 11 sessions 6-8: stream drains / iterative loops in build()
+    "streaming_fd_audit",
+    "streaming_classifier_auc",
+    "graph_temporal_reach",
+    "events_markov_stationary",
+    "docs_coverage_greedy",
 }
 
 

@@ -124,3 +124,144 @@ def test_single_word_doc_contributes_no_bigrams(spark):
     )
     rows = coverage_greedy(spark, docs, k=2).collect()
     assert [(r.sel_round, r.doc_id) for r in rows] == [(1, 2)]
+
+
+def test_kappa_perfect_and_systematic_disagreement(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        cohens_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], ["r1", "r2"]
+    )
+    row = cohens_kappa(perfect, "r1", "r2").collect()[0]
+    assert row.kappa == 1.0 and (row.kappa_num, row.kappa_den) == (2, 2)
+
+    swapped = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["r1", "r2"]
+    )
+    row = cohens_kappa(swapped, "r1", "r2").collect()[0]
+    assert row.kappa == -1.0  # worse than chance, symmetric marginals
+
+
+def test_poisson_weight_cdf_band_edges(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        _POISSON_CDF_PPM,
+        _poisson_weight,
+    )
+
+    edges = [0, _POISSON_CDF_PPM[0], _POISSON_CDF_PPM[1] - 1, 999990, 999999]
+    df = spark.createDataFrame([(u,) for u in edges], ["u"])
+    got = [
+        r.w
+        for r in df.select(_poisson_weight(F.col("u")).alias("w"))
+        .orderBy("u")
+        .collect()
+    ]
+    # below first threshold -> 0, at it -> 1, inside band 1 -> 1,
+    # at the last threshold -> 8, above -> 8
+    assert got == [0, 1, 1, 8, 8]
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        bootstrap_mean_ci,
+    )
+
+    events = spark.createDataFrame(
+        [(i, 10.0 + (i % 5)) for i in range(400)], ["event_id", "value"]
+    )
+    row = bootstrap_mean_ci(events).collect()[0]
+    assert row.n_events == 400
+    assert row.ci_lo <= row.ci_hi
+    # true mean 12.0; a ~94% order-statistic CI on 400 iid draws with
+    # sd≈1.4 is a few tenths wide and must bracket it
+    assert row.ci_lo <= 12.0 <= row.ci_hi
+    assert abs(row.mean_full - 12.0) < 1e-9
+
+
+def test_infogain_perfect_vs_constant_feature(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        feature_infogain,
+    )
+
+    rows = []
+    for i in range(8):
+        y = i % 2
+        rows.append((y, "perfect", y))  # band == label
+        rows.append((y, "constant", 0))  # single band
+    stacked = spark.createDataFrame(rows, ["y", "feature", "band"])
+    got = {r.feature: r for r in feature_infogain(stacked).collect()}
+    ln2_micro = 693147  # floor(0.5*ln2*1e6+0.5)*2
+    assert abs(got["perfect"].h_y_micro - ln2_micro) <= 2
+    assert got["perfect"].h_cond_micro == 0
+    assert abs(got["perfect"].ig_micro - ln2_micro) <= 2
+    assert got["constant"].ig_micro == 0
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        domain_js_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "A"),
+            (2, "x y", "B"),  # identical unigram dist to A
+            (3, "p p", "C"),
+            (4, "q q", "D"),  # disjoint vocab from C
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        (r.source_a, r.source_b): r.js_micro
+        for r in domain_js_divergence(docs).collect()
+    }
+    assert got[("A", "B")] == 0
+    ln2_micro = 693147
+    assert abs(got[("C", "D")] - ln2_micro) <= 2
+
+
+def test_ndcg_is_perfect_when_lengths_are_equal(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        retrieval_ndcg,
+    )
+    from trafsys_data_transfer_spark.operators.retrieval import BM25_QUERY
+
+    term = BM25_QUERY[0]
+    # Same document length everywhere -> BM25 is monotone in tf -> the
+    # BM25 ranking IS the ideal ranking -> ndcg = 1.0 exactly.
+    docs = spark.createDataFrame(
+        [
+            (1, f"{term} {term} {term} pad"),
+            (2, f"{term} {term} pad pad2"),
+            (3, f"{term} pad pad2 pad3"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.term: r for r in retrieval_ndcg(docs).collect()}
+    assert got[term].ndcg_ppm == 1000000 and got[term].n_candidates == 3
+
+
+def test_ndcg_degrades_when_length_norm_reorders(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        retrieval_ndcg,
+    )
+    from trafsys_data_transfer_spark.operators.retrieval import BM25_QUERY
+
+    term = BM25_QUERY[0]
+    # doc 1 has the highest tf but is enormously long: BM25's length
+    # normalisation demotes it below doc 2, so the BM25 order disagrees
+    # with the tf-ideal order and ndcg drops below 1.
+    long_pad = " ".join(f"pad{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{term} {term} {term} {long_pad}"),
+            (2, f"{term} {term} pad"),
+            (3, f"{term} pad"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.term: r for r in retrieval_ndcg(docs).collect()}
+    assert got[term].ndcg_ppm < 1000000
+    assert got[term].dcg_micro < got[term].idcg_micro

@@ -21,6 +21,19 @@ submodular subset-selection operator:
   classic submodular data-selection step: pick K documents maximising
   marginal new-vocabulary coverage (facility-location-style subset
   selection for training-data curation).
+* **Poisson bootstrap CI** (``events_bootstrap_ci``) — the distributed
+  bootstrap (per-row Poisson(1) resample weights, no global
+  coordination), with deterministic portable-hash draws.
+* **Information-gain feature ranking** (``quality_feature_infogain``) —
+  the decision-stump split score: which quality feature explains the
+  Gopher gate best, in integer micro-nats.
+* **Cohen's kappa** (``text_langid_kappa``) — chance-corrected
+  agreement of the lang-id heuristic, as an exact integer num/den pair.
+* **Jensen-Shannon divergence** (``text_domain_js_divergence``) —
+  pairwise distance between per-source unigram distributions, the
+  domain-mixture design metric.
+* **nDCG@10** (``retrieval_ndcg_eval``) — BM25 ranking quality against
+  graded tf relevance via a literal integer discount table.
 
 Numeric discipline (the registry's portability rules):
 
@@ -52,7 +65,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.fixtures import load_table
 from .classify import N_WEIGHT_BUCKETS, weight_of
-from .dedup import PORTABLE_HASH60_SQL
+from .dedup import PORTABLE_HASH60_SQL, portable_hash60
 from .text import (
     GOPHER_MAX_MEAN_WORD_LEN,
     GOPHER_MAX_SYMBOL_RATIO,
@@ -557,3 +570,827 @@ def docs_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy max-coverage selection of K docs by marginal new-bigram
     coverage (submodular data-selection step)."""
     return coverage_greedy(spark, load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicates.  32 order statistics give a rank-2/rank-31
+#: (~93.75%) interval; production tunes B, the plan shape is identical.
+BOOT_B = 32
+
+#: Inverse-CDF thresholds of Poisson(1) scaled to parts-per-1e6: a
+#: uniform hash draw u maps to the count whose cumulative band contains
+#: it.  Literal table => both engines draw IDENTICAL weights.
+_POISSON_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990)
+
+#: Order statistics reported as the interval (1-indexed ranks of B sorted
+#: replicate means).
+BOOT_LO_RANK = 2
+BOOT_HI_RANK = BOOT_B - 1
+
+
+def _poisson_weight(u) -> Column:
+    """Poisson(1) draw from a uniform ppm value via the literal CDF."""
+    w = F.lit(len(_POISSON_CDF_PPM))
+    for k in reversed(range(len(_POISSON_CDF_PPM))):
+        w = F.when(u < _POISSON_CDF_PPM[k], k).otherwise(w)
+    return w
+
+
+def _poisson_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON_CDF_PPM)
+    )
+    return f"CASE {cases} ELSE {len(_POISSON_CDF_PPM)} END"
+
+
+def bootstrap_mean_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
+    """Poisson-bootstrap CI for the mean event value.
+
+    The classic resample-with-replacement bootstrap is impossible
+    distributed (a resample needs global coordination); the POISSON
+    bootstrap replaces each row's multinomial resample count with an
+    independent Poisson(1) draw — no global n needed, so each replicate
+    is one embarrassingly-parallel weighted aggregate (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012).
+
+    Determinism: the draw is ``portable_hash60(event_id:b) % 1e6``
+    pushed through a literal Poisson CDF — both engines replay the same
+    weights, so the certificate is exact.  Values are quantized to
+    integer micro-units per row BEFORE summation (engine sum order can't
+    perturb), and each replicate mean is the rounded quotient of two
+    exact integers.
+
+    Scale shape: one generate (×B) + one keyed aggregate to B rows +
+    a guarded B-row ranking window.  No collect, no global sort of data.
+    """
+    base = events.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    drawn = base.select(
+        "event_id",
+        "v_micro",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+    ).withColumn(
+        "w",
+        _poisson_weight(
+            portable_hash60(
+                F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("b").cast("string"))
+            )
+            % F.lit(1000000)
+        ),
+    )
+    reps = drawn.groupBy("b").agg(
+        F.sum("w").alias("sum_w"),
+        F.sum(F.col("w") * F.col("v_micro")).alias("sum_wv"),
+    )
+    reps = reps.select(
+        "b",
+        F.round(
+            F.col("sum_wv").cast("double") / F.col("sum_w") / 1000000.0, 6
+        ).alias("mean_r"),
+    )
+    from .guards import bounded_window_guard
+
+    w_rank = Window.partitionBy().orderBy("mean_r", "b")
+    ranked = bounded_window_guard(reps, "bootstrap_mean_ci", 100_000).select(
+        "mean_r", F.row_number().over(w_rank).alias("rk")
+    )
+    full = events.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_full"),
+    )
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(
+        F.col("mean_r").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(
+        F.col("mean_r").alias("ci_hi")
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_events",
+            F.lit(BOOT_B).cast("long").alias("b_replicates"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+_BOOT_HASH = PORTABLE_HASH60_SQL.format(
+    s="CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+)
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+    SELECT event_id,
+           CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+    FROM events
+),
+reps AS (
+    SELECT b, CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(w * v_micro) AS BIGINT) AS sum_wv
+    FROM (
+        SELECT v_micro, b,
+               {_poisson_weight_sql(f"({_BOOT_HASH}) % 1000000")} AS w
+        FROM base, unnest(generate_series(0, {BOOT_B - 1})) AS r(b)
+    )
+    GROUP BY b
+),
+means AS (
+    SELECT b,
+           ROUND(CAST(sum_wv AS DOUBLE) / sum_w / 1000000.0, 6) AS mean_r,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(sum_wv AS DOUBLE) / sum_w / 1000000.0, 6), b
+           ) AS rk
+    FROM reps
+),
+fullstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(v_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS mean_full
+    FROM base
+)
+SELECT n_events, CAST({BOOT_B} AS BIGINT) AS b_replicates, mean_full,
+       (SELECT mean_r FROM means WHERE rk = {BOOT_LO_RANK}) AS ci_lo,
+       (SELECT mean_r FROM means WHERE rk = {BOOT_HI_RANK}) AS ci_hi
+FROM fullstats
+"""
+
+
+@register("events_bootstrap_ci", oracle=_BOOT_ORACLE)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap order-statistic CI for the mean event value."""
+    return bootstrap_mean_ci(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Information-gain feature ranking (decision-stump feature audit)
+# ---------------------------------------------------------------------------
+
+
+def _gopher_feature_bands(docs: DataFrame) -> DataFrame:
+    """Per-doc integer feature bands + the Gopher label, in one map pass.
+
+    Every band is exact integer arithmetic on counts (no FP until the
+    entropy step): words-per-10 band, raw stopword hits, symbol pct,
+    alpha-word decile, mean-word-length deci-units.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    n_nonspace = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("long")
+    n_sym = F.regexp_count(F.col("text"), F.lit("#|\\.\\.\\.")).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    mean_wl = n_nonspace.cast("double") / n_words
+    sym_ratio = n_sym.cast("double") / n_words
+    alpha_frac = n_alpha.cast("double") / n_words
+    y = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    ).cast("int")
+    banded = docs.select(
+        y.alias("y"),
+        n_words.alias("nw"),
+        n_nonspace.alias("nn"),
+        n_sym.alias("ns"),
+        n_alpha.alias("na"),
+        stop_hits.alias("sh"),
+    )
+    return banded.select(
+        "y",
+        F.expr(
+            "stack(5,"
+            " 'n_words_band', nw div 10,"
+            " 'stopword_hits', sh,"
+            " 'symbol_pct', ns * 100 div nw,"
+            " 'alpha_decile', na * 10 div nw,"
+            " 'mean_word_len_deci', nn * 10 div nw"
+            ") AS (feature, band)"
+        ),
+    )
+
+
+#: Oracle twin of :func:`_gopher_feature_bands` (UNION ALL = stack).
+_FEATURE_BANDS_SQL = f"""
+    perdoc AS (
+        SELECT CAST(
+                 len(string_split(text, ' '))
+                     BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AND CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                     BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                         AND {GOPHER_MAX_MEAN_WORD_LEN}
+                 AND CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                     AS DOUBLE) / len(string_split(text, ' '))
+                     < {GOPHER_MAX_SYMBOL_RATIO}
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                     >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+                 AND len(list_filter(string_split(text, ' '),
+                         x -> x IN ({_sql_in_list(STOPWORDS)})))
+                     >= {GOPHER_MIN_STOPWORD_HITS}
+               AS INT) AS y,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               CAST(len(replace(text, ' ', '')) AS BIGINT) AS nn,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+                   AS ns,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS na,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ({_sql_in_list(STOPWORDS)}))) AS BIGINT)
+                   AS sh
+        FROM documents
+    ),
+    stacked AS (
+        SELECT y, 'n_words_band' AS feature, nw // 10 AS band FROM perdoc
+        UNION ALL
+        SELECT y, 'stopword_hits', sh FROM perdoc
+        UNION ALL
+        SELECT y, 'symbol_pct', ns * 100 // nw FROM perdoc
+        UNION ALL
+        SELECT y, 'alpha_decile', na * 10 // nw FROM perdoc
+        UNION ALL
+        SELECT y, 'mean_word_len_deci', nn * 10 // nw FROM perdoc
+    )
+"""
+
+
+def feature_infogain(stacked: DataFrame) -> DataFrame:
+    """Information gain of each banded feature against the binary label:
+    ``IG(f) = H(y) − H(y | band(f))``, in integer micro-nats.
+
+    Every entropy term is quantized ONCE (the lm.py micro-nat rule) and
+    then integer-summed, so engine summation order is irrelevant.  The
+    inputs are (feature, band, y) COUNTS — one hash aggregation with
+    map-side combine; everything after is O(features × bands) rows.
+    This is exactly the split-scoring step of a decision-stump / tree
+    trainer, run distributed.
+    """
+    cells = stacked.groupBy("feature", "band", "y").agg(
+        F.count(F.lit(1)).alias("c_vc")
+    )
+    w_f = Window.partitionBy("feature")
+    w_v = Window.partitionBy("feature", "band")
+    w_y = Window.partitionBy("feature", "y")
+    enriched = cells.select(
+        "feature",
+        "band",
+        "y",
+        "c_vc",
+        F.sum("c_vc").over(w_f).alias("n"),
+        F.sum("c_vc").over(w_v).alias("c_v"),
+        F.sum("c_vc").over(w_y).alias("c_y"),
+    )
+    # H(y|f) term: (c_vc/n)·ln(c_v/c_vc); H(y) term uses the same cell
+    # rows weighted within class: (c_vc/c_y)·(c_y/n)·ln(n/c_y) — summed
+    # per class it telescopes to the exact class term, but quantizing
+    # PER CLASS (not per cell) keeps the round-off identical in both
+    # engines, so H(y) is derived from the per-(feature, y) relation.
+    hy = (
+        enriched.select("feature", "y", "c_y", "n")
+        .distinct()
+        .select(
+            "feature",
+            F.floor(
+                (F.col("c_y") / F.col("n"))
+                * F.log(F.col("n") / F.col("c_y"))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("feature")
+        .agg(F.sum("t").alias("h_y_micro"))
+    )
+    hcond = enriched.select(
+        "feature",
+        F.floor(
+            (F.col("c_vc") / F.col("n"))
+            * F.log(F.col("c_v") / F.col("c_vc"))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t"),
+    ).groupBy("feature").agg(
+        F.sum("t").alias("h_cond_micro"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return (
+        hy.join(hcond, "feature")
+        .select(
+            "feature",
+            "n_cells",
+            "h_y_micro",
+            "h_cond_micro",
+            (F.col("h_y_micro") - F.col("h_cond_micro")).alias("ig_micro"),
+        )
+        .orderBy("feature")
+    )
+
+
+_INFOGAIN_ORACLE = f"""
+WITH {_FEATURE_BANDS_SQL},
+cells AS (
+    SELECT feature, band, y, CAST(COUNT(*) AS BIGINT) AS c_vc
+    FROM stacked GROUP BY feature, band, y
+),
+enriched AS (
+    SELECT feature, band, y, c_vc,
+           SUM(c_vc) OVER (PARTITION BY feature) AS n,
+           SUM(c_vc) OVER (PARTITION BY feature, band) AS c_v,
+           SUM(c_vc) OVER (PARTITION BY feature, y) AS c_y
+    FROM cells
+),
+hy AS (
+    SELECT feature,
+           CAST(SUM(CAST(FLOOR(
+               (CAST(c_y AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c_y)
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_y_micro
+    FROM (SELECT DISTINCT feature, y, c_y, n FROM enriched)
+    GROUP BY feature
+),
+hcond AS (
+    SELECT feature,
+           CAST(SUM(CAST(FLOOR(
+               (CAST(c_vc AS DOUBLE) / n) * ln(CAST(c_v AS DOUBLE) / c_vc)
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_cond_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM enriched GROUP BY feature
+)
+SELECT feature, n_cells, h_y_micro, h_cond_micro,
+       CAST(h_y_micro - h_cond_micro AS BIGINT) AS ig_micro
+FROM hy JOIN hcond USING (feature)
+ORDER BY feature
+"""
+
+
+@register("quality_feature_infogain", oracle=_INFOGAIN_ORACLE)
+def quality_feature_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which quality feature explains the Gopher gate best: per-feature
+    information gain (micro-nats) over integer feature bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_infogain(_gopher_feature_bands(docs))
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (chance-corrected agreement of the lang-id heuristic)
+# ---------------------------------------------------------------------------
+
+
+def cohens_kappa(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chance-corrected agreement between two categorical raters.
+
+    ``kappa = (p_o − p_e) / (1 − p_e)`` with p_o the observed agreement
+    and p_e the marginal-product chance agreement — emitted as the EXACT
+    integer pair ``(kappa_num, kappa_den) = (agree·n − Σ r_k·c_k,
+    n² − Σ r_k·c_k)`` plus a 6-dp quotient, so no division ever happens
+    in the certificate.
+
+    Scale shape: one groupBy to the (a, b) confusion cells (map-side
+    combinable), then everything is O(labels²) — marginals, their
+    product-sum, the scalars.  No windows, no collects.
+    """
+    cells = pairs.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n_agree = cells.agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))), F.lit(0)
+        ).alias("agree"),
+    )
+    ra = cells.groupBy("a").agg(F.sum("c").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("c").alias("col_n"))
+    pe = (
+        ra.join(cb, ra["a"] == cb["b"], "inner")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("col_n")), F.lit(0)).alias("pe_num"))
+    )
+    return (
+        n_agree.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            "pe_num",
+            (F.col("agree") * F.col("n") - F.col("pe_num")).alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("pe_num")).alias("kappa_den"),
+        )
+        .withColumn(
+            "kappa",
+            F.when(
+                F.col("kappa_den") > 0,
+                F.round(F.col("kappa_num") / F.col("kappa_den"), 6),
+            ),
+        )
+    )
+
+
+def _kappa_oracle() -> str:
+    from .text import _lang_hits_sql, _lang_id_case_sql
+
+    return f"""
+    WITH h AS ({_lang_hits_sql()}),
+    pred AS (
+        SELECT lang AS a, {_lang_id_case_sql()} AS b FROM h
+    ),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM pred GROUP BY a, b
+    ),
+    na AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(c) FILTER (WHERE a = b), 0) AS BIGINT)
+                   AS agree
+        FROM cells
+    ),
+    ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS col_n FROM cells GROUP BY b),
+    pe AS (
+        SELECT CAST(COALESCE(SUM(r * col_n), 0) AS BIGINT) AS pe_num
+        FROM ra JOIN cb ON ra.a = cb.b
+    )
+    SELECT n, agree, pe_num,
+           CAST(agree * n - pe_num AS BIGINT) AS kappa_num,
+           CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+           CASE WHEN n * n - pe_num > 0
+                THEN ROUND(CAST(agree * n - pe_num AS DOUBLE)
+                           / (n * n - pe_num), 6)
+           END AS kappa
+    FROM na CROSS JOIN pe
+    """
+
+
+@register("text_langid_kappa", oracle=_kappa_oracle())
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the signature-word lang-id heuristic against the
+    labeled language: is the heuristic better than chance, corrected for
+    the label imbalance accuracy hides?"""
+    from .text import _lang_hit_exprs, _lang_id_case_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = _lang_hit_exprs()
+    pred = docs.select(
+        F.col("lang").alias("labeled"),
+        *[expr.alias(f"h_{lang}") for lang, expr in hits.items()],
+    ).select("labeled", F.expr(_lang_id_case_sql()).alias("predicted"))
+    return cohens_kappa(pred, "labeled", "predicted")
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between per-source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+def domain_js_divergence(docs: DataFrame) -> DataFrame:
+    """Pairwise JS divergence between every two sources' unigram
+    distributions — the mixture-design distance: which domains are
+    near-duplicates of each other, which add genuinely new text?
+
+    ``JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M)``, M the even mixture.  Every KL
+    term ``p·ln(p/m)`` is quantized ONCE to signed micro-nats and
+    integer-summed (lm.py discipline) — engine sum order cannot move the
+    result, and JS's terms are defined wherever p>0 (m ≥ p/2 > 0), so
+    no smoothing constant is needed.
+
+    Scale shape: per-source term counts are one map-side-combinable
+    aggregation; the pair grid is (distinct terms) × (source pairs) —
+    linear in vocabulary with a small constant (O(|sources|²) pairs,
+    sources being a curated handful even at 100 TB) — built by two
+    term-keyed broadcast-able joins, never a doc-level self-join.
+    """
+    tok = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    counts = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    sources = totals.select("source", "n")
+    pairs = (
+        sources.alias("sa")
+        .crossJoin(sources.alias("sb"))
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    terms = counts.select("term").distinct()
+    grid = pairs.crossJoin(terms)
+    ca = counts.select(
+        F.col("source").alias("source_a"), "term", F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), "term", F.col("c").alias("c_b")
+    )
+    joined = (
+        grid.join(ca, ["source_a", "term"], "left")
+        .join(cb, ["source_b", "term"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+            F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+        )
+        .filter((F.col("c_a") > 0) | (F.col("c_b") > 0))
+    )
+    p = F.col("c_a") / F.col("n_a")
+    q = F.col("c_b") / F.col("n_b")
+    m = (p + q) / 2
+    tkl = joined.select(
+        "source_a",
+        "source_b",
+        F.when(
+            F.col("c_a") > 0,
+            F.floor(p * F.log(p / m) * 1000000.0 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("tp"),
+        F.when(
+            F.col("c_b") > 0,
+            F.floor(q * F.log(q / m) * 1000000.0 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("tq"),
+    )
+    return (
+        tkl.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tp").alias("klp_micro"),
+            F.sum("tq").alias("klq_micro"),
+        )
+        .withColumn(
+            "js_micro",
+            # greatest(0, ·) before the halving: KL≥0 mathematically, but
+            # per-term quantization can leave a few NEGATIVE micro-nats
+            # on near-identical distributions, where Spark's div
+            # (truncate) and DuckDB's // (floor) disagree on odd values.
+            F.expr("greatest(0, klp_micro + klq_micro) div 2"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_JS_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok GROUP BY source, term
+),
+totals AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source
+),
+pairs AS (
+    SELECT sa.source AS source_a, sa.n AS n_a,
+           sb.source AS source_b, sb.n AS n_b
+    FROM totals sa CROSS JOIN totals sb
+    WHERE sa.source < sb.source
+),
+grid AS (
+    SELECT p.*, t.term
+    FROM pairs p CROSS JOIN (SELECT DISTINCT term FROM counts) t
+),
+joined AS (
+    SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+           COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+    FROM grid g
+    LEFT JOIN counts ca ON ca.source = g.source_a AND ca.term = g.term
+    LEFT JOIN counts cb ON cb.source = g.source_b AND cb.term = g.term
+    WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0
+),
+tkl AS (
+    SELECT source_a, source_b,
+           CASE WHEN c_a > 0 THEN CAST(FLOOR(
+               (CAST(c_a AS DOUBLE) / n_a)
+               * ln((CAST(c_a AS DOUBLE) / n_a)
+                    / ((CAST(c_a AS DOUBLE) / n_a
+                        + CAST(c_b AS DOUBLE) / n_b) / 2))
+               * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tp,
+           CASE WHEN c_b > 0 THEN CAST(FLOOR(
+               (CAST(c_b AS DOUBLE) / n_b)
+               * ln((CAST(c_b AS DOUBLE) / n_b)
+                    / ((CAST(c_a AS DOUBLE) / n_a
+                        + CAST(c_b AS DOUBLE) / n_b) / 2))
+               * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tq
+    FROM joined
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(tp) AS BIGINT) AS klp_micro,
+       CAST(SUM(tq) AS BIGINT) AS klq_micro,
+       CAST(GREATEST(0, SUM(tp) + SUM(tq)) // 2 AS BIGINT) AS js_micro
+FROM tkl
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("text_domain_js_divergence", oracle=_JS_ORACLE)
+def text_domain_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (micro-nats) — the domain-mixture design distance."""
+    return domain_js_divergence(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k retrieval evaluation (BM25 ranking vs graded tf relevance)
+# ---------------------------------------------------------------------------
+
+#: Evaluation depth and the 1-indexed micro-discount table
+#: round(1e6 / log2(i+1)) — a LITERAL shared by both engines, so DCG is
+#: pure integer arithmetic (rel · discount, summed).
+NDCG_K = 10
+NDCG_DISCOUNT_MICRO = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+
+
+def retrieval_ndcg(docs: DataFrame) -> DataFrame:
+    """nDCG@10 of the single-term BM25 ranking against graded term-
+    frequency relevance, per query term.
+
+    The retrieval-quality eval a corpus search stack runs offline: BM25's
+    length normalisation re-orders documents away from raw tf; nDCG@10
+    quantifies how much.  Relevance grade = tf (graded, not binary);
+    ideal ranking = tf descending.  DCG is exact integer micro-units via
+    the literal discount table; ndcg_ppm is the integer ratio.
+
+    Scale shape: candidate rows are only documents CONTAINING a query
+    term (explode + filter before any shuffle); the per-term top-k
+    windows run over those candidates — an offline eval over Q terms,
+    partition-parallel across terms, with the same skew profile as any
+    per-term postings traversal.  Rank keys are (rounded score, doc_id)
+    so both engines' orderings are identical.
+
+    Reuses retrieval.py's exact BM25 expression (same constants, same
+    fixed-order double math).
+    """
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY
+
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(*BM25_QUERY))
+    tf = base.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1 - BM25_B)
+                        + F.lit(BM25_B)
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_dl").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w_bm = Window.partitionBy("term").orderBy(F.desc("s"), F.asc("doc_id"))
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNT_MICRO])
+    ranked = scored.select(
+        "term",
+        "tf",
+        F.row_number().over(w_bm).alias("rn_bm"),
+        F.row_number().over(w_ideal).alias("rn_ideal"),
+    )
+    agg = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rn_bm") <= NDCG_K,
+                    F.col("tf") * F.element_at(disc, F.col("rn_bm")),
+                )
+            ),
+            F.lit(0),
+        ).alias("dcg_micro"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rn_ideal") <= NDCG_K,
+                    F.col("tf") * F.element_at(disc, F.col("rn_ideal")),
+                )
+            ),
+            F.lit(0),
+        ).alias("idcg_micro"),
+    )
+    return agg.select(
+        "term",
+        "n_candidates",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("dcg_micro * 1000000 div idcg_micro").alias("ndcg_ppm"),
+    ).orderBy("term")
+
+
+def _ndcg_oracle() -> str:
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    disc = "[" + ", ".join(str(d) for d in NDCG_DISCOUNT_MICRO) + "]"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM base WHERE term IN ({in_list})
+        GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+        FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+    scored AS (
+        SELECT h.doc_id, h.term, h.tf,
+               ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (h.tf * {BM25_K1 + 1}) /
+                 (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * h.dl * n_docs
+                                      / CAST(total_dl AS DOUBLE))), 6) AS s
+        FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    ranked AS (
+        SELECT term, tf,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY s DESC, doc_id) AS rn_bm,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rn_ideal
+        FROM scored
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN rn_bm <= {NDCG_K}
+                THEN tf * ({disc})[rn_bm] END), 0) AS BIGINT) AS dcg_micro,
+           CAST(COALESCE(SUM(CASE WHEN rn_ideal <= {NDCG_K}
+                THEN tf * ({disc})[rn_ideal] END), 0) AS BIGINT)
+               AS idcg_micro,
+           CAST(COALESCE(SUM(CASE WHEN rn_bm <= {NDCG_K}
+                THEN tf * ({disc})[rn_bm] END), 0) * 1000000
+                // COALESCE(SUM(CASE WHEN rn_ideal <= {NDCG_K}
+                   THEN tf * ({disc})[rn_ideal] END), 0) AS BIGINT)
+               AS ndcg_ppm
+    FROM ranked
+    GROUP BY term
+    ORDER BY term
+    """
+
+
+@register("retrieval_ndcg_eval", oracle=_ndcg_oracle())
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of single-term BM25 rankings vs graded tf relevance."""
+    return retrieval_ndcg(load_table(spark, sf_dir, "documents"))

@@ -444,3 +444,112 @@ def events_grouped_quantile_sketch(
     return _rank_bracket_certificate(
         events, est, ["event_type", "q"], "n_group"
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-binned (HDR-style) histogram with percentile-from-bins
+# ---------------------------------------------------------------------------
+
+
+def log2_histogram(events: DataFrame) -> DataFrame:
+    """HDR-histogram readout: log2-binned value counts with the p50/p95/
+    p99 BIN flagged in-table — the observability pattern for latency at
+    scale (fixed relative error, ~40 bins regardless of row count, bins
+    merge additively across hosts/partitions/days).
+
+    Values quantize to integer micro-units; ``bin = floor(log2(v))`` is
+    boundary-safe because the only inputs where log2 lands ON an integer
+    are exact powers of two, where IEEE log2 is exact in both engines.
+    The cumulative pass runs over the O(bins) relation (guarded), and a
+    percentile's bin is the first whose cumulative count reaches
+    ``ceil(q·n)`` — pure integer comparison, no interpolation.
+
+    Output per bin: [lo_value, hi_value) bounds as exact dyadic
+    rationals rounded to 6 dp, count, cumulative count, and the three
+    percentile flags.
+    """
+    binned = (
+        events.select(
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("v_micro")
+        )
+        .filter(F.col("v_micro") > 0)
+        .select(F.floor(F.log2("v_micro")).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from .guards import bounded_window_guard
+
+    guarded = bounded_window_guard(binned, "events_log2_histogram", 10_000)
+    w = Window.partitionBy().orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = guarded.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+
+    def _flag(q_num: int, q_den: int):
+        # first bin where cum_n >= ceil(q*total)  <=>  cum_n*q_den >= ...
+        thresh = F.expr(f"(total * {q_num} + {q_den - 1}) div {q_den}")
+        return (F.col("cum_n") >= thresh) & (
+            F.col("cum_n") - F.col("n") < thresh
+        )
+
+    return cum.select(
+        "bin",
+        F.round(F.pow(F.lit(2.0), F.col("bin")) / 1000000.0, 6).alias(
+            "lo_value"
+        ),
+        F.round(F.pow(F.lit(2.0), F.col("bin") + 1) / 1000000.0, 6).alias(
+            "hi_value"
+        ),
+        "n",
+        "cum_n",
+        _flag(1, 2).alias("is_p50_bin"),
+        _flag(19, 20).alias("is_p95_bin"),
+        _flag(99, 100).alias("is_p99_bin"),
+    ).orderBy("bin")
+
+
+_LOG2_HIST_ORACLE = """
+WITH binned AS (
+    SELECT CAST(FLOOR(log2(v_micro)) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        FROM events
+    ) WHERE v_micro > 0
+    GROUP BY 1
+),
+cum AS (
+    SELECT bin, n,
+           CAST(SUM(n) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+           CAST(SUM(n) OVER () AS BIGINT) AS total
+    FROM binned
+)
+SELECT bin,
+       ROUND(2 ** bin / 1000000.0, 6) AS lo_value,
+       ROUND(2 ** (bin + 1) / 1000000.0, 6) AS hi_value,
+       n, cum_n,
+       cum_n >= (total * 1 + 1) // 2
+           AND cum_n - n < (total * 1 + 1) // 2 AS is_p50_bin,
+       cum_n >= (total * 19 + 19) // 20
+           AND cum_n - n < (total * 19 + 19) // 20 AS is_p95_bin,
+       cum_n >= (total * 99 + 99) // 100
+           AND cum_n - n < (total * 99 + 99) // 100 AS is_p99_bin
+FROM cum
+ORDER BY bin
+"""
+
+
+@register("events_log2_histogram", oracle=_LOG2_HIST_ORACLE)
+def events_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style log2 value histogram with in-table percentile bins."""
+    return log2_histogram(load_table(spark, sf_dir, "events"))

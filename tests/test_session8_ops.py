@@ -265,3 +265,87 @@ def test_ndcg_degrades_when_length_norm_reorders(spark):
     got = {r.term: r for r in retrieval_ndcg(docs).collect()}
     assert got[term].ndcg_ppm < 1000000
     assert got[term].dcg_micro < got[term].idcg_micro
+
+
+def test_cuped_perfect_covariate_zeroes_the_diff(spark):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.operators.abtest import (
+        cuped_adjusted_effect,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # outcome == covariate per user (click value = purchase value), with
+    # an arm imbalance: odd users (treatment) spend more.  CUPED with a
+    # perfect covariate must explain the entire raw difference away.
+    for u in range(40):
+        v = 10.0 + u + (5.0 if u % 2 else 0.0)
+        for et in ("click", "purchase"):
+            eid += 1
+            rows.append((eid, t0, u, et, v))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    row = cuped_adjusted_effect(events).collect()[0]
+    assert row.n_users == 40 and row.n_t == 20
+    assert row.theta == 1.0
+    assert row.rho2_ppm >= 999999  # ρ² == 1 up to floor
+    assert abs(row.diff_raw) > 1.0  # raw effect visible
+    assert abs(row.diff_cuped) < 1e-6  # fully explained by the covariate
+
+
+def test_cuped_constant_outcome_has_zero_theta(spark):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.operators.abtest import (
+        cuped_adjusted_effect,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        eid += 1
+        rows.append((eid, t0, u, "click", float(u + 1)))
+        eid += 1
+        rows.append((eid, t0, u, "purchase", 7.0))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    row = cuped_adjusted_effect(events).collect()[0]
+    assert row.theta == 0.0 and row.rho2_ppm == 0
+    assert row.diff_cuped == row.diff_raw
+
+
+def test_log2_histogram_bins_and_percentile_flags(spark):
+    from trafsys_data_transfer_spark.operators.quantiles import (
+        log2_histogram,
+    )
+
+    # 10 values at 1.0 (bin 19: 2^19 <= 1e6 < 2^20) and 90 at 1000.0
+    # (bin 29): p50/p95/p99 all land in bin 29.
+    vals = [1.0] * 10 + [1000.0] * 90
+    events = spark.createDataFrame([(v,) for v in vals], ["value"])
+    rows = {r.bin: r for r in log2_histogram(events).collect()}
+    assert set(rows) == {19, 29}
+    assert rows[19].n == 10 and rows[29].n == 90
+    assert rows[29].cum_n == 100
+    assert not rows[19].is_p50_bin and rows[29].is_p50_bin
+    assert rows[29].is_p95_bin and rows[29].is_p99_bin
+    # dyadic bounds: bin 19 covers [0.524288, 1.048576)
+    assert rows[19].lo_value == 0.524288 and rows[19].hi_value == 1.048576
+
+
+def test_join_cardinality_estimate_upper_bounds_actual(spark):
+    from trafsys_data_transfer_spark.plans.analytics import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    right = spark.createDataFrame([(1,), (2,), (2,)], ["j"])
+    row = join_cardinality_estimate(left, "k", right, "j", "t").collect()[0]
+    assert row.actual == 4  # 2*(1 match) + 1*(2 matches)
+    assert row.est >= row.actual  # collisions only inflate
+    assert row.err_ppm >= 1000000

@@ -232,14 +232,19 @@ def cuped_adjusted_effect(events: DataFrame) -> DataFrame:
         F.col("n").alias("n_users"),
         F.col("n_t").cast("long").alias("n_t"),
         (F.col("n") - F.col("n_t")).cast("long").alias("n_c"),
+        # zero-variance guards: a constant covariate admits no
+        # adjustment (θ = 0); a constant outcome has ρ² = 0.
         F.expr(
-            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
-            "      / CAST(n * sxx - sx * sx AS DOUBLE), 6)"
+            "CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "       / CAST(n * sxx - sx * sx AS DOUBLE), 6)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
         ).alias("theta"),
         F.expr(
-            "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
-            "     div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
-            "     AS BIGINT)"
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+            " CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
+            "      div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            "      AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         ).alias("rho2_ppm"),
         F.expr(
             "ROUND(CAST(sy_t AS DOUBLE) / n_t / 100.0"
@@ -248,8 +253,10 @@ def cuped_adjusted_effect(events: DataFrame) -> DataFrame:
         F.expr(
             "ROUND((CAST(sy_t AS DOUBLE) / n_t / 100.0"
             "       - CAST(sy_c AS DOUBLE) / (n - n_t) / 100.0)"
-            "      - (CAST(n * sxy - sx * sy AS DOUBLE)"
-            "         / CAST(n * sxx - sx * sx AS DOUBLE))"
+            "      - (CASE WHEN n * sxx - sx * sx > 0 THEN"
+            "          CAST(n * sxy - sx * sy AS DOUBLE)"
+            "          / CAST(n * sxx - sx * sx AS DOUBLE)"
+            "         ELSE 0.0 END)"
             "        * (CAST(sx_t AS DOUBLE) / n_t / 100.0"
             "           - CAST(sx_c AS DOUBLE) / (n - n_t) / 100.0), 6)"
         ).alias("diff_cuped"),
@@ -283,17 +290,23 @@ m AS (
     FROM per_user
 )
 SELECT n AS n_users, n_t, CAST(n - n_t AS BIGINT) AS n_c,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
-       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-            // ((n * sxx - sx * sx) * (n * syy - sy * sy))
-            AS BIGINT) AS rho2_ppm,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       ELSE 0.0 END AS theta,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+            CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                 // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS rho2_ppm,
        ROUND(CAST(sy_t AS DOUBLE) / n_t / 100.0
              - CAST(sy_c AS DOUBLE) / (n - n_t) / 100.0, 6) AS diff_raw,
        ROUND((CAST(sy_t AS DOUBLE) / n_t / 100.0
               - CAST(sy_c AS DOUBLE) / (n - n_t) / 100.0)
-             - (CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE))
+             - (CASE WHEN n * sxx - sx * sx > 0 THEN
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END)
                * (CAST(sx_t AS DOUBLE) / n_t / 100.0
                   - CAST(sx_c AS DOUBLE) / (n - n_t) / 100.0), 6)
            AS diff_cuped

@@ -1952,3 +1952,130 @@ def events_duplicate_submission_audit(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("user_id", "event_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based join-cardinality estimation audit (optimizer profiling)
+# ---------------------------------------------------------------------------
+
+#: Hash buckets for the key histograms.  64 buckets is the classic
+#: coarse-histogram regime where the estimator's upper-bound bias is
+#: visible; production CBO histograms tune this per column.
+JOINCARD_BUCKETS = 64
+
+
+def join_cardinality_estimate(
+    left: DataFrame, lkey: str, right: DataFrame, rkey: str, join_name: str
+) -> DataFrame:
+    """Estimate ``|L ⋈ R|`` from B-bucket hashed key histograms and audit
+    it against the true count — the cost-based-optimizer statistic that
+    decides join order and broadcast choices before a single row moves.
+
+    ``est = Σ_b c_L(b)·c_R(b)`` is exact when every bucket holds one key
+    and an upper bound otherwise (hash collisions merge keys, inflating
+    the product) — so ``err_ppm = est·1e6 div actual ≥ 1e6``, and how
+    far above 1e6 it sits measures what B buckets cost in planning
+    accuracy on this key distribution.
+
+    Scale shape: the two histograms are O(rows) scans aggregating to B
+    rows each (map-side combinable), their product-join is B×B-bounded;
+    only the audit's ground-truth count touches a real join.  At 100 TB
+    the estimator side runs at statistics-collection cost — this is
+    precisely why engines keep histograms instead of counting joins.
+    """
+    from ..operators.dedup import portable_hash60
+
+    def hist(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(
+                (
+                    portable_hash60(F.col(key).cast("string"))
+                    % JOINCARD_BUCKETS
+                ).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    lh = hist(left, lkey).withColumnRenamed("c", "cl")
+    rh = hist(right, rkey).withColumnRenamed("c", "cr")
+    est = (
+        lh.join(rh, "b")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(cl AS DECIMAL(38,0)) * cr")), F.lit(0)
+            )
+            .cast("long")
+            .alias("est")
+        )
+    )
+    actual = (
+        left.select(F.col(lkey).alias("k"))
+        .join(right.select(F.col(rkey).alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    sizes = left.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+        right.agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            F.lit(join_name).alias("join_name"),
+            "n_left",
+            "n_right",
+            "est",
+            "actual",
+            F.expr("est * 1000000 div actual").alias("err_ppm"),
+        )
+    )
+
+
+def _joincard_oracle() -> str:
+    from ..operators.dedup import PORTABLE_HASH60_SQL
+
+    def hist(table: str, key: str) -> str:
+        h = PORTABLE_HASH60_SQL.format(s=f"CAST({key} AS VARCHAR)")
+        return (
+            f"SELECT ({h}) % {JOINCARD_BUCKETS} AS b, "
+            f"CAST(COUNT(*) AS BIGINT) AS c FROM {table} GROUP BY 1"
+        )
+
+    def one(join_name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+        return f"""
+    SELECT '{join_name}' AS join_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
+           CAST((SELECT COALESCE(SUM(CAST(lh.c AS HUGEINT) * rh.c), 0)
+                 FROM ({hist(lt, lk)}) lh JOIN ({hist(rt, rk)}) rh
+                      USING (b)) AS BIGINT) AS est,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk}) AS actual,
+           CAST((SELECT COALESCE(SUM(CAST(lh.c AS HUGEINT) * rh.c), 0)
+                 FROM ({hist(lt, lk)}) lh JOIN ({hist(rt, rk)}) rh
+                      USING (b)) * 1000000
+                // (SELECT COUNT(*) FROM {lt} l JOIN {rt} r
+                    ON l.{lk} = r.{rk}) AS BIGINT) AS err_ppm
+    """
+
+    return (
+        one("orders_customer", "orders", "o_custkey", "customer", "c_custkey")
+        + "\n    UNION ALL\n"
+        + one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        + "\n    ORDER BY join_name"
+    )
+
+
+@register("profile_join_cardinality", oracle=_joincard_oracle())
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-histogram join-cardinality estimates audited against true
+    join counts for the two TPC-H FK joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = join_cardinality_estimate(
+        orders, "o_custkey", customer, "c_custkey", "orders_customer"
+    )
+    b = join_cardinality_estimate(
+        lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orders"
+    )
+    return a.unionByName(b).orderBy("join_name")

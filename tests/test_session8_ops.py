@@ -349,3 +349,78 @@ def test_join_cardinality_estimate_upper_bounds_actual(spark):
     assert row.actual == 4  # 2*(1 match) + 1*(2 matches)
     assert row.est >= row.actual  # collisions only inflate
     assert row.err_ppm >= 1000000
+
+
+def test_source_ablation_algebra(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        source_ablation,
+    )
+
+    # Source A: all kept; source B: none kept (too short for the Gopher
+    # word minimum).  Dropping B must raise the corpus rate; delta < 0.
+    # 33 words, mean word length 3.8, 6 stopword hits -> passes the gate
+    good = " ".join(["the cat and dog run into town with great speed today"] * 3)
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "A"),
+            (2, good, "en", "A"),
+            (3, "tiny", "en", "B"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {r.source: r for r in source_ablation(docs).collect()}
+    assert got["A"].rate_own_ppm == 1000000
+    assert got["B"].rate_own_ppm == 0
+    assert got["B"].rate_without_ppm == 1000000
+    # full rate 2/3; dropping B raises it -> B's delta is negative
+    assert got["B"].delta_ppm < 0 < got["A"].delta_ppm
+
+
+def test_bandit_ips_identity_policy_recovers_full_value(spark):
+    from trafsys_data_transfer_spark.operators.evalmetrics import (
+        BANDIT_ACTIONS,
+        bandit_ips_replay,
+    )
+
+    # Make every logged action match the target policy by construction:
+    # give each user exactly the action the hash route picks.  Then
+    # n_match == n and the IPS estimate is K * mean(reward) — the known
+    # uniform-logging identity.
+    from trafsys_data_transfer_spark.operators.dedup import portable_hash60
+
+    users = spark.range(50).select(F.col("id").alias("user_id"))
+    k = len(BANDIT_ACTIONS)
+    act = F.array(*[F.lit(a) for a in BANDIT_ACTIONS])
+    events = users.select(
+        "user_id",
+        F.element_at(
+            act,
+            (portable_hash60(F.col("user_id").cast("string")) % k + 1).cast(
+                "int"
+            ),
+        ).alias("event_type"),
+        F.lit(2.0).alias("value"),
+    )
+    row = bandit_ips_replay(events).collect()[0]
+    assert row.n_match == row.n == 50
+    assert row.value_logged == 2.0
+    assert row.value_target_ips == 2.0 * k
+
+
+def test_flesch_simple_counts(spark):
+    from trafsys_data_transfer_spark.operators.text import (
+        readability_flesch,
+    )
+
+    # "go on. me too." -> 4 words, 2 sentences, 4 vowel groups
+    docs = spark.createDataFrame(
+        [(1, "go on. me too.", "en")], ["doc_id", "text", "lang"]
+    )
+    row = readability_flesch(docs).collect()[0]
+    assert (row.total_words, row.total_sentences, row.total_syllables) == (
+        4,
+        2,
+        4,
+    )
+    expected = round(206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4), 6)
+    assert row.flesch_score == expected

@@ -1394,3 +1394,189 @@ def _ndcg_oracle() -> str:
 def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 of single-term BM25 rankings vs graded tf relevance."""
     return retrieval_ndcg(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out ablation (data valuation)
+# ---------------------------------------------------------------------------
+
+
+def source_ablation(docs: DataFrame) -> DataFrame:
+    """Per-source contribution to the corpus quality rate by
+    leave-one-out ablation — the cheapest data-valuation readout: how
+    does the Gopher keep-rate move if this source is dropped?
+
+    The ablation needs NO recomputation per source: keep-rate without
+    source s is ``(K − k_s) / (N − n_s)`` from the same per-source
+    sufficient statistics — one aggregation, then O(sources) algebra.
+    (Shapley-style valuations sample many subsets; each subset's value
+    folds from these identical per-source partials.)
+
+    Output per source: doc count, kept count, the source's own keep
+    rate, the corpus rate without it, and the signed delta the source
+    contributes — all exact ppm integers.
+    """
+    labeled = _scored_labeled(docs).select("doc_id", "y")
+    per_source = (
+        docs.select("doc_id", "source")
+        .join(labeled, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"), F.sum("y").alias("k_s"))
+    )
+    totals = per_source.agg(
+        F.sum("n_s").alias("n_all"), F.sum("k_s").alias("k_all")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_s",
+            "k_s",
+            F.expr("k_s * 1000000 div n_s").alias("rate_own_ppm"),
+            F.expr("k_all * 1000000 div n_all").alias("rate_full_ppm"),
+            F.expr(
+                "(k_all - k_s) * 1000000 div (n_all - n_s)"
+            ).alias("rate_without_ppm"),
+            F.expr(
+                "k_all * 1000000 div n_all"
+                " - (k_all - k_s) * 1000000 div (n_all - n_s)"
+            ).alias("delta_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_ABLATION_ORACLE = f"""
+WITH {_SCORED_SQL},
+per_source AS (
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_s,
+           CAST(SUM(m.y) AS BIGINT) AS k_s
+    FROM documents d JOIN mscored m USING (doc_id)
+    GROUP BY d.source
+),
+totals AS (
+    SELECT CAST(SUM(n_s) AS BIGINT) AS n_all,
+           CAST(SUM(k_s) AS BIGINT) AS k_all
+    FROM per_source
+)
+SELECT source, n_s, k_s,
+       CAST(k_s * 1000000 // n_s AS BIGINT) AS rate_own_ppm,
+       CAST(k_all * 1000000 // n_all AS BIGINT) AS rate_full_ppm,
+       CAST((k_all - k_s) * 1000000 // (n_all - n_s) AS BIGINT)
+           AS rate_without_ppm,
+       CAST(k_all * 1000000 // n_all
+            - (k_all - k_s) * 1000000 // (n_all - n_s) AS BIGINT)
+           AS delta_ppm
+FROM per_source CROSS JOIN totals
+ORDER BY source
+"""
+
+
+@register("docs_source_ablation", oracle=_ABLATION_ORACLE)
+def docs_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out keep-rate ablation (data valuation)."""
+    return source_ablation(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Offline policy evaluation (inverse-propensity replay)
+# ---------------------------------------------------------------------------
+
+#: Actions the replayed policy chooses among (the logged action space).
+BANDIT_ACTIONS = ("click", "purchase", "signup", "view", "error")
+
+
+def bandit_ips_replay(events: DataFrame) -> DataFrame:
+    """Inverse-propensity-scoring estimate of a deterministic target
+    policy's value from uniformly-logged events — the offline A/B: score
+    a NEW routing/ranking policy on yesterday's logs without deploying
+    it.
+
+    With logging propensity 1/K uniform over K actions, the IPS
+    estimator is ``K · mean(reward · 1[π(user) = logged action])``.  The
+    target policy here is a deterministic hash route
+    ``π(user) = actions[hash(user) mod K]`` — the injection seam where a
+    trained policy's argmax plugs in; the estimator algebra (and the
+    plan: one narrow scan, one fold) is unchanged.
+
+    Rewards quantize to integer micro-units; the output carries the
+    exact (sum, count) pairs plus rounded value estimates for the
+    logged baseline and the target policy.
+    """
+    k = len(BANDIT_ACTIONS)
+    act = F.array(*[F.lit(a) for a in BANDIT_ACTIONS])
+    tagged = events.select(
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("r_micro"),
+        F.col("event_type").alias("logged"),
+        F.element_at(
+            act,
+            (portable_hash60(F.col("user_id").cast("string")) % k + 1).cast(
+                "int"
+            ),
+        ).alias("target"),
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_micro").alias("sum_r"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("logged") == F.col("target"), F.col("r_micro"))
+            ),
+            F.lit(0),
+        ).alias("sum_r_match"),
+        F.coalesce(
+            F.sum(F.when(F.col("logged") == F.col("target"), 1)), F.lit(0)
+        ).alias("n_match"),
+    )
+    return agg.select(
+        "n",
+        "n_match",
+        "sum_r",
+        "sum_r_match",
+        F.round(
+            F.col("sum_r").cast("double") / F.col("n") / 1000000.0, 6
+        ).alias("value_logged"),
+        F.round(
+            F.lit(k)
+            * F.col("sum_r_match").cast("double")
+            / F.col("n")
+            / 1000000.0,
+            6,
+        ).alias("value_target_ips"),
+    )
+
+
+_BANDIT_HASH = PORTABLE_HASH60_SQL.format(s="CAST(user_id AS VARCHAR)")
+_BANDIT_ACT_SQL = "[" + ", ".join(f"'{a}'" for a in BANDIT_ACTIONS) + "]"
+
+_BANDIT_ORACLE = f"""
+WITH tagged AS (
+    SELECT CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS r_micro,
+           event_type AS logged,
+           ({_BANDIT_ACT_SQL})[
+               CAST(({_BANDIT_HASH}) % {len(BANDIT_ACTIONS)} + 1 AS INT)
+           ] AS target
+    FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN logged = target THEN 1 END), 0)
+            AS BIGINT) AS n_match,
+       CAST(SUM(r_micro) AS BIGINT) AS sum_r,
+       CAST(COALESCE(SUM(CASE WHEN logged = target THEN r_micro END), 0)
+            AS BIGINT) AS sum_r_match,
+       ROUND(CAST(SUM(r_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+           AS value_logged,
+       ROUND({len(BANDIT_ACTIONS)}
+             * CAST(COALESCE(SUM(CASE WHEN logged = target
+                                 THEN r_micro END), 0) AS DOUBLE)
+             / COUNT(*) / 1000000.0, 6) AS value_target_ips
+FROM tagged
+"""
+
+
+@register("events_bandit_ips", oracle=_BANDIT_ORACLE)
+def events_bandit_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS offline policy evaluation of a hash-routed target policy."""
+    return bandit_ips_replay(load_table(spark, sf_dir, "events"))

@@ -1528,3 +1528,85 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease (readability as a quality feature)
+# ---------------------------------------------------------------------------
+
+
+def readability_flesch(docs: DataFrame) -> DataFrame:
+    """Flesch reading ease per language cohort:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``.
+
+    Syllables are approximated by vowel-group count (the standard
+    dictionary-free heuristic), sentences by terminal-punctuation
+    splits, floored at 1.  All three inputs are INTEGER counts from one
+    regexp pass, aggregated exactly per language — the formula's doubles
+    touch only those exact integer sums, rounded once.  Another narrow
+    scan-bound quality feature: zero shuffle beyond the O(langs) rollup.
+    """
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]")).cast("long"), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[aeiouy]+")).cast("long"),
+        F.lit(1),
+    )
+    per_doc = docs.select(
+        "lang",
+        n_words.alias("w"),
+        n_sents.alias("s"),
+        n_syll.alias("y"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum("s").alias("ss"),
+        F.sum("y").alias("sy"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("sw").cast("double") / F.col("ss"))
+        - F.lit(84.6) * (F.col("sy").cast("double") / F.col("sw"))
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("sw").alias("total_words"),
+        F.col("ss").alias("total_sentences"),
+        F.col("sy").alias("total_syllables"),
+        F.round(flesch, 6).alias("flesch_score"),
+    ).orderBy("lang")
+
+
+_FLESCH_ORACLE = r"""
+WITH per_doc AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+           GREATEST(CAST(len(regexp_extract_all(text, '[.!?]'))
+                    AS BIGINT), 1) AS s,
+           GREATEST(CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                    AS BIGINT), 1) AS y
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       CAST(SUM(s) AS BIGINT) AS total_sentences,
+       CAST(SUM(y) AS BIGINT) AS total_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(SUM(w) AS DOUBLE) / SUM(s))
+             - 84.6 * (CAST(SUM(y) AS DOUBLE) / SUM(w)), 6)
+           AS flesch_score
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_readability_flesch", oracle=_FLESCH_ORACLE)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language from exact integer count sums."""
+    return readability_flesch(load_table(spark, sf_dir, "documents"))

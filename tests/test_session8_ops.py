@@ -424,3 +424,25 @@ def test_flesch_simple_counts(spark):
     )
     expected = round(206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4), 6)
     assert row.flesch_score == expected
+
+
+def test_matryoshka_full_dim_recall_is_perfect(spark):
+    from trafsys_data_transfer_spark.operators.similarity import (
+        MATRYOSHKA_K,
+        matryoshka_recall,
+    )
+
+    # 20 deterministic 64-dim vectors; the 64-dim tier compares the
+    # ranking against itself so its recall must be exactly 1.0, and
+    # every tier's overlap is bounded by k * |queries|.
+    def vec(i):
+        return [((i * 37 + j * 11) % 19) / 19.0 + 0.01 for j in range(64)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], ["vec_id", "embedding"]
+    )
+    rows = {r.dim: r for r in matryoshka_recall(emb).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64].recall_ppm == 1000000
+    for r in rows.values():
+        assert 0 <= r.n_overlap <= MATRYOSHKA_K * r.n_queries

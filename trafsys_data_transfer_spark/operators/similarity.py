@@ -1933,3 +1933,124 @@ def knn_label_noise(
 def embeddings_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mislabel audit: vectors whose LSH-kNN majority label disagrees."""
     return knn_label_noise(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (dimension-budget eval)
+# ---------------------------------------------------------------------------
+
+#: Prefix lengths evaluated against the full 64-dim ranking.
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+MATRYOSHKA_K = 5
+MATRYOSHKA_MAX_QID = 8
+
+
+def matryoshka_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of PREFIX-truncated cosine rankings against the full-
+    dimension ranking — the Matryoshka-embedding eval: how many
+    dimensions can serving truncate away (bandwidth, index size, probe
+    FLOPs all scale with d) before top-k quality degrades?
+
+    For each prefix length d: exact cosine top-k over ``embedding[0:d]``,
+    intersected per query with the full-d top-k; recall is the exact
+    integer ratio ``Σ overlap · 1e6 div (k · |queries|)``.  Rankings
+    order by the 6-dp-rounded score with id tie-break, so both engines'
+    cutoffs are identical.
+
+    Scale shape: one broadcast(queries) ⋈ corpus pass per dim tier, the
+    slice narrowing each tier's arithmetic (at 100 TB the tiers probe a
+    STORED truncated index instead — the ranking and recall algebra here
+    are unchanged); the intersection joins are O(|queries|·k) rows.
+    """
+    q = emb.filter(F.col("vec_id") < MATRYOSHKA_MAX_QID).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+    )
+
+    def topk_at(d: int) -> DataFrame:
+        qd = F.slice(F.col("qv"), 1, d)
+        cd = F.slice(F.col("cv"), 1, d)
+        scored = (
+            c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("s", F.round(cosine(qd, cd), 6))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("s"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= MATRYOSHKA_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk_at(64)
+    out = None
+    n_q = q.count()
+    for d in MATRYOSHKA_DIMS:
+        overlap = (
+            topk_at(d)
+            .join(full, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                F.lit(n_q).cast("long").alias("n_queries"),
+                "n_overlap",
+                F.expr(
+                    f"n_overlap * 1000000 div {MATRYOSHKA_K * n_q}"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = overlap if out is None else out.unionByName(overlap)
+    return out.orderBy("dim")
+
+
+def _matryoshka_oracle() -> str:
+    def topk_cte(name: str, d: int) -> str:
+        return f"""{name} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           (q.embedding::DOUBLE[])[1:{d}],
+                           (c.embedding::DOUBLE[])[1:{d}]), 6) DESC,
+                                c.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {MATRYOSHKA_MAX_QID}
+        ) WHERE rank <= {MATRYOSHKA_K}
+    )"""
+
+    ctes = [topk_cte("tk_full", 64)]
+    selects = []
+    for d in MATRYOSHKA_DIMS:
+        ctes.append(topk_cte(f"tk_{d}", d))
+        selects.append(
+            f"""SELECT CAST({d} AS BIGINT) AS dim,
+               (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)
+                FROM tk_full) AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM tk_{d} t JOIN tk_full f USING (query_id, neighbor_id))
+                   AS n_overlap,
+               CAST((SELECT COUNT(*) FROM tk_{d} t
+                     JOIN tk_full f USING (query_id, neighbor_id))
+                    * 1000000 // ({MATRYOSHKA_K}
+                    * (SELECT COUNT(DISTINCT query_id) FROM tk_full))
+                    AS BIGINT) AS recall_ppm"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY dim"
+    )
+
+
+@register("sim_matryoshka_recall", oracle=_matryoshka_oracle())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of prefix-truncated cosine rankings vs the full 64 dims."""
+    return matryoshka_recall(load_table(spark, sf_dir, "embeddings"))

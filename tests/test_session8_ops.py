@@ -446,3 +446,83 @@ def test_matryoshka_full_dim_recall_is_perfect(spark):
     assert rows[64].recall_ppm == 1000000
     for r in rows.values():
         assert 0 <= r.n_overlap <= MATRYOSHKA_K * r.n_queries
+
+
+def test_bh_fdr_step_up_rejects_prefix(spark):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.operators.abtest import (
+        bh_fdr_correction,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # Plant a strong effect on 'boost' (only odd users do it) and leave
+    # 'flat' balanced: BH must rank boost first and flag it, and the
+    # flagged set must be a prefix of the ranking (step-up property).
+    for u in range(200):
+        eid += 1
+        rows.append((eid, t0, u, "flat", 1.0))
+        if u % 2 == 1:
+            eid += 1
+            rows.append((eid, t0, u, "boost", 1.0))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = bh_fdr_correction(events).collect()
+    by_name = {r.event_type: r for r in out}
+    assert by_name["boost"].rnk == 1 and by_name["boost"].fdr_significant
+    assert not by_name["flat"].fdr_significant
+    # step-up prefix property
+    sig_rnks = sorted(r.rnk for r in out if r.fdr_significant)
+    assert sig_rnks == list(range(1, len(sig_rnks) + 1))
+
+
+def test_mde_scales_down_with_sample_size(spark):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.operators.abtest import mde_readout
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def events_of(n_users):
+        rows = []
+        for u in range(n_users):
+            rows.append((u + 1, t0, u, "m", 1.0))
+        return spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+
+    # conversion rate 100% -> p(1-p)=0 -> mde 0; instead convert half
+    def events_half(n_users):
+        rows = []
+        eid = 0
+        for u in range(n_users):
+            eid += 1
+            rows.append((eid, t0, u, "m" if u % 4 < 2 else "other", 1.0))
+        return spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+
+    small = {r.event_type: r.mde for r in mde_readout(events_half(80)).collect()}
+    big = {r.event_type: r.mde for r in mde_readout(events_half(800)).collect()}
+    assert big["m"] < small["m"]  # 10x users shrink the detectable effect
+
+
+def test_canonical_dedup_catches_case_and_punct_variants(spark):
+    from trafsys_data_transfer_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (5, "Hello, World!"),
+            (9, "hello   world"),
+            (2, "HELLO world."),
+            (7, "entirely different"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = dedup_canonical(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].keeper_id == 2  # min doc_id of the class
+    assert rows[0].n_copies == 3 and rows[0].n_distinct_raw == 3

@@ -38,7 +38,7 @@ map-side partials both times; the final stats table is O(event types).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -318,3 +318,227 @@ FROM m
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED covariate-adjusted A/B effect with exact moment arithmetic."""
     return cuped_adjusted_effect(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Multiple-testing correction (Benjamini-Hochberg step-up) and MDE
+# ---------------------------------------------------------------------------
+
+#: χ²(1) inverse CDF at p = i·0.01 for i = 1..5 — the BH step-up
+#: thresholds for m = 5 metrics at FDR q = 0.05, inlined ×1e6 as integer
+#: LITERALS so the whole correction is integer comparison.  (z² is
+#: monotone in the p-value, so ranking by z² descending IS ranking by p
+#: ascending and no CDF evaluation ever happens in-plan.)
+BH_THRESH_PPM = (6634897, 5411894, 4709292, 4217885, 3841459)
+
+
+def _ab_wide(events: DataFrame):
+    """Shared (event_type, c1, c2, n1, n2) conversion relation — the
+    sufficient statistics all experiment readouts fold from."""
+    per_user = events.select(
+        "user_id", (F.col("user_id") % 2).alias("variant"), "event_type"
+    ).distinct()
+    users = (
+        events.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    conv = per_user.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wide = conv.groupBy("event_type").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("c")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("c")).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    arms = (
+        users.groupBy()
+        .pivot("variant", [0, 1])
+        .agg(F.first("n"))
+        .toDF("n1", "n2")
+    )
+    return wide.join(F.broadcast(arms))
+
+
+_AB_WIDE_SQL = """
+    per_user AS (
+        SELECT user_id, user_id % 2 AS variant, event_type
+        FROM events GROUP BY user_id, event_type
+    ),
+    users AS (
+        SELECT user_id % 2 AS variant, COUNT(DISTINCT user_id) AS n
+        FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT event_type, variant, COUNT(*) AS c
+        FROM per_user GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT c.event_type,
+               MAX(CASE WHEN c.variant = 0 THEN c.c ELSE 0 END) AS c1,
+               MAX(CASE WHEN c.variant = 1 THEN c.c ELSE 0 END) AS c2,
+               (SELECT n FROM users WHERE variant = 0) AS n1,
+               (SELECT n FROM users WHERE variant = 1) AS n2
+        FROM conv c GROUP BY c.event_type
+    )
+"""
+
+_Z2_SQL_DUCK = """CAST(CASE WHEN (c1 + c2) > 0 AND (n1 + n2 - c1 - c2) > 0
+     THEN (CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1)
+          * (CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1)
+          * (n1 + n2) * 1000000
+          // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+              * (n1 + n2 - c1 - c2))
+     ELSE 0 END AS BIGINT)"""
+
+
+def bh_fdr_correction(events: DataFrame) -> DataFrame:
+    """Benjamini-Hochberg step-up over the per-metric z² tests: rank
+    metrics by evidence (z² descending ⇔ p ascending), pass rank i iff
+    ``z²_(i) ≥ χ²-inv(1 − i·q/m)``, then reject every metric up to the
+    LARGEST passing rank — the step-up that controls the false-discovery
+    rate at q across the whole metric battery, where per-metric 2σ flags
+    would inflate family-wise false positives m-fold.
+
+    Thresholds are integer ppm literals (the χ² quantiles for m = 5,
+    q = 0.05); the ranking window runs over the guarded O(metrics)
+    relation; every comparison is exact integer.
+    """
+    from .guards import bounded_window_guard
+
+    wide = _ab_wide(events).select(
+        "event_type", "c1", "c2", "n1", "n2", F.expr(Z2_EXPR).alias("z2_ppm")
+    )
+    thresh = F.array(*[F.lit(t) for t in BH_THRESH_PPM])
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("z2_ppm"), F.asc("event_type")
+    )
+    ranked = (
+        bounded_window_guard(wide, "events_ab_fdr", 10_000)
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "thresh_ppm",
+            F.element_at(thresh, F.least(F.col("rnk"), F.lit(len(BH_THRESH_PPM)))),
+        )
+        .withColumn("passed", F.col("z2_ppm") >= F.col("thresh_ppm"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        ranked.withColumn(
+            "max_passed_rnk",
+            F.coalesce(
+                F.max(F.when(F.col("passed"), F.col("rnk"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("rnk").cast("long").alias("rnk"),
+            "z2_ppm",
+            F.col("thresh_ppm").cast("long").alias("thresh_ppm"),
+            "passed",
+            (F.col("rnk") <= F.col("max_passed_rnk")).alias("fdr_significant"),
+        )
+        .orderBy("rnk")
+    )
+
+
+_BH_ARR = "[" + ", ".join(str(t) for t in BH_THRESH_PPM) + "]"
+
+_FDR_ORACLE = f"""
+WITH {_AB_WIDE_SQL},
+scored AS (
+    SELECT event_type, {_Z2_SQL_DUCK} AS z2_ppm FROM wide
+),
+ranked AS (
+    SELECT event_type, z2_ppm,
+           ROW_NUMBER() OVER (ORDER BY z2_ppm DESC, event_type) AS rnk
+    FROM scored
+),
+flagged AS (
+    SELECT event_type, rnk, z2_ppm,
+           ({_BH_ARR})[LEAST(rnk, {len(BH_THRESH_PPM)})] AS thresh_ppm,
+           z2_ppm >= ({_BH_ARR})[LEAST(rnk, {len(BH_THRESH_PPM)})] AS passed
+    FROM ranked
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, z2_ppm,
+       CAST(thresh_ppm AS BIGINT) AS thresh_ppm, passed,
+       rnk <= COALESCE((SELECT MAX(rnk) FROM flagged WHERE passed), 0)
+           AS fdr_significant
+FROM flagged
+ORDER BY rnk
+"""
+
+
+@register("events_ab_fdr", oracle=_FDR_ORACLE)
+def events_ab_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH false-discovery-rate correction across the per-metric z² tests."""
+    return bh_fdr_correction(load_table(spark, sf_dir, "events"))
+
+
+def mde_readout(events: DataFrame) -> DataFrame:
+    """Minimum detectable effect at the current sample sizes: per metric,
+    the smallest rate difference a 2-sided α = 0.05 test detects with
+    80% power — ``(z_α + z_β)·√(p̄(1−p̄)·(1/n₁+1/n₂))`` — next to the
+    observed difference, answering "is this flat metric POWERED or just
+    undersized?".
+
+    Doubles appear only in the final closed form over exact integer
+    counts (IEEE sqrt is exactly rounded, so both engines agree), with
+    one ROUND.  Same two-shuffle statistics fold as every readout here.
+    """
+    wide = _ab_wide(events)
+    expr = (
+        "ROUND((1.959964 + 0.841621)"
+        " * sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+        "        * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+        "        * (1.0 / n1 + 1.0 / n2)), 6)"
+    )
+    return (
+        wide.select(
+            "event_type",
+            F.expr("c1 * 1000000 div n1").alias("rate1_ppm"),
+            F.expr("c2 * 1000000 div n2").alias("rate2_ppm"),
+            F.expr(
+                "ROUND(ABS(CAST(c2 AS DOUBLE) / n2"
+                "          - CAST(c1 AS DOUBLE) / n1), 6)"
+            ).alias("observed_diff"),
+            F.expr(expr).alias("mde"),
+            F.expr(
+                f"ABS(CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)"
+                f" >= {0} + " + expr
+            ).alias("powered_detection"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MDE_ORACLE = f"""
+WITH {_AB_WIDE_SQL}
+SELECT event_type,
+       CAST(c1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+       CAST(c2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
+       ROUND(ABS(CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1), 6)
+           AS observed_diff,
+       ROUND((1.959964 + 0.841621)
+             * sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS mde,
+       ABS(CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)
+           >= 0 + ROUND((1.959964 + 0.841621)
+              * sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                     * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                     * (1.0 / n1 + 1.0 / n2)), 6) AS powered_detection
+FROM wide
+ORDER BY event_type
+"""
+
+
+@register("events_ab_mde", oracle=_MDE_ORACLE)
+def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per metric at the current arm sizes."""
+    return mde_readout(load_table(spark, sf_dir, "events"))

@@ -1308,3 +1308,71 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonicalized exact dedup (normalization tier)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_text(col: Column) -> Column:
+    """Dedup canonical form: lowercase, strip non-alphanumerics to
+    spaces, collapse runs, trim — the normalization that catches the
+    re-crawled page whose only delta is casing/punctuation/whitespace,
+    which byte-exact dedup misses entirely.  Pure builtin expressions;
+    the canonical string never needs to be stored — only its hash keys
+    the groupBy."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def dedup_canonical(docs: DataFrame) -> DataFrame:
+    """Exact dedup on the canonical form: one row per canonical class
+    that has >1 member, keeper = min doc_id, plus how many of the class
+    members were byte-distinct (the normalization's catch over plain
+    exact dedup).  One hash aggregation on the canonical-hash key."""
+    classes = docs.select(
+        "doc_id",
+        portable_hash60(canonicalize_text(F.col("text"))).alias("h"),
+        F.col("text"),
+    )
+    return (
+        classes.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("text").alias("n_distinct_raw"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies", "n_distinct_raw")
+        .orderBy("keeper_id")
+    )
+
+
+_CANON_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+_CANON_ORACLE = f"""
+WITH classes AS (
+    SELECT doc_id, {PORTABLE_HASH60_SQL.format(s=_CANON_SQL)} AS h, text
+    FROM documents
+)
+SELECT MIN(doc_id) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_raw
+FROM classes
+GROUP BY h
+HAVING COUNT(*) > 1
+ORDER BY keeper_id
+"""
+
+
+@register("dedup_canonical_exact", oracle=_CANON_ORACLE)
+def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over case/punctuation/whitespace-normalized text."""
+    return dedup_canonical(load_table(spark, sf_dir, "documents"))

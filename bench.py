@@ -167,6 +167,7 @@ WORK_IN_BUILD = {
     # round 11 sessions 6-8: stream drains / iterative loops in build()
     "streaming_fd_audit",
     "streaming_classifier_auc",
+    "streaming_log2_histogram",
     "graph_temporal_reach",
     "events_markov_stationary",
     "docs_coverage_greedy",

@@ -526,3 +526,87 @@ def test_canonical_dedup_catches_case_and_punct_variants(spark):
     assert len(rows) == 1
     assert rows[0].keeper_id == 2  # min doc_id of the class
     assert rows[0].n_copies == 3 and rows[0].n_distinct_raw == 3
+
+
+def test_feature_snapshot_trend_and_recency(spark):
+    import datetime as dt
+
+    from trafsys_data_transfer_spark.operators.features import (
+        user_feature_snapshot,
+    )
+
+    rows = []
+    eid = 0
+    # user 1: 1/2/3 events on days 0/1/2 -> slope exactly +1/day;
+    # last active day 2 == anchor -> recency 0.
+    for day, n in ((0, 1), (1, 2), (2, 3)):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day), 1, "click", 1.0)
+            )
+    # user 2: single purchase of 2.5 on day 0 -> recency 2, slope 0.
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1), 2, "purchase", 2.5))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {r.user_id: r for r in user_feature_snapshot(events).collect()}
+    u1 = got[1]
+    assert (u1.n_events, u1.active_days, u1.recency_days) == (6, 3, 0)
+    assert u1.trend_slope == 1.0 and u1.n_purchases == 0
+    u2 = got[2]
+    assert (u2.n_events, u2.recency_days) == (1, 2)
+    assert u2.monetary_micro == 2500000 and u2.trend_slope == 0.0
+
+
+def test_negative_sampling_kinds_and_disjointness(spark):
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        BM25_QUERY,
+        NEG_N_HARD,
+        NEG_N_POS,
+        NEG_N_RAND,
+        negative_sampling_pairs,
+    )
+
+    term = BM25_QUERY[0]
+    # 8 docs containing the term with distinct tf, plus 5 without it.
+    docs = spark.createDataFrame(
+        [(i, " ".join([term] * (9 - i) + ["pad"] * 5)) for i in range(1, 9)]
+        + [(100 + i, "no match here at all") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    rows = [r for r in negative_sampling_pairs(docs).collect() if r.term == term]
+    pos_ids = {r.pos_doc_id for r in rows}
+    rand_ids = {r.neg_doc_id for r in rows if r.neg_kind == "random"}
+    assert len(pos_ids) == NEG_N_POS
+    # every pos pairs with every negative
+    assert len(rows) == NEG_N_POS * (NEG_N_HARD + NEG_N_RAND)
+    # random negatives must come from the no-term pool
+    assert all(nid >= 100 for nid in rand_ids)
+    # hard negatives contain the term (doc_id < 100) and are disjoint
+    # from positives
+    hard = {r.neg_doc_id for r in rows if r.neg_kind == "hard"}
+    assert all(nid < 100 for nid in hard) and not (hard & pos_ids)
+
+
+def test_snippet_window_clamps_at_edges(spark):
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        BM25_QUERY,
+        snippet_extract,
+    )
+
+    term = BM25_QUERY[0]
+    docs = spark.createDataFrame(
+        [
+            (1, f"{term} b c d e f g"),  # hit at position 1: left-clamped
+            (2, f"a b c d e {term}"),  # hit at the end: right-clamped
+            (3, f"a b c d {term} f g h"),  # interior hit: full +/-3 window
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in snippet_extract(docs).collect()}
+    assert got[1].snippet == f"{term} b c d"
+    assert got[2].snippet == f"c d e {term}"
+    assert got[3].snippet == f"b c d {term} f g h"
+    assert got[3].first_pos == 5

@@ -479,6 +479,14 @@ def log2_histogram(events: DataFrame) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return log2_histogram_tail(binned)
+
+
+def log2_histogram_tail(binned: DataFrame) -> DataFrame:
+    """Shared cumulative + percentile-flag tail over an additive
+    (bin, n) relation — identical whether the bins come from one batch
+    scan or folded stored streaming partials (the twin's serving read).
+    """
     from .guards import bounded_window_guard
 
     guarded = bounded_window_guard(binned, "events_log2_histogram", 10_000)

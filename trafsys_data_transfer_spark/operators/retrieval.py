@@ -786,3 +786,258 @@ def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining (positives / hard / random negatives)
+# ---------------------------------------------------------------------------
+
+#: Per query term: top-N_POS BM25 docs are positives, the next N_HARD
+#: are hard negatives, and N_RAND hash-picked docs NOT containing the
+#: term are random negatives.
+NEG_N_POS = 3
+NEG_N_HARD = 3
+NEG_N_RAND = 3
+
+
+def negative_sampling_pairs(docs: DataFrame) -> DataFrame:
+    """Training triples for a contrastive retriever: for each query
+    term, (positive, negative, kind) document pairs — positives are the
+    BM25 top ranks, hard negatives the ranks just past the cutoff (the
+    in-batch-indistinguishable ones dense retrievers need), random
+    negatives a deterministic hash pick from documents WITHOUT the term.
+
+    This is the data-prep step for DPR/contrastive fine-tuning, run as
+    three bounded slices of relations the retrieval stack already
+    builds: the per-term ranking (one hit-explode + per-term window) and
+    an anti-join for the no-term pool ordered by ``hash(term || doc)``
+    (deterministic, uncorrelated across terms).  Output is
+    O(terms × N² ) rows — training pairs, not corpus-sized.
+    """
+    from .dedup import portable_hash60
+
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(*BM25_QUERY))
+    tf = base.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1 - BM25_B)
+                        + F.lit(BM25_B)
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_dl").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("s"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("rn") <= NEG_N_POS).select(
+        "term", F.col("doc_id").alias("pos_doc_id")
+    )
+    hard = ranked.filter(
+        (F.col("rn") > NEG_N_POS) & (F.col("rn") <= NEG_N_POS + NEG_N_HARD)
+    ).select("term", F.col("doc_id").alias("neg_doc_id"), F.lit("hard").alias("neg_kind"))
+    terms_df = ranked.select("term").distinct()
+    no_term_pool = (
+        terms_df.crossJoin(docs.select("doc_id"))
+        .join(tf.select("term", "doc_id"), ["term", "doc_id"], "left_anti")
+        .withColumn(
+            "hk",
+            portable_hash60(
+                F.concat(F.col("term"), F.lit(":"), F.col("doc_id").cast("string"))
+            ),
+        )
+    )
+    w_rand = Window.partitionBy("term").orderBy("hk", "doc_id")
+    rand = (
+        no_term_pool.withColumn("rr", F.row_number().over(w_rand))
+        .filter(F.col("rr") <= NEG_N_RAND)
+        .select(
+            "term",
+            F.col("doc_id").alias("neg_doc_id"),
+            F.lit("random").alias("neg_kind"),
+        )
+    )
+    negs = hard.unionByName(rand)
+    return (
+        pos.join(negs, "term")
+        .select("term", "pos_doc_id", "neg_doc_id", "neg_kind")
+        .orderBy("term", "pos_doc_id", "neg_kind", "neg_doc_id")
+    )
+
+
+def _negsample_oracle() -> str:
+    from .dedup import PORTABLE_HASH60_SQL
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    hk = PORTABLE_HASH60_SQL.format(s="term || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM base WHERE term IN ({in_list})
+        GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+        FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+    ranked AS (
+        SELECT h.doc_id, h.term,
+               ROW_NUMBER() OVER (PARTITION BY h.term ORDER BY
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (h.tf * {BM25_K1 + 1}) /
+                     (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * h.dl
+                      * n_docs / CAST(total_dl AS DOUBLE))), 6) DESC,
+                   h.doc_id ASC) AS rn
+        FROM hits h JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    pos AS (
+        SELECT term, doc_id AS pos_doc_id FROM ranked
+        WHERE rn <= {NEG_N_POS}
+    ),
+    hard AS (
+        SELECT term, doc_id AS neg_doc_id, 'hard' AS neg_kind FROM ranked
+        WHERE rn > {NEG_N_POS} AND rn <= {NEG_N_POS + NEG_N_HARD}
+    ),
+    pool AS (
+        SELECT t.term, d.doc_id, {hk} AS hk
+        FROM (SELECT DISTINCT term FROM ranked) t
+        CROSS JOIN (SELECT doc_id FROM documents) d
+        WHERE NOT EXISTS (SELECT 1 FROM hits h
+                          WHERE h.term = t.term AND h.doc_id = d.doc_id)
+    ),
+    rand AS (
+        SELECT term, doc_id AS neg_doc_id, 'random' AS neg_kind FROM (
+            SELECT term, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                                      ORDER BY hk, doc_id) AS rr
+            FROM pool
+        ) WHERE rr <= {NEG_N_RAND}
+    ),
+    negs AS (SELECT * FROM hard UNION ALL SELECT * FROM rand)
+    SELECT p.term, p.pos_doc_id, n.neg_doc_id, n.neg_kind
+    FROM pos p JOIN negs n USING (term)
+    ORDER BY p.term, p.pos_doc_id, n.neg_kind, n.neg_doc_id
+    """
+
+
+@register("retrieval_negative_sampling", oracle=_negsample_oracle())
+def retrieval_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs: BM25 positives × (hard + random)
+    negatives per query term."""
+    return negative_sampling_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Snippet extraction (RAG context windows)
+# ---------------------------------------------------------------------------
+
+#: Words kept on each side of the first match.
+SNIPPET_RADIUS = 3
+
+
+def snippet_extract(docs: DataFrame) -> DataFrame:
+    """±R-word snippet around the FIRST occurrence of each query term in
+    each document containing it — the context-window extraction a RAG
+    stack runs after retrieval (serve the relevant span, not the whole
+    document).
+
+    Pure array expressions: ``array_position`` finds the hit, ``slice``
+    takes the window, ``concat_ws`` re-joins — no regex backtracking, no
+    Python, and the scan only carries documents that contain a term (the
+    explode+filter prunes before any shuffle).  Output is one row per
+    (term, matching doc): (term, doc_id, first_pos, snippet).
+    """
+    toks = F.split(F.col("text"), " ")
+    hits = docs.select(
+        "doc_id", toks.alias("t"), F.explode(F.array_distinct(toks)).alias("term")
+    ).filter(F.col("term").isin(*BM25_QUERY))
+    pos = hits.withColumn(
+        "first_pos", F.array_position(F.col("t"), F.col("term")).cast("long")
+    )
+    start = F.greatest(F.col("first_pos") - SNIPPET_RADIUS, F.lit(1))
+    # slice length to cover [start, first_pos + R]
+    length = (
+        F.least(
+            F.col("first_pos") + SNIPPET_RADIUS,
+            F.size(F.col("t")).cast("long"),
+        )
+        - start
+        + 1
+    )
+    return (
+        pos.select(
+            "term",
+            "doc_id",
+            "first_pos",
+            F.concat_ws(
+                " ", F.slice(F.col("t"), start.cast("int"), length.cast("int"))
+            ).alias("snippet"),
+        )
+        .orderBy("term", "doc_id")
+    )
+
+
+def _snippet_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, t, term
+        FROM (SELECT doc_id, t, unnest(list_distinct(t)) AS term FROM tok)
+        WHERE term IN ({in_list})
+    ),
+    pos AS (
+        SELECT doc_id, t, term,
+               CAST(list_position(t, term) AS BIGINT) AS first_pos
+        FROM hits
+    )
+    SELECT term, doc_id, first_pos,
+           array_to_string(
+               t[GREATEST(first_pos - {SNIPPET_RADIUS}, 1):
+                 LEAST(first_pos + {SNIPPET_RADIUS}, len(t))], ' ')
+               AS snippet
+    FROM pos
+    ORDER BY term, doc_id
+    """
+
+
+@register("text_snippet_extract", oracle=_snippet_oracle())
+def text_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG snippet windows around the first query-term hit per document."""
+    return snippet_extract(load_table(spark, sf_dir, "documents"))

@@ -2758,3 +2758,68 @@ def streaming_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
     )
     return auc_from_buckets(folded)
+
+
+from ..operators.quantiles import _LOG2_HIST_ORACLE
+
+
+@register(
+    "streaming_log2_histogram",
+    # streaming twin of events_log2_histogram: log2 bin counts are an
+    # additive commutative monoid, so each micro-batch stores its own
+    # bin partials (idempotent per-batch_id overwrite) and the serving
+    # read folds STORED partials through the shared percentile tail —
+    # latency percentiles maintained at ingest with O(bins) state and
+    # zero raw-row retention, the observability-pipeline shape.  The
+    # oracle is the batch query's SQL, verbatim.
+    oracle=_LOG2_HIST_ORACLE,
+)
+def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR histogram maintenance at ingest via stored bin partials."""
+    from .incremental import STREAM_SHUFFLE_PARTITIONS, _stream_partitions
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    staging = tempfile.mkdtemp(prefix="tds_stream_l2h_src_")
+    events.repartition(6).write.mode("append").parquet(staging)
+    store = tempfile.mkdtemp(prefix="tds_stream_l2h_store_")
+    checkpoint = tempfile.mkdtemp(prefix="tds_stream_l2h_ckpt_")
+
+    def append_partials(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+                .cast("long")
+                .alias("v_micro")
+            )
+            .filter(F.col("v_micro") > 0)
+            .select(F.floor(F.log2("v_micro")).cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staging)
+    )
+    with _stream_partitions(spark, n=STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(append_partials)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(store)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    from ..operators.quantiles import log2_histogram_tail
+
+    return log2_histogram_tail(folded)

@@ -168,6 +168,7 @@ WORK_IN_BUILD = {
     "streaming_fd_audit",
     "streaming_classifier_auc",
     "streaming_log2_histogram",
+    "timetravel_branch_merge",
     "graph_temporal_reach",
     "events_markov_stationary",
     "docs_coverage_greedy",

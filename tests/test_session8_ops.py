@@ -610,3 +610,47 @@ def test_snippet_window_clamps_at_edges(spark):
     assert got[2].snippet == f"c d e {term}"
     assert got[3].snippet == f"b c d {term} f g h"
     assert got[3].first_pos == 5
+
+
+def test_branch_merge_three_way_with_branch_removal(spark, tmp_path):
+    from trafsys_data_transfer_spark.operators.timetravel import (
+        branch_create,
+        merge_branch,
+        versioned_commit,
+        versioned_read,
+    )
+
+    main = str(tmp_path / "main")
+    br = str(tmp_path / "branch")
+    import os as _os
+
+    _os.makedirs(_os.path.join(main, "data"))
+
+    k = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], ["k", "tag"]
+    )
+    # main v1: keys 0-9 tagged old
+    versioned_commit(spark, k(0, 10, "old"), main)
+    branch_create(spark, main, br)
+    # branch RESTATES everything: replace -> the base file is removed on
+    # the branch and replaced with keys 0-9 tagged new
+    versioned_commit(spark, k(0, 10, "new"), br, replace=True)
+    # main independently appends keys 10-14
+    versioned_commit(spark, k(10, 15, "mainadd"), main)
+
+    # isolation before the merge
+    assert versioned_read(spark, br).filter("tag = 'mainadd'").count() == 0
+    assert versioned_read(spark, main).filter("tag = 'new'").count() == 0
+
+    v = merge_branch(spark, br)
+    merged = versioned_read(spark, main, v)
+    tags = {
+        r.tag: r.n
+        for r in merged.groupBy("tag").agg(F.count("*").alias("n")).collect()
+    }
+    # branch removal won: no 'old' rows survive; branch addition and
+    # main's independent addition both present
+    assert "old" not in tags
+    assert tags == {"new": 10, "mainadd": 5}
+    # pre-merge main version still readable and un-merged
+    assert versioned_read(spark, main, 2).filter("tag = 'new'").count() == 0

@@ -1811,3 +1811,211 @@ def deep_clone(
     retention window can GC shared files)."""
     df = versioned_read(spark, src_table, version)
     return versioned_commit(spark, df, dst_table)
+
+
+# ---------------------------------------------------------------------------
+# Branches (Nessie/Iceberg-refs shape): fork, commit, file-level 3-way merge
+# ---------------------------------------------------------------------------
+
+
+def _branch_meta_path(branch_table: str) -> str:
+    return os.path.join(branch_table, "_branch.json")
+
+
+def branch_create(
+    spark: SparkSession, src_table: str, branch_table: str
+) -> int:
+    """Fork a writable branch off ``src_table``'s head: a shallow clone
+    (zero-copy, absolute refs into the source) plus a recorded fork
+    point — the git-for-data shape (Nessie / Iceberg branch refs).
+    Writes on the branch and on main stay invisible to each other until
+    :func:`merge_branch` lands the branch back."""
+    versions = table_versions(spark, src_table)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {src_table}")
+    base = versions[-1]
+    v = shallow_clone(spark, src_table, branch_table, version=base)
+    with open(_branch_meta_path(branch_table), "w") as fh:
+        json.dump(
+            {"src": os.path.abspath(src_table), "base_version": base}, fh
+        )
+    return v
+
+
+def _abs_files(table_dir: str, manifest: dict) -> set[str]:
+    return {
+        f if os.path.isabs(f) else os.path.join(table_dir, "data", f)
+        for f in manifest["files"]
+    }
+
+
+def merge_branch(spark: SparkSession, branch_table: str) -> int:
+    """Land a branch back onto its source by FILE-LEVEL three-way merge:
+
+        merged = (src_head − branch_removed) ∪ branch_added
+
+    computed against the recorded fork point.  Because data files are
+    immutable and a "row update" is remove-file + add-file, composing
+    the two sides' file deltas IS the merge — no data moves, no rewrite,
+    one metadata commit on the source (the CAS loop arbitrates against
+    concurrent main writers exactly like any other commit).  Main
+    history stays linear and every pre-merge version remains readable.
+
+    This is a squash merge at file granularity: when both sides rewrote
+    the SAME file (removed it and committed replacements) the branch's
+    replacement wins for rows it carries and main's replacement
+    survives alongside — row-level conflict resolution is the MERGE
+    operator's job (operators/merge.py), run on the branch before
+    landing.  Returns the new source version."""
+    with open(_branch_meta_path(branch_table)) as fh:
+        meta = json.load(fh)
+    src_table, base_v = meta["src"], meta["base_version"]
+
+    with open(_manifest_path(src_table, base_v)) as fh:
+        base_m = json.load(fh)
+    src_versions = table_versions(spark, src_table)
+    with open(_manifest_path(src_table, src_versions[-1])) as fh:
+        head_m = json.load(fh)
+    br_versions = table_versions(spark, branch_table)
+    with open(_manifest_path(branch_table, br_versions[-1])) as fh:
+        br_m = json.load(fh)
+
+    base = _abs_files(src_table, base_m)
+    head = _abs_files(src_table, head_m)
+    branch = _abs_files(branch_table, br_m)
+    branch_added = branch - base
+    branch_removed = base - branch
+    merged = sorted((head - branch_removed) | branch_added)
+
+    # Partition metadata for surviving files, from whichever side knows it.
+    def _abs_parts(table_dir: str, manifest: dict) -> dict:
+        return {
+            (f if os.path.isabs(f) else os.path.join(table_dir, "data", f)): p
+            for f, p in manifest.get("partitions", {}).items()
+        }
+
+    parts_abs = {**_abs_parts(src_table, head_m), **_abs_parts(branch_table, br_m)}
+
+    src_data = os.path.join(os.path.abspath(src_table), "data")
+
+    def _rel(f: str) -> str:
+        # files physically under the source's data dir go back to
+        # basenames (vacuum/compaction reconcile them); others stay
+        # absolute (shallow refs into the branch's storage)
+        return os.path.basename(f) if os.path.dirname(f) == src_data else f
+
+    for _attempt in range(COMMIT_CAS_RETRIES):
+        prev = table_versions(spark, src_table)
+        version = prev[-1] + 1
+        manifest = {
+            "version": version,
+            "files": sorted(_rel(f) for f in merged),
+            "merge_of": {
+                "branch": os.path.abspath(branch_table),
+                "base_version": base_v,
+            },
+        }
+        parts = {
+            _rel(f): parts_abs[f] for f in merged if f in parts_abs
+        }
+        if parts:
+            manifest["partitions"] = parts
+        prev_txn = {}
+        with open(_manifest_path(src_table, prev[-1])) as fh:
+            prev_txn = json.load(fh).get("txn", {})
+        if prev_txn:
+            manifest["txn"] = prev_txn
+        tmp = _manifest_path(src_table, version) + f".tmpmerge{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(src_table, version))
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return version
+    raise IOError(
+        f"merge lost {COMMIT_CAS_RETRIES} consecutive CAS races on {src_table}"
+    )
+
+
+@register(
+    "timetravel_branch_merge",
+    # The merged head must hold all three priority slices; the pre-merge
+    # main head must still read WITHOUT the branch's slice (isolation),
+    # and the pre-merge read is taken AFTER the merge committed.
+    oracle="""
+    WITH slices AS (
+        SELECT CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 'base'
+                   WHEN '2-HIGH' THEN 'branch'
+                   WHEN '3-MEDIUM' THEN 'main'
+               END AS origin,
+               o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    )
+    SELECT 'premerge_main' AS stage, origin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_centi
+    FROM slices WHERE origin IN ('base', 'main')
+    GROUP BY origin
+    UNION ALL
+    SELECT 'merged', origin,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM slices
+    GROUP BY origin
+    ORDER BY stage, origin
+    """,
+)
+def timetravel_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch lifecycle: main commits the URGENT slice, a branch forks
+    and commits the HIGH slice, main independently commits the MEDIUM
+    slice, then the branch lands by file-level three-way merge.  The
+    merged head shows all three slices; the pre-merge main version —
+    read AFTER the merge — still shows exactly base+main (branch
+    isolation and linear history in one certificate)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_centi"),
+    )
+
+    def slice_of(prio: str, origin: str) -> DataFrame:
+        return orders.filter(F.col("o_orderpriority") == prio).select(
+            "o_orderkey", F.lit(origin).alias("origin"), "price_centi"
+        )
+
+    main = os.path.join(
+        tempfile.gettempdir(), f"tds_branch_main_{uuid.uuid4().hex[:8]}"
+    )
+    br = os.path.join(
+        tempfile.gettempdir(), f"tds_branch_fork_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(os.path.join(main, "data"), exist_ok=True)
+
+    versioned_commit(spark, slice_of("1-URGENT", "base"), main)
+    branch_create(spark, main, br)
+    versioned_commit(spark, slice_of("2-HIGH", "branch"), br)
+    main_pre_merge_v = versioned_commit(
+        spark, slice_of("3-MEDIUM", "main"), main
+    )
+    merged_v = merge_branch(spark, br)
+
+    def rollup(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("origin").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_centi").alias("total_centi"),
+        ).select(F.lit(stage).alias("stage"), "origin", "n_orders", "total_centi")
+
+    merged = rollup(versioned_read(spark, main, merged_v), "merged")
+    pre = rollup(
+        versioned_read(spark, main, main_pre_merge_v), "premerge_main"
+    )
+    return merged.unionByName(pre).orderBy("stage", "origin")

@@ -44,6 +44,19 @@ def main() -> None:
     specs["flagship_revenue_topk"].build(spark, args.sf).collect()
     specs["dedup_minhash_lsh"].build(spark, "/root/testdata/sf0.001").collect()
 
+    # Ambient-contention reference (bench.py's canary protocol): this host
+    # shows cross-tenant load spikes that inflate wall numbers 2-8x, so a
+    # probe reading is only interpretable alongside its canary.  Best of 3,
+    # compare against BENCH_LOCAL's canary_ref_sec.
+    canary = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        specs["flagship_revenue_topk"].build(spark, args.sf).collect()
+        canary.append(time.perf_counter() - t0)
+    canary_ref = round(min(canary), 4)
+    print(f"canary_ref_sec: {canary_ref} (loadavg1 {os.getloadavg()[0]:.2f})",
+          flush=True)
+
     out: dict[str, dict] = {}
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -99,7 +112,10 @@ def main() -> None:
                 fh.write(plan)
         print(f"{name}: {json.dumps(rec)}", flush=True)
 
-    print("PROBE " + json.dumps(out))
+    print(
+        "PROBE "
+        + json.dumps({"canary_ref_sec": canary_ref, "queries": out})
+    )
 
 
 if __name__ == "__main__":

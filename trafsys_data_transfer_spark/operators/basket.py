@@ -53,7 +53,18 @@ _PAIR_SQL = """
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (order, part-pair) co-occurrences, p1 < p2."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from ..session import spread
+
+    # r11: one okey-keyed spread feeds BOTH self-join sides — the alias-
+    # aware projections preserve the partitioning, so the join adds no
+    # further exchange and the two former single-partition scans collapse
+    # into one reused shuffle (guide §2.4).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        "l_orderkey",
+    )
     a = li.toDF("okey", "p1")
     b = li.toDF("okey", "p2")
     return (

@@ -86,12 +86,17 @@ def decontaminate_hits(
     string-join per-doc counts on the fixtures.  ``join_on_hash=False``
     keeps the exact string equi-join as the audit path.
     """
+    from ..session import spread
+
     def gram(df: DataFrame) -> DataFrame:
         toks = F.split(F.col(text_col), " ")
         # Docs shorter than n words have no n-grams (shingles() would emit a
         # truncated gram; the oracle's generate_series emits none — filter
         # keeps the two engines aligned).
-        return df.filter(F.size(toks) >= n).select(
+        # r11: spread before the shingle explode — the per-row gram build +
+        # hash is this operator's dominant map cost and otherwise runs on
+        # the source's partitioning (one task off a single-file scan).
+        return spread(df, "doc_id").filter(F.size(toks) >= n).select(
             "doc_id", F.explode(shingles(toks, n)).alias("g")
         )
     t = gram(train)

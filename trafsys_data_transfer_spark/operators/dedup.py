@@ -490,11 +490,22 @@ def simhash_near_dups(
     Cheapest probe, but misses pairs whose differing bits fall in the
     prefix — :func:`simhash_near_dups_multiprobe` is the complete-recall
     production variant."""
+    from ..session import spread
+
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        simhash(toks).alias("sig"),
-    ).withColumn("prefix", F.shiftrightunsigned(F.col("sig"), 48))
+    # r11: spread before the per-row signature work (the banded_signatures
+    # idiom) — one task off a single-file scan otherwise.
+    sigs = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            simhash(toks).alias("sig"),
+        )
+        .withColumn("prefix", F.shiftrightunsigned(F.col("sig"), 48))
+        # checkpoint: the a/b self-join would otherwise recompute every
+        # signature once per side (r11).
+        .localCheckpoint(eager=False)
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, "prefix")
@@ -537,8 +548,17 @@ def simhash_near_dups_multiprobe(
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     mask = (1 << width) - 1
+    from ..session import spread
+
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    sigs = df.select(F.col(id_col).alias("id"), simhash(toks, hash_fn).alias("sig"))
+    # r11: spread before the signature expression (one task off a single-
+    # file scan otherwise — the portable-hash tier's md5 chain made this
+    # the query's dominant cost), and checkpoint the skinny block table so
+    # the self-join's two sides share one materialisation instead of
+    # recomputing every signature per side.
+    sigs = spread(df, id_col).select(
+        F.col(id_col).alias("id"), simhash(toks, hash_fn).alias("sig")
+    )
     blocks = sigs.select(
         "id",
         "sig",
@@ -552,7 +572,7 @@ def simhash_near_dups_multiprobe(
                 ]
             )
         ).alias("block_idx", "block_val"),
-    )
+    ).localCheckpoint(eager=False)
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "block_idx", "block_val"
     )

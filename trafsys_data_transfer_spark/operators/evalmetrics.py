@@ -471,9 +471,13 @@ def coverage_greedy(
     (K driver rows total).  The doc-bigram relation is checkpointed once
     and reused across all K rounds.
     """
+    from ..session import spread
+
     toks = F.split(F.col("text"), " ")
+    # spread before the bigram explode: the per-doc transform/concat pass
+    # otherwise runs on the single-file scan's one partition (r11).
     bigrams = (
-        docs.select(
+        spread(docs, "doc_id").select(
             "doc_id",
             F.explode(
                 F.when(
@@ -492,15 +496,22 @@ def coverage_greedy(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    covered = bigrams.select("bg").limit(0)
     out_rows: list[tuple[int, int, int, int]] = []
     covered_total = 0
+    winners: list[int] = []
     for rnd in range(1, k + 1):
-        gains = (
-            bigrams.join(F.broadcast(covered), "bg", "left_anti")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("gain"))
-        )
+        # r11: `covered` is derived per round from the ONE materialised
+        # bigram table (bigrams of the winners so far) instead of a
+        # growing union-of-checkpoints — drops an eager checkpoint job +
+        # driver-side plan→RDD conversion per round; the anti-join input
+        # is identical by construction.
+        gains = bigrams
+        if winners:
+            covered = bigrams.filter(
+                F.col("doc_id").isin(*winners)
+            ).select("bg").distinct()
+            gains = bigrams.join(F.broadcast(covered), "bg", "left_anti")
+        gains = gains.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
         # ONE bounded row crosses to the driver per round (the argmax).
         top = gains.orderBy(F.desc("gain"), F.asc("doc_id")).take(1)
         if not top:
@@ -508,9 +519,7 @@ def coverage_greedy(
         winner, gain = top[0]["doc_id"], top[0]["gain"]
         covered_total += gain
         out_rows.append((rnd, winner, gain, covered_total))
-        covered = covered.unionByName(
-            bigrams.filter(F.col("doc_id") == winner).select("bg")
-        ).localCheckpoint(eager=True)
+        winners.append(int(winner))
     return spark.createDataFrame(
         out_rows, "sel_round bigint, doc_id bigint, marginal_gain bigint, covered_total bigint"
     ).orderBy("sel_round")
@@ -626,11 +635,20 @@ def bootstrap_mean_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
     Scale shape: one generate (×B) + one keyed aggregate to B rows +
     a guarded B-row ranking window.  No collect, no global sort of data.
     """
-    base = events.select(
+    from ..session import spread
+
+    # Narrow (event_id, v_micro) spread across the cluster BEFORE the ×B
+    # explode: the per-(event, b) md5 hash chain is the dominant cost and
+    # would otherwise run on the source's partitioning (one task off a
+    # single-file scan — r11 probe: 7.57 s exec, all in one core).
+    base = spread(
+        events.select(
+            "event_id",
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("v_micro"),
+        ),
         "event_id",
-        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
-        .cast("long")
-        .alias("v_micro"),
     )
     drawn = base.select(
         "event_id",
@@ -672,15 +690,21 @@ def bootstrap_mean_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
             6,
         ).alias("mean_full"),
     )
-    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(
-        F.col("mean_r").alias("ci_lo")
-    )
-    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(
-        F.col("mean_r").alias("ci_hi")
+    # Both interval endpoints from ONE pass over the ranked replicates:
+    # two filtered branches would each re-execute the whole ×B explode +
+    # hash + aggregate subtree (Catalyst does not dedupe the common
+    # subtree across the two crossJoin inputs — r11 before-plan shows the
+    # events scan + Generate + HashAggregate chain TWICE).
+    ci = ranked.agg(
+        F.max(
+            F.when(F.col("rk") == BOOT_LO_RANK, F.col("mean_r"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rk") == BOOT_HI_RANK, F.col("mean_r"))
+        ).alias("ci_hi"),
     )
     return (
-        full.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        full.crossJoin(F.broadcast(ci))
         .select(
             "n_events",
             F.lit(BOOT_B).cast("long").alias("b_replicates"),

@@ -103,8 +103,14 @@ def connected_components(
         # per tier per round; eager=False folds the materialization into
         # the round's signature action — same lineage truncation, ~2
         # fewer job barriers per round (measured 11.3 -> 10.0 s on
-        # er_golden_record at sf0.1, same-host best-of-2)
-        e1 = _sym(big).localCheckpoint(eager=False)
+        # er_golden_record at sf0.1, same-host best-of-2).  r11: no
+        # checkpoint on the large-star tier at all — each
+        # localCheckpoint(eager=False) pays a driver-side plan→RDD
+        # Catalyst conversion (the r11 HITS profile showed conversions
+        # dominating iterative-loop wall time); e2's checkpoint below
+        # truncates the round's lineage on its own, and the duplicated
+        # e1 subtrees inside it share their shuffles via ReuseExchange.
+        e1 = _sym(big)
         # small-star: m over the DOWN-neighborhood; (v, m) and (u, m)
         down = e1.filter(F.col("v") < F.col("u"))
         m2 = down.groupBy("u").agg(F.min("v").alias("m"))
@@ -124,10 +130,12 @@ def connected_components(
             F.count(F.lit(1)),
         ).first()
         sig = (sig[0], sig[1])
-        if sig == prev_sig and (
-            e2.exceptAll(e).isEmpty()
-            and (e.exceptAll(e2).isEmpty() or e2.isEmpty())
-        ):
+        # One-sided exact check suffices (r11): sig == prev_sig already
+        # proves |e2| == |e| (the signature carries the count), and both
+        # are distinct-ed sets, so e2 \ e = ∅ with equal cardinality ⇒
+        # e2 == e.  The former second exceptAll job re-proved the same
+        # fact from the other side.
+        if sig == prev_sig and e2.exceptAll(e).isEmpty():
             e = e2
             converged = True
             break
@@ -267,13 +275,19 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     shuffle — the canonical Spark PageRank plan, minus the float
     nondeterminism.
     """
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    # r11: derive + materialise the node set FROM the checkpointed edge
+    # relation: every iteration's left join references `nodes`, and an
+    # unmaterialised node set re-ran the full scan+distinct subtree inside
+    # every rank checkpoint job (~5 extra corpus passes over 5 iterations).
+    # edges_deg carries every edge, so src ∪ dst is unchanged.
+    nodes = (
+        edges_deg.select(F.col("src").alias("node"))
+        .union(edges_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     teleport = PR_INIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("long"))
     for i in range(iters):
@@ -655,6 +669,10 @@ def bfs_hops(
     loops.  Cites /root/reference/script.js: none — the reference has no
     graph operators; this extends the SURVEY §2.10 surface.
     """
+    # r11: materialise the edge relation once — every hop's frontier join
+    # otherwise re-executes the caller's edge derivation (scan + distinct)
+    # inside its eager checkpoint job, once per hop.
+    edges = edges.localCheckpoint(eager=False)
     visited = sources.select("node", F.lit(0).alias("hops")).distinct()
     visited = visited.localCheckpoint(eager=True)
     frontier = visited.select("node")
@@ -764,6 +782,10 @@ def bellman_ford_hops(
     edges⋈dist join + a min aggregate — O(E) shuffles on node ids, the
     textbook distributed Bellman-Ford.  All-integer costs make the
     fixed point bit-deterministic across engines and partitionings."""
+    # r11: materialise the edge relation once (same reasoning as bfs_hops —
+    # each relaxation round's checkpoint otherwise re-runs the caller's
+    # edge derivation).
+    edges = edges.localCheckpoint(eager=False)
     dist = sources.select("node", F.lit(0).cast("long").alias("cost")).distinct()
     dist = dist.localCheckpoint(eager=True)
     for _ in range(max_hops):
@@ -963,8 +985,14 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # truncate lineage per round — without this each iteration
         # re-executes every earlier one (the max-aggregate forks the DAG
-        # twice per half-step: 24 s -> ~3 s at sf0.1)
-        a = a.localCheckpoint(eager=False)
+        # twice per half-step: 24 s -> ~3 s at sf0.1).  r11: checkpoint
+        # only h — each localCheckpoint(eager=False) pays a full
+        # plan→RDD (Catalyst) conversion on the driver, and the r11
+        # profile showed those conversions, not execution, dominate the
+        # query (wall 3.8 s vs 0.19 s exec).  h's lineage then contains
+        # the a half-step (a_raw evaluated twice via the max fork), a
+        # bounded O(nodes) re-execution per round, in exchange for
+        # halving the driver-side conversions.
         h = h.localCheckpoint(eager=False)
     out = (
         a.select(

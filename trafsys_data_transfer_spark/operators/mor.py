@@ -112,6 +112,8 @@ def orders_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved = mor_read(
         orders, deletes, up1.unionByName(up2), key="o_orderkey"
     )
+    # (trailing global sort dropped r11: order-insensitive driver compare,
+    # r10 asof precedent — it range-shuffled the full 150k-row output.)
     return resolved.select(
         "o_orderkey",
         "o_custkey",
@@ -119,4 +121,4 @@ def orders_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderdate",
         "o_orderpriority",
-    ).orderBy("o_orderkey")
+    )

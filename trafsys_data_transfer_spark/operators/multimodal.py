@@ -52,7 +52,12 @@ FEATURE_SCHEMA = "doc_id long, feature array<float>"
 def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-derived multimodal table: text bytes as the opaque payload
     (stand-in for real media), media_type from doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..session import spread
+
+    # r11: spread at the fixture chokepoint — every consumer feeds this
+    # table straight into a mapInPandas codec, which otherwise runs in
+    # ONE Python worker off the single-file scan.
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -876,7 +881,14 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ACTUAL PNG/WAV/MP4 container bytes synthesized in Arrow batches —
     doc_id % 3 cycles image → audio → video.  The parameter formulas are
     the contract the decode oracle recomputes in SQL."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from ..session import spread
+
+    # r11: spread before the Python boundary — codec synthesis (and every
+    # decode stage downstream of this table) otherwise runs in ONE Python
+    # worker off the single-file scan.
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1084,8 +1096,14 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     a one-byte error in any frame's offset, size, timestamp, or content
     anywhere in the corpus.  Compressed codecs remain the documented
     injection point (``stsd`` raises ``NotImplementedError``)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") % 3 == 2
+    from ..session import spread
+
+    # r11: spread before the Python boundary (32 mp4 synth+decode workers).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 3 == 2
+        ),
+        "doc_id",
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1228,7 +1246,12 @@ def image_neardup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id − 16: same size, same seed — and itself never perturbed, so the
     pairing doesn't chain) with ONE pixel flipped — a true perceptual
     near-dup whose ground-truth pairing is (id−16, id)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from ..session import spread
+
+    # r11: spread before the Python boundary (32 PNG-render workers).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct

@@ -61,9 +61,20 @@ def pretrain_funnel(
     n_tokens) with exact-integer counts.  ``lm_keep_pctile=1.0`` keeps
     every document at the LM stage (cut = max score) — the knob tests
     use to exercise the machinery without the corpus-dependent drop."""
+    from ..session import spread
+
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
-    base = docs.select("doc_id", "source", "text", n_tokens.alias("n_tokens"))
+    # One doc_id-keyed spread at the funnel head (guide §2): every stage
+    # below — Gopher regex gate, LM bigram explode, fingerprint window,
+    # MinHash shingling, decontamination grams — does per-row expression
+    # work and inherits its partitioning from the previous stage's
+    # localCheckpoint, so off a single-file corpus the WHOLE funnel would
+    # run its map-side work on one core (r11 probe: 16.0/14.4 s wall).
+    base = spread(
+        docs.select("doc_id", "source", "text", n_tokens.alias("n_tokens")),
+        "doc_id",
+    )
 
     stages: list[tuple[str, DataFrame]] = [("ingest", base)]
 

@@ -190,7 +190,8 @@ def scd2_pit_join(
             F.col("d.event_type").alias("attr_active"),
             (F.col("e.event_type") == F.col("d.event_type")).alias("is_consistent"),
         )
-        .orderBy("event_id")
+        # (trailing global sort dropped r11: order-insensitive driver
+        # compare — it range-shuffled the full fact-scale output.)
     )
 
 

@@ -768,11 +768,19 @@ def embedding_neardup_pairs_lsh(
         if (planes, tables) == (LSH_PLANES, LSH_TABLES)
         else lsh_buckets_banded(planes, tables)
     )
+    from ..session import spread
+
     vecs = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
-    skinny = vecs.select(
-        "id", F.posexplode(bucket_fn(F.col("v"))).alias("t", "bucket")
+    # r11: spread before the bucket UDF (one core off a single-file scan
+    # otherwise) and checkpoint the skinny band table so the self-join's
+    # two sides share one materialisation instead of re-running the
+    # Scan→ArrowEvalPython→Generate chain per side.
+    skinny = (
+        spread(vecs, "id")
+        .select("id", F.posexplode(bucket_fn(F.col("v"))).alias("t", "bucket"))
+        .localCheckpoint(eager=False)
     )
     a = skinny.select(F.col("id").alias("id_a"), "t", "bucket")
     b = skinny.select(F.col("id").alias("id_b"), "t", "bucket")
@@ -1821,10 +1829,21 @@ def knn_label_noise(
     discovery shuffles (t, bucket) keys; vectors are joined back by id
     for the rescore, so wide embedding rows never ride the dedup
     shuffle."""
-    base = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    from ..session import spread
+
+    # spread before the bucket UDF + spread-keyed checkpoint of the skinny
+    # band table: the r11 before-plan showed the Scan→ArrowEvalPython→
+    # Generate chain TWICE (once per self-join side), every stage through
+    # the candidate cosine rescore glued to the scan's single partition.
+    # One narrow exchange parallelises the UDF; the lazy localCheckpoint
+    # makes both join sides read the same materialised band table.
+    base = spread(
+        emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
     b = base.select(
         "vec_id", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "bucket")
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         b.alias("q")
         .join(

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import register
+from ..session import spread
 from ..sources.fixtures import load_table
 
 #: Jaccard threshold as an exact rational (3/5).
@@ -46,8 +47,10 @@ SIMJOIN_T_NUM, SIMJOIN_T_DEN = 3, 5
 
 def simjoin_exact(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """All (id_a < id_b) pairs with word-set Jaccard ≥ 3/5 — exact."""
+    # spread BEFORE the token-set projection so the per-row set build runs
+    # cluster-wide even off a single-file source (guide §2; r11).
     return _simjoin_from_sets(
-        records.select(
+        spread(records, id_col).select(
             F.col(id_col).alias("id"),
             F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
         )
@@ -65,7 +68,7 @@ def simjoin_exact_shingles(
     reason the MinHash tier signs shingles."""
     from .dedup import shingles
 
-    shingled = records.select(
+    shingled = spread(records, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             shingles(F.split(F.col(text_col), " "), 3)
@@ -184,7 +187,10 @@ def docs_exact_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
+    # spread before the shingle projection: the per-doc shingle-set build
+    # dominated the r11 probe (4.6 s exec on one core off the single-file
+    # scan); the narrow (id, text) exchange buys 32-way map parallelism.
+    shingled = spread(docs, "doc_id").select(
         F.col("doc_id").alias("id"),
         F.array_distinct(
             shingles(F.split(F.col("text"), " "), 3)

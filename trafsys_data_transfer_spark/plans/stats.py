@@ -397,8 +397,14 @@ def orders_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pennies).  The month explode is a 4-row sequence per order (bounded),
     the remainder ranking one per-order window — all integer algebra, so
     the hash certifies penny-exactness across engines."""
+    from ..session import spread
+
     orders = load_table(spark, sf_dir, "orders")
-    o = orders.select(
+    # Establish the o_orderkey partitioning ONCE, before the ×4 month
+    # explode: the downstream windows are keyed on o_orderkey, so this
+    # exchange replaces the window's own shuffle (guide §2.4) while
+    # moving the explode + date arithmetic off the scan's one partition.
+    o = spread(orders, "o_orderkey").select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("d0"),
         F.date_add(F.col("o_orderdate").cast("date"), 90).alias("d1"),
@@ -462,7 +468,9 @@ def orders_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rr") <= F.col("cents") - F.col("floor_sum"), 1
             ).otherwise(0)
         ).cast("long").alias("rec_cents"),
-    ).orderBy("o_orderkey", "month")
+    )
+    # (trailing global sort dropped r11: order-insensitive driver compare,
+    # r10 asof precedent — it range-shuffled all 600k output rows.)
 
 
 @register(

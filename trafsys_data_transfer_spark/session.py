@@ -29,6 +29,34 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def spread(df, *keys):
+    """Hash-repartition ``df`` to ``sparkContext.defaultParallelism`` on
+    ``keys`` — the engine's standard "parallelise per-row-heavy work off a
+    few-files source" idiom (established at operators/dedup.py
+    ``banded_signatures``; guide §2 applied engine-wide in the r11
+    optimization round).
+
+    Why: every fixture table is a single parquet file (one row group), so
+    a scan is ONE input partition and every expression-heavy projection
+    (hashing, shingling, codecs, vector math, Pandas UDFs) downstream of
+    it runs on one core until the first exchange.  A narrow keyed
+    repartition moves the columns once and buys full-cluster parallelism
+    for everything after it.
+
+    Scale posture: the partition count derives from the session's
+    ``defaultParallelism`` — never a local constant; at 100 TB the input
+    is already many splits, and this exchange either replaces a shuffle
+    the plan needed anyway (pick ``keys`` = the downstream window/groupBy
+    key so the partitioning is established once, guide §2.4) or is a
+    narrow-payload balance shuffle.  Keyed hash partitioning (not
+    round-robin) keeps the exchange deterministic under task retries and
+    skips ``sortBeforeRepartition``'s local sort.
+    """
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Apply the engine's required runtime confs to an EXISTING session.
 

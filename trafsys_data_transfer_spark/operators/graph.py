@@ -103,14 +103,13 @@ def connected_components(
         # per tier per round; eager=False folds the materialization into
         # the round's signature action — same lineage truncation, ~2
         # fewer job barriers per round (measured 11.3 -> 10.0 s on
-        # er_golden_record at sf0.1, same-host best-of-2).  r11: no
-        # checkpoint on the large-star tier at all — each
-        # localCheckpoint(eager=False) pays a driver-side plan→RDD
-        # Catalyst conversion (the r11 HITS profile showed conversions
-        # dominating iterative-loop wall time); e2's checkpoint below
-        # truncates the round's lineage on its own, and the duplicated
-        # e1 subtrees inside it share their shuffles via ReuseExchange.
-        e1 = _sym(big)
+        # er_golden_record at sf0.1, same-host best-of-2).  (r11 note: an
+        # attempt to drop this checkpoint entirely and let e1's subtree
+        # ride e2's lineage measured consistently ~1.2-1.4× WORSE on
+        # er_golden_record in a paired A/B — the duplicated large-star
+        # join does not fully dedupe via ReuseExchange — so the
+        # per-tier checkpoint stays.)
+        e1 = _sym(big).localCheckpoint(eager=False)
         # small-star: m over the DOWN-neighborhood; (v, m) and (u, m)
         down = e1.filter(F.col("v") < F.col("u"))
         m2 = down.groupBy("u").agg(F.min("v").alias("m"))

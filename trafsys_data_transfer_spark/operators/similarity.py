@@ -980,7 +980,12 @@ def topk_sq8(
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     QM = np.array([r["qq"] for r in q_rows], dtype=np.int64)
 
-    c = corpus.select(
+    from ..session import spread
+
+    # r11: spread before the per-row quantize expression + Python matmul
+    # boundary — inline tier only; the stored-index probe reads its own
+    # partitioned parquet and must NOT pay a corpus shuffle.
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), sq8_quantize(F.col(vec_col)).alias("cq")
     )
     return _sq8_scan_topk(c, qids, QM, k)
@@ -1858,24 +1863,35 @@ def knn_label_noise(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # r11: precompute each vector's norm ONCE in the (broadcast) vector
+    # table instead of re-folding both norms per candidate pair — the
+    # rescore is `dot(qv,cv) / (nq · nc)`, the exact expression tree
+    # `cosine()` builds (`dot / (norm·norm)`), so every score is
+    # bit-identical while the per-pair higher-order-function work drops
+    # from three 64-element folds to one.
+    normed = base.withColumn("nv", norm(F.col("v")))
     scored = (
         cand.join(
-            base.select(
+            normed.select(
                 F.col("vec_id").alias("query_id"),
                 F.col("label").alias("label"),
                 F.col("v").alias("qv"),
+                F.col("nv").alias("nq"),
             ),
             "query_id",
         )
         .join(
-            base.select(
+            normed.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("label").alias("nlabel"),
                 F.col("v").alias("cv"),
+                F.col("nv").alias("nc"),
             ),
             "neighbor_id",
         )
-        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "score", dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")

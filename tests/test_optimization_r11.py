@@ -79,6 +79,100 @@ def test_knn_rescore_matches_cosine_expression(spark, sf_dir):
     assert mism == 0
 
 
+def test_kcore_early_exit_equals_full_unrolling(spark, sf_dir):
+    """graph_kcore_members' convergence early-exit (r11) must yield the
+    exact edge fixpoint of the full KCORE_ROUNDS unrolling: peeling only
+    deletes, so an unchanged edge count after a round proves the set is
+    already the fixpoint and every later round is a no-op."""
+    from trafsys_data_transfer_spark.operators.basket import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        MINSUP_ORDERS,
+        _pairs,
+    )
+    from trafsys_data_transfer_spark.registry import all_queries
+
+    edges = (
+        _pairs(spark, sf_dir)
+        .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MINSUP_ORDERS)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    e = edges
+    for _ in range(KCORE_ROUNDS):  # reference: NO early exit
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+        e = (
+            e.join(deg.withColumnRenamed("node", "u"), "u")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    want = sorted(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .collect()
+    )
+    got = sorted(
+        all_queries()["graph_kcore_members"].build(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_bm25_stats_single_pass_matches_legacy(spark, tmp_path):
+    """bm25_index_write's postings-derived corpus stats (r11: one
+    tokenize pass) must equal the legacy two-pass computation, including
+    the empty-string-text edge (split('') == [''] → one posting) and the
+    NULL-text fallback (no posting → countDistinct check trips → legacy
+    arithmetic, size(NULL) = -1)."""
+    import json
+    import os
+
+    from trafsys_data_transfer_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_write,
+    )
+
+    def legacy_stats(docs):
+        toks = F.split(F.col("text"), " ")
+        n, t = docs.select(F.count(F.lit(1)), F.sum(F.size(toks))).first()
+        return {"n_docs": int(n), "total_dl": int(t)}
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a"), (3, "")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx_plain")
+    bm25_index_write(docs, p)
+    with open(os.path.join(p, "_stats.json")) as f:
+        assert json.load(f) == legacy_stats(docs)
+
+    docs_null = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    p2 = str(tmp_path / "idx_null")
+    bm25_index_write(docs_null, p2)
+    with open(os.path.join(p2, "_stats.json")) as f:
+        assert json.load(f) == legacy_stats(docs_null)
+
+    # append path: delta stats advance additively, same derivation
+    delta = spark.createDataFrame([(4, "b c")], "doc_id long, text string")
+    bm25_index_append(delta, p)
+    both = docs.unionByName(delta)
+    with open(os.path.join(p, "_stats.json")) as f:
+        assert json.load(f) == legacy_stats(both)
+
+
 def test_hits_pagerank_loop_outputs_unchanged_by_checkpoint_thinning(
     spark, sf_dir
 ):

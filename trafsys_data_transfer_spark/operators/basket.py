@@ -352,6 +352,15 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     e = edges
+    # r11 (guide §1.2): peeling only DELETES edges, so an unchanged edge
+    # count proves the round was a no-op and the fixpoint is reached —
+    # every later round is identical.  The count doubles as the lazy
+    # checkpoint's materialisation action (no extra pass), and early exit
+    # skips the dead rounds' shuffles + plan-to-RDD conversions, which at
+    # scale are full passes over the surviving edge set.  Result is
+    # bit-identical: the bounded unrolling equals the fixpoint either way
+    # (the oracle's no-op tail rounds reproduce the same set).
+    prev_n = e.count()
     for _ in range(KCORE_ROUNDS):
         deg = (
             e.select(F.col("u").alias("node"))
@@ -367,6 +376,10 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))

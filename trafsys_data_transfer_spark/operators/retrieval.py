@@ -189,22 +189,44 @@ def bm25_index_write(docs: DataFrame, path: str, text_col: str = "text") -> None
     import json
     import os
 
+    from ..session import spread
+
     toks = F.split(F.col(text_col), " ")
-    base = docs.select(
+    # spread (r11, guide §2): tokenize+explode are the build's per-row
+    # heavy work and otherwise run on the scan's single partition.
+    base = spread(docs.select("doc_id", text_col), "doc_id").select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
     )
     postings = base.groupBy("term", "doc_id", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # Materialise the aggregated postings once so the corpus is tokenized
+    # in ONE pass (r11, guide §1.2): the range-partitioned write and the
+    # sidecar stats both read this relation instead of re-running the
+    # split+explode lineage.
+    postings = postings.localCheckpoint(eager=False)
     (
         postings.repartitionByRange("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(path)
     )
-    n_docs, total_dl = docs.select(
-        F.count(F.lit(1)), F.sum(F.size(toks))
+    # Corpus stats from the postings themselves: every token occurrence
+    # lands in exactly one posting's tf, so SUM(tf) == SUM(size(tokens))
+    # and (split() always yields >= 1 element for non-null text) every
+    # doc owns >= 1 posting.  The countDistinct==count check detects the
+    # only divergent case — a NULL text, which produces no postings —
+    # and falls back to the original full re-tokenize expression there.
+    n_docs = docs.count()
+    st = postings.agg(
+        F.sum("tf").alias("tdl"), F.count_distinct("doc_id").alias("nd")
     ).first()
+    if st["nd"] == n_docs and st["tdl"] is not None:
+        total_dl = int(st["tdl"])
+    else:  # NULL-text docs present: reproduce the exact legacy arithmetic
+        n_docs, total_dl = docs.select(
+            F.count(F.lit(1)), F.sum(F.size(toks))
+        ).first()
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump({"n_docs": int(n_docs), "total_dl": int(total_dl)}, f)
 
@@ -268,27 +290,40 @@ def bm25_index_append(
     import json
     import os
 
+    from ..session import spread
+
     toks = F.split(F.col(text_col), " ")
-    d_docs, d_dl = docs_delta.select(
-        F.count(F.lit(1)),
-        F.coalesce(F.sum(F.size(toks)), F.lit(0)),
-    ).first()
+    d_docs = docs_delta.count()
     if int(d_docs) == 0:
-        # Empty delta: no postings write, sidecar stats unchanged.  (An
-        # unguarded F.sum over zero rows is NULL → TypeError on int().)
+        # Empty delta: no postings write, sidecar stats unchanged.
         return
-    base = docs_delta.select(
+    # Same one-tokenize-pass recipe as bm25_index_write (r11): spread the
+    # delta ahead of the explode, materialise the aggregated postings,
+    # and derive the stats delta from them with the NULL-text fallback.
+    base = spread(docs_delta.select("doc_id", text_col), "doc_id").select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
     )
     postings = base.groupBy("term", "doc_id", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    postings = postings.localCheckpoint(eager=False)
     (
         postings.repartitionByRange("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("append")
         .parquet(path)
     )
+    st_delta = postings.agg(
+        F.sum("tf").alias("tdl"), F.count_distinct("doc_id").alias("nd")
+    ).first()
+    if st_delta["nd"] == d_docs and st_delta["tdl"] is not None:
+        d_dl = int(st_delta["tdl"])
+    else:  # NULL-text docs in the delta: exact legacy arithmetic
+        d_dl = int(
+            docs_delta.select(
+                F.coalesce(F.sum(F.size(toks)), F.lit(0))
+            ).first()[0]
+        )
     stats_path = os.path.join(path, "_stats.json")
     with open(stats_path) as f:
         st = json.load(f)

@@ -391,6 +391,10 @@ def ivf_index_write(
 
     centroids = train_ivf_centroids(corpus, vec_col, n_clusters, seed)
     assign1 = _ivf_assign_udf(centroids, 1)
+    # NOTE (r11): deliberately NOT spread — a paired A/B on the sibling
+    # ivfpq write measured the pre-UDF embedding-payload exchange
+    # costlier than the cheap assign matmul it parallelises; the cluster
+    # repartition below is the only exchange this build needs.
     assigned = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cluster", F.element_at(assign1(F.col("cv")), 1))
@@ -1492,7 +1496,12 @@ def sq8_index_write(
     quantization needs no side metadata (queries quantize independently),
     so the table IS the complete index.
     """
-    corpus.select(
+    from ..session import spread
+
+    # spread (r11, guide §2): the per-vector quantize expression otherwise
+    # runs on the scan's single partition; the keyed exchange parallelises
+    # it and sizes the stored code table to defaultParallelism files.
+    spread(corpus.select(id_col, vec_col), id_col).select(
         F.col(id_col),
         F.transform(sq8_quantize(F.col(vec_col)), lambda x: x.cast("tinyint")).alias(
             "cq"
@@ -1551,6 +1560,9 @@ def pq_index_write(
     encode = _pq_encode_udf(books)
     # smallint storage: codes are logically 8-bit (0..255) but overflow
     # SIGNED int8; parquet dictionary/bit-packing recovers the width.
+    # NOTE (r11): deliberately NOT spread — paired A/B measured 0.91 s
+    # with the pre-encode exchange vs 0.56 s without (the fp32 encode
+    # matmul is cheaper than shuffling the embedding payload).
     corpus.select(
         F.col(id_col),
         F.transform(
@@ -1710,6 +1722,10 @@ def ivfpq_index_write(
     assign1 = _ivf_assign_udf(centroids, 1)
     books = train_pq_codebooks(corpus, vec_col, m, ks, seed)
     encode = _pq_encode_udf(books)
+    # NOTE (r11): deliberately NOT spread — paired A/B (3 interleaved
+    # rounds, same session): spread 1.38 s vs 1.19 s without; the fp32
+    # assign+encode matmuls are cheaper than shuffling the embedding
+    # payload to parallelise them.
     assigned = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("cv")
     ).select(

@@ -19,55 +19,55 @@ def test_priority_matches_registry_exactly():
     assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY names"
 
 
-def test_priority_window_is_never_driver_verified():
-    """Round-11 rotation (VERDICT r10 task 1): the driver's 50-row window
-    must contain ONLY names that never produced a CORRECTNESS row in
-    rounds 1-10 (zero repeats) — the final 39 never-verified names plus
-    the 11 session-5 additions.  After r11 every registered name has had
-    a driver row at least once."""
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    # r1-r10: both single- and double-digit round suffixes.
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        with open(path) as fh:
-            seen.update(json.load(fh).keys())
-    if not seen:  # fresh clone without driver artifacts — nothing to pin
-        return
-    repeats = [n for n in _PRIORITY[:50] if n in seen]
-    assert repeats == [], (
-        f"r1-r10 driver-verified names inside the r11 window: {repeats}"
-    )
-
-
-#: Rows-only-by-design queries allowed inside the r11 window: these are the
-#: last never-driver-verified names (VERDICT r10 task 1) and the driver is
-#: observed (r6-r10 scorecards: 10 `no_oracle` rows, zero failures) to
-#: record rows-only queries as a weaker rows-only check, not as `err`.
-_WINDOW_ROWS_ONLY_ALLOWED = {
-    "multimodal_image_neardup",
-    "text_decontaminate_fuzzy",
-    "dedup_incremental_neardup",
-    "sim_semantic_dedup_pipeline",
-    "pretrain_data_pipeline",
-    "tokenizer_bpe_stats",
+#: The r12 driver window (VERDICT r11 task 1): the 50 scorecard slots
+#: rotate onto the r11-touched queries so the driver converts the r11
+#: optimization round's claimed equivalences (sort drops, bootstrap /
+#: knn / bm25 / kcore algebra rewrites, components family, spread ripple)
+#: into driver-verified fact.  Repeats from r1-r11 are INTENDED this
+#: round — the point is post-change re-verification, not first coverage.
+_R12_WINDOW_MUST_INCLUDE = {
+    # the five r11 sort-drops
+    "ivm_delta_join_orders",
+    "orders_revenue_recognition",
+    "orders_mor_read",
+    "events_scd2_pit_join",
+    "orders_fingerprint_repair",
+    # algebra rewrites named by the r11 judge
+    "events_bootstrap_ci",
+    "embeddings_knn_label_noise",
+    "text_bm25_index_compacted",
+    "text_bm25_index_incremental",
+    "text_bm25_index_probe",
+    "text_bm25_topk",
+    "graph_kcore_members",
+    # components family (restructured again in r12)
+    "er_golden_record",
+    "dedup_components",
+    "dedup_components_incremental",
+    # driver-canonicalizable rewrite this round (VERDICT r11 item 1b)
+    "embeddings_jl_project",
 }
 
 
+def test_priority_window_covers_r11_touched_set():
+    """Round-12 rotation (VERDICT r11 task 1): every judge-named
+    must-verify query sits inside the driver's 50-row window."""
+    missing = [n for n in _R12_WINDOW_MUST_INCLUDE if n not in _PRIORITY[:50]]
+    assert missing == [], (
+        f"judge-named r11-touched queries missing from the r12 window: "
+        f"{missing}"
+    )
+
+
 def test_priority_window_is_all_strict_oracle():
-    """VERDICT r05 task 2/7 amended by r10 task 1: the window prefers
-    strict-oracle queries; the ONLY rows-only entries permitted are the
-    pinned never-verified set above (their scorecard rows close full
-    coverage this round)."""
+    """VERDICT r05 task 2/7: the window prefers strict-oracle queries.
+    The r12 window is 100% strict — portable tiers stand in for their
+    rows-only base variants (same code path, hash-verifiable)."""
     qs = all_queries()
     rows_only = [n for n in list(qs)[:50] if qs[n].oracle is None]
-    unexpected = [n for n in rows_only if n not in _WINDOW_ROWS_ONLY_ALLOWED]
-    assert unexpected == [], (
-        f"unpinned rows-only queries inside the driver's 50-row window: "
-        f"{unexpected}; swap in a strict-oracle family representative instead"
+    assert rows_only == [], (
+        f"rows-only queries inside the driver's 50-row window: "
+        f"{rows_only}; swap in a strict-oracle family representative instead"
     )
 
 

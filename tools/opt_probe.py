@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--tag", default=None, help="suffix for plan dumps")
+    ap.add_argument("--plans-dir", default="r12", help="plans/<dir> target")
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
@@ -61,7 +62,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        args.plans_dir,
     )
     os.makedirs(plans_dir, exist_ok=True)
 

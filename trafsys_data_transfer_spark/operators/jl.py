@@ -94,19 +94,31 @@ def _jl_oracle_sql(d: int = 64, k: int = JL_K, seed: int = JL_SEED) -> str:
     )
     return f"""
     SELECT vec_id,
-           list_transform([{cols}], x -> CAST(ROUND(x * 1000000.0) AS BIGINT))
-               AS jl
+           array_to_string(
+               list_transform([{cols}],
+                              x -> CAST(ROUND(x * 1000000.0) AS BIGINT)),
+               ',') AS jl
     FROM embeddings ORDER BY vec_id
     """
 
 
 @register("embeddings_jl_project", oracle=_jl_oracle_sql())
 def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL sign-projection of every embedding to k=16 micro-unit ints.
-    Zero fit pass — the matrix regenerates from the seed on each
-    executor; strict: the oracle replays the projection from the inlined
-    seed-derived sign columns; the distance-preservation guarantee vs the
-    original vectors is pytest-gated (tests/test_jl.py)."""
+    """JL sign-projection of every embedding to k=16 micro-unit ints,
+    certificate-encoded: ``jl`` is the comma-joined int string (the sq8
+    certificate precedent) so the driver's pandas canonicalizer — which
+    cannot sort/hash an ``array<bigint>`` cell (VERDICT r11 item 1b) —
+    verifies it strictly.  Zero fit pass — the matrix regenerates from
+    the seed on each executor; the oracle replays the projection from
+    the inlined seed-derived sign columns; the distance-preservation
+    guarantee vs the original vectors is pytest-gated (tests/test_jl.py).
+    The trailing ORDER BY lives only in the oracle: the driver sorts
+    both sides before hashing (r11 sort-drop precedent)."""
+    from pyspark.sql import functions as F
+
     emb = load_table(spark, sf_dir, "embeddings")
     d = len(emb.select("embedding").first()["embedding"])
-    return jl_project(emb, d).orderBy("vec_id")
+    return jl_project(emb, d).select(
+        "vec_id",
+        F.concat_ws(",", F.col("jl").cast("array<string>")).alias("jl"),
+    )

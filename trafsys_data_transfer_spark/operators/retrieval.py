@@ -214,19 +214,31 @@ def bm25_index_write(docs: DataFrame, path: str, text_col: str = "text") -> None
     # Corpus stats from the postings themselves: every token occurrence
     # lands in exactly one posting's tf, so SUM(tf) == SUM(size(tokens))
     # and (split() always yields >= 1 element for non-null text) every
-    # doc owns >= 1 posting.  The countDistinct==count check detects the
-    # only divergent case — a NULL text, which produces no postings —
-    # and falls back to the original full re-tokenize expression there.
-    n_docs = docs.count()
-    st = postings.agg(
-        F.sum("tf").alias("tdl"), F.count_distinct("doc_id").alias("nd")
+    # doc owns >= 1 posting.  The ONLY divergent case is a NULL text
+    # (no postings; legacy arithmetic counts it as size(NULL) = -1), so
+    # one narrow count pass detects it directly — no tokenize — and only
+    # then does the legacy full re-tokenize expression run (ADVICE r11:
+    # the former countDistinct(postings)==count(docs) guard compared two
+    # separate evaluations of the docs lineage; this guard reads docs
+    # once and postings once.  Deterministic-input assumption: ``docs``
+    # must evaluate to the same rows across this function's two passes —
+    # same contract as any write of a derived table).
+    counts = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.isnull(F.col(text_col)).cast("long")), F.lit(0)
+        ).alias("n_null"),
     ).first()
-    if st["nd"] == n_docs and st["tdl"] is not None:
+    n_docs = int(counts["n"])
+    if counts["n_null"] == 0:
+        # coalesce → 0: an EMPTY corpus writes {n_docs: 0, total_dl: 0}
+        # instead of raising on int(None) (ADVICE r11 empty-corpus fix).
+        st = postings.agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("tdl")
+        ).first()
         total_dl = int(st["tdl"])
     else:  # NULL-text docs present: reproduce the exact legacy arithmetic
-        n_docs, total_dl = docs.select(
-            F.count(F.lit(1)), F.sum(F.size(toks))
-        ).first()
+        total_dl = int(docs.select(F.sum(F.size(toks))).first()[0])
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump({"n_docs": int(n_docs), "total_dl": int(total_dl)}, f)
 
@@ -293,8 +305,16 @@ def bm25_index_append(
     from ..session import spread
 
     toks = F.split(F.col(text_col), " ")
-    d_docs = docs_delta.count()
-    if int(d_docs) == 0:
+    # One narrow count pass: delta size + NULL-text detection together
+    # (ADVICE r11 — same single-guard discipline as bm25_index_write).
+    counts = docs_delta.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.isnull(F.col(text_col)).cast("long")), F.lit(0)
+        ).alias("n_null"),
+    ).first()
+    d_docs = int(counts["n"])
+    if d_docs == 0:
         # Empty delta: no postings write, sidecar stats unchanged.
         return
     # Same one-tokenize-pass recipe as bm25_index_write (r11): spread the
@@ -313,10 +333,10 @@ def bm25_index_append(
         .write.mode("append")
         .parquet(path)
     )
-    st_delta = postings.agg(
-        F.sum("tf").alias("tdl"), F.count_distinct("doc_id").alias("nd")
-    ).first()
-    if st_delta["nd"] == d_docs and st_delta["tdl"] is not None:
+    if counts["n_null"] == 0:
+        st_delta = postings.agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("tdl")
+        ).first()
         d_dl = int(st_delta["tdl"])
     else:  # NULL-text docs in the delta: exact legacy arithmetic
         d_dl = int(

@@ -80,6 +80,44 @@ def test_sq8_stored_probe_bit_identical_to_inline(spark, sf_dir):
     assert stored == inline
 
 
+def test_components_canonical_e1_matches_union_find(spark):
+    """r12 algebraic rewrite pin: connected_components' large-star output
+    is deduped in its canonical (child, parent) direction only (the former
+    symmetrization fed rows the small-star filter discarded).  Pin the
+    full helper against a driver-side union-find ground truth on an
+    adversarial mix: a long chain (worst case for contraction depth), a
+    clique, a star, singletons, reversed/duplicate edges."""
+    from trafsys_data_transfer_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    clique = [(a, b) for a in range(200, 206) for b in range(200, 206) if a < b]
+    star = [(300, i) for i in range(301, 310)]
+    extra = [(141, 140), (140, 141), (100, 101)]           # reversed + dups
+    edges = chain + clique + star + extra
+    node_ids = sorted({u for e in edges for u in e} | {400, 401})  # singletons
+
+    # ground truth: union-find
+    parent = {n: n for n in node_ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((n, find(n)) for n in node_ids)
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(nodes, e).collect()
+    )
+    assert got == want
+
+
 def test_jl_certificate_string_matches_array_projection(spark, sf_dir):
     """VERDICT r11 item 1b: the registered query's comma-joined ``jl``
     certificate must encode exactly jl_project's array output (same

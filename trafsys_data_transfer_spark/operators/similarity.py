@@ -1087,8 +1087,13 @@ def topk_sq8_rescored(
     q_float = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    # Broadcast the SHORTLIST side (r12, guide §3.1 / VERDICT r11 item 7):
+    # it is |Q|·shortlist rows of two longs (bounded by MAX_QUERY_ROWS),
+    # while c_float is the corpus — without the hint Catalyst's estimate
+    # for the windowed shortlist picks a sort-merge join and shuffles the
+    # float corpus by neighbor_id just to attach ≤400 candidate rows.
     rescored = (
-        short.select("query_id", "neighbor_id")
+        F.broadcast(short.select("query_id", "neighbor_id"))
         .join(c_float, "neighbor_id")
         .join(F.broadcast(q_float), "query_id")
         .withColumn("score", cosine(F.col("qv"), F.col("cv")))
@@ -1378,8 +1383,10 @@ def _pq_shortlist_rescore(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         "query_id long, qv array<double>",
     )
+    # Broadcast the shortlist side (r12, guide §3.1): bounded
+    # |Q|·shortlist rows vs the float corpus — see topk_sq8_rescored.
     rescored = (
-        short.select("query_id", "neighbor_id")
+        F.broadcast(short.select("query_id", "neighbor_id"))
         .join(c_float, "neighbor_id")
         .join(F.broadcast(q_df), "query_id")
         .withColumn("score", cosine(F.col("qv"), F.col("cv")))

@@ -297,9 +297,19 @@ def minhash_near_dups(
     toks = F.split(normalize_text(F.col(text_col)), " ")
     # Repartition before the per-row shingle work for the same reason as in
     # minhash_candidates: parallelise even off a single-file source.
+    # r12 (guide §1.2): sh_df is joined TWICE (sh_a and sh_b sides) and its
+    # subtree contains the candidate-id semi-join — i.e. a second
+    # consumption of the lazily-checkpointed `pairs`, whose concurrent
+    # stages re-ran the whole signature/banding subtree before the
+    # checkpoint cache filled.  One lazy checkpoint of the skinny
+    # (id, shingles) relation computes it once; interleaved A/B (outputs
+    # asserted identical): pretrain_data_pipeline 12.78 → 7.05 s,
+    # dedup_neardup_pipeline 3.57 → 3.23, dedup_minhash_lsh 1.82 → 1.59.
     sh_df = cand.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(F.col(id_col).alias("id"), shingles(toks, n).alias("sh"))
+    ).select(
+        F.col(id_col).alias("id"), shingles(toks, n).alias("sh")
+    ).localCheckpoint(eager=False)
     return (
         pairs.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -1021,11 +1031,10 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
-    labeled = (
-        docs.join(comp, docs.doc_id == comp.id)
-        .join(keepers, "component")
-        .withColumn("is_keeper", (F.col("doc_id") == F.col("keeper_id")).cast("int"))
+    # r12: keeper == component (components returns the min reachable id),
+    # so the keeper groupBy + join re-derived an existing column.
+    labeled = docs.join(comp, docs.doc_id == comp.id).withColumn(
+        "is_keeper", (F.col("doc_id") == F.col("component")).cast("int")
     )
     return (
         labeled.groupBy("source")
@@ -1092,11 +1101,9 @@ def dedup_neardup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFra
     comp = connected_components(
         nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
-    labeled = (
-        docs.join(comp, docs.doc_id == comp.id)
-        .join(keepers, "component")
-        .withColumn("is_keeper", (F.col("doc_id") == F.col("keeper_id")).cast("int"))
+    # r12: keeper == component (see dedup_neardup_pipeline).
+    labeled = docs.join(comp, docs.doc_id == comp.id).withColumn(
+        "is_keeper", (F.col("doc_id") == F.col("component")).cast("int")
     )
     return (
         labeled.groupBy("source")

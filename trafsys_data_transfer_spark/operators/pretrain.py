@@ -133,11 +133,16 @@ def pretrain_funnel(
         exact.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
     )
-    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper"))
+    # r12 (guide §1.2): the min-id keeper of a cluster IS its component
+    # label — connected_components' contract is component = min reachable
+    # id — so the former groupBy(component).min(id) + join re-derived a
+    # column comp already carries (equivalence asserted row-for-row in
+    # the r12 probe; the portable tier's end-to-end oracle hash pins it).
     neardup = (
-        exact.join(comp, exact.doc_id == comp.id)
-        .join(keepers, "component")
-        .filter(F.col("doc_id") == F.col("keeper"))
+        exact.join(
+            comp.filter(F.col("id") == F.col("component")),
+            exact.doc_id == comp.id,
+        )
         .select(*base.columns)
         .localCheckpoint(eager=True)
     )

@@ -874,11 +874,10 @@ def sim_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
-    labeled = (
-        emb.join(comp, emb.vec_id == comp.id)
-        .join(keepers, "component")
-        .withColumn("is_keeper", (F.col("vec_id") == F.col("keeper_id")).cast("int"))
+    # r12: keeper == component (components returns the min reachable id),
+    # so the keeper groupBy + join re-derived an existing column.
+    labeled = emb.join(comp, emb.vec_id == comp.id).withColumn(
+        "is_keeper", (F.col("vec_id") == F.col("component")).cast("int")
     )
     return (
         labeled.groupBy("label")

